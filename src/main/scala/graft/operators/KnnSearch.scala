@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding table — the reference's core
+  * capability (Pinecone top-K cosine query, reference `main.go:89-139`),
+  * re-expressed as Spark plans.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - the index side stays partitioned and is NEVER shuffled for a search:
+  *    queries are broadcast, scores are computed map-side, and top-K is
+  *    TakeOrderedAndProject (per-partition heaps + driver merge of K×P rows,
+  *    no global sort);
+  *  - batch kNN (M queries × N vectors) broadcasts the query block and uses
+  *    per-query ranking windows; Spark 3.5+ plans the rank filter as
+  *    WindowGroupLimit, keeping K rows per (partition, query) before the
+  *    single shuffle on query_id;
+  *  - `withNorm` materializes ‖v‖ once per indexed vector so each scored
+  *    pair costs one array pass (dot product), not three — at dim 1536 this
+  *    is a 3× scan-cost cut on the hot path;
+  *  - for sub-linear search, [[IvfIndex]] prunes to a few centroid buckets.
+  */
+object KnnSearch {
+
+  /** Index build: precompute the L2 norm per vector (stored alongside, the
+    * way a real index materializes auxiliary per-row state). */
+  def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.withColumn("vec_norm", l2Norm(col(vecCol)))
+
+  /** Cosine via stored norms: one array pass (dot) per scored pair. The
+    * arithmetic is identical to [[VectorFunctions.cosineSim]] — norms are
+    * just computed once instead of per pair — so oracle parity holds. */
+  private def prenormedScore: Column =
+    round(cosineSimPrenormed(
+      dotProduct(col("embedding"), col("q_embedding")),
+      col("vec_norm"), col("q_norm")), 6)
+
+  /** Score every index row against one broadcast query row and keep top-K.
+    * `query` must be a 1-row DataFrame with columns (q_id, q_embedding);
+    * `index` must carry `vec_norm` (see [[withNorm]]). */
+  def topK(index: DataFrame, query: DataFrame, k: Int): DataFrame =
+    index
+      .crossJoin(broadcast(query.withColumn("q_norm", l2Norm(col("q_embedding")))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", prenormedScore)
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  /** Batch kNN join: top-K neighbors for EVERY query row (the north-star
+    * "similarity search as a join", SURVEY.md §2.3 J2). */
+  def knnJoin(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    index
+      .crossJoin(broadcast(queries.withColumn("q_norm", l2Norm(col("q_embedding")))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", prenormedScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"), col("rank"))
+  }
+
+  /** Point lookup by ID — the reference's `vectors/fetch?ids=` path
+    * (`main.go:143`), here a predicate pushed into the Parquet scan. */
+  def fetch(emb: DataFrame, vecId: Long): DataFrame =
+    emb.filter(col("vec_id") === vecId)
+}
+
+/** Portable DuckDB SQL fragments for the same arithmetic (oracle side).
+  * DuckDB's native `list_cosine_similarity` accumulates in float32 (≈1e-7
+  * error vs double — measured), so the oracle spells out the double-width
+  * arithmetic that the Spark expressions use. */
+object VectorSql {
+  /** Σ aᵢ·bᵢ in double, 1-based index lambda. */
+  def dot(a: String, b: String): String =
+    s"list_sum(list_transform($a, (x,i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  def norm(a: String): String =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational substrate: aggregations, joins, set ops, top-K.
+  *
+  * The reference has no relational engine at all (single implicit table,
+  * no joins — SURVEY.md §1.1); these operators prove the substrate the
+  * vector/text operators sit on, expressed declaratively so Catalyst picks
+  * broadcast-vs-shuffle strategies and pushes filters/pruning into the
+  * Parquet scans.
+  *
+  * Oracle-parity notes (SURVEY.md §7.3):
+  *  - money columns are exact 2-decimal doubles in the testdata, so sums are
+  *    computed over `decimal` casts (exact, engine-independent) and cast to
+  *    double once at the end — bit-identical across Spark and DuckDB, no
+  *    rounding tolerance needed;
+  *  - every query ends in a total ORDER BY so the driver's hash compare sees
+  *    a deterministic row order.
+  */
+object RelationalOps {
+
+  /** TPC-H Q1-shaped aggregate: hash aggregate with partial (map-side)
+    * combine, grouping on two low-cardinality keys. At 100 TB this is the
+    * canonical "shuffle only 4 groups after partial agg" plan. */
+  def aggLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    val tax = (lit(1.0) + col("l_tax")).cast("decimal(4,2)")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum((price * disc).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum((price * disc * tax).cast("decimal(24,6)")).cast("double").as("sum_charge"),
+        sum(col("l_discount").cast("decimal(4,2)")).cast("double").as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_disc", round(col("sum_disc") / col("count_order"), 6))
+      .drop("sum_disc")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val aggLineitemSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2)) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation: two equi-joins (customer⋈nation broadcast — nation
+    * has 25 rows; orders⋈customer shuffle or broadcast per AQE) + hash agg. */
+  def joinOrdersCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val joinOrdersCustomerSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** EXISTS as a left-semi join: customers that placed at least one order
+    * above a price floor (filter pushed below the join by Catalyst). */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000.0)
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val semiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** NOT EXISTS as a left-anti join: customers who never placed an order
+    * above 300k (the threshold keeps the result nonempty at every SF). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Global top-K without a total sort: `orderBy().limit()` plans as
+    * TakeOrderedAndProject — each partition keeps K rows, the driver merges
+    * K×partitions, never a full shuffle-sort. The reference's analog is the
+    * Pinecone top-K query (`main.go:101-106`). Tiebreak on key for
+    * determinism (SURVEY.md §7.3). */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  val topKOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Set op (SURVEY.md §2.7): the reference's two language corpora
+    * (`main.go:33-37`) are morally a UNION ALL its code never performs. */
+  def unionCorpora(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val en = docs.filter(col("lang") === "en")
+    val zh = docs.filter(col("lang") === "zh")
+    en.unionByName(zh)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unionCorporaSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+      |UNION ALL
+      |SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'zh'
+      |ORDER BY doc_id""".stripMargin
+
+  /** EXCEPT (set difference with distinct semantics): customers who placed
+    * orders but do not have a positive account balance. */
+  def exceptCustkeys(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val positive = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 0.0)
+      .select(col("c_custkey").as("custkey"))
+    ordered.except(positive).orderBy(col("custkey"))
+  }
+
+  val exceptCustkeysSql: String =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0.0
+      |ORDER BY custkey""".stripMargin
+
+  /** Exact distinct (A6): shuffle-dedup on a composite key. */
+  def distinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_type"))
+      .distinct()
+      .orderBy(col("p_brand"), col("p_type"))
+
+  val distinctPartsSql: String =
+    "SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type"
+
+  /** ROLLUP (A7): hierarchical subtotals region→nation, NULL-filled levels
+    * labelled for engine-portable output. */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("c_acctbal").cast("decimal(12,2)")).cast("double").as("total_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_acctbal"), col("n_customers"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val rollupRegionNationSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_lineitem" -> (aggLineitem _),
+    "q_join_orders_customer" -> (joinOrdersCustomer _),
+    "q_semijoin" -> (semiJoin _),
+    "q_antijoin" -> (antiJoin _),
+    "q_topk_orders" -> (topKOrders _),
+    "q_union_corpora" -> (unionCorpora _),
+    "q_except_custkeys" -> (exceptCustkeys _),
+    "q_distinct_parts" -> (distinctParts _),
+    "q_rollup_region_nation" -> (rollupRegionNation _))
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_lineitem" -> aggLineitemSql,
+    "q_join_orders_customer" -> joinOrdersCustomerSql,
+    "q_semijoin" -> semiJoinSql,
+    "q_antijoin" -> antiJoinSql,
+    "q_topk_orders" -> topKOrdersSql,
+    "q_union_corpora" -> unionCorporaSql,
+    "q_except_custkeys" -> exceptCustkeysSql,
+    "q_distinct_parts" -> distinctPartsSql,
+    "q_rollup_region_nation" -> rollupRegionNationSql)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the vector-search surface (reference `main.go`
+  * query path + `upsert/upsert.go` index semantics), each paired with a
+  * DuckDB oracle that computes identical double-precision arithmetic.
+  */
+object VectorOps {
+  import VectorSql.{cosine => cosSql, norm => normSql}
+
+  private def index(spark: SparkSession, dir: String): DataFrame =
+    KnnSearch.withNorm(Tables.embeddings(spark, dir))
+
+  /** Q-knn: top-10 cosine neighbors of vector 0 (reference: topK query,
+    * `main.go:101-106`, with K=1 generalized). */
+  def knn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(emb, q, 10)
+  }
+
+  val knnSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(${cosSql("e.embedding", "qe")}, 6) AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Q-knn-join: top-3 neighbors for each of the first 8 vectors — batch
+    * similarity search as a broadcast join + ranking window. */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val qs = Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    KnnSearch.knnJoin(emb, qs, 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val knnJoinSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |         ROUND(${cosSql("e.embedding", "qe")}, 6) AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, score, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** Q-fetch: point lookup by id (reference `vectors/fetch?ids=`,
+    * `main.go:143`); the predicate reaches the Parquet scan. */
+  def fetch(spark: SparkSession, dir: String): DataFrame =
+    KnnSearch.fetch(Tables.embeddings(spark, dir), 42L)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(l2Norm(col("embedding")), 6).as("norm"))
+
+  val fetchSql: String =
+    s"""SELECT vec_id, label, len(embedding) AS dim,
+       |  ROUND(${normSql("embedding")}, 6) AS norm
+       |FROM embeddings WHERE vec_id = 42""".stripMargin
+
+  /** Q-index-stats: per-namespace vector counts — the reference's
+    * `describe_index_stats` (`debug-commands.txt:10-12`), with `label`
+    * standing in for the namespace partition. */
+  def indexStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(l2Norm(col("embedding"))), 6).as("avg_norm"))
+      .orderBy(col("label"))
+
+  val indexStatsSql: String =
+    s"""SELECT label, COUNT(*) AS n_vectors,
+       |  ROUND(AVG(${normSql("embedding")}), 6) AS avg_norm
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** Q-upsert: last-write-wins merge by id (Pinecone upsert semantics,
+    * reference `upsert/upsert.go:170` — re-runs with the same synthetic ids
+    * silently overwrite). Batch 1 re-writes every 10th vector; the winner
+    * per id is the highest batch. At scale this is a shuffle on the id key
+    * only — no data movement of the losing batch past the window. */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val batch0 = emb.select(col("vec_id"), col("label"), lit(0).as("batch"))
+    val batch1 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label"), lit(1).as("batch"))
+    Upsert.lastWriteWins(batch0.unionByName(batch1), Seq("vec_id"), "batch")
+      .orderBy(col("vec_id"))
+  }
+
+  val upsertSql: String =
+    """WITH all_batches AS (
+      |  SELECT vec_id, label, 0 AS batch FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, label + 100 AS label, 1 AS batch FROM embeddings WHERE vec_id % 10 = 0),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY batch DESC) AS rn
+      |  FROM all_batches)
+      |SELECT vec_id, label, batch FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn" -> (knn _),
+    "q_knn_join" -> (knnJoin _),
+    "q_fetch" -> (fetch _),
+    "q_index_stats" -> (indexStats _),
+    "q_upsert" -> (upsert _))
+
+  def oracles: Map[String, String] = Map(
+    "q_knn" -> knnSql,
+    "q_knn_join" -> knnJoinSql,
+    "q_fetch" -> fetchSql,
+    "q_index_stats" -> indexStatsSql,
+    "q_upsert" -> upsertSql)
+}
