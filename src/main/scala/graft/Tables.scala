@@ -23,7 +23,18 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark 4 refuses
+    * to read as a timestamp. Read it as raw nanos (legacy conf) and convert
+    * with integer division — nanos (~1.7e18) exceed double's 2^53 exact
+    * range, so this must never go through a float. The testdata carries only
+    * microsecond precision, so the truncation is lossless and matches
+    * DuckDB's native TIMESTAMP_NS handling. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic/windowed surface over the `events` stream-shaped table
+  * (SURVEY.md §2.5, §2.9). The reference's only "streaming" is its stdin
+  * query REPL (`main.go:190-213`); these are the batch forms of the
+  * streaming operators — the same expressions run under Structured
+  * Streaming in [[graft.streaming.EventsStream]].
+  *
+  * Scale notes: windowed aggregation shuffles once on (bucket, type);
+  * per-user windows shuffle once on user_id and AQE splits skewed users;
+  * running sums stay inside one partition per user (no cross-partition
+  * frame).
+  */
+object EventOps {
+
+  /** Q-json-events: schema-on-read over the JSON `props` column
+    * (SURVEY.md §2.8 json family). The extraction is a map-side
+    * projection; only (event_type, props) are read from Parquet. */
+  def jsonEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val jsonEventsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q-window-events: tumbling 1-hour windowed aggregate — the batch form
+    * of `groupBy(window($"ts", ...))`. Window start is emitted as a
+    * formatted string so both engines hash identical values. */
+  def windowEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val windowEventsSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Q-sessionize: gap-based sessionization (30-min inactivity closes a
+    * session) via lag over a per-user time-ordered window — the batch
+    * equivalent of `session_window` (SURVEY.md §2.9). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUserTime))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L).cast("int"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id,
+      |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q-running-sum: per-user running total (rows-frame window, W3).
+    * Frame order is total (ts, event_id) so the sequential double
+    * accumulation is identical in both engines. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(frame), 3).as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val runningSumSql: String =
+    """SELECT event_id, user_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 3)
+      |    AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Q-lag-lead: analytic functions over the event stream (W2): time since
+    * the user's previous event and type of their next one. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor((unix_micros(col("ts")) -
+          lag(unix_micros(col("ts")), 1).over(byUserTime)) / 1000000L)
+          .cast("long").as("secs_since_prev"),
+        lead(col("event_type"), 1).over(byUserTime).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val lagLeadSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000 AS secs_since_prev,
+      |  LEAD(event_type) OVER w AS next_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Q-distinct-users: exact distinct-count per type (A6 exact half; the
+    * approximate HLL half is q_approx_distinct, rows-only — sketch
+    * implementations differ across engines by design). */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val distinctUsersSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Q-approx-distinct: HyperLogLog++ distinct estimate (A6 approx half).
+    * No oracle — DuckDB's approx sketch is a different implementation, so
+    * the driver's rows-only check applies; ScalaTest bounds the estimate
+    * against the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_events" -> (jsonEvents _),
+    "q_window_events" -> (windowEvents _),
+    "q_sessionize" -> (sessionize _),
+    "q_running_sum" -> (runningSum _),
+    "q_lag_lead" -> (lagLead _),
+    "q_distinct_users" -> (distinctUsers _),
+    "q_approx_distinct" -> (approxDistinct _))
+
+  def oracles: Map[String, String] = Map(
+    "q_json_events" -> jsonEventsSql,
+    "q_window_events" -> windowEventsSql,
+    "q_sessionize" -> sessionizeSql,
+    "q_running_sum" -> runningSumSql,
+    "q_lag_lead" -> lagLeadSql,
+    "q_distinct_users" -> distinctUsersSql)
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text ingestion/analysis surface: the reference's chat-line parsing and
+  * normalization (`embed/embed.go:30-31`, `embed/embed.go:98-111`) plus the
+  * north-star text-analysis operators (token counting, language ID, quality
+  * scoring, fingerprinting). All are narrow projections — at 100 TB they
+  * run map-side with zero shuffle, and only the columns they touch are read
+  * from Parquet (column pruning).
+  *
+  * The documents table has no chat-formatted lines, so the parse queries
+  * synthesize the documented format (`[09.09.23, 14:35:02] ~ sender: text`,
+  * reference `main.go:32`) around the corpus text and parse it back — a
+  * format→parse round-trip both engines replicate.
+  */
+object TextOps {
+
+  private val prefixSqlPattern = """^\[[^\]]*\]\s*~?\s*[^:]*:\s*"""
+
+  /** Q-parse: strip the chat prefix (intended semantics — the reference's
+    * own regex can only ever capture the first token, bug B1). */
+  def parse(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("line",
+        concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "), col("text")))
+      .select(
+        col("doc_id"),
+        substring(chatMessage(col("line")), 1, 60).as("message_head"),
+        (chatMessage(col("line")) === col("text")).as("roundtrip_ok"),
+        chatSender(col("line")).as("sender"))
+      .orderBy(col("doc_id"))
+
+  val parseSql: String =
+    s"""SELECT doc_id,
+       |  substr(regexp_replace('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |                        '$prefixSqlPattern', ''), 1, 60) AS message_head,
+       |  regexp_replace('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |                 '$prefixSqlPattern', '') = text AS roundtrip_ok,
+       |  regexp_extract('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |                 '^\\[[^\\]]*\\]\\s*~?\\s*([^:]*):', 1) AS sender
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q-parse-stats: the reference's per-run counters (`embed/embed.go:63-64`,
+    * `130-131`) as an aggregate — lines with/without a parseable prefix.
+    * Half the synthesized corpus (odd doc_ids) is left prefix-less. */
+  def parseStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("line",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "), col("text")))
+          .otherwise(col("text")))
+      .groupBy(hasChatPrefix(col("line")).as("parse_ok"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("line")).cast("long")).as("total_chars"))
+      .orderBy(col("parse_ok"))
+
+  val parseStatsSql: String =
+    s"""WITH lines AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0
+       |           THEN '[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text
+       |           ELSE text END AS line
+       |  FROM documents)
+       |SELECT regexp_matches(line, '$prefixSqlPattern') AS parse_ok,
+       |  COUNT(*) AS n_lines, SUM(length(line)) AS total_chars
+       |FROM lines GROUP BY 1 ORDER BY parse_ok""".stripMargin
+
+  /** Q-normalize: the reference's pre-embedding cleanup
+    * (`embed/embed.go:30-31`): whitespace runs → single space, trim. */
+  def normalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+
+  val normalizeSql: String =
+    """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Q-textstats: scalar string-function suite (SURVEY.md §2.8). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_char"),
+        tokenCount(col("text")).as("n_tokens"),
+        approxBpeCount(col("text")).as("n_bpe"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+
+  val textStatsSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, length(text) AS n_char,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       |  len(regexp_split_to_array(trim(text), '\\s+'))
+       |    + len(regexp_extract_all(text, '[[:punct:]]')) AS n_bpe,
+       |  ROUND(len(regexp_extract_all(text, '[[:punct:]]'))
+       |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+       |  ROUND(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                        t -> t IN ($stops)))
+       |    / CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS DOUBLE), 6)
+       |    AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q-lang-filter: partition-style language routing (reference
+    * `main.go:293-302` routes he/en at file granularity; here it is a
+    * pushed-down predicate — the Spark analog of reading one partition). */
+  def langFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang") === "zh")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val langFilterSql: String =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE lang = 'zh' ORDER BY doc_id""".stripMargin
+
+  /** Q-langid: char-class language-ID heuristic. The synthetic corpus text
+    * carries no real language signal (all rows are English word salad), so
+    * the interesting parity here is the regex+arithmetic pipeline; the
+    * discrimination itself is unit-tested on true multilingual fixtures. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langIdHeuristic(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  val langIdSql: String = {
+    def frac(cls: String) =
+      s"(length(text) - length(regexp_replace(text, '$cls', '', 'g'))) / CAST(greatest(length(text),1) AS DOUBLE)"
+    val han = frac("[\\x{4e00}-\\x{9fff}]")
+    val heb = frac("[\\x{0590}-\\x{05ff}]")
+    val de = frac("[äöüßÄÖÜ]")
+    val es = frac("[áéíóúñ¿¡]")
+    val fr = frac("[àâçèêëîïôùûœ]")
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN $han > 0.05 THEN 'zh'
+       |       WHEN $heb > 0.05 THEN 'he'
+       |       WHEN $de > $es AND $de > $fr AND $de > 0 THEN 'de'
+       |       WHEN $es > $fr AND $es > 0 THEN 'es'
+       |       WHEN $fr > 0 THEN 'fr'
+       |       ELSE 'en' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q-quality: composite quality score (north-star text analysis). Pure
+    * scalar double arithmetic — bit-identical across engines. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val qualitySql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    val punct =
+      "len(regexp_extract_all(text, '[[:punct:]]')) / CAST(greatest(length(text),1) AS DOUBLE)"
+    val stop =
+      s"""len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($stops)))
+         | / CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS DOUBLE)"""
+        .stripMargin.replace("\n", "")
+    s"""SELECT doc_id,
+       |  ROUND((least(length(text) / 500.0, 1.0)
+       |       + (1.0 - least(($punct) * 5.0, 1.0))
+       |       + least(($stop) * 4.0, 1.0)) / 3.0, 6) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q-fingerprint: md5-of-normalized-text fingerprint + per-fingerprint
+    * cardinality (the exact-dedup key; SURVEY.md §2.10). */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("n_same_fp", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
+      |FROM fps ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_parse" -> (parse _),
+    "q_parse_stats" -> (parseStats _),
+    "q_normalize" -> (normalize _),
+    "q_textstats" -> (textStats _),
+    "q_lang_filter" -> (langFilter _),
+    "q_langid" -> (langId _),
+    "q_quality" -> (quality _),
+    "q_fingerprint" -> (fingerprintQuery _))
+
+  def oracles: Map[String, String] = Map(
+    "q_parse" -> parseSql,
+    "q_parse_stats" -> parseStatsSql,
+    "q_normalize" -> normalizeSql,
+    "q_textstats" -> textStatsSql,
+    "q_lang_filter" -> langFilterSql,
+    "q_langid" -> langIdSql,
+    "q_quality" -> qualitySql,
+    "q_fingerprint" -> fingerprintSql)
+}
