@@ -1,0 +1,64 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: distinct word n-gram shingles of a text
+  * column (the unit of n-gram Jaccard / MinHash / SimHash dedup).
+  *
+  * Semantics are identical to the declarative form
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ', ...)))`:
+  * trim, split on whitespace runs, emit the n-token sliding windows
+  * (first-occurrence-distinct), or the whole trimmed text as a single
+  * shingle when there are fewer than n tokens. That higher-order-function
+  * form is interpreted per lambda eval (measured 13.5s for 5k docs /
+  * 260k shingles); this compiled eval does the same work in one pass of
+  * plain JVM string ops.
+  */
+case class WordNGramShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.trim
+    val toks = ws.split(text)
+    if (toks.length < n) {
+      new GenericArrayData(Array[Any](UTF8String.fromString(text)))
+    } else {
+      val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def prettyName: String = "word_ngram_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramShingles =
+    copy(child = newChild)
+}

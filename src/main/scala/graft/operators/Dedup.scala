@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.functions.TextFunctions.fingerprint
+import graft.functions.VectorFunctions.cosineSimPrenormed
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite — the north-star LLM-training-pipeline operators
+  * (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine), each a
+  * `DataFrame => DataFrame` designed around its 100 TB shuffle shape:
+  *
+  *  - exact: one shuffle on the 16-byte fingerprint, not the document text;
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  *    index (explode → self-join on gram → count). Correct but quadratic in
+  *    per-gram document frequency — at scale it runs AFTER an LSH prefilter
+  *    (below), never on the raw corpus;
+  *  - MinHash LSH: signatures are one map-side pass; candidate generation
+  *    shuffles only (band_idx, band_hash, doc_id) tuples — the classic
+  *    sub-quadratic near-dup path;
+  *  - SimHash: banding on 8-bit chunks gives EXACT recall for hamming ≤ 3
+  *    by pigeonhole (4 chunks, ≤3 differing bits ⇒ ≥1 chunk equal), so the
+  *    banded join is a lossless optimization of the quadratic scan;
+  *  - embedding near-dup: label-blocked cosine join (the clustering/IVF
+  *    analog of LSH blocking for dense vectors).
+  *
+  * All hashes route through md5 prefixes (48-bit) so DuckDB reproduces
+  * them bit-for-bit; xxhash64 would be faster but engine-private.
+  */
+object Dedup {
+
+  /** 48-bit portable hash: first 12 hex chars of md5 as a bigint. */
+  def hash48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+
+  /** Distinct word 3-gram shingles (whole text as a single shingle for
+    * docs shorter than 3 tokens). Backed by the native
+    * [[graft.functions.WordNGramShingles]] expression — the equivalent
+    * higher-order-function form is interpreted and was the dominant cost
+    * of every shingle-based dedup query (13.5s of a 28s run at sf0.1). */
+  def shingles3(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordNGramShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), 3))
+
+  /** Exact dedup: keep the lowest-id document per normalized-text
+    * fingerprint. The shuffle key is the md5, so text bytes never move. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    docs
+      .withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact pairwise word-3gram Jaccard ≥ threshold via a shingle inverted
+    * index. `grams` per doc are distinct, so |A∩B| is a pair count and
+    * |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), shingles3(col("text")).as("grams"))
+    // Join on a 64-bit hash of the gram, not the ~90-char string: the
+    // shuffle moves 8-byte keys and the join compares longs. Distinct grams
+    // stay distinct w.h.p. (27k grams → collision odds ~4e-11; the DuckDB
+    // oracle joins on the raw string and would flag a collision).
+    val ex = toks.select(col("doc_id"),
+      explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+    val n = toks.select(col("doc_id"), size(col("grams")).as("n"))
+    val inter = ex.as("a")
+      .join(ex.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // MinHash parameters: 16 hash functions h_j(x) = ((2j+1)·x + j²+7) mod p.
+  // Products stay ≤ 33·2^48 < 2^54, far inside long range.
+  val MinhashFns = 16
+  val MinhashPrime: Long = (1L << 61) - 1
+  val LshBands = 8 // 8 bands × 2 rows: P(candidate) at J=0.98 ≈ 1−(1−0.98²)⁸ ≈ 1−1e-12
+
+  /** 16-slot MinHash signatures, computed relationally: explode shingles,
+    * hash each once, and take the 16 mins as grouped aggregates. The
+    * equivalent nested higher-order-function form (`array_min` over a
+    * `transform` per slot) is interpreted per-lambda-eval and measured an
+    * order of magnitude slower at 5000 docs; the explode/groupBy shape is
+    * whole-stage-codegen'd, combines map-side, and shuffles only
+    * (doc_id, 16 longs) per doc — the shape that holds at 100 TB. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("gram"))
+      .withColumn("h", hash48(col("gram")))
+    val minCols = (0 until MinhashFns).map(j =>
+      min(pmod(lit(j * 2 + 1) * col("h") + lit(j * j + 7), lit(MinhashPrime))).as(s"m$j"))
+    ex.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashFns).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs + signature-agreement estimate of Jaccard.
+    * Candidates = docs sharing ≥1 of 8 two-row band hashes; estimate =
+    * fraction of the 16 minhashes that agree; `minEstimate` suppresses
+    * chance band collisions. */
+  def minhashLshPairs(docs: DataFrame, minEstimate: Double): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+        k => md5(concat_ws(",",
+          element_at(col("sig"), k * 2 + 1), element_at(col("sig"), k * 2 + 2))))))
+      .toDF("doc_id", "sig", "band_idx", "band_hash")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+          .cast("double") / lit(MinhashFns.toDouble))
+      .filter(col("est_jaccard") >= minEstimate)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 32-bit SimHash over the doc's distinct word-3gram shingles: bit i is
+    * the sign of Σ_g (±1 by bit i of hash48(g)). Shingles, not single
+    * words — on a small vocabulary, word sets are near-identical across
+    * unrelated docs and word-level simhash degenerates (measured: half of
+    * all pairs within hamming 3).
+    *
+    * Relational form for the same codegen/scale reasons as
+    * [[minhashSignatures]]: explode → 32 signed-bit sums as grouped
+    * aggregates → pack. Bit i carries weight 2^(31−i). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("gram"))
+      .withColumn("h", hash48(col("gram")))
+    val bitSums = (0 until 32).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i"))
+    ex.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << (31 - i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs with simhash hamming distance ≤ maxHamming (≤ 3 for
+    * exactness of the banded plan): candidates join on equality of one of
+    * four 8-bit chunks — pigeonhole-lossless — then exact hamming filter. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only lossless for hamming <= 3")
+    val sh = simhashSignatures(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), 8 * k).bitwiseAND(lit(255L))): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk_val")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by a cluster/label column so
+    * the pair space is per-block quadratic, not global — the dense-vector
+    * analog of LSH banding. Expects `vec_norm` precomputed (KnnSearch
+    * .withNorm). */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("vec_norm").as("norm_a"))
+    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("vec_norm").as("norm_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", cosineSimPrenormed(
+        graft.functions.VectorFunctions.dotProduct(col("emb_a"), col("emb_b")),
+        col("norm_a"), col("norm_b")))
+      .filter(col("score") >= threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("score"), 6).as("score"))
+  }
+}

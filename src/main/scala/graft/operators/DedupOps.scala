@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared queries + DuckDB oracles for the [[Dedup]] suite. The corpus
+  * has planted near-duplicates (~24 pairs at sf0.01, true 3-gram Jaccard
+  * ≈ 0.98), so every query returns discriminating, nonzero results.
+  */
+object DedupOps {
+
+  /** Shared oracle CTE: distinct word-3gram shingles per doc. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, trim(text) AS tt,
+      |                regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |           THEN list_distinct(list_transform(range(1, len(t)-1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |           ELSE [tt] END AS grams
+      |       FROM toks)""".stripMargin
+
+  /** Q-dedup-exact: duplicate the corpus with shifted ids, dedup by
+    * normalized-text fingerprint keeping the lowest id — every original id
+    * must survive, every +100000 copy must drop. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.exact(corpus)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      |fps AS (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |        FROM corpus),
+      |r AS (SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |      FROM fps)
+      |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Q-dedup-ngram: exact word-3gram Jaccard pairs at ≥ 0.8. */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupNgramSql: String =
+    s"""WITH $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |n AS (SELECT doc_id, len(grams) AS n FROM sh),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN n na ON doc_a = na.doc_id
+       |JOIN n nb ON doc_b = nb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Q-dedup-minhash: LSH candidate pairs with signature-agreement
+    * estimate ≥ 0.5. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupMinhashSql: String =
+    s"""WITH $shinglesCte,
+       |hs AS (SELECT doc_id,
+       |         list_transform(grams, g -> CAST('0x' || substr(md5(g),1,12) AS BIGINT)) AS hs
+       |       FROM sh),
+       |sig AS (SELECT doc_id,
+       |          list_transform(range(0, ${Dedup.MinhashFns}),
+       |            j -> list_min(list_transform(hs,
+       |                   h -> ((j*2+1)*h + j*j + 7) % ${Dedup.MinhashPrime}))) AS sig
+       |        FROM hs),
+       |bands AS (SELECT doc_id, sig, r.k AS band_idx,
+       |            md5(CAST(sig[2*r.k+1] AS VARCHAR) || ',' ||
+       |                CAST(sig[2*r.k+2] AS VARCHAR)) AS band_hash
+       |          FROM sig, range(0, ${Dedup.LshBands}) r(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT doc_a, doc_b,
+       |          CAST(list_sum(list_transform(sa.sig,
+       |                 (x,i) -> CASE WHEN x = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |            / ${Dedup.MinhashFns}.0 AS est
+       |        FROM cand
+       |        JOIN sig sa ON doc_a = sa.doc_id
+       |        JOIN sig sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard FROM est
+       |WHERE est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Q-dedup-simhash: 32-bit simhash pairs at hamming ≤ 3. The Spark plan
+    * uses pigeonhole chunk-banding (lossless); the oracle brute-forces the
+    * quadratic scan — identical result sets prove the optimization. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupSimhashSql: String =
+    s"""WITH $shinglesCte,
+      |hw AS (SELECT doc_id,
+      |    list_transform(grams, g -> CAST('0x' || substr(md5(g),1,12) AS BIGINT)) AS hw
+      |  FROM sh),
+      |bits AS (SELECT doc_id,
+      |    list_transform(range(0, 32), i ->
+      |      CASE WHEN list_sum(list_transform(hw, h ->
+      |             CASE WHEN CAST(floor(h / power(2, i)) AS BIGINT) % 2 = 1
+      |                  THEN 1 ELSE -1 END)) > 0
+      |           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bits
+      |  FROM hw),
+      |sims AS (SELECT doc_id, list_reduce(bits, (s, b) -> s*2 + b) AS simhash FROM bits)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Q-dedup-embed: label-blocked embedding-cosine near-dup pairs. The 0.4
+    * threshold sits just under the corpus max (~0.47) so the result is
+    * small but nonempty. */
+  def dedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(
+      KnnSearch.withNorm(Tables.embeddings(spark, dir)), 0.4)
+      .orderBy(col("label"), col("vec_a"), col("vec_b"))
+
+  val dedupEmbedSql: String = {
+    val cos = VectorSql.cosine("a.embedding", "b.embedding")
+    s"""WITH scored AS (
+       |  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS score
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, vec_a, vec_b, ROUND(score, 6) AS score FROM scored
+       |WHERE score >= 0.4 ORDER BY label, vec_a, vec_b""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embed" -> (dedupEmbed _))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_embed" -> dedupEmbedSql)
+}
