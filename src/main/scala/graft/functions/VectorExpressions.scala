@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the dense-vector hot path.
+  *
+  * The declarative forms (`aggregate(zip_with(a,b,(x,y)->x*y),...)`) are
+  * higher-order functions, which Spark evaluates interpreted — one boxed
+  * lambda call per element. At dim 64 × millions of scored pairs that
+  * lambda overhead dominates the whole query (measured on the dedup
+  * suite). These expressions produce the SAME double values — sequential
+  * left-to-right accumulation over per-element float→double casts — so the
+  * DuckDB oracles are unaffected, but run as a tight primitive loop inside
+  * whole-stage codegen.
+  *
+  * Both operands must be non-null-element arrays of float or double (the
+  * engine's vector type, SURVEY.md §1.2); lengths are expected equal
+  * (enforced upstream by the fixed index dimension, reference
+  * `upsert/upsert.go:70`).
+  */
+object VectorExprUtil {
+  def elemIsFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"expected array<float> or array<double>, got $other")
+  }
+
+  @inline def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** Σ aᵢ·bᵢ in double — the kernel of cosine/dot-product scoring
+  * (reference metric config `upsert/upsert.go:27`). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  private lazy val leftIsFloat = VectorExprUtil.elemIsFloat(left.dataType)
+  private lazy val rightIsFloat = VectorExprUtil.elemIsFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += VectorExprUtil.get(a, i, leftIsFloat) * VectorExprUtil.get(b, i, rightIsFloat)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (leftIsFloat) "getFloat" else "getDouble"
+    val lb = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "vec_dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** √(Σ aᵢ²) — materialized once per indexed vector by the index build
+  * (KnnSearch.withNorm) so scoring is one DotProduct per pair. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  private lazy val isFloat = VectorExprUtil.elemIsFloat(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorExprUtil.get(a, i, isFloat)
+      sum += x * x
+      i += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.$getter($i);
+         |  $sum += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($sum);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "vec_l2norm"
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+}
+
+/** √(Σ (aᵢ−bᵢ)²) — the euclidean alternative metric
+  * (`upsert/upsert.go:27`). */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  private lazy val leftIsFloat = VectorExprUtil.elemIsFloat(left.dataType)
+  private lazy val rightIsFloat = VectorExprUtil.elemIsFloat(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val d = VectorExprUtil.get(a, i, leftIsFloat) - VectorExprUtil.get(b, i, rightIsFloat)
+      sum += d * d
+      i += 1
+    }
+    math.sqrt(sum)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val la = if (leftIsFloat) "getFloat" else "getDouble"
+    val lb = if (rightIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);
+         |  $sum += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($sum);
+       """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "vec_l2dist"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
+    copy(left = l, right = r)
+}

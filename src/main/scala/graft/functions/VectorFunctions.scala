@@ -17,15 +17,20 @@ import org.apache.spark.sql.functions._
   * engines and lose precision at dimension 1536.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
   private def d(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ — sequential left-to-right accumulation in double. */
+  /** Σ aᵢ·bᵢ — sequential left-to-right accumulation in double. Native
+    * codegen expression ([[DotProduct]]); value-identical to the
+    * higher-order form `aggregate(zip_with(a,b,(x,y)->x*y),0D,+)` but runs
+    * as a primitive loop instead of interpreted lambdas. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (s, x) => s + x)
+    toCol(DotProduct(toExpr(a), toExpr(b)))
 
-  /** √(Σ aᵢ²) */
+  /** √(Σ aᵢ²) — native codegen expression ([[L2Norm]]). */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (s, x) => s + d(x) * d(x)))
+    toCol(L2Norm(toExpr(a)))
 
   /** Cosine similarity (the reference's index metric, `upsert/upsert.go:27`). */
   def cosineSim(a: Column, b: Column): Column =
@@ -39,8 +44,7 @@ object VectorFunctions {
 
   /** Euclidean distance (documented alternative metric, `upsert/upsert.go:27`). */
   def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (s, x) => s + x))
+    toCol(L2Distance(toExpr(a), toExpr(b)))
 
   /** Unit-normalize a vector (kept as array<double>). */
   def normalize(a: Column): Column = {
