@@ -14,17 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's headline capability: top-K cosine search over the
-    * vector index (`main.go:89-139`). */
+    * The reference's full pipeline in one plan: normalize + embed the
+    * corpus (`embed/embed.go`), score against an embedded text query,
+    * top-K, and fetch-join matches back to their stored text
+    * (`main.go:89-184`, with bug B3's lost enrichment fixed). */
   def entry(spark: SparkSession): DataFrame =
-    VectorOps.knn(spark, "/root/testdata/sf0.001")
+    EmbedOps.embedKnn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalOps.queries ++ VectorOps.queries ++ TextOps.queries ++ EventOps.queries ++ DedupOps.queries
+    RelationalOps.queries ++ VectorOps.queries ++ TextOps.queries ++ EventOps.queries ++ DedupOps.queries ++ EmbedOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++ EventOps.oracles ++ DedupOps.oracles
+    RelationalOps.oracles ++ VectorOps.oracles ++ TextOps.oracles ++ EventOps.oracles ++ DedupOps.oracles ++ EmbedOps.oracles ++ MultimodalOps.oracles
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text embedding via feature hashing (the "hashing trick").
+  *
+  * The reference's embedding operator is an external model call — one HTTPS
+  * round-trip to OpenAI per line (`embed/embed.go:29-59`), unreproducible
+  * and impossible under zero egress. This replaces it with a local,
+  * deterministic map: tokenize (lowercase, whitespace), hash each token
+  * (FNV-1a 64 over UTF-8 bytes), accumulate ±1 into `hash mod dim`, then
+  * L2-normalize. Unit-norm output means cosine against these vectors is
+  * just a dot product.
+  *
+  * Not a semantic model — the point is the *pipeline shape*: a pure
+  * per-row projection, no shuffle, no I/O, embarrassingly parallel at
+  * 100 TB, vs the reference's 1-request-per-row ceiling (BASELINE.md).
+  * Dimension is a parameter exactly like the reference index's
+  * (`upsert/upsert.go:70`).
+  */
+case class FeatureHashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(dim >= 1, s"embedding dim must be >= 1, got $dim")
+
+  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  private def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString.toLowerCase.trim
+    val acc = new Array[Double](dim)
+    if (text.nonEmpty) {
+      val toks = ws.split(text)
+      var i = 0
+      while (i < toks.length) {
+        val h = fnv1a64(toks(i))
+        val slot = java.lang.Math.floorMod(h, dim.toLong).toInt
+        val sign = if (((h >>> 32) & 1L) == 1L) 1.0 else -1.0
+        acc(slot) += sign
+        i += 1
+      }
+    }
+    var norm = 0.0
+    var d = 0
+    while (d < dim) { norm += acc(d) * acc(d); d += 1 }
+    val inv = if (norm > 0.0) 1.0 / math.sqrt(norm) else 0.0
+    val out = new Array[Any](dim)
+    d = 0
+    while (d < dim) { out(d) = (acc(d) * inv).toFloat; d += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "feature_hash_embed"
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}

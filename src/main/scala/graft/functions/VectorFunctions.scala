@@ -32,15 +32,21 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     toCol(L2Norm(toExpr(a)))
 
-  /** Cosine similarity (the reference's index metric, `upsert/upsert.go:27`). */
+  /** Cosine similarity (the reference's index metric, `upsert/upsert.go:27`).
+    * Cosine against a zero vector is defined as 0 — under ANSI mode the
+    * bare division would throw DIVIDE_BY_ZERO (hit by embedding an empty
+    * query string); the guard never fires for nonzero vectors so oracle
+    * values are unaffected. */
   def cosineSim(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    cosineSimPrenormed(dotProduct(a, b), l2Norm(a), l2Norm(b))
 
   /** Cosine given a precomputed norm for each side — the scale path: an
     * index table stores `norm` once so each scored pair costs one dot
     * product, not three array passes. */
-  def cosineSimPrenormed(dot: Column, normA: Column, normB: Column): Column =
-    dot / (normA * normB)
+  def cosineSimPrenormed(dot: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    when(denom === 0.0, lit(0.0)).otherwise(dot / denom)
+  }
 
   /** Euclidean distance (documented alternative metric, `upsert/upsert.go:27`). */
   def l2Dist(a: Column, b: Column): Column =

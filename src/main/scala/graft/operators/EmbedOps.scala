@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{FeatureHashEmbed, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** The reference's end-to-end pipeline (embed → index → query → fetch),
+  * re-expressed as Spark plans over the documents corpus. These queries are
+  * rows-only checked by the driver (no DuckDB oracle: the embedding is
+  * engine-local by design, SURVEY.md §7.3) and exhaustively unit-tested
+  * instead.
+  */
+object EmbedOps {
+  val Dim = 64
+
+  def embedText(text: Column, dim: Int = Dim): Column =
+    ColumnBridge.column(FeatureHashEmbed(ColumnBridge.expression(text), dim))
+
+  /** Stage 1 (reference `embed/embed.go:85-126`): parse + normalize +
+    * embed the corpus. One map-side projection — contrast the reference's
+    * one-HTTPS-call-per-line ceiling (BASELINE.md). */
+  def buildIndex(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("lang"), col("text"),
+      embedText(TextFunctions.normalizeText(col("text"))).as("embedding"))
+      .withColumn("vec_norm", VectorFunctions.l2Norm(col("embedding")))
+
+  /** Stage 3 (reference `main.go:89-184`): embed the query text, score the
+    * index, top-K, then join matches back to their stored text — the
+    * fetch-join the reference intended but lost to bug B3 (`main.go:142`,
+    * assignment to a loop-variable copy). */
+  def searchByText(spark: SparkSession, index: DataFrame, queryText: String, k: Int): DataFrame = {
+    val q = spark.range(1).select(
+      embedText(lit(queryText)).as("q_embedding"))
+      .withColumn("q_norm", VectorFunctions.l2Norm(col("q_embedding")))
+    val matches = index
+      .crossJoin(broadcast(q))
+      .withColumn("score", round(
+        VectorFunctions.cosineSimPrenormed(
+          VectorFunctions.dotProduct(col("embedding"), col("q_embedding")),
+          col("vec_norm"), col("q_norm")), 6))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // Fetch-join: tiny match set broadcast back against the index (J3).
+    broadcast(matches)
+      .join(index.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        substring(col("text"), 1, 80).as("text_head"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Q-embed: embedding projection sanity surface — every non-empty doc
+    * embeds to an exactly-unit-norm vector of the declared dimension. */
+  def embed(spark: SparkSession, dir: String): DataFrame =
+    buildIndex(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        size(col("embedding")).as("dim"),
+        round(col("vec_norm"), 6).as("norm"))
+      .orderBy(col("doc_id"))
+
+  /** Q-embed-knn: the flagship — full reference query path in one plan. */
+  def embedKnn(spark: SparkSession, dir: String): DataFrame =
+    searchByText(spark,
+      buildIndex(Tables.documents(spark, dir)),
+      "fast vector query engine", 5)
+
+  /** Q-csv-roundtrip: the reference's CSV embedding sink/source pair
+    * (`embed/embed.go:120-126` → `upsert/upsert.go:148-165`) as an in-plan
+    * round-trip at the reference's own `%f` 6-decimal precision — max
+    * per-vector error must stay ≤ 1e-6 (the precision the reference
+    * silently loses on every row; our Parquet path loses nothing). File-
+    * level write/read lives in [[graft.sources.EmbeddingsCsv]]. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val line = concat_ws(",",
+      transform(col("embedding"), x => format_string("%.6f", x.cast("double"))))
+    emb.withColumn("line", line)
+      .withColumn("back",
+        transform(split(col("line"), ","), s => s.cast("float")))
+      .withColumn("max_err",
+        aggregate(zip_with(col("embedding"), col("back"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+          lit(0.0), (s, x) => greatest(s, x)))
+      .groupBy()
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(col("max_err") <= 1e-6, 1)).as("n_within_csv_precision"),
+        count(when(size(col("back")) === size(col("embedding")), 1)).as("n_dim_preserved"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed" -> (embed _),
+    "q_embed_knn" -> (embedKnn _),
+    "q_csv_roundtrip" -> (csvRoundtrip _))
+
+  /** No DuckDB oracles: embedding + %f formatting are engine-local
+    * (SURVEY.md §7.3 decision); driver applies rows-only checks. */
+  def oracles: Map[String, String] = Map.empty
+}

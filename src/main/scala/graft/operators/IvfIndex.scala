@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-style approximate nearest neighbor: partition the index into
+  * centroid buckets, search only the query's closest buckets.
+  *
+  * This is the sub-linear scale path past brute-force kNN: at 100 TB the
+  * index is stored `partitionBy(cluster_id)`, a query scores the (tiny,
+  * broadcast) centroid table first, and the bucket filter becomes Parquet
+  * partition pruning — the scan reads nprobe/k of the data. Recall is
+  * tunable via nprobe exactly as in published IVF systems (the reference
+  * delegates this wholesale to Pinecone; `upsert/upsert.go:27`).
+  *
+  * Centroids here are caller-provided (deterministic: any stable subset or
+  * offline k-means); training is out of scope.
+  */
+object IvfIndex {
+
+  /** Assign every vector to its nearest centroid by cosine (ties → lowest
+    * centroid id). One broadcast join + per-vector rank — no shuffle of
+    * the index side beyond the ranking window's local sort. */
+  def assign(index: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("cent_id"))
+    index
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_score", cosineSimPrenormed(
+        dotProduct(col("embedding"), col("c_embedding")),
+        col("vec_norm"), col("c_norm")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("vec_norm"), col("cent_id"))
+  }
+
+  /** Probe: the query's top-`nprobe` centroids. */
+  def probes(centroids: DataFrame, query: DataFrame, nprobe: Int): DataFrame =
+    centroids
+      .crossJoin(broadcast(query))
+      .withColumn("p_score", cosineSimPrenormed(
+        dotProduct(col("c_embedding"), col("q_embedding")),
+        col("c_norm"), col("q_norm")))
+      .orderBy(col("p_score").desc, col("cent_id"))
+      .limit(nprobe)
+      .select(col("cent_id"))
+
+  /** ANN top-K: exact scoring restricted to the probed buckets. */
+  def search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
+             nprobe: Int, k: Int): DataFrame =
+    assigned
+      .join(broadcast(probes(centroids, query, nprobe)), Seq("cent_id"))
+      .crossJoin(broadcast(query))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(cosineSimPrenormed(
+        dotProduct(col("embedding"), col("q_embedding")),
+        col("vec_norm"), col("q_norm")), 6))
+      .select(col("vec_id"), col("label"), col("cent_id"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star): media as opaque `binary`
+  * columns with typed metadata alongside.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB (dimensions derived from the
+  * content's sha256 — stable, engine-portable, obviously fake). Everything
+  * around it is real and what actually matters at 100 TB: binary columns
+  * survive Parquet scans with column pruning (a metadata-only query never
+  * reads the blob bytes), per-row feature extraction is a map-side
+  * projection, and frame sampling is byte-slicing on the binary column.
+  * A production decode drops into [[decodeStub]]'s slot as a
+  * `mapPartitions` over the same schema (batch-friendly: one codec init
+  * per partition, not per row).
+  */
+object Multimodal {
+
+  /** Stand-in media blob: the document's UTF-8 bytes. In production this
+    * column comes straight from the media files' Parquet ingestion. */
+  def toBlob(text: Column): Column = text.cast("binary")
+
+  /** STUB decode — fake but deterministic media dimensions from the
+    * content hash. Real implementation: `mapPartitions` with a codec,
+    * same output schema. */
+  def decodeStub(blob: Column): Column = {
+    val sha = sha2(blob, 256)
+    struct(
+      length(blob).cast("long").as("n_bytes"),
+      (conv(substring(sha, 1, 4), 16, 10).cast("long") % 1280).as("width"),
+      (conv(substring(sha, 5, 4), 16, 10).cast("long") % 720).as("height"),
+      (conv(substring(sha, 9, 4), 16, 10).cast("long") % 240 + 1).as("n_frames"))
+  }
+
+  /** Frame sampling as byte slices: n even offsets into the blob, each a
+    * fixed-width window (binary substring is O(slice), not O(blob)). */
+  def frameSample(blob: Column, n: Int, frameBytes: Int): Column =
+    transform(sequence(lit(0), lit(n - 1)),
+      i => substring(blob, (i * greatest(length(blob) / n, lit(1)) + 1).cast("int"), lit(frameBytes)))
+}
+
+/** Declared query + oracle for the multimodal surface. */
+object MultimodalOps {
+
+  /** Q-multimodal-meta: blob ingestion + metadata extraction + stub
+    * decode, all engine-portable (sha256 arithmetic is identical in
+    * DuckDB). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blob = Multimodal.toBlob(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), blob.as("blob"))
+      .withColumn("meta", Multimodal.decodeStub(col("blob")))
+      .select(
+        col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        substring(sha2(col("blob"), 256), 1, 16).as("sha_prefix"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        col("meta.n_frames").as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  substr(sha256(text), 1, 16) AS sha_prefix,
+      |  CAST('0x' || substr(sha256(text), 1, 4) AS BIGINT) % 1280 AS width,
+      |  CAST('0x' || substr(sha256(text), 5, 4) AS BIGINT) % 720 AS height,
+      |  CAST('0x' || substr(sha256(text), 9, 4) AS BIGINT) % 240 + 1 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (multimodalMeta _))
+
+  def oracles: Map[String, String] = Map(
+    "q_multimodal_meta" -> multimodalMetaSql)
+}

@@ -107,17 +107,57 @@ object VectorOps {
       |  FROM all_batches)
       |SELECT vec_id, label, batch FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Q-ann-ivf: IVF approximate nearest neighbor — centroids are the 16
+    * lowest-id vectors (deterministic stand-in for offline k-means), the
+    * query probes its 4 nearest buckets, exact scoring inside them. The
+    * oracle replays the same assignment/probe/search pipeline, so the
+    * bucket-pruned plan is proven against a full recomputation. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val cent = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val q = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    IvfIndex.search(IvfIndex.assign(emb, cent), cent, q, nprobe = 4, k = 10)
+  }
+
+  val annIvfSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |pr AS (SELECT cent_id FROM cent, q
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn" -> (knn _),
     "q_knn_join" -> (knnJoin _),
     "q_fetch" -> (fetch _),
     "q_index_stats" -> (indexStats _),
-    "q_upsert" -> (upsert _))
+    "q_upsert" -> (upsert _),
+    "q_ann_ivf" -> (annIvf _))
 
   def oracles: Map[String, String] = Map(
     "q_knn" -> knnSql,
     "q_knn_join" -> knnJoinSql,
     "q_fetch" -> fetchSql,
     "q_index_stats" -> indexStatsSql,
-    "q_upsert" -> upsertSql)
+    "q_upsert" -> upsertSql,
+    "q_ann_ivf" -> annIvfSql)
 }

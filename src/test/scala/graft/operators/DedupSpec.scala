@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends SparkSpecBase with Matchers {
+
+  lazy val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  test("exact dedup keeps the lowest id per duplicate group and is idempotent") {
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val once = Dedup.exact(doubled)
+    once.count() shouldBe docs.count()
+    once.agg(max(col("doc_id"))).head().getLong(0) should be < 100000L
+    // Idempotence: dedup of the deduped set changes nothing.
+    Dedup.exact(once.drop("fp")).count() shouldBe once.count()
+  }
+
+  test("dedup result is invariant under input row order") {
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val a = Dedup.exact(doubled).select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Dedup.exact(doubled.orderBy(rand(42))).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    a shouldBe b
+  }
+
+  test("ngram Jaccard finds the planted near-duplicates and only near-identical pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.8).collect()
+    pairs.length should be > 0
+    all(pairs.map(_.getDouble(2))) should be >= 0.8
+    // identical docs → jaccard exactly 1
+    val selfPair = Dedup.ngramJaccardPairs(
+      docs.limit(1).unionByName(docs.limit(1)
+        .select((col("doc_id") + 1).as("doc_id"), col("text"))), 0.99).collect()
+    selfPair.length shouldBe 1
+    selfPair.head.getDouble(2) shouldBe 1.0
+  }
+
+  test("minhash LSH candidates cover every true >=0.9-Jaccard pair (recall on planted dups)") {
+    val truePairs = Dedup.ngramJaccardPairs(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.minhashLshPairs(docs, 0.0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truePairs.diff(lshPairs) shouldBe empty
+  }
+
+  test("simhash banded pairs equal the brute-force hamming scan (pigeonhole losslessness)") {
+    val banded = Dedup.simhashPairs(docs, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashSignatures(docs)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded shouldBe brute
+  }
+
+  test("embedding near-dup pairs are symmetric-unique and above threshold") {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.3).collect()
+    pairs.length should be > 0
+    all(pairs.map(_.getDouble(3))) should be >= 0.3
+    val keys = pairs.map(r => (r.getLong(1), r.getLong(2)))
+    keys.distinct.length shouldBe keys.length
+    all(keys.map { case (a, b) => a < b }) shouldBe true
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+class KnnAndUpsertSpec extends SparkSpecBase with Matchers {
+
+  lazy val emb = Tables.embeddings(spark, sfDir)
+  lazy val index = KnnSearch.withNorm(emb)
+  lazy val q = emb.filter(col("vec_id") === 0)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+
+  test("top-K is a prefix of top-(K+1)") {
+    val k5 = KnnSearch.topK(index, q, 5).select("vec_id").collect().map(_.getLong(0))
+    val k6 = KnnSearch.topK(index, q, 6).select("vec_id").collect().map(_.getLong(0))
+    k6.take(5) shouldBe k5
+  }
+
+  test("kNN never returns the query vector itself and scores are sorted desc") {
+    val rows = KnnSearch.topK(index, q, 10).collect()
+    rows.map(_.getLong(0)) should not contain 0L
+    val scores = rows.map(_.getDouble(2))
+    scores.sorted.reverse shouldBe scores
+  }
+
+  test("batch kNN join returns exactly k neighbors per query with rank 1..k") {
+    val qs = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val res = KnnSearch.knnJoin(index, qs, 3).collect()
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.length shouldBe 3
+      rows.map(_.getInt(4)).sorted shouldBe Array(1, 2, 3)
+    }
+  }
+
+  test("fetch returns exactly the requested id (point lookup)") {
+    val r = KnnSearch.fetch(emb, 42L).collect()
+    r.length shouldBe 1
+    r.head.getLong(0) shouldBe 42L
+  }
+
+  test("IVF search results are a subset of brute-force kNN over probed buckets, exact-ranked") {
+    val cent = KnnSearch.withNorm(emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")), "c_embedding")
+      .withColumnRenamed("vec_norm", "c_norm")
+    val qn = KnnSearch.withNorm(emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")), "q_embedding")
+      .withColumnRenamed("vec_norm", "q_norm")
+    val assigned = IvfIndex.assign(index, cent)
+    // every vector is assigned to exactly one bucket
+    assigned.count() shouldBe emb.count()
+    val ivf = IvfIndex.search(assigned, cent, qn, nprobe = 16, k = 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    // probing ALL 16 buckets makes IVF exhaustive → must equal brute force
+    val brute = KnnSearch.topK(index, q, 10).select("vec_id").collect().map(_.getLong(0))
+    ivf shouldBe brute
+  }
+
+  test("upsert is last-write-wins by version and idempotent on re-upsert") {
+    val b0 = emb.select(col("vec_id"), col("label"), lit(0).as("batch"))
+    val b1 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label"), lit(1).as("batch"))
+    val merged = Upsert.lastWriteWins(b0.unionByName(b1), Seq("vec_id"), "batch")
+    merged.count() shouldBe emb.count()
+    merged.filter(col("vec_id") % 10 === 0)
+      .agg(min(col("label"))).head().getInt(0) should be >= 100
+    // re-upserting the SAME batch twice changes nothing (ref's line-number
+    // ids make re-runs silently idempotent — upsert/upsert.go:170)
+    val again = Upsert.lastWriteWins(
+      merged.unionByName(merged), Seq("vec_id"), "batch")
+    again.count() shouldBe merged.count()
+  }
+}
