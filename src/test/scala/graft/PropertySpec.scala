@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.matchers.should.Matchers
+
+/** ScalaCheck properties from SURVEY.md §5.2: generated inputs pushed
+  * through the REAL column expressions (one local Spark job per generated
+  * case, not reimplementations of the formulas). Generators are driven
+  * directly with deterministic seeds — the scalatest/scalacheck bridge
+  * artifact is not in the offline dependency set.
+  */
+class PropertySpec extends SparkSpecBase with Matchers {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-10f, 10f)).suchThat(_.exists(_ != 0f))
+
+  private def pairDf(a: Seq[Float], b: Seq[Float]) = {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType, containsNull = false)),
+      StructField("b", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(java.util.Arrays.asList(Row(a, b)), schema)
+  }
+
+  test("property: cosine is symmetric and bounded in [-1, 1]") {
+    samples(Gen.zip(vecGen, vecGen), 8).foreach { case (a, b) =>
+      val r = pairDf(a, b).select(
+        VectorFunctions.cosineSim(col("a"), col("b")),
+        VectorFunctions.cosineSim(col("b"), col("a"))).head()
+      r.getDouble(0) shouldBe r.getDouble(1) +- 1e-12
+      r.getDouble(0) should (be >= -1.0 - 1e-9 and be <= 1.0 + 1e-9)
+    }
+  }
+
+  test("property: cosine(v, v) = 1 for nonzero v") {
+    samples(vecGen, 8).foreach { a =>
+      pairDf(a, a).select(VectorFunctions.cosineSim(col("a"), col("b")))
+        .head().getDouble(0) shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("property: chat format->parse round-trip for generated senders/messages") {
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val message = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    samples(Gen.zip(word, message), 12).foreach { case (sender, msg) =>
+      val line = s"[09.09.23, 14:35:02] ~ $sender: $msg"
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(line)),
+        StructType(Seq(StructField("text", StringType))))
+      val r = df.select(
+        TextFunctions.chatMessage(col("text")),
+        TextFunctions.chatSender(col("text"))).head()
+      r.getString(0) shouldBe msg
+      r.getString(1) shouldBe sender
+    }
+  }
+
+  test("property: fingerprint equality <=> normalized-text equality") {
+    val text = Gen.listOfN(6, Gen.oneOf("a", "bb", "c d", " ", "\t")).map(_.mkString(" "))
+    samples(Gen.zip(text, text), 16).foreach { case (t1, t2) =>
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(t1, t2)),
+        StructType(Seq(StructField("x", StringType), StructField("y", StringType))))
+      val r = df.select(
+        TextFunctions.fingerprint(col("x")), TextFunctions.fingerprint(col("y")),
+        TextFunctions.normalizeText(col("x")), TextFunctions.normalizeText(col("y"))).head()
+      (r.getString(0) == r.getString(1)) shouldBe (r.getString(2) == r.getString(3))
+    }
+  }
+
+  test("property: top-K is a prefix of top-(K+1) for varying K") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = graft.operators.KnnSearch.withNorm(emb)
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val results = (1 to 8).map(k =>
+      graft.operators.KnnSearch.topK(index, q, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)
+    results.sliding(2).foreach { case Seq(smaller, larger) =>
+      larger.take(smaller.length) shouldBe smaller
+    }
+  }
+}

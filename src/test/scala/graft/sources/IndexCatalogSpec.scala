@@ -1,0 +1,39 @@
+package graft.sources
+
+import graft.{SparkSpecBase, Tables}
+import graft.sources.IndexCatalog.IndexDescriptor
+import org.scalatest.matchers.should.Matchers
+
+class IndexCatalogSpec extends SparkSpecBase with Matchers {
+
+  test("index DDL: create-if-absent is idempotent; list + stats reflect the build") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val desc = IndexDescriptor("whatsapp-chat", 64, "cosine")
+
+    IndexCatalog.exists(base, "whatsapp-chat") shouldBe false
+    IndexCatalog.createIfAbsent(spark, base, desc, emb) shouldBe true
+    // second create is a no-op, like the reference's GET-then-POST
+    // (upsert/upsert.go:38-111)
+    IndexCatalog.createIfAbsent(spark, base, desc, emb.limit(1)) shouldBe false
+
+    IndexCatalog.list(base) shouldBe Seq("whatsapp-chat")
+    val loaded = IndexCatalog.load(spark, base, "whatsapp-chat")
+    loaded.count() shouldBe emb.count()
+    loaded.columns should contain("vec_norm")
+
+    val stats = IndexCatalog.describeStats(spark, base, "whatsapp-chat").collect()
+    stats.map(_.getLong(1)).sum shouldBe emb.count()
+  }
+
+  test("namespace (label) filter prunes to partition directories") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catalog2").toString
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("ns-test", 64, "cosine"), Tables.embeddings(spark, sfDir))
+    val one = IndexCatalog.load(spark, base, "ns-test")
+      .filter(org.apache.spark.sql.functions.col("label") === 3)
+    val plan = one.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(label")
+    one.count() should be > 0L
+  }
+}
