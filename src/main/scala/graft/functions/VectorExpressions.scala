@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -29,6 +30,19 @@ object VectorExprUtil {
       s"expected array<float> or array<double>, got $other")
   }
 
+  def isVectorType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Analysis-time check so `vec_dot(1, 2)` in SQL fails with a clear
+    * message instead of a runtime ClassCastException. */
+  def checkVectorInputs(name: String, types: DataType*): TypeCheckResult =
+    if (types.forall(isVectorType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> or array<double> arguments, got " +
+        types.map(_.simpleString).mkString(", "))
+
   @inline def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
@@ -41,6 +55,9 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   private lazy val leftIsFloat = VectorExprUtil.elemIsFloat(left.dataType)
   private lazy val rightIsFloat = VectorExprUtil.elemIsFloat(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorInputs(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -84,6 +101,9 @@ case class L2Norm(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   private lazy val isFloat = VectorExprUtil.elemIsFloat(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorInputs(prettyName, child.dataType)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -129,6 +149,9 @@ case class L2Distance(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   private lazy val leftIsFloat = VectorExprUtil.elemIsFloat(left.dataType)
   private lazy val rightIsFloat = VectorExprUtil.elemIsFloat(right.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorInputs(prettyName, left.dataType, right.dataType)
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -1,0 +1,59 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions in the SQL function registry, so pure-SQL users (and
+  * `spark.sql(...)` pipelines) get the same codegen kernels as the Scala
+  * API — no UDF wrapping, full Catalyst visibility (constant folding,
+  * null propagation, codegen).
+  *
+  * Activate via config, no code changes:
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  * or `.withExtensions(new GraftExtensions)` on the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** One registration list feeding both wiring paths (injectFunction at
+    * session build; registry insertion on a live session). */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays in double"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("vec_l2norm"),
+      info("vec_l2norm", "vec_l2norm(a) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => L2Norm(args.head)),
+    (FunctionIdentifier("vec_l2dist"),
+      info("vec_l2dist", "vec_l2dist(a, b) - euclidean distance of two arrays"),
+      (args: Seq[Expression]) => L2Distance(args(0), args(1))),
+    (FunctionIdentifier("word_ngram_shingles"),
+      info("word_ngram_shingles",
+        "word_ngram_shingles(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => WordNGramShingles(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("feature_hash_embed"),
+      info("feature_hash_embed",
+        "feature_hash_embed(text, dim) - deterministic unit-norm embedding"),
+      (args: Seq[Expression]) => FeatureHashEmbed(args.head,
+        args(1).eval().asInstanceOf[Number].intValue())))
+
+  /** Register on an already-running session (extensions configured at
+    * build time can't be added retroactively). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (ident, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, i, builder)
+    }
+}

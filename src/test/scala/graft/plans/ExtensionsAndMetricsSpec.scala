@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.{SparkSpecBase, Tables}
+import graft.operators.Metrics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+class ExtensionsAndMetricsSpec extends SparkSpecBase with Matchers {
+
+  test("GraftExtensions exposes the native expressions to pure SQL") {
+    // Force a genuinely new session: with an active session present,
+    // getOrCreate returns it and silently ignores withExtensions.
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      Tables.embeddings(s, sfDir).createOrReplaceTempView("emb")
+      val r = s.sql(
+        """SELECT vec_id,
+          |  round(vec_dot(embedding, embedding), 6) AS selfdot,
+          |  round(vec_l2norm(embedding) * vec_l2norm(embedding), 6) AS normsq,
+          |  vec_l2dist(embedding, embedding) AS selfdist,
+          |  size(word_ngram_shingles('a b c d', 3)) AS n_shingles,
+          |  size(feature_hash_embed('hello world', 32)) AS dim
+          |FROM emb WHERE vec_id = 1""".stripMargin).head()
+      r.getDouble(1) shouldBe r.getDouble(2) // |v|² == v·v
+      r.getDouble(3) shouldBe 0.0
+      r.getInt(4) shouldBe 2
+      r.getInt(5) shouldBe 32
+    } finally {
+      // do not stop() (SparkContext is shared); restore the suite session
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("GraftExtensions.register wires the same functions into a live session") {
+    GraftExtensions.register(spark)
+    spark.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+  }
+
+  test("observe() counters reconcile: processed == ok + failures (ref embed.go:130)") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("[09.09.23, 14:35:02] ~ u: "), col("text")))
+          .otherwise(col("text")))
+    val (observed, obs) = Metrics.observeParse(docs)
+    val total = observed.count()
+    val m = obs.get
+    m("lines_processed") shouldBe total
+    m("parse_ok").asInstanceOf[Long] + m("parse_failures").asInstanceOf[Long] shouldBe total
+    m("parse_ok").asInstanceOf[Long] should be > 0L
+    m("parse_failures").asInstanceOf[Long] should be > 0L
+  }
+}
