@@ -148,7 +148,51 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Q-map-props: the metadata-map surface (SURVEY.md §2.8 map family —
+    * the reference declares `map[string]string` metadata but never stores
+    * it, bug B8). `props` is parsed into a real MapType and accessed with
+    * map functions; the oracle extracts the same values via JSON (the
+    * engines' map layouts differ, the VALUES must not). */
+  def mapProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        element_at(col("m"), "k").as("k_value"))
+      .orderBy(col("event_id"))
+
+  val mapPropsSql: String =
+    """SELECT event_id,
+      |  len(json_keys(props)) AS n_keys,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Q-cube-events: CUBE over (event_type, weekday) — all four grouping
+    * combinations with labelled totals (A7's second half next to ROLLUP). */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("weekday", date_format(col("ts"), "E"))
+      .cube(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("weekday"), lit("ALL")).as("weekday"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("weekday"))
+
+  val cubeEventsSql: String =
+    """SELECT COALESCE(event_type, 'ALL') AS event_type,
+      |  COALESCE(strftime(ts, '%a'), 'ALL') AS weekday,
+      |  COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
+      |FROM events
+      |GROUP BY CUBE(event_type, strftime(ts, '%a'))
+      |ORDER BY event_type, weekday""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_props" -> (mapProps _),
+    "q_cube_events" -> (cubeEvents _),
     "q_json_events" -> (jsonEvents _),
     "q_window_events" -> (windowEvents _),
     "q_sessionize" -> (sessionize _),
@@ -158,6 +202,8 @@ object EventOps {
     "q_approx_distinct" -> (approxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_map_props" -> mapPropsSql,
+    "q_cube_events" -> cubeEventsSql,
     "q_json_events" -> jsonEventsSql,
     "q_window_events" -> windowEventsSql,
     "q_sessionize" -> sessionizeSql,
