@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 48-bit portable hash: first 12 hex chars of md5 as a bigint. */
+  /** 48-bit portable hash: first 12 hex chars of md5 as a bigint (native
+    * digest-bytes expression; same value as
+    * `conv(substring(md5(c),1,12),16,10)` without the hex-string
+    * round-trip). */
   def hash48(c: Column): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("bigint")
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.Md5Prefix48(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Distinct word 3-gram shingles (whole text as a single shingle for
     * docs shorter than 3 tokens). Backed by the native
