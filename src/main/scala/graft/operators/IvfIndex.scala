@@ -47,6 +47,35 @@ object IvfIndex {
       .limit(nprobe)
       .select(col("cent_id"))
 
+  /** Lloyd's k-means for centroid training (replaces the deterministic
+    * lowest-id seed centroids with data-adapted ones). Each iteration is
+    * one assign (broadcast centroids, map-side scoring) plus one typed
+    * [[graft.api.Typed.VectorMean]] aggregation — an `Aggregator[IN,BUF,
+    * OUT]` with element-wise partial merge, so the centroid update
+    * combines map-side like any built-in agg. Empty clusters drop (k may
+    * shrink), standard Lloyd behavior. */
+  def trainCentroids(emb: DataFrame, k: Int, dim: Int, iterations: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val indexed = KnnSearch.withNorm(emb)
+    var cent = KnnSearch.withNorm(
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val mean = new graft.api.Typed.VectorMean(dim).toColumn
+    for (_ <- 1 to iterations) {
+      val assigned = assign(indexed, cent)
+      cent = KnnSearch.withNorm(
+        assigned.select(col("cent_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(mean.name("c_embedding"))
+          .toDF("cent_id", "c_embedding"),
+        "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    }
+    cent
+  }
+
   /** ANN top-K: exact scoring restricted to the probed buckets. */
   def search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
              nprobe: Int, k: Int): DataFrame =

@@ -41,7 +41,18 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
 
   test("bucketed tables join with no shuffle exchange") {
     // warehouse dir is a static conf; the default ./spark-warehouse is
-    // gitignored and fine for the test catalog
+    // gitignored and fine for the test catalog. The catalog is in-memory
+    // per JVM but the location persists — clear both or saveAsTable
+    // refuses the orphaned directory.
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Bucketing.writeBucketed(
       Tables.orders(spark, sfDir).withColumnRenamed("o_custkey", "custkey"),
       "orders_b", "custkey", 8)
