@@ -206,7 +206,67 @@ object RelationalOps {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** TPC-H Q3-shaped: selective filters on both join inputs, 3-table join,
+    * aggregate, top-K — the canonical "filters push below the join, AQE
+    * picks broadcast for the pruned side" plan. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((price * disc).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join — no per-row re-execution): orders costing more
+    * than 1.5x their customer's average order. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("__orders")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM __orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT AVG(CAST(i.o_totalprice AS DECIMAL(14,2)))
+        |  FROM __orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val aboveAvgOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 1.5 * (
+      |  SELECT AVG(CAST(i.o_totalprice AS DECIMAL(14,2)))
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shipping_priority" -> (shippingPriority _),
+    "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_agg_lineitem" -> (aggLineitem _),
     "q_join_orders_customer" -> (joinOrdersCustomer _),
     "q_semijoin" -> (semiJoin _),
@@ -218,6 +278,8 @@ object RelationalOps {
     "q_rollup_region_nation" -> (rollupRegionNation _))
 
   def oracles: Map[String, String] = Map(
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,
     "q_join_orders_customer" -> joinOrdersCustomerSql,
     "q_semijoin" -> semiJoinSql,
