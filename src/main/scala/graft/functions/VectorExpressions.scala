@@ -45,6 +45,9 @@ object VectorExprUtil {
 
   @inline def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def elementsNullable(types: DataType*): Boolean =
+    types.exists { case ArrayType(_, n) => n; case _ => false }
 }
 
 /** Σ aᵢ·bᵢ in double — the kernel of cosine/dot-product scoring
@@ -59,6 +62,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, left.dataType, right.dataType)
 
+  // a null ELEMENT nulls the result (matching the declarative zip_with/
+  // aggregate forms, which propagate element nulls); requires declaring
+  // the expression nullable even when the array columns themselves are not
+  override def nullable: Boolean =
+    super.nullable || VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -66,6 +75,7 @@ case class DotProduct(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       sum += VectorExprUtil.get(a, i, leftIsFloat) * VectorExprUtil.get(b, i, rightIsFloat)
       i += 1
     }
@@ -79,13 +89,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
          |}
-         |${ev.value} = $sum;
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
        """.stripMargin
     })
   }
@@ -105,12 +118,16 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, child.dataType)
 
+  override def nullable: Boolean =
+    super.nullable || VectorExprUtil.elementsNullable(child.dataType)
+
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val x = VectorExprUtil.get(a, i, isFloat)
       sum += x * x
       i += 1
@@ -125,14 +142,18 @@ case class L2Norm(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val x = ctx.freshName("x")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $a.numElements();
          |double $sum = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $anyNull = true; break; }
          |  double $x = (double) $a.$getter($i);
          |  $sum += $x * $x;
          |}
-         |${ev.value} = java.lang.Math.sqrt($sum);
+         |if ($anyNull) { ${ev.isNull} = true; }
+         |else { ${ev.value} = java.lang.Math.sqrt($sum); }
        """.stripMargin
     })
   }
@@ -153,6 +174,9 @@ case class L2Distance(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, left.dataType, right.dataType)
 
+  override def nullable: Boolean =
+    super.nullable || VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -160,6 +184,7 @@ case class L2Distance(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = VectorExprUtil.get(a, i, leftIsFloat) - VectorExprUtil.get(b, i, rightIsFloat)
       sum += d * d
       i += 1
@@ -175,14 +200,18 @@ case class L2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);
          |  $sum += $d * $d;
          |}
-         |${ev.value} = java.lang.Math.sqrt($sum);
+         |if ($anyNull) { ${ev.isNull} = true; }
+         |else { ${ev.value} = java.lang.Math.sqrt($sum); }
        """.stripMargin
     })
   }
@@ -190,4 +219,45 @@ case class L2Distance(left: Expression, right: Expression)
   override def prettyName: String = "vec_l2dist"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
     copy(left = l, right = r)
+}
+
+/** Unit-normalize a vector in ONE pass over the data (norm, then scale) —
+  * the declarative `transform(a, x -> x / l2norm(a))` re-evaluates the
+  * norm subtree per element (O(dim²) per row, no common-subexpression
+  * elimination inside lambdas). Zero vectors pass through as zeros
+  * (0/0 would be NaN); a null element nulls the result. */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  private lazy val isFloat = VectorExprUtil.elemIsFloat(child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExprUtil.checkVectorInputs(prettyName, child.dataType)
+
+  override def nullable: Boolean =
+    super.nullable || VectorExprUtil.elementsNullable(child.dataType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val vals = new Array[Double](n)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = VectorExprUtil.get(a, i, isFloat)
+      vals(i) = x
+      sum += x * x
+      i += 1
+    }
+    val inv = if (sum > 0.0) 1.0 / math.sqrt(sum) else 0.0
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = vals(i) * inv; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def prettyName: String = "vec_l2normalize"
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
 }

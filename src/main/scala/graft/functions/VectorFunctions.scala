@@ -52,8 +52,9 @@ object VectorFunctions {
   def l2Dist(a: Column, b: Column): Column =
     toCol(L2Distance(toExpr(a), toExpr(b)))
 
-  /** Unit-normalize a vector (kept as array<double>). */
-  def normalize(a: Column): Column = {
-    transform(a, x => d(x) / l2Norm(a))
-  }
+  /** Unit-normalize a vector (array<double>; zero vectors pass through as
+    * zeros). Native one-pass expression — the declarative transform form
+    * re-evaluates the norm per element. */
+  def normalize(a: Column): Column =
+    toCol(L2Normalize(toExpr(a)))
 }

@@ -86,11 +86,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  // MinHash parameters: 16 hash functions h_j(x) = ((2j+1)·x + j²+7) mod p.
-  // Products stay ≤ 33·2^48 < 2^54, far inside long range.
+  // MinHash parameters: 16 hash functions h_j(x) = (a_j·(x mod p) + b_j) mod p
+  // over the Mersenne prime p = 2^31−1. The modulus must be SMALLER than the
+  // 48-bit base hash so the reduction actually wraps: with a too-large prime
+  // the maps are monotone in x and every slot's min is determined by the one
+  // minimum base hash — a degenerate family whose agreement estimate is
+  // always exactly 0 or 1 (found in review; the oracle mirrored the same
+  // degenerate arithmetic and could not catch it). a_j/b_j are fixed LCG
+  // constants reduced mod p; products stay ≤ (p−1)² < 2^62, inside long.
   val MinhashFns = 16
-  val MinhashPrime: Long = (1L << 61) - 1
+  val MinhashPrime: Long = (1L << 31) - 1
   val LshBands = 8 // 8 bands × 2 rows: P(candidate) at J=0.98 ≈ 1−(1−0.98²)⁸ ≈ 1−1e-12
+
+  /** Per-slot multipliers/offsets (nonzero mod p, deterministic). */
+  def minhashA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % MinhashPrime
+  def minhashB(j: Int): Long = (69069L * (j + 1) + 1234567L) % MinhashPrime
 
   /** 16-slot MinHash signatures, computed relationally: explode shingles,
     * hash each once, and take the 16 mins as grouped aggregates. The
@@ -104,7 +114,8 @@ object Dedup {
       .select(col("doc_id"), explode(shingles3(col("text"))).as("gram"))
       .withColumn("h", hash48(col("gram")))
     val minCols = (0 until MinhashFns).map(j =>
-      min(pmod(lit(j * 2 + 1) * col("h") + lit(j * j + 7), lit(MinhashPrime))).as(s"m$j"))
+      min(pmod(lit(minhashA(j)) * pmod(col("h"), lit(MinhashPrime)) + lit(minhashB(j)),
+        lit(MinhashPrime))).as(s"m$j"))
     ex.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),

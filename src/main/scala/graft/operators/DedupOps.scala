@@ -78,7 +78,10 @@ object DedupOps {
        |sig AS (SELECT doc_id,
        |          list_transform(range(0, ${Dedup.MinhashFns}),
        |            j -> list_min(list_transform(hs,
-       |                   h -> ((j*2+1)*h + j*j + 7) % ${Dedup.MinhashPrime}))) AS sig
+       |                   h -> (((1103515245*(j+1) + 12345) % ${Dedup.MinhashPrime})
+       |                          * (h % ${Dedup.MinhashPrime})
+       |                         + ((69069*(j+1) + 1234567) % ${Dedup.MinhashPrime}))
+       |                        % ${Dedup.MinhashPrime}))) AS sig
        |        FROM hs),
        |bands AS (SELECT doc_id, sig, r.k AS band_idx,
        |            md5(CAST(sig[2*r.k+1] AS VARCHAR) || ',' ||

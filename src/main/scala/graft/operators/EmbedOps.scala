@@ -35,15 +35,12 @@ object EmbedOps {
     val q = spark.range(1).select(
       embedText(lit(queryText)).as("q_embedding"))
       .withColumn("q_norm", VectorFunctions.l2Norm(col("q_embedding")))
-    val matches = index
-      .crossJoin(broadcast(q))
-      .withColumn("score", round(
-        VectorFunctions.cosineSimPrenormed(
-          VectorFunctions.dotProduct(col("embedding"), col("q_embedding")),
-          col("vec_norm"), col("q_norm")), 6))
-      .select(col("doc_id"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    val matches = KnnSearch.rankTopK(
+      index
+        .crossJoin(broadcast(q))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("doc_id"), col("score")),
+      "doc_id", k)
     // Fetch-join: tiny match set broadcast back against the index (J3).
     broadcast(matches)
       .join(index.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))

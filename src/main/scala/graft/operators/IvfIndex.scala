@@ -65,28 +65,33 @@ object IvfIndex {
     val mean = new graft.api.Typed.VectorMean(dim).toColumn
     for (_ <- 1 to iterations) {
       val assigned = assign(indexed, cent)
-      cent = KnnSearch.withNorm(
+      val next = KnnSearch.withNorm(
         assigned.select(col("cent_id"), col("embedding"))
           .as[(Long, Array[Float])]
           .groupByKey(_._1).mapValues(_._2)
           .agg(mean.name("c_embedding"))
           .toDF("cent_id", "c_embedding"),
         "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+      // Materialize the (k-row) centroid table to literals each iteration:
+      // chaining iterations on lineage would nest every prior crossJoin +
+      // window + aggregation into one plan, growing analysis/codegen cost
+      // per iteration for a table of k rows.
+      cent = spark.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cent
   }
 
-  /** ANN top-K: exact scoring restricted to the probed buckets. */
+  /** ANN top-K: exact scoring restricted to the probed buckets (shared
+    * kernel: KnnSearch.prenormedScore/rankTopK). */
   def search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
              nprobe: Int, k: Int): DataFrame =
-    assigned
-      .join(broadcast(probes(centroids, query, nprobe)), Seq("cent_id"))
-      .crossJoin(broadcast(query))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(cosineSimPrenormed(
-        dotProduct(col("embedding"), col("q_embedding")),
-        col("vec_norm"), col("q_norm")), 6))
-      .select(col("vec_id"), col("label"), col("cent_id"), col("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    KnnSearch.rankTopK(
+      assigned
+        .join(broadcast(probes(centroids, query, nprobe)), Seq("cent_id"))
+        .crossJoin(broadcast(query))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("cent_id"), col("score")),
+      "vec_id", k)
 }

@@ -30,25 +30,34 @@ object KnnSearch {
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb.withColumn("vec_norm", l2Norm(col(vecCol)))
 
-  /** Cosine via stored norms: one array pass (dot) per scored pair. The
-    * arithmetic is identical to [[VectorFunctions.cosineSim]] — norms are
-    * just computed once instead of per pair — so oracle parity holds. */
-  private def prenormedScore: Column =
+  /** THE scoring kernel, shared by every search variant (brute-force, IVF,
+    * LSH, text search): cosine via stored norms — one array pass (dot) per
+    * scored pair — rounded to the engine-portable 6 places. Arithmetic is
+    * identical to [[VectorFunctions.cosineSim]] (norms just computed once),
+    * so oracle parity holds everywhere it is used. Expects columns
+    * (embedding, vec_norm) on the index side and (q_embedding, q_norm) on
+    * the query side. */
+  private[graft] def prenormedScore: Column =
     round(cosineSimPrenormed(
       dotProduct(col("embedding"), col("q_embedding")),
       col("vec_norm"), col("q_norm")), 6)
+
+  /** Deterministic top-K on an already-scored frame: score desc, id asc
+    * tiebreak (SURVEY.md §7.3) — plans as TakeOrderedAndProject. */
+  private[graft] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
 
   /** Score every index row against one broadcast query row and keep top-K.
     * `query` must be a 1-row DataFrame with columns (q_id, q_embedding);
     * `index` must carry `vec_norm` (see [[withNorm]]). */
   def topK(index: DataFrame, query: DataFrame, k: Int): DataFrame =
-    index
-      .crossJoin(broadcast(query.withColumn("q_norm", l2Norm(col("q_embedding")))))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", prenormedScore)
-      .select(col("vec_id"), col("label"), col("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    rankTopK(
+      index
+        .crossJoin(broadcast(query.withColumn("q_norm", l2Norm(col("q_embedding")))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", prenormedScore)
+        .select(col("vec_id"), col("label"), col("score")),
+      "vec_id", k)
 
   /** Batch kNN join: top-K neighbors for EVERY query row (the north-star
     * "similarity search as a join", SURVEY.md §2.3 J2). */

@@ -49,15 +49,13 @@ object RandomHyperplaneLsh {
     val q = query
       .withColumn("q_bucket", bucket(col("q_embedding"), dim))
       .withColumn("q_norm", VectorFunctions.l2Norm(col("q_embedding")))
-    bucketed
-      .crossJoin(broadcast(q))
-      .filter(col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("score", round(VectorFunctions.cosineSimPrenormed(
-        VectorFunctions.dotProduct(col("embedding"), col("q_embedding")),
-        col("vec_norm"), col("q_norm")), 6))
-      .select(col("vec_id"), col("label"), col("bucket"), col("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(k)
+    KnnSearch.rankTopK(
+      bucketed
+        .crossJoin(broadcast(q))
+        .filter(col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("bucket"), col("score")),
+      "vec_id", k)
   }
 
   /** Q-ann-lsh: bucket of vector 0, top-5 within it. */

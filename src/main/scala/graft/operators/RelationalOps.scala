@@ -210,7 +210,10 @@ object RelationalOps {
     * aggregate, top-K — the canonical "filters push below the join, AQE
     * picks broadcast for the pruned side" plan. */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
-    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    // to_timestamp parses in the SESSION timezone; Timestamp.valueOf would
+    // use the JVM default TZ and silently diverge from the oracle's naive
+    // literal on non-UTC hosts.
+    val cutoff = to_timestamp(lit("1998-06-01 00:00:00"))
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)

@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpecBase with Matchers {
     truePairs.diff(lshPairs) shouldBe empty
   }
 
+  test("minhash estimator is non-degenerate: mid-similarity pairs estimate between 0 and 1") {
+    // Regression for a reviewed bug: with a modulus larger than the base
+    // hash the 16 "hash functions" were all monotone in one value and the
+    // estimate collapsed to exactly 0 or 1. Two docs sharing roughly half
+    // their shingles must estimate strictly inside (0, 1).
+    import org.apache.spark.sql.types._
+    val shared = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d1 = shared + " " + (1 to 40).map(i => s"left$i").mkString(" ")
+    val d2 = shared + " " + (1 to 40).map(i => s"right$i").mkString(" ")
+    val docs2 = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, d1), org.apache.spark.sql.Row(2L, d2)),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val est = Dedup.minhashLshPairs(docs2, 0.0).collect()
+    est.length shouldBe 1
+    est.head.getDouble(2) should (be > 0.05 and be < 0.95)
+  }
+
   test("simhash banded pairs equal the brute-force hamming scan (pigeonhole losslessness)") {
     val banded = Dedup.simhashPairs(docs, 3)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

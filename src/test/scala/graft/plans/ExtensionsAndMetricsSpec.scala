@@ -45,6 +45,15 @@ class ExtensionsAndMetricsSpec extends SparkSpecBase with Matchers {
       .head().getDouble(0) shouldBe 11.0
   }
 
+  test("a null array ELEMENT nulls the result instead of crashing or reading 0") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS d,
+        |       vec_l2norm(array(CAST(NULL AS FLOAT))) AS n""".stripMargin).head()
+    r.isNullAt(0) shouldBe true
+    r.isNullAt(1) shouldBe true
+  }
+
   test("observe() counters reconcile: processed == ok + failures (ref embed.go:130)") {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("text",
