@@ -267,7 +267,50 @@ object RelationalOps {
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Exact percentiles per group (A-family completeness next to avg/
+    * sum): `percentile_cont`'s linear interpolation is the same formula in
+    * both engines, and the inputs are exact 2-decimal doubles, so the
+    * interpolated values match bit-for-bit. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  val percentilesSql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Ordered string aggregation: top-N names per group, concatenated in a
+    * deterministic (sorted) order — collect_list alone is partition-order
+    * nondeterministic and would never hash-match. */
+  def topNamesPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(concat_ws(",", slice(sort_array(collect_list(col("c_name"))), 1, 5))
+        .as("first_names"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+  }
+
+  val topNamesPerNationSql: String =
+    """SELECT n_name,
+      |  array_to_string(list_sort(list(c_name))[1:5], ',') AS first_names,
+      |  COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (percentiles _),
+    "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_agg_lineitem" -> (aggLineitem _),
@@ -281,6 +324,8 @@ object RelationalOps {
     "q_rollup_region_nation" -> (rollupRegionNation _))
 
   def oracles: Map[String, String] = Map(
+    "q_percentiles" -> percentilesSql,
+    "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,
