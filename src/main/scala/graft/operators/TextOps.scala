@@ -187,7 +187,68 @@ object TextOps {
       |SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS n_same_fp
       |FROM fps ORDER BY doc_id""".stripMargin
 
+  /** Q-chat-fold: multi-line message folding. WhatsApp exports continue a
+    * message on bare lines after its `[ts] ~ sender:` header; the
+    * reference parses line-by-line and treats every continuation as its
+    * own (unparseable) message (`embed/embed.go:94-111` — FIXTURES.md B1).
+    * Intended semantics: mark header lines, assign each line the running
+    * count of headers seen (the classic fold-to-sessions window trick),
+    * and concatenate each group back into one message.
+    *
+    * The synthetic export interleaves headers and continuations
+    * deterministically from the documents table (every 3rd line is a
+    * continuation). Scale note: the fold needs a total line order, which
+    * is only meaningful per export FILE — at scale the window partitions
+    * by file (here: one file, matching the reference's one-file-per-run). */
+  def chatFold(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .withColumn("line",
+        when(col("doc_id") % 3 =!= lit(2),
+          concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "),
+            substring(col("text"), 1, 40)))
+          .otherwise(substring(col("text"), 1, 40)))
+      .select(col("doc_id").as("line_no"), col("line"))
+    val byLine = Window.orderBy(col("line_no"))
+    lines
+      .withColumn("is_header", hasChatPrefix(col("line")).cast("int"))
+      .withColumn("msg_no", sum(col("is_header")).over(byLine))
+      .groupBy(col("msg_no"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        max(when(col("is_header") === 1, chatSender(col("line")))).as("sender"),
+        concat_ws(" ",
+          sort_array(collect_list(struct(col("line_no"),
+            when(col("is_header") === 1, chatMessage(col("line")))
+              .otherwise(col("line")).as("part"))))
+            .getField("part")).as("message"))
+      .orderBy(col("msg_no"))
+  }
+
+  val chatFoldSql: String =
+    s"""WITH lines AS (
+       |  SELECT doc_id AS line_no,
+       |    CASE WHEN doc_id % 3 <> 2
+       |      THEN '[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || substr(text, 1, 40)
+       |      ELSE substr(text, 1, 40) END AS line
+       |  FROM documents),
+       |marked AS (
+       |  SELECT line_no, line,
+       |    CASE WHEN regexp_matches(line, '$prefixSqlPattern') THEN 1 ELSE 0 END AS is_header
+       |  FROM lines),
+       |grouped AS (
+       |  SELECT *, SUM(is_header) OVER (ORDER BY line_no
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS msg_no
+       |  FROM marked)
+       |SELECT msg_no, COUNT(*) AS n_lines,
+       |  MAX(CASE WHEN is_header = 1
+       |        THEN regexp_extract(line, '^\\[[^\\]]*\\]\\s*~?\\s*([^:]*):', 1) END) AS sender,
+       |  string_agg(CASE WHEN is_header = 1
+       |               THEN regexp_replace(line, '$prefixSqlPattern', '')
+       |               ELSE line END, ' ' ORDER BY line_no) AS message
+       |FROM grouped GROUP BY msg_no ORDER BY msg_no""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chat_fold" -> (chatFold _),
     "q_parse" -> (parse _),
     "q_parse_stats" -> (parseStats _),
     "q_normalize" -> (normalize _),
@@ -198,6 +259,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_chat_fold" -> chatFoldSql,
     "q_parse" -> parseSql,
     "q_parse_stats" -> parseStatsSql,
     "q_normalize" -> normalizeSql,
