@@ -19,8 +19,6 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
-  private def d(c: Column): Column = c.cast("double")
-
   /** Σ aᵢ·bᵢ — sequential left-to-right accumulation in double. Native
     * codegen expression ([[DotProduct]]); value-identical to the
     * higher-order form `aggregate(zip_with(a,b,(x,y)->x*y),0D,+)` but runs

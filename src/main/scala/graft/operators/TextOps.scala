@@ -22,12 +22,18 @@ object TextOps {
 
   private val prefixSqlPattern = """^\[[^\]]*\]\s*~?\s*[^:]*:\s*"""
 
+  /** Synthetic chat line in the documented format (`main.go:32`) wrapped
+    * around a body column — shared by the parse/fold queries (Scala and
+    * SQL sides must construct the identical string). */
+  private def chatLine(body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "), body)
+  private val chatLineSql = "'[09.09.23, 14:35:02] ~ user_' || doc_id || ': '"
+
   /** Q-parse: strip the chat prefix (intended semantics — the reference's
     * own regex can only ever capture the first token, bug B1). */
   def parse(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("line",
-        concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "), col("text")))
+      .withColumn("line", chatLine(col("text")))
       .select(
         col("doc_id"),
         substring(chatMessage(col("line")), 1, 60).as("message_head"),
@@ -37,11 +43,11 @@ object TextOps {
 
   val parseSql: String =
     s"""SELECT doc_id,
-       |  substr(regexp_replace('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |  substr(regexp_replace($chatLineSql || text,
        |                        '$prefixSqlPattern', ''), 1, 60) AS message_head,
-       |  regexp_replace('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |  regexp_replace($chatLineSql || text,
        |                 '$prefixSqlPattern', '') = text AS roundtrip_ok,
-       |  regexp_extract('[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text,
+       |  regexp_extract($chatLineSql || text,
        |                 '^\\[[^\\]]*\\]\\s*~?\\s*([^:]*):', 1) AS sender
        |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -51,9 +57,7 @@ object TextOps {
   def parseStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("line",
-        when(col("doc_id") % 2 === 0,
-          concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "), col("text")))
-          .otherwise(col("text")))
+        when(col("doc_id") % 2 === 0, chatLine(col("text"))).otherwise(col("text")))
       .groupBy(hasChatPrefix(col("line")).as("parse_ok"))
       .agg(count(lit(1)).as("n_lines"),
         sum(length(col("line")).cast("long")).as("total_chars"))
@@ -62,7 +66,7 @@ object TextOps {
   val parseStatsSql: String =
     s"""WITH lines AS (
        |  SELECT CASE WHEN doc_id % 2 = 0
-       |           THEN '[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || text
+       |           THEN $chatLineSql || text
        |           ELSE text END AS line
        |  FROM documents)
        |SELECT regexp_matches(line, '$prefixSqlPattern') AS parse_ok,
@@ -203,9 +207,7 @@ object TextOps {
   def chatFold(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.documents(spark, dir)
       .withColumn("line",
-        when(col("doc_id") % 3 =!= lit(2),
-          concat(lit("[09.09.23, 14:35:02] ~ user_"), col("doc_id"), lit(": "),
-            substring(col("text"), 1, 40)))
+        when(col("doc_id") % 3 =!= lit(2), chatLine(substring(col("text"), 1, 40)))
           .otherwise(substring(col("text"), 1, 40)))
       .select(col("doc_id").as("line_no"), col("line"))
     val byLine = Window.orderBy(col("line_no"))
@@ -228,7 +230,7 @@ object TextOps {
     s"""WITH lines AS (
        |  SELECT doc_id AS line_no,
        |    CASE WHEN doc_id % 3 <> 2
-       |      THEN '[09.09.23, 14:35:02] ~ user_' || doc_id || ': ' || substr(text, 1, 40)
+       |      THEN $chatLineSql || substr(text, 1, 40)
        |      ELSE substr(text, 1, 40) END AS line
        |  FROM documents),
        |marked AS (
