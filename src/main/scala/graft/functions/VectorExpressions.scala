@@ -65,8 +65,9 @@ case class DotProduct(left: Expression, right: Expression)
   // a null ELEMENT nulls the result (matching the declarative zip_with/
   // aggregate forms, which propagate element nulls); requires declaring
   // the expression nullable even when the array columns themselves are not
-  override def nullable: Boolean =
-    super.nullable || VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+  private lazy val elemNullable =
+    VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -75,13 +76,19 @@ case class DotProduct(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (elemNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
       sum += VectorExprUtil.get(a, i, leftIsFloat) * VectorExprUtil.get(b, i, rightIsFloat)
       i += 1
     }
     sum
   }
 
+  // Null-element checks are emitted ONLY for containsNull=true inputs:
+  // the tight loop stays branch-free for the engine's own (non-null)
+  // vectors, and — crucially — the `ev.isNull` assignment only appears
+  // when the expression is nullable, because nullSafeCodeGen never
+  // declares that variable otherwise (Janino compile failure → silent
+  // interpreted fallback; caught in review by executing the generated code).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val la = if (leftIsFloat) "getFloat" else "getDouble"
     val lb = if (rightIsFloat) "getFloat" else "getDouble"
@@ -89,17 +96,28 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
-      val anyNull = ctx.freshName("anyNull")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
-         |}
-         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
-       """.stripMargin
+      if (elemNullable) {
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sum = 0.0;
+           |boolean $anyNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+           |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
+           |}
+           |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $sum; }
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sum = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
+           |}
+           |${ev.value} = $sum;
+         """.stripMargin
+      }
     })
   }
 
@@ -118,8 +136,8 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, child.dataType)
 
-  override def nullable: Boolean =
-    super.nullable || VectorExprUtil.elementsNullable(child.dataType)
+  private lazy val elemNullable = VectorExprUtil.elementsNullable(child.dataType)
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
@@ -127,7 +145,7 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i)) return null
+      if (elemNullable && a.isNullAt(i)) return null
       val x = VectorExprUtil.get(a, i, isFloat)
       sum += x * x
       i += 1
@@ -135,6 +153,7 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     math.sqrt(sum)
   }
 
+  // See DotProduct.doGenCode: null branch (and ev.isNull) only when nullable.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val getter = if (isFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, a => {
@@ -142,19 +161,31 @@ case class L2Norm(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val x = ctx.freshName("x")
-      val anyNull = ctx.freshName("anyNull")
-      s"""
-         |int $n = $a.numElements();
-         |double $sum = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { $anyNull = true; break; }
-         |  double $x = (double) $a.$getter($i);
-         |  $sum += $x * $x;
-         |}
-         |if ($anyNull) { ${ev.isNull} = true; }
-         |else { ${ev.value} = java.lang.Math.sqrt($sum); }
-       """.stripMargin
+      if (elemNullable) {
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $n = $a.numElements();
+           |double $sum = 0.0;
+           |boolean $anyNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $anyNull = true; break; }
+           |  double $x = (double) $a.$getter($i);
+           |  $sum += $x * $x;
+           |}
+           |if ($anyNull) { ${ev.isNull} = true; }
+           |else { ${ev.value} = java.lang.Math.sqrt($sum); }
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = $a.numElements();
+           |double $sum = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.$getter($i);
+           |  $sum += $x * $x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($sum);
+         """.stripMargin
+      }
     })
   }
 
@@ -174,8 +205,9 @@ case class L2Distance(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, left.dataType, right.dataType)
 
-  override def nullable: Boolean =
-    super.nullable || VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+  private lazy val elemNullable =
+    VectorExprUtil.elementsNullable(left.dataType, right.dataType)
+  override def nullable: Boolean = super.nullable || elemNullable
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -184,7 +216,7 @@ case class L2Distance(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      if (elemNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
       val d = VectorExprUtil.get(a, i, leftIsFloat) - VectorExprUtil.get(b, i, rightIsFloat)
       sum += d * d
       i += 1
@@ -192,6 +224,7 @@ case class L2Distance(left: Expression, right: Expression)
     math.sqrt(sum)
   }
 
+  // See DotProduct.doGenCode: null branch (and ev.isNull) only when nullable.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val la = if (leftIsFloat) "getFloat" else "getDouble"
     val lb = if (rightIsFloat) "getFloat" else "getDouble"
@@ -200,19 +233,31 @@ case class L2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
-      val anyNull = ctx.freshName("anyNull")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $sum = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);
-         |  $sum += $d * $d;
-         |}
-         |if ($anyNull) { ${ev.isNull} = true; }
-         |else { ${ev.value} = java.lang.Math.sqrt($sum); }
-       """.stripMargin
+      if (elemNullable) {
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sum = 0.0;
+           |boolean $anyNull = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+           |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);
+           |  $sum += $d * $d;
+           |}
+           |if ($anyNull) { ${ev.isNull} = true; }
+           |else { ${ev.value} = java.lang.Math.sqrt($sum); }
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $sum = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);
+           |  $sum += $d * $d;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($sum);
+         """.stripMargin
+      }
     })
   }
 

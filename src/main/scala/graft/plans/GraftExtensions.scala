@@ -39,6 +39,10 @@ object GraftExtensions {
     (FunctionIdentifier("vec_l2dist"),
       info("vec_l2dist", "vec_l2dist(a, b) - euclidean distance of two arrays"),
       (args: Seq[Expression]) => L2Distance(args(0), args(1))),
+    (FunctionIdentifier("vec_l2normalize"),
+      info("vec_l2normalize",
+        "vec_l2normalize(a) - unit-normalize an array (zero vectors pass through)"),
+      (args: Seq[Expression]) => L2Normalize(args.head)),
     (FunctionIdentifier("word_ngram_shingles"),
       info("word_ngram_shingles",
         "word_ngram_shingles(text, n) - distinct word n-gram shingles"),
