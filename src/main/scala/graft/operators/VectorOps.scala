@@ -145,7 +145,35 @@ object VectorOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Q-stratified-sample: deterministic systematic sampling per class —
+    * every 5th vector within each label by id order. The balanced-
+    * subsample operator a training pipeline runs before class-weighted
+    * training; deterministic (unlike `TABLESAMPLE`/`sample()`, whose RNG
+    * is engine-private and could never hash-match an oracle). One shuffle
+    * on the strata key; at scale the modulus is the sampling rate knob. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val byLabel = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    Tables.embeddings(spark, dir)
+      .withColumn("__rn", row_number().over(byLabel))
+      .filter((col("__rn") - 1) % 5 === 0)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("vec_id")).as("first_id"),
+        max(col("vec_id")).as("last_id"))
+      .orderBy(col("label"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT label, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_sampled, MIN(vec_id) AS first_id,
+      |  MAX(vec_id) AS last_id
+      |FROM ranked WHERE (rn - 1) % 5 = 0
+      |GROUP BY label ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
     "q_knn_join" -> (knnJoin _),
     "q_fetch" -> (fetch _),
@@ -154,6 +182,7 @@ object VectorOps {
     "q_ann_ivf" -> (annIvf _))
 
   def oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
     "q_knn_join" -> knnJoinSql,
     "q_fetch" -> fetchSql,
