@@ -43,6 +43,18 @@ object IndexCatalog {
     true
   }
 
+  /** Descriptor read-back (the GET half of the reference's DDL,
+    * `upsert/upsert.go:40-58`). */
+  def describe(basePath: String, name: String): Option[IndexDescriptor] = {
+    if (!exists(basePath, name)) return None
+    val json = Files.readString(descPath(basePath, name))
+    def field(k: String) = s""""$k":\\s*"?([^",}]+)"?""".r
+      .findFirstMatchIn(json).map(_.group(1))
+    for {
+      n <- field("name"); d <- field("dimension"); m <- field("metric")
+    } yield IndexDescriptor(n, d.trim.toInt, m)
+  }
+
   /** Catalog listing (`debug-commands.txt:1-3`). */
   def list(basePath: String): Seq[String] = {
     val base = Paths.get(basePath)

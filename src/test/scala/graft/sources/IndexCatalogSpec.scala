@@ -18,6 +18,8 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     IndexCatalog.createIfAbsent(spark, base, desc, emb.limit(1)) shouldBe false
 
     IndexCatalog.list(base) shouldBe Seq("whatsapp-chat")
+    IndexCatalog.describe(base, "whatsapp-chat") shouldBe Some(desc)
+    IndexCatalog.describe(base, "missing") shouldBe None
     val loaded = IndexCatalog.load(spark, base, "whatsapp-chat")
     loaded.count() shouldBe emb.count()
     loaded.columns should contain("vec_norm")
