@@ -42,6 +42,23 @@ object Multimodal {
     transform(sequence(lit(0), lit(n - 1)),
       i => substring(blob, (i * greatest(length(blob) / n, lit(1)) + 1).cast("int"), lit(frameBytes)))
 
+  /** STUB resize: a real implementation decodes, scales, and re-encodes;
+    * with no codecs in this environment the stand-in deterministically
+    * down-samples the byte stream to the target "pixel" budget (every
+    * k-th byte), preserving the plumbing contract a real resize has —
+    * binary in, smaller binary out, new dimensions in metadata. */
+  def resizeStub(blob: Column, targetW: Int, targetH: Int): Column = {
+    val budget = targetW * targetH
+    val stride = greatest(ceil(length(blob).cast("double") / budget).cast("int"), lit(1))
+    val slices = transform(sequence(lit(0),
+      greatest(ceil(length(blob).cast("double") / stride).cast("int"), lit(1)) - 1),
+      i => substring(blob, (i * stride + 1).cast("int"), lit(1)))
+    struct(
+      aggregate(slices, lit(Array.emptyByteArray), (acc, x) => concat(acc, x)).as("blob"),
+      lit(targetW.toLong).as("width"),
+      lit(targetH.toLong).as("height"))
+  }
+
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                        n_frames: Long)
 

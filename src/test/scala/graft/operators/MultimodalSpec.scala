@@ -19,6 +19,21 @@ class MultimodalSpec extends SparkSpecBase with Matchers {
     viaPartitions shouldBe viaExpr
   }
 
+  test("resize stub shrinks the blob to the pixel budget with new dimensions") {
+    import spark.implicits._
+    val one = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.toBlob(col("text")).as("blob"))
+    val r = one.select(Multimodal.resizeStub(col("blob"), 10, 10).as("r"))
+      .select(col("r.blob"), col("r.width"), col("r.height")).head()
+    r.getAs[Array[Byte]](0).length should be <= 100
+    r.getAs[Array[Byte]](0).length should be > 0
+    r.getLong(1) shouldBe 10L
+    r.getLong(2) shouldBe 10L
+    // deterministic: same input, same output
+    val again = one.select(Multimodal.resizeStub(col("blob"), 10, 10).getField("blob")).head()
+    again.getAs[Array[Byte]](0) shouldBe r.getAs[Array[Byte]](0)
+  }
+
   test("frame sampling slices n windows out of the blob") {
     import spark.implicits._
     val one = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("doc_id", "text")
