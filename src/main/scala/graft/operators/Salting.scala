@@ -21,7 +21,7 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  numSalts: Int): DataFrame = {
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(numSalts)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -25,7 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "",
+      "", "", "", "scala_udf")
 
   /** One registration list feeding both wiring paths (injectFunction at
     * session build; registry insertion on a live session). */

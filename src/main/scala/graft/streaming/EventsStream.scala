@@ -143,7 +143,7 @@ object StreamingDemo {
       ("windowed_counts", EventsStream.windowedCounts(events), "update"),
       ("deduped_events", EventsStream.dedupedEvents(events), "append"),
       ("session_counts", EventsStream.sessionCounts(events), "append"),
-      ("user_running_stats", EventsStream.userRunningStats(events).toDF, "append"))
+      ("user_running_stats", EventsStream.userRunningStats(events).toDF(), "append"))
 
     plans.foreach { case (name, df, mode) =>
       val q = df.writeStream.format("memory").queryName(name)
