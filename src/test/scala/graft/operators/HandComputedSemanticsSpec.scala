@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed expectations for the temporal/window operators.
+  *
+  * The DuckDB oracle mirrors each operator's formula, so it cannot catch a
+  * WRONG formula both sides share (exactly how the degenerate-MinHash bug
+  * slipped past parity). These tests pin the intended semantics — tie
+  * handling, boundary inclusion, session-gap edges — against inputs small
+  * enough to verify by hand.
+  */
+class HandComputedSemanticsSpec extends SparkSpecBase with Matchers {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def eventsDf(rows: (Long, String, Long, String, Double)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, t, u, ty, v) =>
+        Row(id, ts(t), u, ty, v, "{}")
+      }: _*),
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+
+  test("sessionize: a gap of exactly 30 minutes does NOT open a new session; 30min+1us does") {
+    val events = eventsDf(
+      (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, "click", 1.0), // gap == 30min → same session
+      (3L, "2024-01-01 11:00:00.000001", 7L, "click", 1.0)) // 30min + 1us → new session
+    events.createOrReplaceTempView("__hand_events")
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUserTime))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L).cast("int"))
+      .agg(sum(col("new_session"))).head().getLong(0)
+    sessions shouldBe 2L
+  }
+
+  test("as-of join: exact-timestamp ties match (at-or-before), and right ties resolve to highest id") {
+    val events = eventsDf(
+      (10L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (11L, "2024-01-01 10:05:00", 1L, "click", 0.0), // two clicks, same user
+      (12L, "2024-01-01 10:05:00", 1L, "click", 0.0), // tie with 11 at same ts
+      (20L, "2024-01-01 10:05:00", 1L, "purchase", 9.0), // purchase AT click time → ties match
+      (21L, "2024-01-01 10:01:00", 1L, "purchase", 9.0), // between clicks → matches click 10
+      (30L, "2024-01-01 09:00:00", 2L, "purchase", 9.0)) // user with no clicks → null
+    val result = AsofJoin.lastEventBefore(events, "purchase", "click")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    result(20L) shouldBe 12L // at-or-before includes the tie; highest click id wins
+    result(21L) shouldBe 10L
+    result(30L) shouldBe -1L // no prior click → null
+  }
+
+  test("range join: a neighbor at exactly the window boundary is included; one micro past is not") {
+    val events = eventsDf(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 0.0),
+      (2L, "2024-01-01 10:10:00", 1L, "click", 0.0), // exactly +600s → included
+      (3L, "2024-01-01 09:50:00", 1L, "click", 0.0), // exactly -600s → included
+      (4L, "2024-01-01 10:10:00.000001", 1L, "click", 0.0), // 600s + 1us → excluded
+      (5L, "2024-01-01 10:00:00", 2L, "click", 0.0)) // same time, other user → excluded
+    val n = RangeJoin.countWithin(events, "purchase", "click", 600L)
+      .head().getLong(2)
+    n shouldBe 2L
+  }
+
+  test("tumbling window: an event exactly on the hour belongs to the window it starts") {
+    val events = eventsDf(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0), // starts the 10:00 bucket
+      (2L, "2024-01-01 09:59:59.999999", 1L, "click", 1.0)) // last micro of 09:00 bucket
+    val buckets = events
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .select(date_format(col("window.start"), "HH:mm").as("b"), col("count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    buckets shouldBe Map("10:00" -> 1L, "09:00" -> 1L)
+  }
+
+  test("chat fold: continuations attach to the preceding header, never the following one") {
+    import org.apache.spark.sql.expressions.Window
+    val lines = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "[09.09.23, 14:35:02] ~ a: first"),
+        Row(1L, "continuation of first"),
+        Row(2L, "[09.09.23, 14:36:00] ~ b: second")),
+      StructType(Seq(StructField("line_no", LongType), StructField("line", StringType))))
+    val byLine = Window.orderBy(col("line_no"))
+    val folded = lines
+      .withColumn("is_header",
+        graft.functions.TextFunctions.hasChatPrefix(col("line")).cast("int"))
+      .withColumn("msg_no", sum(col("is_header")).over(byLine))
+      .groupBy(col("msg_no"))
+      .agg(concat_ws(" ", sort_array(collect_list(struct(col("line_no"),
+        when(col("is_header") === 1,
+          graft.functions.TextFunctions.chatMessage(col("line")))
+          .otherwise(col("line")).as("part")))).getField("part")).as("message"))
+      .orderBy(col("msg_no")).collect().map(_.getString(1))
+    folded shouldBe Array("first continuation of first", "second")
+  }
+}
