@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  * algorithm) over a Rabin-Karp rolling hash — the "rolling hash" document
+  * fingerprint of the training-pipeline brief, complementing the exact
+  * md5 fingerprint: any two documents sharing a substring of at least
+  * k+w−1 characters are guaranteed to share a fingerprint.
+  *
+  * Per position i, the k-gram hash is the base-257 polynomial of the
+  * codepoints (Horner form, no intermediate mod — max value ≈ 1.1e6·257⁴
+  * < 2^53, exact in long and in DuckDB's BIGINT, so the oracle reproduces
+  * every value); fingerprints are the distinct minima of each w-window of
+  * consecutive k-gram hashes, returned sorted. Texts shorter than k yield
+  * an empty set.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+
+  val Base = 257L
+  val Mod = 1000000007L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * Base + cps(i + j); j += 1 }
+      hashes(i) = h % Mod
+      i += 1
+    }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val lastWin = math.max(m - w, 0)
+    var j = 0
+    while (j <= lastWin) {
+      var mn = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, m)
+      while (t < end) { if (hashes(t) < mn) mn = hashes(t); t += 1 }
+      set.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}

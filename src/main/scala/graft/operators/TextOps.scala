@@ -249,7 +249,48 @@ object TextOps {
        |               ELSE line END, ' ' ORDER BY line_no) AS message
        |FROM grouped GROUP BY msg_no ORDER BY msg_no""".stripMargin
 
+  /** Q-winnow: rolling-hash winnowing fingerprints (k=5 chars, w=4
+    * windows) over the normalized text — the substring-robust fingerprint
+    * next to the exact md5 one; docs sharing ≥ k+w−1 = 8 characters of
+    * text share a fingerprint. Scalars derived per doc keep the output
+    * hash-comparable (the raw sets are array-typed). */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val fp = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          normalizeText(col("text"))), 5, 4))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .select(col("doc_id"),
+        size(col("fp")).as("n_fps"),
+        element_at(col("fp"), 1).as("fp_min"),
+        aggregate(col("fp"), lit(0L), (s, x) => s + x).as("fp_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowSql: String =
+    """WITH cs AS (SELECT doc_id,
+      |    list_transform(
+      |      regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
+      |      x -> unicode(x)) AS c
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_transform(range(1, greatest(len(c) - 3, 1)),
+      |      i -> ((((CAST(c[i] AS BIGINT)*257 + c[i+1])*257 + c[i+2])*257 + c[i+3])*257 + c[i+4])
+      |           % 1000000007) AS hs
+      |  FROM cs),
+      |fps AS (SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN []
+      |         ELSE list_sort(list_distinct(list_transform(
+      |                range(1, greatest(len(hs) - 2, 2)),
+      |                j -> list_min(hs[j:j+3])))) END AS fp
+      |  FROM h)
+      |SELECT doc_id, len(fp) AS n_fps, fp[1] AS fp_min,
+      |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
+      |FROM fps ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> (winnow _),
     "q_chat_fold" -> (chatFold _),
     "q_parse" -> (parse _),
     "q_parse_stats" -> (parseStats _),
@@ -261,6 +302,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_winnow" -> winnowSql,
     "q_chat_fold" -> chatFoldSql,
     "q_parse" -> parseSql,
     "q_parse_stats" -> parseStatsSql,

@@ -75,6 +75,24 @@ class TextFunctionsSpec extends SparkSpecBase with Matchers {
     a should not be c
   }
 
+  test("winnowing guarantee: docs sharing a substring of k+w-1 chars share a fingerprint") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val fp = (s: String) => {
+      ColumnBridge // two docs with a long shared middle, different ends
+      one(s).select(ColumnBridge.column(
+        graft.functions.WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)))
+        .head().getSeq[Long](0).toSet
+    }
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val a = fp("AAAA " + shared + " BBBB")
+    val b = fp("CCCC " + shared + " DDDD")
+    a.intersect(b) should not be empty
+    // and disjoint texts share nothing
+    fp("abcdefghijklmnop").intersect(fp("qrstuvwxyz012345")) shouldBe empty
+    // shorter than k -> empty set
+    fp("abc") shouldBe empty
+  }
+
   test("qualityScore stays within [0,1]") {
     val docs = graft.Tables.documents(spark, sfDir)
     val mm = docs.select(min(qualityScore(col("text"))), max(qualityScore(col("text")))).head()
