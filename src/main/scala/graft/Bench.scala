@@ -18,11 +18,13 @@ object Bench {
     // Best of two runs per query: the first run can absorb one-off costs
     // (codegen cache misses, parquet footer reads) that say nothing about
     // the operator; the minimum is the steady-state number.
+    // A failed query reports -1.0, never its time-to-failure — a broken
+    // query must read as broken, not as a fast timing.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
       name -> times.min
     }

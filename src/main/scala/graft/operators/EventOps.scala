@@ -58,14 +58,20 @@ object EventOps {
   /** Q-sessionize: gap-based sessionization (30-min inactivity closes a
     * session) via lag over a per-user time-ordered window — the batch
     * equivalent of `session_window` (SURVEY.md §2.9). */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionCountsPerUser(Tables.events(spark, dir), gapSecs = 1800L)
+
+  /** The sessionization core — callable on any events frame so the
+    * hand-computed semantics tests exercise THIS code, not a copy. A gap
+    * strictly greater than `gapSecs` opens a new session. */
+  def sessionCountsPerUser(events: DataFrame, gapSecs: Long): DataFrame = {
     val byUserTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, dir)
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUserTime))
       .withColumn("new_session",
         (col("prev_us").isNull ||
-          (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L).cast("int"))
+          (unix_micros(col("ts")) - col("prev_us")) > gapSecs * 1000000L).cast("int"))
       .groupBy(col("user_id"))
       .agg(sum(col("new_session")).as("n_sessions"),
         count(lit(1)).as("n_events"))

@@ -204,12 +204,17 @@ object TextOps {
     * continuation). Scale note: the fold needs a total line order, which
     * is only meaningful per export FILE — at scale the window partitions
     * by file (here: one file, matching the reference's one-file-per-run). */
-  def chatFold(spark: SparkSession, dir: String): DataFrame = {
-    val lines = Tables.documents(spark, dir)
-      .withColumn("line",
-        when(col("doc_id") % 3 =!= lit(2), chatLine(substring(col("text"), 1, 40)))
-          .otherwise(substring(col("text"), 1, 40)))
-      .select(col("doc_id").as("line_no"), col("line"))
+  def chatFold(spark: SparkSession, dir: String): DataFrame =
+    foldChatLines(
+      Tables.documents(spark, dir)
+        .withColumn("line",
+          when(col("doc_id") % 3 =!= lit(2), chatLine(substring(col("text"), 1, 40)))
+            .otherwise(substring(col("text"), 1, 40)))
+        .select(col("doc_id").as("line_no"), col("line")))
+
+  /** The fold core over (line_no, line) — callable on any export so the
+    * hand-computed semantics tests exercise THIS code, not a copy. */
+  def foldChatLines(lines: DataFrame): DataFrame = {
     val byLine = Window.orderBy(col("line_no"))
     lines
       .withColumn("is_header", hasChatPrefix(col("line")).cast("int"))
@@ -263,8 +268,12 @@ object TextOps {
       .select(col("doc_id"), fp.as("fp"))
       .select(col("doc_id"),
         size(col("fp")).as("n_fps"),
-        element_at(col("fp"), 1).as("fp_min"),
-        aggregate(col("fp"), lit(0L), (s, x) => s + x).as("fp_sum"))
+        // empty set (text shorter than k) -> NULL, matching the oracle's
+        // fp[1] / list_sum([]) semantics; bare element_at on an empty
+        // array THROWS under ANSI mode
+        when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("fp_min"),
+        when(size(col("fp")) > 0,
+          aggregate(col("fp"), lit(0L), (s, x) => s + x)).as("fp_sum"))
       .orderBy(col("doc_id"))
   }
 

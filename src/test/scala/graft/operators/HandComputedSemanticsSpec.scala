@@ -33,15 +33,8 @@ class HandComputedSemanticsSpec extends SparkSpecBase with Matchers {
       (1L, "2024-01-01 10:00:00", 7L, "click", 1.0),
       (2L, "2024-01-01 10:30:00", 7L, "click", 1.0), // gap == 30min → same session
       (3L, "2024-01-01 11:00:00.000001", 7L, "click", 1.0)) // 30min + 1us → new session
-    events.createOrReplaceTempView("__hand_events")
-    val byUserTime = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sessions = events
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUserTime))
-      .withColumn("new_session",
-        (col("prev_us").isNull ||
-          (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L).cast("int"))
-      .agg(sum(col("new_session"))).head().getLong(0)
+    val sessions = EventOps.sessionCountsPerUser(events, gapSecs = 1800L)
+      .head().getLong(1)
     sessions shouldBe 2L
   }
 
@@ -84,24 +77,14 @@ class HandComputedSemanticsSpec extends SparkSpecBase with Matchers {
   }
 
   test("chat fold: continuations attach to the preceding header, never the following one") {
-    import org.apache.spark.sql.expressions.Window
     val lines = spark.createDataFrame(
       java.util.Arrays.asList(
         Row(0L, "[09.09.23, 14:35:02] ~ a: first"),
         Row(1L, "continuation of first"),
         Row(2L, "[09.09.23, 14:36:00] ~ b: second")),
       StructType(Seq(StructField("line_no", LongType), StructField("line", StringType))))
-    val byLine = Window.orderBy(col("line_no"))
-    val folded = lines
-      .withColumn("is_header",
-        graft.functions.TextFunctions.hasChatPrefix(col("line")).cast("int"))
-      .withColumn("msg_no", sum(col("is_header")).over(byLine))
-      .groupBy(col("msg_no"))
-      .agg(concat_ws(" ", sort_array(collect_list(struct(col("line_no"),
-        when(col("is_header") === 1,
-          graft.functions.TextFunctions.chatMessage(col("line")))
-          .otherwise(col("line")).as("part")))).getField("part")).as("message"))
-      .orderBy(col("msg_no")).collect().map(_.getString(1))
+    val folded = TextOps.foldChatLines(lines)
+      .orderBy(col("msg_no")).collect().map(_.getAs[String]("message"))
     folded shouldBe Array("first continuation of first", "second")
   }
 }
