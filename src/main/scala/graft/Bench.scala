@@ -7,31 +7,43 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Time through the noop sink, not count(): a count aggregate lets
+    // Catalyst prune unused projections/windows, so map-only queries would
+    // collapse to a parquet row count and never execute the operator. The
+    // noop sink materializes every output row (full computation) without
+    // driver-side collection.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     // Warm the session (codegen, parquet footers, JIT) so the first timed
     // query doesn't absorb ~4s of startup.
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(fn) catch { case _: Throwable => () }
     }
     // Best of two runs per query: the first run can absorb one-off costs
     // (codegen cache misses, parquet footer reads) that say nothing about
     // the operator; the minimum is the steady-state number.
-    // A failed query reports -1.0, never its time-to-failure — a broken
-    // query must read as broken, not as a fast timing.
+    // A query that fails on ANY run reports -1.0, never its
+    // time-to-failure — a broken query must read as broken, not fast.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { run(fn); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> times.min
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Failures are reported out-of-band and EXCLUDED from the total — a
+    // broken query must not lower the headline number.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

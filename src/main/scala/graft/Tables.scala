@@ -29,7 +29,14 @@ object Tables {
     * with integer division — nanos (~1.7e18) exceed double's 2^53 exact
     * range, so this must never go through a float. The testdata carries only
     * microsecond precision, so the truncation is lossless and matches
-    * DuckDB's native TIMESTAMP_NS handling. */
+    * DuckDB's native TIMESTAMP_NS handling.
+    *
+    * NOTE: `nanosAsLong` is a SESSION-wide conf (no per-read option
+    * exists) — setting it here also affects any other TIMESTAMP(NANOS)
+    * parquet read in the same session, which would then surface as LONG
+    * nanos instead of failing. The graft sessions (Sessions.local,
+    * Verify, Bench) set it once at construction; this set is kept so
+    * user-supplied sessions work, and is idempotent. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")

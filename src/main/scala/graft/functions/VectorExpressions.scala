@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen.
   *
   * Both operands must be non-null-element arrays of float or double (the
-  * engine's vector type, SURVEY.md §1.2); lengths are expected equal
-  * (enforced upstream by the fixed index dimension, reference
-  * `upsert/upsert.go:70`).
+  * engine's vector type, SURVEY.md §1.2); unequal lengths raise (the index
+  * dimension is fixed upstream, reference `upsert/upsert.go:70` — a
+  * mismatch is an invariant violation, not a scorable pair).
   */
 object VectorExprUtil {
   def elemIsFloat(dt: DataType): Boolean = dt match {
@@ -48,6 +48,23 @@ object VectorExprUtil {
 
   def elementsNullable(types: DataType*): Boolean =
     types.exists { case ArrayType(_, n) => n; case _ => false }
+
+  /** Unequal vector lengths are an upstream-invariant violation (the index
+    * dimension is fixed) — fail loudly rather than silently truncate to a
+    * plausible-looking wrong score. Returns the common length. */
+  @inline def requireSameLength(name: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$name: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    n
+  }
+
+  /** The codegen form of [[requireSameLength]] — emitted before the loop. */
+  def genSameLengthCheck(name: String, a: String, b: String, n: String): String =
+    s"""int $n = $a.numElements();
+       |if ($n != $b.numElements()) throw new IllegalArgumentException(
+       |  "$name: vector lengths differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+       |""".stripMargin
 }
 
 /** Σ aᵢ·bᵢ in double — the kernel of cosine/dot-product scoring
@@ -72,7 +89,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorExprUtil.requireSameLength(prettyName, a, b)
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -96,10 +113,11 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val lenCheck = VectorExprUtil.genSameLengthCheck(prettyName, a, b, n)
       if (elemNullable) {
         val anyNull = ctx.freshName("anyNull")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |$lenCheck
            |double $sum = 0.0;
            |boolean $anyNull = false;
            |for (int $i = 0; $i < $n; $i++) {
@@ -110,7 +128,7 @@ case class DotProduct(left: Expression, right: Expression)
          """.stripMargin
       } else {
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |$lenCheck
            |double $sum = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $sum += (double) $a.$la($i) * (double) $b.$lb($i);
@@ -212,7 +230,7 @@ case class L2Distance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VectorExprUtil.requireSameLength(prettyName, a, b)
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -233,10 +251,11 @@ case class L2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
+      val lenCheck = VectorExprUtil.genSameLengthCheck(prettyName, a, b, n)
       if (elemNullable) {
         val anyNull = ctx.freshName("anyNull")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |$lenCheck
            |double $sum = 0.0;
            |boolean $anyNull = false;
            |for (int $i = 0; $i < $n; $i++) {
@@ -249,7 +268,7 @@ case class L2Distance(left: Expression, right: Expression)
          """.stripMargin
       } else {
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |$lenCheck
            |double $sum = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $d = (double) $a.$la($i) - (double) $b.$lb($i);

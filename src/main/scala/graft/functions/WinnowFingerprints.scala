@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // k ≤ 6 keeps the un-modded Horner accumulation exact: max codepoint
+  // 0x10FFFF ≈ 1.1e6, so the largest k-gram value is ~1.1e6·257^(k−1) —
+  // 4.8e18 > Long.MaxValue at k = 7 (silent overflow to negatives would
+  // break the "exact in long and DuckDB BIGINT" oracle invariant).
   require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+  require(k <= 6, s"k=$k would overflow the exact-in-long k-gram hash (max k=6)")
 
   val Base = 257L
   val Mod = 1000000007L

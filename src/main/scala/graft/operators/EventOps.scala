@@ -33,7 +33,7 @@ object EventOps {
 
   val jsonEventsSql: String =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -84,7 +84,7 @@ object EventOps {
       |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
       |  FROM events)
       |SELECT user_id,
-      |  SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  COUNT(*) AS n_events
       |FROM gaps GROUP BY user_id ORDER BY user_id""".stripMargin
 

