@@ -30,8 +30,16 @@ object EmbedOps {
   /** Stage 3 (reference `main.go:89-184`): embed the query text, score the
     * index, top-K, then join matches back to their stored text — the
     * fetch-join the reference intended but lost to bug B3 (`main.go:142`,
-    * assignment to a loop-variable copy). */
-  def searchByText(spark: SparkSession, index: DataFrame, queryText: String, k: Int): DataFrame = {
+    * assignment to a loop-variable copy).
+    *
+    * `includeText` / `includeValues` are the reference's response-shape
+    * flags (`main.go:101-103`, includeMetadata/includeValues): each
+    * unrequested column is simply never selected, so Catalyst prunes it
+    * out of the fetch-side scan — on a parquet-backed index the dropped
+    * column never appears in ReadSchema (asserted in EmbedSpec). */
+  def searchByText(spark: SparkSession, index: DataFrame, queryText: String, k: Int,
+                   includeText: Boolean = true,
+                   includeValues: Boolean = false): DataFrame = {
     val q = spark.range(1).select(
       embedText(lit(queryText)).as("q_embedding"))
       .withColumn("q_norm", VectorFunctions.l2Norm(col("q_embedding")))
@@ -41,11 +49,16 @@ object EmbedOps {
         .withColumn("score", KnnSearch.prenormedScore)
         .select(col("doc_id"), col("score")),
       "doc_id", k)
+    val fetchCols = Seq(col("doc_id"), col("lang")) ++
+      (if (includeText) Seq(col("text")) else Nil) ++
+      (if (includeValues) Seq(col("embedding")) else Nil)
+    val outCols = Seq(col("doc_id"), col("lang"), col("score")) ++
+      (if (includeText) Seq(substring(col("text"), 1, 80).as("text_head")) else Nil) ++
+      (if (includeValues) Seq(col("embedding")) else Nil)
     // Fetch-join: tiny match set broadcast back against the index (J3).
     broadcast(matches)
-      .join(index.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("score"),
-        substring(col("text"), 1, 80).as("text_head"))
+      .join(index.select(fetchCols: _*), Seq("doc_id"))
+      .select(outCols: _*)
       .orderBy(col("score").desc, col("doc_id"))
   }
 

@@ -30,6 +30,10 @@ object KnnSearch {
   def withNorm(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
     emb.withColumn("vec_norm", l2Norm(col(vecCol)))
 
+  /** The three index metrics of the reference's descriptor
+    * (`upsert/upsert.go:27`, `main.go:28`). */
+  val Metrics: Set[String] = Set("cosine", "euclidean", "dotproduct")
+
   /** THE scoring kernel, shared by every search variant (brute-force, IVF,
     * LSH, text search): cosine via stored norms — one array pass (dot) per
     * scored pair — rounded to the engine-portable 6 places. Arithmetic is
@@ -42,32 +46,52 @@ object KnnSearch {
       dotProduct(col("embedding"), col("q_embedding")),
       col("vec_norm"), col("q_norm")), 6)
 
-  /** Deterministic top-K on an already-scored frame: score desc, id asc
-    * tiebreak (SURVEY.md §7.3) — plans as TakeOrderedAndProject. */
-  private[graft] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
-    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+  /** Per-pair score for a configured metric — all are one native-codegen
+    * array pass per pair. Cosine uses the stored norms; euclidean and
+    * dotproduct don't need them. */
+  private[graft] def metricScore(metric: String): Column = metric match {
+    case "cosine" => prenormedScore
+    case "dotproduct" => round(dotProduct(col("embedding"), col("q_embedding")), 6)
+    case "euclidean" => round(l2Dist(col("embedding"), col("q_embedding")), 6)
+    case other => throw new IllegalArgumentException(
+      s"unknown metric '$other' (expected one of ${Metrics.mkString(", ")})")
+  }
 
-  /** Score every index row against one broadcast query row and keep top-K.
-    * `query` must be a 1-row DataFrame with columns (q_id, q_embedding);
-    * `index` must carry `vec_norm` (see [[withNorm]]). */
-  def topK(index: DataFrame, query: DataFrame, k: Int): DataFrame =
+  /** Best-first ordering per metric: similarity metrics rank descending,
+    * euclidean DISTANCE ascending. */
+  private[graft] def scoreOrder(metric: String): Column =
+    if (metric == "euclidean") col("score").asc else col("score").desc
+
+  /** Deterministic top-K on an already-scored frame: best score first, id
+    * asc tiebreak (SURVEY.md §7.3) — plans as TakeOrderedAndProject. */
+  private[graft] def rankTopK(scored: DataFrame, idCol: String, k: Int,
+                              metric: String = "cosine"): DataFrame =
+    scored.orderBy(scoreOrder(metric), col(idCol)).limit(k)
+
+  /** Score every index row against one broadcast query row and keep top-K
+    * under the index's declared metric. `query` must be a 1-row DataFrame
+    * with columns (q_id, q_embedding); `index` must carry `vec_norm` (see
+    * [[withNorm]]). */
+  def topK(index: DataFrame, query: DataFrame, k: Int,
+           metric: String = "cosine"): DataFrame =
     rankTopK(
       index
         .crossJoin(broadcast(query.withColumn("q_norm", l2Norm(col("q_embedding")))))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("score", prenormedScore)
+        .withColumn("score", metricScore(metric))
         .select(col("vec_id"), col("label"), col("score")),
-      "vec_id", k)
+      "vec_id", k, metric)
 
   /** Batch kNN join: top-K neighbors for EVERY query row (the north-star
     * "similarity search as a join", SURVEY.md §2.3 J2). */
-  def knnJoin(index: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnJoin(index: DataFrame, queries: DataFrame, k: Int,
+              metric: String = "cosine"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
+      .orderBy(scoreOrder(metric), col("vec_id"))
     index
       .crossJoin(broadcast(queries.withColumn("q_norm", l2Norm(col("q_embedding")))))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", prenormedScore)
+      .withColumn("score", metricScore(metric))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("label"), col("score"), col("rank"))
@@ -93,4 +117,10 @@ object VectorSql {
 
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+
+  /** √(Σ (aᵢ−bᵢ)²) in double — same sequential accumulation as
+    * [[graft.functions.L2Distance]]. */
+  def l2dist(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform($a, (x,i) -> " +
+      s"(CAST(x AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
 }

@@ -33,6 +33,42 @@ object VectorOps {
        |ORDER BY score DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Q-knn-l2: the same top-10 search under the EUCLIDEAN metric
+    * (reference descriptor alternative, `upsert/upsert.go:27`) — distance
+    * ranks ascending, proving the metric parameter flips both the kernel
+    * and the ordering. */
+  def knnL2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(emb, q, 10, metric = "euclidean")
+  }
+
+  val knnL2Sql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(${VectorSql.l2dist("e.embedding", "qe")}, 6) AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score ASC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** Q-knn-dot: the DOTPRODUCT metric (`upsert/upsert.go:27`) — raw inner
+    * product, descending, no normalization. */
+  def knnDot(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(emb, q, 10, metric = "dotproduct")
+  }
+
+  val knnDotSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(${VectorSql.dot("e.embedding", "qe")}, 6) AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
   /** Q-knn-join: top-3 neighbors for each of the first 8 vectors — batch
     * similarity search as a broadcast join + ranking window. */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
@@ -175,6 +211,8 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
+    "q_knn_l2" -> (knnL2 _),
+    "q_knn_dot" -> (knnDot _),
     "q_knn_join" -> (knnJoin _),
     "q_fetch" -> (fetch _),
     "q_index_stats" -> (indexStats _),
@@ -184,6 +222,8 @@ object VectorOps {
   def oracles: Map[String, String] = Map(
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
+    "q_knn_l2" -> knnL2Sql,
+    "q_knn_dot" -> knnDotSql,
     "q_knn_join" -> knnJoinSql,
     "q_fetch" -> fetchSql,
     "q_index_stats" -> indexStatsSql,

@@ -69,6 +69,19 @@ object IndexCatalog {
   def load(spark: SparkSession, basePath: String, name: String): DataFrame =
     spark.read.parquet(Paths.get(basePath, name, "data").toString)
 
+  /** Top-K search against a cataloged index under ITS declared metric —
+    * the reference stores the metric in the index descriptor
+    * (`upsert/upsert.go:27`) and every query inherits it; the caller never
+    * re-specifies (or contradicts) it at query time. */
+  def search(spark: SparkSession, basePath: String, name: String,
+             query: DataFrame, k: Int): DataFrame = {
+    val desc = describe(basePath, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    require(KnnSearch.Metrics.contains(desc.metric),
+      s"index '$name' declares unknown metric '${desc.metric}'")
+    KnnSearch.topK(load(spark, basePath, name), query, k, desc.metric)
+  }
+
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per
     * namespace — partition pruning makes this a metadata-sized scan. */
   def describeStats(spark: SparkSession, basePath: String, name: String): DataFrame =

@@ -34,6 +34,30 @@ class EmbedSpec extends SparkSpecBase with Matchers {
     res.head.getDouble(2) shouldBe 1.0 +- 1e-6
   }
 
+  test("P6 response-shape flags prune the unrequested column out of the scan") {
+    // parquet-backed index so pruning is observable in ReadSchema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-p6").toString + "/idx"
+    EmbedOps.buildIndex(docs).write.parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+
+    val lean = EmbedOps.searchByText(spark, stored, "vector query", 3,
+      includeText = false, includeValues = false)
+    lean.collect().length shouldBe 3
+    lean.columns shouldBe Array("doc_id", "lang", "score")
+    // executedPlan AFTER the action (AQE finalizes late)
+    val leanScans = lean.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    leanScans should not include "text"
+
+    val full = EmbedOps.searchByText(spark, stored, "vector query", 3,
+      includeText = true, includeValues = true)
+    full.collect().length shouldBe 3
+    full.columns shouldBe Array("doc_id", "lang", "score", "text_head", "embedding")
+    val fullScans = full.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    fullScans should include("text")
+  }
+
   test("flagship entry returns k matches enriched with text (B3 fixed)") {
     val rows = graft.SparkEntry.entry(spark).collect()
     rows.length shouldBe 5

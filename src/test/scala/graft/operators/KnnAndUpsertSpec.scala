@@ -34,6 +34,35 @@ class KnnAndUpsertSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("euclidean metric ranks ascending, dotproduct descending, unknown metric raises") {
+    val l2 = KnnSearch.topK(index, q, 10, metric = "euclidean").collect()
+    l2.map(_.getLong(0)) should not contain 0L
+    val dists = l2.map(_.getDouble(2))
+    dists.sorted shouldBe dists // nearest (smallest distance) first
+    val dot = KnnSearch.topK(index, q, 10, metric = "dotproduct").collect()
+    val sims = dot.map(_.getDouble(2))
+    sims.sorted.reverse shouldBe sims
+    an[IllegalArgumentException] should be thrownBy
+      KnnSearch.topK(index, q, 10, metric = "manhattan")
+  }
+
+  test("euclidean kNN equals brute-force distance ranking computed independently") {
+    val qv = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        val d = math.sqrt(v.indices.map(i => {
+          val diff = v(i).toDouble - qv(i).toDouble; diff * diff
+        }).sum)
+        (r.getLong(0), BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1)
+    val engine = KnnSearch.topK(index, q, 10, metric = "euclidean")
+      .select("vec_id").collect().map(_.getLong(0))
+    engine shouldBe brute
+  }
+
   test("fetch returns exactly the requested id (point lookup)") {
     val r = KnnSearch.fetch(emb, 42L).collect()
     r.length shouldBe 1

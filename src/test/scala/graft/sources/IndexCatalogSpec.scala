@@ -28,6 +28,24 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     stats.map(_.getLong(1)).sum shouldBe emb.count()
   }
 
+  test("search honors the metric stored in the index descriptor") {
+    val base = java.nio.file.Files.createTempDirectory("graft-catalog3").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("l2-index", 64, "euclidean"), emb)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("q_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_embedding"))
+    val res = IndexCatalog.search(spark, base, "l2-index", q, 5).collect()
+    res.length shouldBe 5
+    // euclidean: scores are DISTANCES, ascending — proof the descriptor's
+    // metric (not a caller default) drove the search
+    val d = res.map(_.getDouble(2))
+    d.sorted shouldBe d
+    an[IllegalArgumentException] should be thrownBy
+      IndexCatalog.search(spark, base, "missing", q, 5)
+  }
+
   test("namespace (label) filter prunes to partition directories") {
     val base = java.nio.file.Files.createTempDirectory("graft-catalog2").toString
     IndexCatalog.createIfAbsent(spark, base,
