@@ -3,8 +3,8 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,15 +23,30 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB, vs the reference's 1-request-per-row ceiling (BASELINE.md).
   * Dimension is a parameter exactly like the reference index's
   * (`upsert/upsert.go:70`).
+  *
+  * Codegen emits a static call into [[FeatureHashEmbed.compute]], keeping
+  * the embed projection inside whole-stage codegen.
   */
-case class FeatureHashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression {
 
   require(dim >= 1, s"embedding dim must be >= 1, got $dim")
 
-  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
-
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    FeatureHashEmbed.compute(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FeatureHashEmbed.compute($c, $dim)")
+
+  override def prettyName: String = "feature_hash_embed"
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
+    copy(child = newChild)
+}
+
+object FeatureHashEmbed {
+  private val ws: Pattern = Pattern.compile("\\s+")
 
   private def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
@@ -45,8 +60,9 @@ case class FeatureHashEmbed(child: Expression, dim: Int)
     h
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.toLowerCase.trim
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, dim: Int): ArrayData = {
+    val text = input.toString.toLowerCase.trim
     val acc = new Array[Double](dim)
     if (text.nonEmpty) {
       val toks = ws.split(text)
@@ -68,9 +84,4 @@ case class FeatureHashEmbed(child: Expression, dim: Int)
     while (d < dim) { out(d) = (acc(d) * inv).toFloat; d += 1 }
     new GenericArrayData(out)
   }
-
-  override def prettyName: String = "feature_hash_embed"
-
-  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed =
-    copy(child = newChild)
 }

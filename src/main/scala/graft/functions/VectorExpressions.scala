@@ -289,9 +289,11 @@ case class L2Distance(left: Expression, right: Expression)
   * the declarative `transform(a, x -> x / l2norm(a))` re-evaluates the
   * norm subtree per element (O(dim²) per row, no common-subexpression
   * elimination inside lambdas). Zero vectors pass through as zeros
-  * (0/0 would be NaN); a null element nulls the result. */
-case class L2Normalize(child: Expression)
-    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  * (0/0 would be NaN); a null element nulls the result.
+  *
+  * Codegen emits a static call into [[L2Normalize.compute]], keeping the
+  * normalize projection inside whole-stage codegen. */
+case class L2Normalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   private lazy val isFloat = VectorExprUtil.elemIsFloat(child.dataType)
@@ -299,11 +301,33 @@ case class L2Normalize(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     VectorExprUtil.checkVectorInputs(prettyName, child.dataType)
 
-  override def nullable: Boolean =
-    super.nullable || VectorExprUtil.elementsNullable(child.dataType)
+  private lazy val elemNullable = VectorExprUtil.elementsNullable(child.dataType)
+  override def nullable: Boolean = super.nullable || elemNullable
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    L2Normalize.compute(v.asInstanceOf[ArrayData], isFloat)
+
+  // The kernel returns null for a null ELEMENT; `ev.isNull` may only be
+  // assigned when the expression is nullable (see DotProduct.doGenCode).
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val call = s"graft.functions.L2Normalize.compute($a, $isFloat)"
+      if (elemNullable)
+        s"""
+           |${ev.value} = $call;
+           |if (${ev.value} == null) { ${ev.isNull} = true; }
+         """.stripMargin
+      else s"${ev.value} = $call;"
+    })
+
+  override def prettyName: String = "vec_l2normalize"
+  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
+}
+
+object L2Normalize {
+  /** Static kernel shared by interpreted eval and generated code. Returns
+    * null iff the vector has a null element. */
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
     val vals = new Array[Double](n)
     var sum = 0.0
@@ -321,7 +345,4 @@ case class L2Normalize(child: Expression)
     while (i < n) { out(i) = vals(i) * inv; i += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
-
-  override def prettyName: String = "vec_l2normalize"
-  override protected def withNewChildInternal(c: Expression): L2Normalize = copy(child = c)
 }

@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -18,24 +18,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * every value); fingerprints are the distinct minima of each w-window of
   * consecutive k-gram hashes, returned sorted. Texts shorter than k yield
   * an empty set.
+  *
+  * Codegen emits a static call into [[WinnowFingerprints.compute]],
+  * keeping the fingerprint projection inside whole-stage codegen.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   // k ≤ 6 keeps the un-modded Horner accumulation exact: max codepoint
   // 0x10FFFF ≈ 1.1e6, so the largest k-gram value is ~1.1e6·257^(k−1) —
   // 4.8e18 > Long.MaxValue at k = 7 (silent overflow to negatives would
-  // break the "exact in long and DuckDB BIGINT" oracle invariant).
+  // break the "exact in long and DuckDB BIGINT" invariant).
   require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
   require(k <= 6, s"k=$k would overflow the exact-in-long k-gram hash (max k=6)")
 
-  val Base = 257L
-  val Mod = 1000000007L
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowFingerprints.compute($c, $k, $w)")
+
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
+object WinnowFingerprints {
+  private val Base = 257L
+  private val Mod = 1000000007L
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = input.toString
     val cps = s.codePoints().toArray
     val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
@@ -66,8 +82,4 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
     new GenericArrayData(out)
   }
-
-  override def prettyName: String = "winnow_fingerprints"
-  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
-    copy(child = c)
 }

@@ -3,8 +3,8 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,18 +19,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * form is interpreted per lambda eval (measured 13.5s for 5k docs /
   * 260k shingles); this compiled eval does the same work in one pass of
   * plain JVM string ops.
+  *
+  * Codegen emits a static call into [[WordNGramShingles.compute]], so the
+  * shingling stays inside whole-stage codegen with the explode/groupBy
+  * pipeline around it instead of splitting the stage (CodegenFallback).
   */
-case class WordNGramShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordNGramShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
-  @transient private lazy val ws: Pattern = Pattern.compile("\\s+")
-
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString.trim
+  override def nullSafeEval(input: Any): Any =
+    WordNGramShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGramShingles.compute($c, $n)")
+
+  override def prettyName: String = "word_ngram_shingles"
+
+  override protected def withNewChildInternal(newChild: Expression): WordNGramShingles =
+    copy(child = newChild)
+}
+
+object WordNGramShingles {
+  private val ws: Pattern = Pattern.compile("\\s+")
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val text = input.toString.trim
     val toks = ws.split(text)
     if (toks.length < n) {
       new GenericArrayData(Array[Any](UTF8String.fromString(text)))
@@ -56,9 +73,4 @@ case class WordNGramShingles(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
-
-  override def prettyName: String = "word_ngram_shingles"
-
-  override protected def withNewChildInternal(newChild: Expression): WordNGramShingles =
-    copy(child = newChild)
 }
