@@ -150,6 +150,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** The scale-safe near-dup pipeline (SCALE.md's "run the exact Jaccard
+    * behind an LSH prefilter", now enforced as a composition): MinHash-LSH
+    * banding proposes candidate pairs sub-quadratically, then exact
+    * word-3gram Jaccard verifies ONLY those candidates. No gram-level
+    * self-join ever touches the full corpus — the corpus-wide shuffles are
+    * the signature aggregation and the banded candidate join, both moving
+    * (doc_id, fixed-width) tuples; verification joins the small candidate
+    * set back to per-doc gram arrays and intersects per pair. At J ≥ 0.8
+    * with 8×2 banding the candidate-miss probability is
+    * 1−(1−0.8²)⁸ ≈ 2e-4 per pair (≈1e-12 at the planted J≈0.98), vs the
+    * unguarded quadratic join's skew bomb on any hot gram. */
+  def nearDupPairs(docs: DataFrame, threshold: Double,
+                   minEstimate: Double = 0.5): DataFrame = {
+    val cand = minhashLshPairs(docs, minEstimate).select(col("doc_a"), col("doc_b"))
+    val grams = docs.select(col("doc_id"), shingles3(col("text")).as("grams"))
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .withColumn("i", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("grams_a")) + size(col("grams_b")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 32-bit SimHash over the doc's distinct word-3gram shingles: bit i is
     * the sign of Σ_g (±1 by bit i of hash48(g)). Shingles, not single
     * words — on a small vocabulary, word sets are near-identical across

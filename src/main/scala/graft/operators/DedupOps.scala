@@ -101,6 +101,53 @@ object DedupOps {
        |SELECT doc_a, doc_b, ROUND(est, 6) AS est_jaccard FROM est
        |WHERE est >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Q-dedup-gated: the scale-safe composition — MinHash-LSH candidates
+    * verified with exact Jaccard on candidates ONLY (no corpus-wide gram
+    * self-join; plan-asserted in DedupSpec). The oracle replays the whole
+    * pipeline: signatures → banding → candidates → list-intersect
+    * verification. */
+  def dedupGated(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(Tables.documents(spark, dir), 0.8, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupGatedSql: String =
+    s"""WITH $shinglesCte,
+       |hs AS (SELECT doc_id, grams,
+       |         list_transform(grams, g -> CAST('0x' || substr(md5(g),1,12) AS BIGINT)) AS hs
+       |       FROM sh),
+       |sig AS (SELECT doc_id, grams,
+       |          list_transform(range(0, ${Dedup.MinhashFns}),
+       |            j -> list_min(list_transform(hs,
+       |                   h -> (((1103515245*(j+1) + 12345) % ${Dedup.MinhashPrime})
+       |                          * (h % ${Dedup.MinhashPrime})
+       |                         + ((69069*(j+1) + 1234567) % ${Dedup.MinhashPrime}))
+       |                        % ${Dedup.MinhashPrime}))) AS sig
+       |        FROM hs),
+       |bands AS (SELECT doc_id, sig, r.k AS band_idx,
+       |            md5(CAST(sig[2*r.k+1] AS VARCHAR) || ',' ||
+       |                CAST(sig[2*r.k+2] AS VARCHAR)) AS band_hash
+       |          FROM sig, range(0, ${Dedup.LshBands}) r(k)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id),
+       |est AS (SELECT doc_a, doc_b
+       |        FROM cand
+       |        JOIN sig sa ON doc_a = sa.doc_id
+       |        JOIN sig sb ON doc_b = sb.doc_id
+       |        WHERE CAST(list_sum(list_transform(sa.sig,
+       |                (x,i) -> CASE WHEN x = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |              / ${Dedup.MinhashFns}.0 >= 0.5),
+       |ver AS (SELECT doc_a, doc_b,
+       |          CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+       |            / (len(ga.grams) + len(gb.grams)
+       |               - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+       |        FROM est
+       |        JOIN sh ga ON doc_a = ga.doc_id
+       |        JOIN sh gb ON doc_b = gb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM ver
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Q-dedup-simhash: 32-bit simhash pairs at hamming ≤ 3. The Spark plan
     * uses pigeonhole chunk-banding (lossless); the oracle brute-forces the
     * quadratic scan — identical result sets prove the optimization. */
@@ -149,6 +196,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_gated" -> (dedupGated _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed" -> (dedupEmbed _))
@@ -156,6 +204,7 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_gated" -> dedupGatedSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql)

@@ -58,6 +58,34 @@ object RandomHyperplaneLsh {
       "vec_id", k)
   }
 
+  /** Probe list for multi-probe search: the query's own bucket plus its
+    * `Planes` hamming-1 neighbors. A near neighbor that falls just across
+    * ONE hyperplane — the single-probe recall cliff — lands in exactly
+    * such a neighbor bucket, and P(≥2 flipped planes) decays
+    * quadratically for small angles. Scan fraction: 9/256 of the index
+    * instead of 1/256, still partition-pruned at scale. */
+  def probeBuckets(qBucket: Column): Column =
+    array(Seq(qBucket) ++
+      (0 until Planes).map(p => qBucket.bitwiseXOR(lit(1L << p))): _*)
+
+  /** Multi-probe ANN top-K: exact cosine ranking over the query's bucket
+    * and its hamming-1 neighbor buckets. Buckets are disjoint, so the
+    * probe join introduces no duplicate candidates. */
+  def searchMultiProbe(index: DataFrame, query: DataFrame, dim: Int, k: Int): DataFrame = {
+    val bucketed = index.withColumn("bucket", bucket(col("embedding"), dim))
+    val q = query
+      .withColumn("q_bucket", bucket(col("q_embedding"), dim))
+      .withColumn("q_norm", VectorFunctions.l2Norm(col("q_embedding")))
+      .withColumn("probe", explode(probeBuckets(col("q_bucket"))))
+    KnnSearch.rankTopK(
+      bucketed
+        .join(broadcast(q),
+          col("bucket") === col("probe") && col("vec_id") =!= col("q_id"))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("bucket"), col("score")),
+      "vec_id", k)
+  }
+
   /** Q-ann-lsh: bucket of vector 0, top-5 within it. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val index = KnnSearch.withNorm(Tables.embeddings(spark, dir))
@@ -91,9 +119,36 @@ object RandomHyperplaneLsh {
        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin
   }
 
+  /** Q-ann-lsh-mp: the multi-probe variant of q_ann_lsh — same query
+    * vector, 9 probed buckets. */
+  def annLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val index = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    searchMultiProbe(index, q, dim = 64, k = 5)
+  }
+
+  val annLshMultiProbeSql: String = {
+    import VectorSql.{cosine => cos}
+    val probeList = ("q_bucket" +:
+      (0 until Planes).map(p => s"xor(q_bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |             ${bucketSql("embedding")} AS bucket
+       |           FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS qe, ${bucketSql("embedding")} AS q_bucket
+       |       FROM embeddings WHERE vec_id = 0),
+       |probes AS (SELECT q_id, qe, unnest($probeList) AS probe FROM q0)
+       |SELECT b.vec_id, b.label, b.bucket,
+       |  ROUND(${cos("b.embedding", "p.qe")}, 6) AS score
+       |FROM b JOIN probes p ON b.bucket = p.probe AND b.vec_id <> p.q_id
+       |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_lsh" -> (annLsh _))
+    "q_ann_lsh" -> (annLsh _),
+    "q_ann_lsh_mp" -> (annLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
-    "q_ann_lsh" -> annLshSql)
+    "q_ann_lsh" -> annLshSql,
+    "q_ann_lsh_mp" -> annLshMultiProbeSql)
 }

@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpecBase with Matchers {
     est.head.getDouble(2) should (be > 0.05 and be < 0.95)
   }
 
+  test("gated near-dup equals the unguarded exact Jaccard on the planted corpus, minus the gram self-join") {
+    val gated = Dedup.nearDupPairs(docs, 0.8, 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, 0.8)
+    val g = gated.collect().map(_.toString).sorted
+    val e = exact.collect().map(_.toString).sorted
+    // identical pairs AND identical exact-Jaccard values: the LSH gate
+    // lost nothing on this corpus, and verification is the true metric,
+    // not the signature estimate
+    g shouldBe e
+    // the plan must contain no corpus-wide gram self-join: xxhash64 is
+    // the raw inverted-index join key and appears ONLY in that plan
+    gated.queryExecution.executedPlan.toString should not include "xxhash64"
+    Dedup.ngramJaccardPairs(docs, 0.8)
+      .queryExecution.executedPlan.toString should include("xxhash64")
+  }
+
   test("simhash banded pairs equal the brute-force hamming scan (pigeonhole losslessness)") {
     val banded = Dedup.simhashPairs(docs, 3)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
