@@ -181,6 +181,38 @@ object VectorOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Q-sparse: magnitude-threshold sparsification into the reference's
+    * sparse wire schema (parallel indices/values arrays, `main.go:45-48`)
+    * — stored-element count, retained-energy fraction, and first stored
+    * index per vector. The one reference schema element with no other
+    * coverage; the oracle rebuilds the same (idx, value) pairs 0-based. */
+  def sparse(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SparseVectors
+    val df = Tables.embeddings(spark, dir)
+      .withColumn("sp", SparseVectors.toSparse(col("embedding"), 0.05))
+      .withColumn("nnz", SparseVectors.nnz(col("sp")))
+    df.select(col("vec_id"), col("nnz"),
+        when(col("nnz") > 0, round(
+          SparseVectors.sparseSelfDot(col("sp")) /
+            dotProduct(col("embedding"), col("embedding")), 6)).as("energy_frac"),
+        when(col("nnz") > 0,
+          element_at(col("sp").getField("indices"), 1)).as("first_idx"))
+      .orderBy(col("vec_id"))
+  }
+
+  val sparseSql: String =
+    s"""WITH sp AS (
+       |  SELECT vec_id, embedding,
+       |    list_filter(list_transform(embedding, (x,i) -> {'idx': i-1, 'v': x}),
+       |                s -> abs(CAST(s.v AS DOUBLE)) >= 0.05) AS sp
+       |  FROM embeddings)
+       |SELECT vec_id, len(sp) AS nnz,
+       |  CASE WHEN len(sp) > 0 THEN
+       |    ROUND(list_sum(list_transform(sp, s -> CAST(s.v AS DOUBLE)*CAST(s.v AS DOUBLE)))
+       |          / ${VectorSql.dot("embedding", "embedding")}, 6) END AS energy_frac,
+       |  CASE WHEN len(sp) > 0 THEN sp[1].idx END AS first_idx
+       |FROM sp ORDER BY vec_id""".stripMargin
+
   /** Q-stratified-sample: deterministic systematic sampling per class —
     * every 5th vector within each label by id order. The balanced-
     * subsample operator a training pipeline runs before class-weighted
@@ -217,6 +249,7 @@ object VectorOps {
     "q_fetch" -> (fetch _),
     "q_index_stats" -> (indexStats _),
     "q_upsert" -> (upsert _),
+    "q_sparse" -> (sparse _),
     "q_ann_ivf" -> (annIvf _))
 
   def oracles: Map[String, String] = Map(
@@ -228,5 +261,6 @@ object VectorOps {
     "q_fetch" -> fetchSql,
     "q_index_stats" -> indexStatsSql,
     "q_upsert" -> upsertSql,
+    "q_sparse" -> sparseSql,
     "q_ann_ivf" -> annIvfSql)
 }

@@ -17,6 +17,29 @@ class VectorFunctionsSpec extends SparkSpecBase with Matchers {
       java.util.Arrays.asList(vs.map { case (i, v) => Row(i, v) }: _*), schema)
   }
 
+  test("sparse roundtrip: toDense(toSparse(v, 0)) == v and self-dot matches dense") {
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(50)
+    val rt = emb.select(col("vec_id"), col("embedding"),
+      SparseVectors.toDense(SparseVectors.toSparse(col("embedding"), 0.0), 64).as("back"),
+      SparseVectors.sparseSelfDot(SparseVectors.toSparse(col("embedding"), 0.0)).as("sdot"),
+      VectorFunctions.dotProduct(col("embedding"), col("embedding")).as("ddot"))
+    val rows = rt.collect()
+    rows.foreach { r =>
+      r.getSeq[Float](2) shouldBe r.getSeq[Float](1)
+      r.getDouble(3) shouldBe r.getDouble(4) +- 1e-9
+    }
+    // thresholded: strictly fewer stored elements, 0-based indices in range
+    val sp = emb.select(SparseVectors.toSparse(col("embedding"), 0.5).as("sp"))
+      .select(col("sp.indices").as("idx"), col("sp.values").as("v")).collect()
+    sp.foreach { r =>
+      val idx = r.getSeq[Int](0)
+      idx.size shouldBe r.getSeq[Float](1).size
+      all(idx) should (be >= 0 and be < 64)
+      idx shouldBe idx.sorted
+    }
+    sp.map(_.getSeq[Int](0).size).sum should be < 50 * 64
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = vecDf((1L, Seq(1f, 2f, 3f)), (2L, Seq(-0.5f, 0.25f, 8f)))
     val scores = df.select(cosineSim(col("v"), col("v")).as("s"))
