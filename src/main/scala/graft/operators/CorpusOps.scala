@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality / safety operators — the filtering-and-mixing half of a
+  * large-scale training-data pipeline, next to the dedup suite. The
+  * reference stops at embedding (`embed/embed.go`); these are the
+  * north-star extensions a 100 TB corpus run needs before any token is
+  * trained on. All four are oracle-checked.
+  *
+  * Scale shapes: repetition and PII are map-side-plus-one-doc-keyed-shuffle
+  * projections; decontamination broadcasts the (small) benchmark gram set;
+  * source mixing is a pure map-side hash filter — no RNG, so re-runs and
+  * the oracle agree bit-for-bit.
+  */
+object CorpusOps {
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** Q-repetition: Gopher-style repetition filters — duplicate-token
+    * fraction and the fraction of all word-2-grams taken by the most
+    * frequent one. High values flag boilerplate/low-quality docs. One
+    * shuffle on doc_id (the bigram count re-aggregation); token stats are
+    * computed array-side in the same pass. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val tokStats = toks.select(col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct"))
+    val bigrams = toks
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    tokStats.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_token_frac"),
+        when(col("n_bigrams") > 0,
+          round(col("top_c").cast("double") / col("n_bigrams").cast("double"), 6))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+      |                             i -> t[i] || ' ' || t[i+1])) AS bg
+      |       FROM toks),
+      |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bgs AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |        FROM bgc GROUP BY 1)
+      |SELECT t.doc_id, len(t.t) AS n_tokens,
+      |  ROUND(1.0 - CAST(len(list_distinct(t.t)) AS DOUBLE) / len(t.t), 6) AS dup_token_frac,
+      |  CASE WHEN bgs.n_bigrams > 0
+      |       THEN ROUND(CAST(bgs.top_c AS DOUBLE) / bgs.n_bigrams, 6) END AS top_bigram_frac
+      |FROM toks t LEFT JOIN bgs ON t.doc_id = bgs.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Q-decontaminate: train/test decontamination — flag training docs
+    * sharing ≥1 word-3-gram shingle with the benchmark split (here the
+    * deterministic doc_id % 97 = 0 subset standing in for an eval set).
+    * The benchmark gram set is tiny relative to the corpus and is
+    * BROADCAST; the corpus side stays map-side (explode + hash semi-join),
+    * so at 100 TB this is one pass over training text with no
+    * corpus-sized shuffle. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(Dedup.shingles3(col("text"))).as("gram"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, trim(text) AS tt,
+      |                regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |           THEN list_distinct(list_transform(range(1, len(t)-1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |           ELSE [tt] END AS grams
+      |       FROM toks),
+      |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+      |bench AS (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0)
+      |SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams
+      |FROM ex
+      |WHERE doc_id % 97 <> 0 AND gram IN (SELECT gram FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Q-pii-redact: regex PII redaction (emails, phone extensions) over a
+    * corpus with deterministically planted PII — pure map-side projection,
+    * the per-document safety pass of a corpus pipeline. Counts come from
+    * the SAME regexes that redact, so counts and redacted text can't
+    * drift apart. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .withColumn("line", planted)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("line"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("line"), lit(phoneRe), lit(0))).as("n_phones"),
+        substring(
+          regexp_replace(regexp_replace(col("line"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]"), 1, 80).as("redacted_head"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    val line = """text
+      | || CASE WHEN doc_id % 7 = 0
+      |      THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0
+      |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END""".stripMargin.replace("\n", "")
+    s"""WITH lines AS (SELECT doc_id, $line AS line FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(line, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(line, '$phoneRe')) AS n_phones,
+       |  substr(regexp_replace(regexp_replace(line, '$emailRe', '[EMAIL]', 'g'),
+       |                        '$phoneRe', '[PHONE]', 'g'), 1, 80) AS redacted_head
+       |FROM lines ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q-mix-sources: deterministic weighted source mixing — the corpus
+    * composition step of a training run. Each source gets a sampling rate
+    * from its index (mod-4 tier: 90/60/30/10%); a doc is kept iff
+    * hash48(doc_id:source) mod 100 falls under the rate. Hash-based (no
+    * RNG): re-runs, retries, and the oracle all select the identical
+    * subset — the property `sample()` cannot give. Map-side only. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val weight = element_at(array(lit(90), lit(60), lit(30), lit(10)),
+      pmod(srcNum, lit(4)) + 1)
+    val kept = pmod(Dedup.hash48(concat(col("doc_id"), lit(":"), col("source"))),
+      lit(100L)) < weight
+    Tables.documents(spark, dir)
+      .withColumn("w", weight)
+      .withColumn("kept", kept.cast("int"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixSourcesSql: String =
+    """WITH d AS (SELECT *,
+      |    ([90, 60, 30, 10])[(CAST(substr(source, 4) AS INT) % 4) + 1] AS w,
+      |    CASE WHEN CAST('0x' || substr(md5(doc_id || ':' || source), 1, 12) AS BIGINT)
+      |              % 100 < ([90, 60, 30, 10])[(CAST(substr(source, 4) AS INT) % 4) + 1]
+      |         THEN 1 ELSE 0 END AS kept
+      |  FROM documents)
+      |SELECT source, w, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept
+      |FROM d GROUP BY source, w ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> (repetition _),
+    "q_decontaminate" -> (decontaminate _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_mix_sources" -> (mixSources _))
+
+  def oracles: Map[String, String] = Map(
+    "q_repetition" -> repetitionSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_mix_sources" -> mixSourcesSql)
+}

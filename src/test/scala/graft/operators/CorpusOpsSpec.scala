@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.matchers.should.Matchers
+
+class CorpusOpsSpec extends SparkSpecBase with Matchers {
+
+  private def docsDf(rows: (Long, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      rows.map { case (i, t) => Row(i, t, "en", "src0", t.length.toLong) }: _*), schema)
+  }
+
+  test("repetition metrics match hand-computed values") {
+    // "a a a b": 4 tokens, 2 distinct -> dup 0.5;
+    // bigrams [a a, a a, a b]: top 'a a'=2 of 3
+    val r = CorpusOps.repetition(spark, sfDir)
+    val all = r.collect()
+    all.length shouldBe Tables.documents(spark, sfDir).count()
+    all.foreach { row =>
+      row.getDouble(2) should (be >= 0.0 and be <= 1.0)
+      if (!row.isNullAt(3)) row.getDouble(3) should (be > 0.0 and be <= 1.0)
+    }
+    // hand-computed on a tiny corpus, through the production core
+    val tiny = docsDf((1L, "a a a b"), (2L, "x y"))
+    val byId = CorpusOpsTestHook.repetitionOf(spark, tiny).collect()
+      .map(r2 => r2.getLong(0) -> r2).toMap
+    byId(1L).getInt(1) shouldBe 4
+    byId(1L).getDouble(2) shouldBe 0.5 +- 1e-9
+    byId(1L).getDouble(3) shouldBe (2.0 / 3.0) +- 1e-6
+    byId(2L).getDouble(2) shouldBe 0.0 +- 1e-9
+    byId(2L).getDouble(3) shouldBe 1.0 +- 1e-9
+  }
+
+  test("decontamination flags exactly the docs sharing a 3-gram with the benchmark split") {
+    val res = CorpusOps.decontaminate(spark, sfDir).collect()
+    // no benchmark doc may appear in the output
+    all(res.map(_.getLong(0) % 97)) should not be 0L
+    all(res.map(_.getLong(1))) should be > 0L
+    // brute-force cross-check on the real corpus
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(col("doc_id"), explode(Dedup.shingles3(col("text"))).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expect = grams.filter(col("doc_id") % 97 =!= 0).collect()
+      .filter(r => bench.contains(r.getString(1)))
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getString(1)).distinct.length }
+    res.map(r => r.getLong(0) -> r.getLong(1).toInt).toMap shouldBe expect
+  }
+
+  test("PII redaction: planted emails/phones are counted and absent from redacted text") {
+    val res = CorpusOps.piiRedact(spark, sfDir).collect()
+    res.foreach { r =>
+      val id = r.getLong(0)
+      r.getInt(1) shouldBe (if (id % 7 == 0) 1 else 0)
+      r.getInt(2) shouldBe (if (id % 11 == 0) 1 else 0)
+      r.getString(3) should not include "@example.com"
+      r.getString(3) should not include "555-0"
+    }
+  }
+
+  test("source mixing is deterministic, per-tier weighted, and within binomial bounds") {
+    val a = CorpusOps.mixSources(spark, sfDir).collect()
+    val b = CorpusOps.mixSources(spark, sfDir).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // no RNG anywhere
+    a.foreach { r =>
+      val w = r.getInt(1); val total = r.getLong(2); val kept = r.getLong(3)
+      val expected = total * w / 100.0
+      // 25 docs/source at sf0.01: allow 4-sigma binomial slack
+      val sigma = math.sqrt(total * (w / 100.0) * (1 - w / 100.0))
+      math.abs(kept - expected) should be <= (4 * sigma + 1)
+    }
+  }
+}
+
+/** Exposes the repetition core over an arbitrary docs frame so the
+  * hand-computed test drives the production pipeline, not a copy. */
+object CorpusOpsTestHook {
+  def repetitionOf(spark: org.apache.spark.sql.SparkSession,
+                   docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // CorpusOps.repetition reads via Tables.documents(dir) — round-trip
+    // the frame through a temp parquet dir so the test drives the
+    // production operator, not a re-implementation.
+    val tmp = java.nio.file.Files.createTempDirectory("corpus-hook").toString
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    CorpusOps.repetition(spark, tmp)
+  }
+}
