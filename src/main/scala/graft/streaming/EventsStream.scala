@@ -63,6 +63,29 @@ object EventsStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream interval join (§2.9): each purchase joined to the same
+    * user's clicks in the preceding 10 minutes — the streaming twin of
+    * the batch [[graft.operators.RangeJoin]]. Both sides carry watermarks
+    * AND the join predicate bounds c_ts relative to p_ts, which is what
+    * lets Spark evict buffered rows once the watermark passes the
+    * interval: state stays bounded on an unbounded stream. Without the
+    * time bound this would be a stateful cross-join that grows forever. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("c_id"), col("p_ts"), col("c_ts"))
+  }
+
   /** Custom arbitrary state (SURVEY.md §2.9): per-user lifetime stats via
     * `flatMapGroupsWithState` — the escape hatch when no built-in stateful
     * operator fits (here: a monotone per-user counter + running value sum
@@ -143,6 +166,7 @@ object StreamingDemo {
       ("windowed_counts", EventsStream.windowedCounts(events), "update"),
       ("deduped_events", EventsStream.dedupedEvents(events), "append"),
       ("session_counts", EventsStream.sessionCounts(events), "append"),
+      ("purchase_click_join", EventsStream.purchaseClickJoin(events), "append"),
       ("user_running_stats", EventsStream.userRunningStats(events).toDF(), "append"))
 
     plans.foreach { case (name, df, mode) =>
@@ -159,6 +183,12 @@ object StreamingDemo {
     val streamCount = spark.table("deduped_events").count()
     println(s"STREAM consistency deduped=$streamCount batch=$batchCount")
     assert(streamCount == batchCount, "stream dedup diverged from batch")
+    // The stream-stream interval join must emit exactly the batch join's rows
+    // (the ascending-time replay keeps every match inside the watermark).
+    val batchJoin = EventsStream.purchaseClickJoin(batchEvents).count()
+    val streamJoin = spark.table("purchase_click_join").count()
+    println(s"STREAM consistency interval_join=$streamJoin batch=$batchJoin")
+    assert(streamJoin == batchJoin, "stream-stream join diverged from batch")
     spark.stop()
   }
 }
