@@ -24,17 +24,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * shingling stays inside whole-stage codegen with the explode/groupBy
   * pipeline around it instead of splitting the stage (CodegenFallback).
   */
-case class WordNGramShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGramShingles(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordNGramShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordNGramShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordNGramShingles.compute($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordNGramShingles.compute($c, $n, $distinct)")
 
   override def prettyName: String = "word_ngram_shingles"
 
@@ -45,13 +47,20 @@ case class WordNGramShingles(child: Expression, n: Int) extends UnaryExpression 
 object WordNGramShingles {
   private val ws: Pattern = Pattern.compile("\\s+")
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * distinct=true (the dedup unit): first-occurrence-distinct windows,
+    * whole trimmed text as a single shingle for sub-n docs.
+    * distinct=false (the n-gram STREAM for frequency analysis): every
+    * sliding window in order, EMPTY for sub-n docs — no fallback, a
+    * 1-token doc has no bigrams. */
+  def compute(input: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     val text = input.toString.trim
     val toks = ws.split(text)
     if (toks.length < n) {
-      new GenericArrayData(Array[Any](UTF8String.fromString(text)))
-    } else {
+      if (distinct) new GenericArrayData(Array[Any](UTF8String.fromString(text)))
+      else new GenericArrayData(Array.empty[Any])
+    } else if (distinct) {
       val seen = new java.util.LinkedHashSet[String](toks.length * 2)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
@@ -70,6 +79,23 @@ object WordNGramShingles {
       val it = seen.iterator()
       var k = 0
       while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val m = toks.length - n + 1
+      val out = new Array[Any](m)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
       new GenericArrayData(out)
     }
   }

@@ -31,12 +31,15 @@ object CorpusOps {
     val tokStats = toks.select(col("doc_id"),
       size(col("t")).as("n_tokens"),
       size(array_distinct(col("t"))).as("n_distinct"))
-    val bigrams = toks
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
-          slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    // bigram STREAM via the native non-distinct shingle expression — the
+    // zip_with/slice lambda form computed the same values interpreted,
+    // one boxed call per token (the round-1 HOF lesson)
+    val bigramStream = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordNGramShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+        2, distinct = false))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(bigramStream).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))

@@ -34,6 +34,8 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
         col("doc_id"),
         ColumnBridge.column(Md5Prefix48(ColumnBridge.expression(col("text")))).as("md5p"),
         ColumnBridge.column(WordNGramShingles(ColumnBridge.expression(col("text")), 3)).as("shingles"),
+        ColumnBridge.column(WordNGramShingles(ColumnBridge.expression(col("text")), 2,
+          distinct = false)).as("bigram_stream"),
         ColumnBridge.column(FeatureHashEmbed(ColumnBridge.expression(col("text")), 16)).as("emb"),
         ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)).as("winnow"))
       .orderBy(col("doc_id"))
