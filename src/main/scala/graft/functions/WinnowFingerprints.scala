@@ -13,11 +13,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * k+w−1 characters are guaranteed to share a fingerprint.
   *
   * Per position i, the k-gram hash is the base-257 polynomial of the
-  * codepoints (Horner form, no intermediate mod — max value ≈ 1.1e6·257⁴
-  * < 2^53, exact in long and in DuckDB's BIGINT, so the oracle reproduces
-  * every value); fingerprints are the distinct minima of each w-window of
-  * consecutive k-gram hashes, returned sorted. Texts shorter than k yield
-  * an empty set.
+  * codepoints (Horner form, no intermediate mod). The accumulation is
+  * exact in int64 for k ≤ 6: max codepoint 0x10FFFF ≈ 1.1e6, so the
+  * largest value is ≈ 1.1e6·257⁵ ≈ 1.26e18 < 2^63 ≈ 9.22e18 (k = 7
+  * would reach ≈ 3.2e20 and overflow). The DuckDB oracle must compute
+  * the polynomial in BIGINT — for k ≥ 6 the values exceed double's 2^53
+  * exact range, so a double-arithmetic oracle would silently diverge.
+  * Fingerprints are the distinct minima of each w-window of consecutive
+  * k-gram hashes, returned sorted. Texts shorter than k yield an empty
+  * set.
   *
   * Codegen emits a static call into [[WinnowFingerprints.compute]],
   * keeping the fingerprint projection inside whole-stage codegen.
@@ -25,12 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
-  // k ≤ 6 keeps the un-modded Horner accumulation exact: max codepoint
-  // 0x10FFFF ≈ 1.1e6, so the largest k-gram value is ~1.1e6·257^(k−1) —
-  // 4.8e18 > Long.MaxValue at k = 7 (silent overflow to negatives would
-  // break the "exact in long and DuckDB BIGINT" invariant).
+  // k ≤ 6 keeps the un-modded Horner accumulation exact in int64: the
+  // largest k-gram value is ~1.1e6·257^(k−1) ≈ 1.26e18 at k = 6 (< 2^63),
+  // but ≈ 3.2e20 at k = 7 — silent overflow to negatives would break
+  // oracle parity. See the class doc for the BIGINT-oracle requirement.
   require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
-  require(k <= 6, s"k=$k would overflow the exact-in-long k-gram hash (max k=6)")
+  require(k <= 6, s"k=$k would overflow the exact-in-int64 k-gram hash (max k=6)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -47,7 +47,27 @@ case class WordNGramShingles(child: Expression, n: Int, distinct: Boolean = true
 object WordNGramShingles {
   private val ws: Pattern = Pattern.compile("\\s+")
 
+  /** SQL-`trim` semantics: strip SPACES only. Java's String.trim strips
+    * all control chars ≤ U+0020 (\t \n \r …), which would tokenize
+    * whitespace-edged docs differently from the DuckDB oracle CTEs
+    * (`regexp_split_to_array(trim(text), '\s+')`) and from Spark's own
+    * `split(trim(text), "\\s+")` used by the token-stats half of
+    * q_repetition — a latent parity seam on data the testdata happens not
+    * to contain. */
+  private def sqlTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Tokenization is EXACTLY `regexp_split_to_array(trim(text), '\s+')`:
+    * space-only trim, and split with limit -1 so trailing empty tokens
+    * are kept the way DuckDB's RE2 split keeps them (Java's default split
+    * drops them — divergent on text ending in non-space whitespace).
     *
     * distinct=true (the dedup unit): first-occurrence-distinct windows,
     * whole trimmed text as a single shingle for sub-n docs.
@@ -55,8 +75,8 @@ object WordNGramShingles {
     * sliding window in order, EMPTY for sub-n docs — no fallback, a
     * 1-token doc has no bigrams. */
   def compute(input: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val text = input.toString.trim
-    val toks = ws.split(text)
+    val text = sqlTrim(input.toString)
+    val toks = ws.split(text, -1)
     if (toks.length < n) {
       if (distinct) new GenericArrayData(Array[Any](UTF8String.fromString(text)))
       else new GenericArrayData(Array.empty[Any])

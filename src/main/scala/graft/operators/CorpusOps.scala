@@ -34,12 +34,8 @@ object CorpusOps {
     // bigram STREAM via the native non-distinct shingle expression — the
     // zip_with/slice lambda form computed the same values interpreted,
     // one boxed call per token (the round-1 HOF lesson)
-    val bigramStream = org.apache.spark.sql.graft.ColumnBridge.column(
-      graft.functions.WordNGramShingles(
-        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
-        2, distinct = false))
     val bigrams = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(bigramStream).as("bg"))
+      .select(col("doc_id"), explode(Dedup.ngramStream(col("text"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))

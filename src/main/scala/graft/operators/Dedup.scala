@@ -48,6 +48,14 @@ object Dedup {
       graft.functions.WordNGramShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), 3))
 
+  /** Non-distinct word n-gram STREAM (every sliding window in order;
+    * empty for sub-n docs) — the frequency-analysis twin of [[shingles3]],
+    * shared by any operator needing n-gram counts (CorpusOps.repetition). */
+  def ngramStream(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordNGramShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n, distinct = false))
+
   /** Exact dedup: keep the lowest-id document per normalized-text
     * fingerprint. The shuffle key is the md5, so text bytes never move. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -32,6 +32,11 @@ object IndexCatalog {
     * with precomputed norms. Returns true if it created the index. */
   def createIfAbsent(spark: SparkSession, basePath: String,
                      desc: IndexDescriptor, data: DataFrame): Boolean = {
+    // validate at creation (like the reference's DDL, upsert/upsert.go:27)
+    // — persisting an unknown metric would make every later search() throw
+    // against an index that can only be fixed by manual file surgery
+    require(KnnSearch.Metrics.contains(desc.metric),
+      s"unknown metric '${desc.metric}' (expected one of ${KnnSearch.Metrics.mkString(", ")})")
     if (exists(basePath, name = desc.name)) return false
     val dir = Paths.get(basePath, desc.name)
     Files.createDirectories(dir)

@@ -47,7 +47,8 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
         VectorFunctions.normalize(col("embedding")).as("unit"),
         VectorFunctions.dotProduct(col("embedding"), col("embedding")).as("selfdot"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"),
-        VectorFunctions.l2Dist(col("embedding"), col("embedding")).as("selfdist"))
+        VectorFunctions.l2Dist(col("embedding"), col("embedding")).as("selfdist"),
+        SparseVectors.toDense(SparseVectors.toSparse(col("embedding"), 0.05), 64).as("sparse_rt"))
       .orderBy(col("vec_id"))
 
   test("all native expressions execute under CODEGEN_ONLY and match interpreted eval") {
