@@ -136,20 +136,26 @@ object Dedup {
     * chance band collisions. */
   def minhashLshPairs(docs: DataFrame, minEstimate: Double): DataFrame = {
     val sigs = minhashSignatures(docs)
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    // The banded frame carries ONLY (doc_id, band_idx, band_hash): the
+    // 16-long signature must not ride through the 8× band explode, the
+    // self-join, and the distinct — at scale that is 8× the shuffle bytes
+    // for no information. Signatures are joined back onto the (far
+    // smaller) deduplicated pair set afterwards.
+    val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
         k => md5(concat_ws(",",
           element_at(col("sig"), k * 2 + 1), element_at(col("sig"), k * 2 + 2))))))
-      .toDF("doc_id", "sig", "band_idx", "band_hash")
+      .toDF("doc_id", "band_idx", "band_hash")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
