@@ -55,6 +55,28 @@ object EventOps {
       |  event_type, COUNT(*) AS n_events, ROUND(SUM(value), 3) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** Q-window-sliding: SLIDING 1-hour windows every 15 minutes — each
+    * event contributes to exactly 4 overlapping windows. Spark's
+    * `window(ts, size, slide)` enumerates the windows natively; the
+    * oracle enumerates them explicitly (start = 15-min bucket − k·15 min,
+    * k ∈ 0..3 — the k ≤ size/slide − 1 windows that contain ts). Both
+    * align to the epoch, so starts agree bit-for-bit. */
+  def windowSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  val windowSlidingSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE,
+      |                '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, COUNT(*) AS n_events
+      |FROM events, range(0, 4) k(k)
+      |GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
   /** Q-sessionize: gap-based sessionization (30-min inactivity closes a
     * session) via lag over a per-user time-ordered window — the batch
     * equivalent of `session_window` (SURVEY.md §2.9). */
@@ -201,6 +223,7 @@ object EventOps {
     "q_cube_events" -> (cubeEvents _),
     "q_json_events" -> (jsonEvents _),
     "q_window_events" -> (windowEvents _),
+    "q_window_sliding" -> (windowSliding _),
     "q_sessionize" -> (sessionize _),
     "q_running_sum" -> (runningSum _),
     "q_lag_lead" -> (lagLead _),
@@ -212,6 +235,7 @@ object EventOps {
     "q_cube_events" -> cubeEventsSql,
     "q_json_events" -> jsonEventsSql,
     "q_window_events" -> windowEventsSql,
+    "q_window_sliding" -> windowSlidingSql,
     "q_sessionize" -> sessionizeSql,
     "q_running_sum" -> runningSumSql,
     "q_lag_lead" -> lagLeadSql,
