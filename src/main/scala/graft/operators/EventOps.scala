@@ -196,6 +196,52 @@ object EventOps {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Q-pivot-events: per-user event-type counts pivoted to columns — the
+    * DataFrame `pivot` surface with an explicit value list (no extra
+    * distinct-values scan). Missing combinations coalesce to 0 so both
+    * engines hash the same cells; the oracle is the portable
+    * COUNT(...) FILTER form. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("user_id"))
+  }
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q-unpivot-events: melt the pivoted frame back to long form with
+    * `Dataset.unpivot` — the wide↔long round-trip a feature-engineering
+    * pipeline does constantly. Zero cells survive the round-trip (the
+    * pivot coalesced them), so the oracle enumerates every (user, metric)
+    * combination via a VALUES cross join. */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEvents(spark, dir)
+      .unpivot(Array(col("user_id")), types.map(t => col(s"n_$t")).toArray,
+        "metric", "n")
+      .orderBy(col("user_id"), col("metric"))
+  }
+
+  val unpivotEventsSql: String =
+    """SELECT user_id, m.metric, COUNT(*) FILTER (WHERE event_type = m.ty) AS n
+      |FROM events,
+      |  (VALUES ('n_click','click'), ('n_error','error'), ('n_purchase','purchase'),
+      |          ('n_signup','signup'), ('n_view','view')) m(metric, ty)
+      |GROUP BY user_id, m.metric
+      |ORDER BY user_id, metric""".stripMargin
+
   /** Q-cube-events: CUBE over (event_type, weekday) — all four grouping
     * combinations with labelled totals (A7's second half next to ROLLUP). */
   def cubeEvents(spark: SparkSession, dir: String): DataFrame =
@@ -221,6 +267,8 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_map_props" -> (mapProps _),
     "q_cube_events" -> (cubeEvents _),
+    "q_pivot_events" -> (pivotEvents _),
+    "q_unpivot_events" -> (unpivotEvents _),
     "q_json_events" -> (jsonEvents _),
     "q_window_events" -> (windowEvents _),
     "q_window_sliding" -> (windowSliding _),
@@ -233,6 +281,8 @@ object EventOps {
   def oracles: Map[String, String] = Map(
     "q_map_props" -> mapPropsSql,
     "q_cube_events" -> cubeEventsSql,
+    "q_pivot_events" -> pivotEventsSql,
+    "q_unpivot_events" -> unpivotEventsSql,
     "q_json_events" -> jsonEventsSql,
     "q_window_events" -> windowEventsSql,
     "q_window_sliding" -> windowSlidingSql,
