@@ -65,6 +65,34 @@ class DedupSpec extends SparkSpecBase with Matchers {
     est.head.getDouble(2) should (be > 0.05 and be < 0.95)
   }
 
+  test("native shingle tokenization equals SQL trim+split semantics on whitespace-edged text") {
+    // Regression for a reviewed parity seam: Java String.trim strips
+    // \t\n\r (SQL trim strips spaces only) and Java split drops trailing
+    // empty tokens (DuckDB's RE2 split keeps them). The kernel must
+    // tokenize EXACTLY like Spark's own split(trim(text)) — which matches
+    // the DuckDB oracle CTEs — on every input, including these edges.
+    import org.apache.spark.sql.types._
+    val edgy = Seq("\ta b c", "a b\t", "  x y  ", "", "\t", "a\nb c\r")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(edgy.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.Row(i.toLong, t) }: _*),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val toks = split(trim(col("text")), "\\s+")
+    val nToks = org.apache.spark.sql.functions.size(toks)
+    val refBigrams = zip_with(
+      slice(toks, lit(1), greatest(nToks - 1, lit(0))),
+      slice(toks, lit(2), greatest(nToks - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val rows = df.select(col("doc_id"),
+      Dedup.ngramStream(col("text"), 2).as("kernel"),
+      when(nToks >= 2, refBigrams).otherwise(array().cast("array<string>")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      withClue(s"doc ${r.getLong(0)} (${edgy(r.getLong(0).toInt).replace("\t", "\\t")}): ")(
+        r.getSeq[String](1) shouldBe r.getSeq[String](2))
+    }
+  }
+
   test("gated near-dup equals the unguarded exact Jaccard on the planted corpus, minus the gram self-join") {
     val gated = Dedup.nearDupPairs(docs, 0.8, 0.5)
     val exact = Dedup.ngramJaccardPairs(docs, 0.8)
