@@ -206,6 +206,32 @@ object RelationalOps {
       |GROUP BY ROLLUP(r_name, n_name)
       |ORDER BY region, nation""".stripMargin
 
+  /** GROUPING SETS (A7's general form next to ROLLUP/CUBE): an explicit
+    * lattice of grouping combinations — (flag, status), (flag), () —
+    * expressed through the SQL surface (`spark.sql`), which the Dataset
+    * API does not expose directly. One shuffle; Spark expands the sets
+    * with a single Expand node, not one pass per set. */
+  def groupingSetsQuery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   /** TPC-H Q3-shaped: selective filters on both join inputs, 3-table join,
     * aggregate, top-K — the canonical "filters push below the join, AQE
     * picks broadcast for the pruned side" plan. */
@@ -321,7 +347,8 @@ object RelationalOps {
     "q_union_corpora" -> (unionCorpora _),
     "q_except_custkeys" -> (exceptCustkeys _),
     "q_distinct_parts" -> (distinctParts _),
-    "q_rollup_region_nation" -> (rollupRegionNation _))
+    "q_rollup_region_nation" -> (rollupRegionNation _),
+    "q_grouping_sets" -> (groupingSetsQuery _))
 
   def oracles: Map[String, String] = Map(
     "q_percentiles" -> percentilesSql,
@@ -336,5 +363,6 @@ object RelationalOps {
     "q_union_corpora" -> unionCorporaSql,
     "q_except_custkeys" -> exceptCustkeysSql,
     "q_distinct_parts" -> distinctPartsSql,
-    "q_rollup_region_nation" -> rollupRegionNationSql)
+    "q_rollup_region_nation" -> rollupRegionNationSql,
+    "q_grouping_sets" -> groupingSetsSql)
 }

@@ -181,6 +181,30 @@ object VectorOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Q-sql-knn: the SAME top-10 cosine search as q_knn, but issued
+    * through the SQL surface — `spark.sql` over the registered native
+    * expressions (vec_dot / vec_l2norm from [[graft.plans.GraftExtensions]]).
+    * Proves the SQL registration path end-to-end under the driver's
+    * oracle gate, not just in unit tests: a pure-SQL user gets the exact
+    * codegen kernels and values of the Scala API. */
+  def sqlKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_sql")
+    spark.sql(
+      """WITH q AS (SELECT embedding AS qe FROM embeddings_sql WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  ROUND(CASE WHEN vec_l2norm(e.embedding) * vec_l2norm(q.qe) = 0.0 THEN 0.0
+        |        ELSE vec_dot(e.embedding, q.qe)
+        |             / (vec_l2norm(e.embedding) * vec_l2norm(q.qe)) END, 6) AS score
+        |FROM embeddings_sql e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Same oracle as q_knn — the SQL surface must produce identical values. */
+  val sqlKnnSql: String = knnSql
+
   /** Q-sparse: magnitude-threshold sparsification into the reference's
     * sparse wire schema (parallel indices/values arrays, `main.go:45-48`)
     * — stored-element count, retained-energy fraction, and first stored
@@ -243,6 +267,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
+    "q_sql_knn" -> (sqlKnn _),
     "q_knn_l2" -> (knnL2 _),
     "q_knn_dot" -> (knnDot _),
     "q_knn_join" -> (knnJoin _),
@@ -255,6 +280,7 @@ object VectorOps {
   def oracles: Map[String, String] = Map(
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
+    "q_sql_knn" -> sqlKnnSql,
     "q_knn_l2" -> knnL2Sql,
     "q_knn_dot" -> knnDotSql,
     "q_knn_join" -> knnJoinSql,
