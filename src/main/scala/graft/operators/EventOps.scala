@@ -201,46 +201,46 @@ object EventOps {
     * distinct-values scan). Missing combinations coalesce to 0 so both
     * engines hash the same cells; the oracle is the portable
     * COUNT(...) FILTER form. */
+  /** The explicit pivot value list, single-sourced: the Spark pivot, the
+    * unpivot value columns, and both oracle SQLs are all derived from
+    * this Seq, so a testdata event-type change touches one place. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
     val p = Tables.events(spark, dir)
       .groupBy(col("user_id"))
-      .pivot("event_type", types)
+      .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
     p.select(col("user_id") +:
-        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
       .orderBy(col("user_id"))
   }
 
-  val pivotEventsSql: String =
-    """SELECT user_id,
-      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
-      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
-      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
-      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
-      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  val pivotEventsSql: String = {
+    val cols = eventTypes
+      .map(t => s"  COUNT(*) FILTER (WHERE event_type = '$t') AS n_$t")
+      .mkString(",\n")
+    s"SELECT user_id,\n$cols\nFROM events GROUP BY user_id ORDER BY user_id"
+  }
 
   /** Q-unpivot-events: melt the pivoted frame back to long form with
     * `Dataset.unpivot` — the wide↔long round-trip a feature-engineering
     * pipeline does constantly. Zero cells survive the round-trip (the
     * pivot coalesced them), so the oracle enumerates every (user, metric)
     * combination via a VALUES cross join. */
-  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
     pivotEvents(spark, dir)
-      .unpivot(Array(col("user_id")), types.map(t => col(s"n_$t")).toArray,
+      .unpivot(Array(col("user_id")), eventTypes.map(t => col(s"n_$t")).toArray,
         "metric", "n")
       .orderBy(col("user_id"), col("metric"))
-  }
 
-  val unpivotEventsSql: String =
-    """SELECT user_id, m.metric, COUNT(*) FILTER (WHERE event_type = m.ty) AS n
-      |FROM events,
-      |  (VALUES ('n_click','click'), ('n_error','error'), ('n_purchase','purchase'),
-      |          ('n_signup','signup'), ('n_view','view')) m(metric, ty)
-      |GROUP BY user_id, m.metric
-      |ORDER BY user_id, metric""".stripMargin
+  val unpivotEventsSql: String = {
+    val vals = eventTypes.map(t => s"('n_$t','$t')").mkString(", ")
+    s"""SELECT user_id, m.metric, COUNT(*) FILTER (WHERE event_type = m.ty) AS n
+       |FROM events, (VALUES $vals) m(metric, ty)
+       |GROUP BY user_id, m.metric
+       |ORDER BY user_id, metric""".stripMargin
+  }
 
   /** Q-cube-events: CUBE over (event_type, weekday) — all four grouping
     * combinations with labelled totals (A7's second half next to ROLLUP). */

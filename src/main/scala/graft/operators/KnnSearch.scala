@@ -115,8 +115,13 @@ object VectorSql {
   def norm(a: String): String =
     s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+  /** Guarded like the Spark side's cosineSimPrenormed: cosine against a
+    * zero-norm vector is defined as 0, not 0/0 — without the CASE the
+    * oracle would emit NaN/NULL for a zero vector while the engine emits
+    * 0.0, a latent hash divergence the testdata happens not to exercise. */
   def cosine(a: String, b: String): String =
-    s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
+    s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0.0 THEN 0.0 " +
+      s"ELSE ${dot(a, b)} / (${norm(a)} * ${norm(b)}) END)"
 
   /** √(Σ (aᵢ−bᵢ)²) in double — same sequential accumulation as
     * [[graft.functions.L2Distance]]. */

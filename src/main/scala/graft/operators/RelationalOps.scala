@@ -211,26 +211,24 @@ object RelationalOps {
     * expressed through the SQL surface (`spark.sql`), which the Dataset
     * API does not expose directly. One shuffle; Spark expands the sets
     * with a single Expand node, not one pass per set. */
+  /** One SQL template for both engines — Spark runs it over a temp view,
+    * DuckDB over the parquet view; any edit to the lattice/casts/order
+    * reaches both sides or neither. */
+  private def groupingSetsTemplate(table: String): String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |  coalesce(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+       |FROM $table
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY returnflag, linestatus""".stripMargin
+
   def groupingSetsQuery(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
-    spark.sql(
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem_gs
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY returnflag, linestatus""".stripMargin)
+    spark.sql(groupingSetsTemplate("lineitem_gs"))
   }
 
-  val groupingSetsSql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-      |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  COUNT(*) AS n_items,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-      |FROM lineitem
-      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-      |ORDER BY returnflag, linestatus""".stripMargin
+  val groupingSetsSql: String = groupingSetsTemplate("lineitem")
 
   /** TPC-H Q3-shaped: selective filters on both join inputs, 3-table join,
     * aggregate, top-K — the canonical "filters push below the join, AQE
