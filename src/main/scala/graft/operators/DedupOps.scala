@@ -44,15 +44,20 @@ object DedupOps {
       |      FROM fps)
       |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Q-dedup-ngram: exact word-3gram Jaccard pairs at ≥ 0.8. */
+  /** Q-dedup-ngram: exact word-3gram Jaccard pairs at ≥ 0.8, document-
+    * frequency-capped at df ≤ 32 (see [[Dedup.ngramJaccardPairs]] — the cap
+    * bounds the self-join's per-gram fanout; non-binding on this corpus, so
+    * the pair set equals the uncapped one). */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 0.8)
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), 0.8, maxDf = 32)
       .orderBy(col("doc_a"), col("doc_b"))
 
   val dedupNgramSql: String =
     s"""WITH $shinglesCte,
-       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
-       |n AS (SELECT doc_id, len(grams) AS n FROM sh),
+       |ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |keep AS (SELECT gram FROM ex0 GROUP BY gram HAVING COUNT(*) <= 32),
+       |ex AS (SELECT doc_id, ex0.gram FROM ex0 JOIN keep USING (gram)),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)

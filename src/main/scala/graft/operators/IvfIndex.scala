@@ -72,12 +72,13 @@ object IvfIndex {
           .agg(mean.name("c_embedding"))
           .toDF("cent_id", "c_embedding"),
         "c_embedding").withColumnRenamed("vec_norm", "c_norm")
-      // Materialize the (k-row) centroid table to literals each iteration:
-      // chaining iterations on lineage would nest every prior crossJoin +
-      // window + aggregation into one plan, growing analysis/codegen cost
-      // per iteration for a table of k rows.
-      cent = spark.createDataFrame(
-        java.util.Arrays.asList(next.collect(): _*), next.schema)
+      // Truncate lineage each iteration: chaining iterations on lineage
+      // would nest every prior crossJoin + window + aggregation into one
+      // plan, growing analysis/codegen cost per iteration. localCheckpoint
+      // materializes the (k-row) centroid table on the executors — no rows
+      // move through the driver, unlike a collect()/createDataFrame round
+      // trip, so the pattern holds for large k.
+      cent = next.localCheckpoint(eager = true)
     }
     cent
   }
