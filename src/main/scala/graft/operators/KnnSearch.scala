@@ -71,15 +71,16 @@ object KnnSearch {
   /** Score every index row against one broadcast query row and keep top-K
     * under the index's declared metric. `query` must be a 1-row DataFrame
     * with columns (q_id, q_embedding); `index` must carry `vec_norm` (see
-    * [[withNorm]]). */
+    * [[withNorm]]). `keep` passes extra index columns (e.g. the ANN
+    * partition bucket) through to the result. */
   def topK(index: DataFrame, query: DataFrame, k: Int,
-           metric: String = "cosine"): DataFrame =
+           metric: String = "cosine", keep: Seq[String] = Nil): DataFrame =
     rankTopK(
       index
         .crossJoin(broadcast(query.withColumn("q_norm", l2Norm(col("q_embedding")))))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score", metricScore(metric))
-        .select(col("vec_id"), col("label"), col("score")),
+        .select(col("vec_id") +: col("label") +: keep.map(col) :+ col("score"): _*),
       "vec_id", k, metric)
 
   /** Batch kNN join: top-K neighbors for EVERY query row (the north-star
@@ -92,6 +93,40 @@ object KnnSearch {
       .crossJoin(broadcast(queries.withColumn("q_norm", l2Norm(col("q_embedding")))))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", metricScore(metric))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"), col("rank"))
+  }
+
+  /** Batch kNN join for query blocks TOO LARGE TO BROADCAST — the
+    * corpus-vs-corpus case (M ≈ N, e.g. all-pairs similarity over the
+    * whole embedding table), where [[knnJoin]]'s broadcast of the query
+    * side would not fit an executor.
+    *
+    * Shape: both sides are bucketed with [[RandomHyperplaneLsh.bucket]]
+    * and equi-joined ON THE BUCKET — a shuffle join (hinted merge so the
+    * optimizer never "helpfully" broadcasts at test scale; at 100 TB
+    * neither side is broadcastable and the hint is what the planner would
+    * choose anyway). Each side shuffles once on the bucket key; candidate
+    * pairs are per-bucket quadratic — bounded by the bucket fanout, never
+    * corpus-quadratic — and ranking keeps top-K per query via
+    * WindowGroupLimit. Like any single-probe LSH search this is
+    * approximate: a query only sees neighbors in its own bucket (recall
+    * tunable via multi-probe exactly as in [[RandomHyperplaneLsh
+    * .searchMultiProbe]]). Queries alone in their bucket emit nothing. */
+  def knnJoinLarge(index: DataFrame, dim: Int, k: Int): DataFrame = {
+    val bucketed = withNorm(index)
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
+    val qs = bucketed.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+      col("vec_norm").as("q_norm"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    bucketed
+      .hint("merge")
+      .join(qs, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", prenormedScore)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("label"), col("score"), col("rank"))

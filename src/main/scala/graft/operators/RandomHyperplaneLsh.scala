@@ -43,6 +43,22 @@ object RandomHyperplaneLsh {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Driver-side bucket of ONE query vector — the same arithmetic as
+    * [[bucket]] (sequential left-to-right float→double accumulation,
+    * matching [[graft.functions.DotProduct]] exactly), computed in plain
+    * Scala. A point query's vector is driver-resident by definition (the
+    * reference posts it in the HTTP body, `main.go:101-106`); knowing its
+    * bucket BEFORE planning turns the probe restriction into a literal
+    * partition filter on a persisted bucket-partitioned index. */
+  def bucketOf(vec: Array[Float]): Long =
+    (0 until Planes).map { p =>
+      val signs = planeSigns(p, vec.length)
+      var s = 0.0
+      var d = 0
+      while (d < vec.length) { s += vec(d).toDouble * signs(d); d += 1 }
+      if (s > 0) 1L << p else 0L
+    }.sum
+
   /** ANN top-K: exact cosine ranking restricted to the query's bucket. */
   def search(index: DataFrame, query: DataFrame, dim: Int, k: Int): DataFrame = {
     val bucketed = index.withColumn("bucket", bucket(col("embedding"), dim))
@@ -97,6 +113,10 @@ object RandomHyperplaneLsh {
   private def signsSqlList(p: Int): String =
     planeSigns(p, 64).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
 
+  /** The bucket arithmetic as DuckDB SQL — shared by every oracle that
+    * must reproduce [[bucket]] bit-for-bit (q_ann_lsh*, q_knn_join_large). */
+  def bucketSqlPublic(emb: String): String = bucketSql(emb)
+
   private def bucketSql(emb: String): String =
     (0 until Planes).map { p =>
       s"""CASE WHEN list_sum(list_transform($emb, (x,i) ->
@@ -117,6 +137,38 @@ object RandomHyperplaneLsh {
        |FROM b, q
        |WHERE b.bucket = q.q_bucket AND b.vec_id <> q.q_id
        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin
+  }
+
+  /** Q-ann-lsh-persisted: the SAME search as q_ann_lsh, but against a
+    * PERSISTED index whose LSH bucket is a physical partition column
+    * (`IndexCatalog.createIfAbsent(..., Seq("label", "bucket"))`). The
+    * query's bucket is computed driver-side ([[bucketOf]]) and passed to
+    * `IndexCatalog.search` as a literal probe set, so the restriction is a
+    * PartitionFilter — the scan lists only the `bucket=N` directories and
+    * reads ~1/256 of the index, where q_ann_lsh's in-memory filter reads
+    * all of it. Identical results to q_ann_lsh (same oracle SQL): the
+    * persisted layout changes the ACCESS PATH, never the answer.
+    *
+    * Partitioned by `bucket` ALONE (256 directories): the LSH probe never
+    * filters on label, so a label level would multiply the directory count
+    * by the label cardinality for zero pruning benefit — partition-count
+    * budget spent where the queries prune. (The IVF twin keeps
+    * label+bucket as the namespace-scoped layout.) */
+  def annLshPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-lsh-bucketed"
+    if (!IndexCatalog.exists(base, name)) {
+      val data = Tables.embeddings(spark, dir)
+        .withColumn("bucket", bucket(col("embedding"), 64))
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("bucket"))
+    }
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val qVec = q.head().getSeq[Float](1).toArray
+    IndexCatalog.search(spark, base, name, q, k = 5, buckets = Seq(bucketOf(qVec)))
   }
 
   /** Q-ann-lsh-mp: the multi-probe variant of q_ann_lsh — same query
@@ -146,9 +198,13 @@ object RandomHyperplaneLsh {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh" -> (annLsh _),
+    "q_ann_lsh_persisted" -> (annLshPersisted _),
     "q_ann_lsh_mp" -> (annLshMultiProbe _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
+    // same oracle as q_ann_lsh: the persisted bucket-partitioned layout
+    // changes the access path (partition pruning), never the result
+    "q_ann_lsh_persisted" -> annLshSql,
     "q_ann_lsh_mp" -> annLshMultiProbeSql)
 }

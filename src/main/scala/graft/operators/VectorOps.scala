@@ -91,6 +91,31 @@ object VectorOps {
        |SELECT query_id, vec_id, label, score, rank FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Q-knn-join-large: corpus-vs-corpus kNN — EVERY embedding is a query,
+    * top-3 neighbors within its LSH bucket (see [[KnnSearch.knnJoinLarge]]
+    * for the 100 TB shape: bucket equi-join, NO broadcast of the
+    * table-sized query block — plan-asserted in KnnSpec). */
+  def knnJoinLarge(spark: SparkSession, dir: String): DataFrame =
+    KnnSearch.knnJoinLarge(Tables.embeddings(spark, dir), dim = 64, k = 3)
+      .orderBy(col("query_id"), col("rank"))
+
+  val knnJoinLargeSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH b AS (SELECT vec_id, label, embedding,
+       |             ${RandomHyperplaneLsh.bucketSqlPublic("embedding")} AS bucket
+       |           FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, e.label,
+       |         ROUND(${cos("e.embedding", "q.embedding")}, 6) AS score
+       |  FROM b e JOIN b q ON e.bucket = q.bucket AND e.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, score, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Q-fetch: point lookup by id (reference `vectors/fetch?ids=`,
     * `main.go:143`); the predicate reaches the Parquet scan. */
   def fetch(spark: SparkSession, dir: String): DataFrame =
@@ -179,6 +204,49 @@ object VectorOps {
        |        WHERE a.vec_id <> q.q_id)
        |SELECT vec_id, label, cent_id, score FROM res
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Q-ann-ivf-persisted: the SAME IVF search as q_ann_ivf, but against a
+    * PERSISTED index with the centroid bucket as a physical partition
+    * column (`partitionBy("label", "bucket")`). Probe selection scores the
+    * 16-row centroid table against the query and collects the nprobe=4
+    * winning centroid ids — METADATA, not data: nprobe integers cross the
+    * driver, the way any IVF system's query planner holds its (tiny,
+    * cached) centroid codebook. Those literal ids become a PartitionFilter
+    * on the index scan, which reads only the 4 probed `bucket=` directories
+    * — the executable form of SCALE.md's "bucket id becomes a partition
+    * column → partition pruning". Same oracle as q_ann_ivf: identical
+    * results, different access path. */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-ivf-bucketed"
+    val cent = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    if (!IndexCatalog.exists(base, name)) {
+      val data = IvfIndex.assign(index(spark, dir), cent)
+        .withColumnRenamed("cent_id", "bucket")
+        .drop("vec_norm") // createIfAbsent recomputes it via withNorm
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("label", "bucket"))
+    }
+    val q = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    val probeIds = IvfIndex.probes(cent, q, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    KnnSearch.rankTopK(
+      IndexCatalog.loadBuckets(spark, base, name, probeIds)
+        .withColumn("cent_id", col("bucket").cast("long"))
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("cent_id"), col("score")),
+      "vec_id", 10)
   }
 
   /** Q-sql-knn: the SAME top-10 cosine search as q_knn, but issued
@@ -271,11 +339,13 @@ object VectorOps {
     "q_knn_l2" -> (knnL2 _),
     "q_knn_dot" -> (knnDot _),
     "q_knn_join" -> (knnJoin _),
+    "q_knn_join_large" -> (knnJoinLarge _),
     "q_fetch" -> (fetch _),
     "q_index_stats" -> (indexStats _),
     "q_upsert" -> (upsert _),
     "q_sparse" -> (sparse _),
-    "q_ann_ivf" -> (annIvf _))
+    "q_ann_ivf" -> (annIvf _),
+    "q_ann_ivf_persisted" -> (annIvfPersisted _))
 
   def oracles: Map[String, String] = Map(
     "q_stratified_sample" -> stratifiedSampleSql,
@@ -284,9 +354,13 @@ object VectorOps {
     "q_knn_l2" -> knnL2Sql,
     "q_knn_dot" -> knnDotSql,
     "q_knn_join" -> knnJoinSql,
+    "q_knn_join_large" -> knnJoinLargeSql,
     "q_fetch" -> fetchSql,
     "q_index_stats" -> indexStatsSql,
     "q_upsert" -> upsertSql,
     "q_sparse" -> sparseSql,
-    "q_ann_ivf" -> annIvfSql)
+    "q_ann_ivf" -> annIvfSql,
+    // same oracle as q_ann_ivf: the persisted bucket-partitioned layout
+    // changes the access path (partition pruning), never the result
+    "q_ann_ivf_persisted" -> annIvfSql)
 }

@@ -28,10 +28,23 @@ object IndexCatalog {
     Files.exists(descPath(basePath, name))
 
   /** Create-if-absent (idempotent, like the reference's GET-then-POST):
-    * persists the descriptor and writes `data` partitioned by namespace
-    * with precomputed norms. Returns true if it created the index. */
+    * persists the descriptor and writes `data` partitioned by
+    * `partitionCols` with precomputed norms. Returns true if it created
+    * the index.
+    *
+    * The default layout partitions by `label` (the namespace analog). An
+    * ANN index passes `Seq("label", "bucket")` with a precomputed IVF
+    * centroid id / LSH signature as `bucket`: the bucket then becomes a
+    * physical partition directory, and a search restricted to its probe
+    * buckets is Parquet PARTITION PRUNING — the scan reads nprobe/k of
+    * the data instead of scanning everything and discarding. This is the
+    * 100 TB load-bearing property the reference delegates to Pinecone
+    * (`upsert/upsert.go:38-111`). The descriptor is written AFTER the
+    * data, so a killed build leaves no half-index: exists() is false and
+    * the next create rewrites it. */
   def createIfAbsent(spark: SparkSession, basePath: String,
-                     desc: IndexDescriptor, data: DataFrame): Boolean = {
+                     desc: IndexDescriptor, data: DataFrame,
+                     partitionCols: Seq[String] = Seq("label")): Boolean = {
     // validate at creation (like the reference's DDL, upsert/upsert.go:27)
     // — persisting an unknown metric would make every later search() throw
     // against an index that can only be fixed by manual file surgery
@@ -40,13 +53,27 @@ object IndexCatalog {
     if (exists(basePath, name = desc.name)) return false
     val dir = Paths.get(basePath, desc.name)
     Files.createDirectories(dir)
+    // One task per partition value → ONE file per partition directory.
+    // Without this, every shuffle task holding rows of a directory writes
+    // its own part-file there (tasks × dirs small files) — file-listing
+    // cost at load time then dwarfs the scan it was meant to prune.
     KnnSearch.withNorm(data)
-      .write.mode("overwrite").partitionBy("label")
+      .repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(dir.resolve("data").toString)
     Files.writeString(descPath(basePath, desc.name),
       s"""{"name": "${desc.name}", "dimension": ${desc.dimension}, "metric": "${desc.metric}"}""")
     true
   }
+
+  /** Deterministic per-dataset location for the declared persisted-index
+    * queries (q_ann_ivf_persisted / q_ann_lsh_persisted): built once via
+    * [[createIfAbsent]], reused across runs — the bench measures the
+    * steady-state SEARCH cost, with the one-time index build amortized
+    * exactly as a real deployment's offline build is. Bump the version
+    * segment when the on-disk layout changes. */
+  def cacheBase(sfDir: String): String =
+    "/tmp/graft-index-cache/v2/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** Descriptor read-back (the GET half of the reference's DDL,
     * `upsert/upsert.go:40-58`). */
@@ -74,26 +101,64 @@ object IndexCatalog {
   def load(spark: SparkSession, basePath: String, name: String): DataFrame =
     spark.read.parquet(Paths.get(basePath, name, "data").toString)
 
+  /** Load restricted to a probe-bucket set. On a bucket-partitioned index
+    * the predicate is a PARTITION FILTER: Spark lists only the matching
+    * `bucket=N` directories and the scan never touches the rest of the
+    * index (evidence: `PartitionFilters: [... bucket ...]` in PLANS.md /
+    * IndexCatalogSpec). The literals are cast to the COLUMN's type
+    * (partition-value inference reads small buckets back as int) so the
+    * comparison never wraps the attribute in a cast — a casted attribute
+    * would not prune. */
+  def loadBuckets(spark: SparkSession, basePath: String, name: String,
+                  buckets: Seq[Long]): DataFrame = {
+    require(buckets.nonEmpty, "empty probe-bucket set")
+    val idx = load(spark, basePath, name)
+    idx.filter(bucketPredicate(idx, buckets))
+  }
+
+  private def bucketPredicate(idx: DataFrame, buckets: Seq[Long]) = {
+    val bt = idx.schema("bucket").dataType
+    buckets.map(b => col("bucket") === lit(b).cast(bt)).reduce(_ || _)
+  }
+
   /** Top-K search against a cataloged index under ITS declared metric —
     * the reference stores the metric in the index descriptor
     * (`upsert/upsert.go:27`) and every query inherits it; the caller never
-    * re-specifies (or contradicts) it at query time. */
+    * re-specifies (or contradicts) it at query time.
+    *
+    * `namespace` restricts to one label partition (Pinecone's per-namespace
+    * query); `buckets` restricts an ANN index to the query's probe buckets.
+    * Both are partition-column predicates — on a `label`/`bucket`-
+    * partitioned index they prune the scan to the matching directories. */
   def search(spark: SparkSession, basePath: String, name: String,
-             query: DataFrame, k: Int): DataFrame = {
+             query: DataFrame, k: Int,
+             buckets: Seq[Long] = Nil, namespace: Option[Int] = None): DataFrame = {
     val desc = describe(basePath, name).getOrElse(
       throw new IllegalArgumentException(s"no such index: $name"))
     require(KnnSearch.Metrics.contains(desc.metric),
       s"index '$name' declares unknown metric '${desc.metric}'")
-    KnnSearch.topK(load(spark, basePath, name), query, k, desc.metric)
+    val full = load(spark, basePath, name)
+    val scoped = (namespace, buckets) match {
+      case (Some(ns), Nil) => full.filter(col("label") === ns)
+      case (Some(ns), bs) => full.filter(col("label") === ns && bucketPredicate(full, bs))
+      case (None, Nil) => full
+      case (None, bs) => full.filter(bucketPredicate(full, bs))
+    }
+    KnnSearch.topK(scoped, query, k, desc.metric,
+      keep = if (buckets.nonEmpty) Seq("bucket") else Nil)
   }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per
-    * namespace — partition pruning makes this a metadata-sized scan. */
-  def describeStats(spark: SparkSession, basePath: String, name: String): DataFrame =
-    load(spark, basePath, name)
+    * namespace — partition pruning makes this a metadata-sized scan; with
+    * `namespace` set, a single-directory scan. */
+  def describeStats(spark: SparkSession, basePath: String, name: String,
+                    namespace: Option[Int] = None): DataFrame = {
+    val idx = load(spark, basePath, name)
+    namespace.fold(idx)(ns => idx.filter(col("label") === ns))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy(col("label"))
+  }
 
   private implicit class IterOps[T](it: java.util.Iterator[T]) {
     def asScala: Iterator[T] = new Iterator[T] {

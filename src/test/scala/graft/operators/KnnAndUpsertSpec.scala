@@ -86,6 +86,32 @@ class KnnAndUpsertSpec extends SparkSpecBase with Matchers {
     ivf shouldBe brute
   }
 
+  test("large-block kNN join never broadcasts the query side and matches per-bucket brute force") {
+    val joined = KnnSearch.knnJoinLarge(emb, dim = 64, k = 3)
+    val rows = joined.collect()
+    rows.length should be > 0
+    // the 100 TB property: the table-sized query block is NOT broadcast —
+    // the join is a shuffle join on the bucket key
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastExchange"
+    plan should include("SortMergeJoin")
+    // ranks are 1..k per query, scores non-increasing within a query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.map(_.getInt(4)).sorted shouldBe (1 to rs.length)
+      val byRank = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      byRank.zip(byRank.tail).foreach { case (a, b) => a should be >= b }
+    }
+    // spot-check one query against per-bucket brute force
+    val bucketed = KnnSearch.withNorm(emb)
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    val q0 = bucketed.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val qb = RandomHyperplaneLsh.bucketOf(q0.head().getSeq[Float](1).toArray)
+    val brute = KnnSearch.topK(bucketed.filter(col("bucket") === qb), q0, 3)
+      .select("vec_id").collect().map(_.getLong(0))
+    rows.filter(_.getLong(0) == 0L).sortBy(_.getInt(4)).map(_.getLong(1)) shouldBe brute
+  }
+
   test("upsert is last-write-wins by version and idempotent on re-upsert") {
     val b0 = emb.select(col("vec_id"), col("label"), lit(0).as("batch"))
     val b1 = emb.filter(col("vec_id") % 10 === 0)

@@ -46,6 +46,58 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
       IndexCatalog.search(spark, base, "missing", q, 5)
   }
 
+  test("bucket-partitioned ANN index: probe search is PARTITION PRUNING, results unchanged") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RandomHyperplaneLsh
+    val base = java.nio.file.Files.createTempDirectory("graft-catalog-b").toString
+    val data = Tables.embeddings(spark, sfDir)
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("lsh-bucketed", 64, "cosine"), data,
+      partitionCols = Seq("label", "bucket")) shouldBe true
+
+    // the bucket is a PHYSICAL directory level under each label
+    val labelDir = java.nio.file.Paths.get(base, "lsh-bucketed", "data")
+    val bucketDirs = java.nio.file.Files.walk(labelDir).iterator()
+    var sawBucketDir = false
+    while (bucketDirs.hasNext) {
+      val p = bucketDirs.next().getFileName.toString
+      if (p.startsWith("bucket=")) sawBucketDir = true
+    }
+    sawBucketDir shouldBe true
+
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val qVec = q.head().getSeq[Float](1).toArray
+    val qb = RandomHyperplaneLsh.bucketOf(qVec)
+
+    val pruned = IndexCatalog.search(spark, base, "lsh-bucketed", q, 5, buckets = Seq(qb))
+    val prunedRows = pruned.collect()
+    // evidence, not prose: the probe restriction reaches the scan as a
+    // PartitionFilter (the scan lists only the probed bucket= dirs)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(pruned.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    pf.exists(f => f.contains("bucket") && f.trim.nonEmpty) shouldBe true
+
+    // pruning changes the access path, never the answer: equals the
+    // unpruned search restricted to the same bucket in memory
+    val full = IndexCatalog.load(spark, base, "lsh-bucketed")
+      .filter(col("bucket") === qb.toInt)
+    val brute = graft.operators.KnnSearch.topK(full, q, 5, "cosine", keep = Seq("bucket"))
+    prunedRows.map(_.toString) shouldBe brute.collect().map(_.toString)
+
+    // namespace-scoped stats prune to one label partition
+    val stats = IndexCatalog.describeStats(spark, base, "lsh-bucketed", namespace = Some(3))
+    val statRows = stats.collect()
+    statRows.length shouldBe 1
+    statRows.head.getInt(0) shouldBe 3
+    val statPf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(stats.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    statPf.exists(f => f.contains("label") && f.trim.nonEmpty) shouldBe true
+  }
+
   test("namespace (label) filter prunes to partition directories") {
     val base = java.nio.file.Files.createTempDirectory("graft-catalog2").toString
     IndexCatalog.createIfAbsent(spark, base,
