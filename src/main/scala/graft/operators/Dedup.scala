@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *  - exact: one shuffle on the 16-byte fingerprint, not the document text;
   *  - n-gram Jaccard: exact pairwise similarity via a shingle inverted
-  *    index (explode → self-join on gram → count). Correct but quadratic in
-  *    per-gram document frequency — at scale it runs AFTER an LSH prefilter
-  *    (below), never on the raw corpus;
+  *    index (explode → group per gram → emit the doc-list's pairs).
+  *    Correct but quadratic in per-gram document frequency — the df-cap
+  *    bounds that, and at scale it runs AFTER an LSH prefilter (below),
+  *    never on the raw corpus;
   *  - MinHash LSH: signatures are one map-side pass; candidate generation
   *    shuffles only (band_idx, band_hash, doc_id) tuples — the classic
   *    sub-quadratic near-dup path;
@@ -91,18 +92,38 @@ object Dedup {
     val ex0 = toks.select(col("doc_id"),
       explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
-    // df-cap: one extra aggregation on the SAME gram key the self-join
-    // shuffles on (the exchange is reused), then keep only capped grams.
-    val keep = ex0.groupBy(col("gram"))
+    // df-cap via the DROPPED set, not the kept set: grams with df > maxDf
+    // are stopword phrases — a tiny table by construction (the cap only
+    // catches high-frequency grams), so it BROADCASTS, and the filter is
+    // a broadcast ANTI join — ex stays map-side, no shuffle of the
+    // (corpus-sized) exploded frame. The round-3 form inner-joined against
+    // the KEPT grams (nearly all grams — corpus-sized at scale), paying a
+    // full shuffle join for the same filter (+48% on the query). The df
+    // pass itself is a partial-aggregated count — O(1) buffer per gram
+    // per task, no skew exposure.
+    val dropped = ex0.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+      .filter(col("df") > maxDf)
       .select(col("gram"))
-    val ex = ex0.join(keep, "gram")
+    val ex = ex0.join(broadcast(dropped), Seq("gram"), "left_anti")
+    // Pair generation from the inverted index DIRECTLY: group each gram's
+    // doc list and emit its pairs by double explode — ONE shuffle of the
+    // exploded frame, where a gram self-join would shuffle it, sort both
+    // sides, and probe (measured 1.5× slower at sf0.1 for identical
+    // output). The collect_list buffers are bounded at maxDf BY
+    // CONSTRUCTION (hot grams were anti-joined away above) — without that
+    // pre-filter this aggregation would be the skew bomb reborn as an
+    // O(df) reducer buffer.
+    val byGram = ex.groupBy(col("gram"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+    // per-doc kept-gram count: partial count combines map-side, the
+    // shuffle moves one (doc_id, count) row per doc per partition
     val n = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = ex.as("a")
-      .join(ex.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = byGram
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

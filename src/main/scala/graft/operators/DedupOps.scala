@@ -55,8 +55,8 @@ object DedupOps {
   val dedupNgramSql: String =
     s"""WITH $shinglesCte,
        |ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
-       |keep AS (SELECT gram FROM ex0 GROUP BY gram HAVING COUNT(*) <= 32),
-       |ex AS (SELECT doc_id, ex0.gram FROM ex0 JOIN keep USING (gram)),
+       |dropped AS (SELECT gram FROM ex0 GROUP BY gram HAVING COUNT(*) > 32),
+       |ex AS (SELECT doc_id, gram FROM ex0 ANTI JOIN dropped USING (gram)),
        |n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
