@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata alongside.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic STUB (dimensions derived from the
-  * content's sha256 — stable, engine-portable, obviously fake). Everything
-  * around it is real and what actually matters at 100 TB: binary columns
-  * survive Parquet scans with column pruning (a metadata-only query never
-  * reads the blob bytes), per-row feature extraction is a map-side
-  * projection, and frame sampling is byte-slicing on the binary column.
-  * A production decode drops into [[decodeStub]]'s slot as a
-  * `mapPartitions` over the same schema (batch-friendly: one codec init
-  * per partition, not per row).
+  * The Spark-side plumbing is what actually matters at 100 TB: binary
+  * columns survive Parquet scans with column pruning (a metadata-only
+  * query never reads the blob bytes), per-row feature extraction is a
+  * map-side projection, and frame sampling is byte-slicing on the binary
+  * column. Decoding runs through the [[MediaCodec]] seam in
+  * [[decodePartitions]] (one codec init per partition, rows streamed
+  * through in batch): [[ImageIoCodec]] is a REAL pure-JVM image decode
+  * (the JDK's own PNG/JPEG/GIF/BMP readers); [[StubCodec]] is the
+  * deterministic sha-derived stand-in for media types whose codecs don't
+  * exist in this environment (audio/video — no native libs, zero egress),
+  * and the fallback for undecodable bytes.
   */
 object Multimodal {
 
@@ -62,26 +63,34 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                        n_frames: Long)
 
-  /** The `mapPartitions` slot a REAL codec drops into: one decoder
+  /** The `mapPartitions` slot a real codec drops into: one decoder
     * instance per partition (codec/model init is the expensive part —
-    * never per row), rows streamed through it in batch. The stub codec
-    * derives the same sha-based fake dimensions as [[decodeStub]], so the
-    * two paths are asserted equal in tests; swapping in an actual image/
-    * audio library changes only [[StubCodec.decode]]. */
-  def decodePartitions(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+    * never per row), rows streamed through it in batch. The default
+    * [[StubCodec]] derives the same sha-based fake dimensions as
+    * [[decodeStub]], so the two paths are asserted equal in tests;
+    * [[ImageIoCodec]] is the real pure-JVM image decode behind the same
+    * seam. The factory (not a codec instance) crosses the serialization
+    * boundary — codecs themselves need not be serializable. */
+  def decodePartitions(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                       codecFactory: () => MediaCodec = () => new StubCodec)
   : org.apache.spark.sql.Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.mapPartitions { it =>
-      val codec = new StubCodec // per-partition init
+      val codec = codecFactory() // per-partition init
       it.map { case (id, bytes) => codec.decode(id, bytes) }
     }
   }
 
-  /** STUB in place of a real media codec (none available in this
-    * environment — zero egress, no native libs). Deterministic: metadata
-    * from the content's sha256, matching [[decodeStub]]'s arithmetic. */
-  final class StubCodec {
+  /** The per-partition decode seam: blob bytes in, typed metadata out. */
+  trait MediaCodec {
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta
+  }
+
+  /** STUB in place of codecs absent from this environment (no native
+    * image/audio libs beyond the JDK). Deterministic: metadata from the
+    * content's sha256, matching [[decodeStub]]'s arithmetic. */
+  final class StubCodec extends MediaCodec {
     private val md = java.security.MessageDigest.getInstance("SHA-256")
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       md.reset()
@@ -89,6 +98,27 @@ object Multimodal {
       def u16(i: Int): Long = ((d(i) & 0xffL) << 8) | (d(i + 1) & 0xffL)
       MediaMeta(id, bytes.length.toLong,
         u16(0) % 1280, u16(2) % 720, u16(4) % 240 + 1)
+    }
+  }
+
+  /** REAL image decode on the pure-JVM `javax.imageio` stack (PNG/JPEG/
+    * GIF/BMP readers ship with the JDK — no native libs, works in this
+    * zero-egress sandbox). Returns actual pixel dimensions; n_frames is 1
+    * (still image). Bytes that no installed reader accepts fall back to
+    * the deterministic [[StubCodec]] metadata rather than failing the
+    * partition — at 100 TB a corrupt blob must cost one row, not a task
+    * retry storm. `ImageIO.setUseCache(false)` keeps decoding in-memory:
+    * the default disk-backed cache would add a temp-file write per row. */
+  final class ImageIoCodec extends MediaCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val fallback = new StubCodec
+    def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) fallback.decode(id, bytes)
+      else MediaMeta(id, bytes.length.toLong,
+        img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
     }
   }
 }

@@ -19,6 +19,38 @@ class MultimodalSpec extends SparkSpecBase with Matchers {
     viaPartitions shouldBe viaExpr
   }
 
+  test("ImageIoCodec really decodes PNG bytes (exact pixel dims); non-images fall back to the stub") {
+    import spark.implicits._
+    // synthesize real PNGs of known, distinct dimensions
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800) // non-uniform content
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, png(17, 23)),
+      (2L, png(640, 2)),
+      (3L, "definitely not an image".getBytes("UTF-8"))
+    ).toDS()
+    val decoded = Multimodal.decodePartitions(blobs, () => new Multimodal.ImageIoCodec)
+      .collect().map(m => m.doc_id -> m).toMap
+    decoded(1L).width shouldBe 17L
+    decoded(1L).height shouldBe 23L
+    decoded(1L).n_frames shouldBe 1L
+    decoded(2L).width shouldBe 640L
+    decoded(2L).height shouldBe 2L
+    // undecodable bytes: deterministic stub metadata, one bad row never
+    // fails the partition
+    val stub = new Multimodal.StubCodec()
+      .decode(3L, "definitely not an image".getBytes("UTF-8"))
+    decoded(3L) shouldBe stub
+    // n_bytes is the raw blob size either way
+    decoded(1L).n_bytes shouldBe png(17, 23).length.toLong
+  }
+
   test("resize stub shrinks the blob to the pixel budget with new dimensions") {
     import spark.implicits._
     val one = Seq((1L, "x" * 1000)).toDF("doc_id", "text")

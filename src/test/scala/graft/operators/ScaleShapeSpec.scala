@@ -39,6 +39,61 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
     binned.queryExecution.executedPlan.toString should not include "NestedLoop"
   }
 
+  test("AQE skew-join fires on a planted hot key (one key = 50% of the big side)") {
+    // plant the skew the verdict of a 100 TB run would show: half of all
+    // rows share one join key. Thresholds are scaled down so the 4-core
+    // test exercises the SAME runtime re-plan a 256 MB-threshold cluster
+    // run would: a skewed partition is split into advisory-sized reads.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val olds = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val big = spark.range(100000).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 1000).as("custkey"),
+        concat(lit("payload-padding-padding-"), col("id")).as("payload"))
+      val small = spark.range(1000).select(
+        col("id").as("custkey"), concat(lit("name-"), col("id")).as("c_name"))
+      val joined = big.join(small, Seq("custkey"))
+      // collect() executes THIS QueryExecution (count() would plan its own,
+      // whose executedPlan never finalizes here under AQE)
+      joined.collect().length shouldBe 100000
+      // evidence the mitigation FIRED: AQE marks the re-planned join
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("skew=true")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("exact dedup under a planted hot key: 1000 copies of one text, shuffle key stays the 16-byte fp") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val hot = spark.range(1000).select(
+      (col("id") + 500000).as("doc_id"), lit("the one hot duplicated document").as("text"))
+    val dedup = Dedup.exact(docs.unionByName(hot))
+    val rows = dedup.collect()
+    // the 1000-copy hot key collapses to its lowest id, everything else
+    // survives — correctness is skew-independent
+    val hotSurvivors = rows.filter(_.getLong(0) >= 500000L)
+    hotSurvivors.length shouldBe 1
+    hotSurvivors.head.getLong(0) shouldBe 500000L
+    rows.length shouldBe Dedup.exact(docs).count() + 1
+    // the scale property: the exchange partitions on the md5 fingerprint,
+    // never the text — a hot TEXT costs its row count, not its byte count
+    val plan = dedup.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(fp")
+  }
+
   test("bucketed tables join with no shuffle exchange") {
     // warehouse dir is a static conf; the default ./spark-warehouse is
     // gitignored and fine for the test catalog. The catalog is in-memory
