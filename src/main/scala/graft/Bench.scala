@@ -1,41 +1,52 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  // Time through the noop sink, not count(): a count aggregate lets
+  // Catalyst prune unused projections/windows, so map-only queries would
+  // collapse to a parquet row count and never execute the operator. The
+  // noop sink materializes every output row (full computation) without
+  // driver-side collection.
+  private def runOnce(spark: SparkSession, sfDir: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+  /** Best-of-two seconds per declared query at one scale factor; -1.0 for
+    * a query that failed on ANY run — a broken query must read as broken,
+    * never as fast. Shared by the driver-contract main below and the
+    * per-sf scaling sweep (BenchSweep). */
+  def measure(spark: SparkSession, sfDir: String): Map[String, Double] = {
+    // Warm the session (codegen, parquet footers, JIT) so the first timed
+    // query doesn't absorb ~4s of startup.
+    SparkEntry.queries.headOption.foreach { case (_, fn) =>
+      try runOnce(spark, sfDir, fn) catch { case _: Throwable => () }
+    }
+    // Best of two runs per query: the first run can absorb one-off costs
+    // (codegen cache misses, parquet footer reads) that say nothing about
+    // the operator; the minimum is the steady-state number.
+    SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { runOnce(spark, sfDir, fn); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    }
+  }
+
+  def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Time through the noop sink, not count(): a count aggregate lets
-    // Catalyst prune unused projections/windows, so map-only queries would
-    // collapse to a parquet row count and never execute the operator. The
-    // noop sink materializes every output row (full computation) without
-    // driver-side collection.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-    // Warm the session (codegen, parquet footers, JIT) so the first timed
-    // query doesn't absorb ~4s of startup.
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () }
-    }
-    // Best of two runs per query: the first run can absorb one-off costs
-    // (codegen cache misses, parquet footer reads) that say nothing about
-    // the operator; the minimum is the steady-state number.
-    // A query that fails on ANY run reports -1.0, never its
-    // time-to-failure — a broken query must read as broken, not fast.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }
+    spark
+  }
+
+  def jsonLine(results: Map[String, Double], sfDir: String): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failures are reported out-of-band and EXCLUDED from the total — a
@@ -43,7 +54,40 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session("graft-bench")
+    println(jsonLine(measure(spark, sfDir), sfDir))
+    spark.stop()
+  }
+}
+
+/** Per-sf scaling sweep: the same protocol as Bench at every testdata
+  * scale factor, plus per-query growth ratios — the evidence that flags a
+  * super-linear operator (a hot LSH band, an unbounded fanout) while it is
+  * still cheap. sf0.1 holds 10× the docs/rows of sf0.01 (events/lineitem;
+  * embeddings 4×), so a scale-free query's ratio sits near 1, a linear
+  * one near the data ratio, and anything far above the data ratio is a
+  * red flag. Output: one JSON line per sf (same schema as Bench) plus a
+  * `ratios` line, consumed by BASELINE.md's scaling section. */
+object BenchSweep {
+  def main(args: Array[String]): Unit = {
+    val sfs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = Bench.session("graft-bench-sweep")
+    val bySf = sfs.map(d => d -> Bench.measure(spark, d))
+    bySf.foreach { case (d, r) => println(Bench.jsonLine(r, d)) }
+    for (Seq((d0, r0), (d1, r1)) <- bySf.sliding(2)) {
+      val ratios = r1.keys.toSeq.sorted.map { q =>
+        val a = r0.getOrElse(q, -1.0); val b = r1.getOrElse(q, -1.0)
+        val ratio = if (a > 0 && b > 0) b / a else -1.0
+        s"""\"$q\":${f"$ratio%.2f"}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"ratio","from":"$d0","to":"$d1","queries":$ratios}""")
+    }
     spark.stop()
   }
 }
