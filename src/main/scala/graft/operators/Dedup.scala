@@ -229,6 +229,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected-component resolution over near-dup pairs — the step that
+    * turns a PAIR list into a DROP decision. Pairwise output alone
+    * over-deletes: if A~B and B~C, dropping "the later of each pair"
+    * removes B and C even though C may only be transitively similar.
+    * Components group A,B,C into one cluster with one survivor (the
+    * lowest doc_id — same keep-lowest rule as [[exact]]).
+    *
+    * Algorithm: iterative min-label propagation — every node starts as its
+    * own representative, each round takes the min of its own and its
+    * neighbors' labels, until a fixpoint. Converges in O(component
+    * diameter) rounds; near-dup clusters are near-cliques (diameter 1–2),
+    * so 2–3 rounds in practice. Each round is one join + one groupBy on
+    * doc ids, lineage cut by executor-side localCheckpoint (the k-means
+    * pattern); the driver sees ONE scalar per round (the changed-label
+    * probe), never rows. Returns (doc_id, rep) for every doc in a pair. */
+  def resolveClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // pairs come from the LSH pipeline — never recompute per round
+    var labels = edges.select(col("src")).distinct()
+      .select(col("src").as("doc_id"), col("src").as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src")).agg(min(col("nrep")).as("min_n"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("min_n"), col("rep"))).as("rep"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
+        .filter(col("rep") =!= col("old"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+    }
+    labels
+  }
+
   /** 32-bit SimHash over the doc's distinct word-3gram shingles: bit i is
     * the sign of Σ_g (±1 by bit i of hash48(g)). Shingles, not single
     * words — on a small vocabulary, word sets are near-identical across

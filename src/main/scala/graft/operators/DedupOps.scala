@@ -153,6 +153,32 @@ object DedupOps {
        |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM ver
        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Q-dedup-clusters: the end of the dedup pipeline — gated near-dup
+    * PAIRS resolved into connected components, one survivor per cluster
+    * (lowest doc_id, the keep-lowest rule of q_dedup_exact). The Spark
+    * side is iterative min-label propagation ([[Dedup.resolveClusters]]);
+    * the oracle computes full transitive reachability with a recursive
+    * CTE — an entirely different algorithm arriving at the same
+    * components, which is the point of the check. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(Dedup.nearDupPairs(Tables.documents(spark, dir), 0.8, 0.5))
+      .select(col("doc_id"), col("rep"), (col("doc_id") === col("rep")).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($dedupGatedSql)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |rep AS (SELECT src AS doc_id, least(src, MIN(dst)) AS rep
+       |        FROM reach GROUP BY src)
+       |SELECT doc_id, rep, (doc_id = rep) AS keep FROM rep
+       |ORDER BY doc_id""".stripMargin
+
   /** Q-dedup-simhash: 32-bit simhash pairs at hamming ≤ 3. The Spark plan
     * uses pigeonhole chunk-banding (lossless); the oracle brute-forces the
     * quadratic scan — identical result sets prove the optimization. */
@@ -202,6 +228,7 @@ object DedupOps {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_gated" -> (dedupGated _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed" -> (dedupEmbed _))
@@ -210,6 +237,7 @@ object DedupOps {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_gated" -> dedupGatedSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql)

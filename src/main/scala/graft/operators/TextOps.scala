@@ -311,7 +311,75 @@ object TextOps {
       |  CAST(list_sum(fp) AS BIGINT) AS fp_sum
       |FROM fps ORDER BY doc_id""".stripMargin
 
+  /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed demo
+    * query. (k1+1) and (1−b) are pre-folded into literals so the Spark and
+    * DuckDB expression trees are identical symbol-for-symbol. */
+  private val Bm25Terms = Seq("vector", "hash", "join")
+
+  /** Q-bm25: keyword retrieval — BM25-ranked top-10 documents for a fixed
+    * 3-term query, the lexical complement of the embedding search path
+    * (hybrid retrieval runs both and fuses). All corpus statistics stay
+    * relational: df per term over the exploded token stream (3 rows,
+    * broadcast), N and avgdl in a 1-row aggregate crossed in — nothing
+    * collects to the driver. Per-term contributions are pivoted into
+    * FIXED-ORDER columns before the final sum so the double additions
+    * associate identically in Spark and DuckDB (a groupBy SUM of doubles
+    * has engine-dependent order — the established pivot-parity trick). At
+    * 100 TB: tf is one shuffle of (doc, term) partial counts for query
+    * terms only; everything else is metadata-sized. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).as("dl"))
+    // N docs + average doc length: token counts are small ints, so the
+    // double AVG is exactly sum/count in BOTH engines (no FP-order issue)
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfd = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfd), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    contrib
+      .groupBy(col("doc_id")).pivot("w", Bm25Terms).agg(sum(col("s")))
+      .select(col("doc_id"),
+        round(Bm25Terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25Sql: String = {
+    val Seq(t1, t2, t3) = Seq("vector", "hash", "join")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+       |       WHERE w IN ('$t1', '$t2', '$t3') GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT tf.doc_id, tf.w,
+       |    ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+       |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |piv AS (SELECT doc_id,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t1'), 0.0) AS s1,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t2'), 0.0) AS s2,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t3'), 0.0) AS s3
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (bm25 _),
     "q_winnow" -> (winnow _),
     "q_chat_fold" -> (chatFold _),
     "q_parse" -> (parse _),
@@ -324,6 +392,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
     "q_winnow" -> winnowSql,
     "q_chat_fold" -> chatFoldSql,
     "q_parse" -> parseSql,

@@ -8,6 +8,29 @@ class DedupSpec extends SparkSpecBase with Matchers {
 
   lazy val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
 
+  test("cluster resolution: transitive chains collapse to one component, lowest id survives") {
+    import spark.implicits._
+    // A-B, B-C transitively one cluster; D-E separate; long path 10..14
+    // exercises multi-round convergence (diameter 4 > 1 propagation round)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain
+      (7L, 8L), // pair
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L) // path, diameter 4
+    ).toDF("doc_a", "doc_b")
+    val rep = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rep(1L) shouldBe 1L
+    rep(2L) shouldBe 1L
+    rep(3L) shouldBe 1L
+    rep(7L) shouldBe 7L
+    rep(8L) shouldBe 7L
+    (10L to 14L).foreach(d => rep(d) shouldBe 10L)
+    // exactly one survivor per component
+    rep.groupBy(_._2).foreach { case (c, members) =>
+      members.keys.count(_ == c) shouldBe 1
+    }
+  }
+
   test("exact dedup keeps the lowest id per duplicate group and is idempotent") {
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
