@@ -112,13 +112,45 @@ object Multimodal {
   final class ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     private val fallback = new StubCodec
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+      val img = read(bytes)
       if (img == null) fallback.decode(id, bytes)
       else MediaMeta(id, bytes.length.toLong,
         img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
+    }
+    /** REAL resize: decode, area-averaged scale (deterministic filter),
+      * re-encode PNG. Undecodable bytes pass through unchanged — one bad
+      * row costs one row. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = read(bytes)
+      if (img == null) return bytes
+      val scaled = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+      finally g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(scaled, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** Real image resize over the same per-partition batching as
+    * [[decodePartitions]]: one codec per partition, (id, blob) in →
+    * (id, resized blob) out. The [[resizeStub]] column expression remains
+    * the engine-portable stand-in for codec-less media types. */
+  def resizePartitions(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                       w: Int, h: Int)
+  : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val codec = new ImageIoCodec
+      it.map { case (id, bytes) => (id, codec.resize(bytes, w, h)) }
     }
   }
 }

@@ -249,6 +249,82 @@ object VectorOps {
       "vec_id", 10)
   }
 
+  /** Q-hybrid: sparse–dense HYBRID retrieval with reciprocal-rank fusion —
+    * the Pinecone-style hybrid query the reference's platform offers
+    * (sparse lexical signal + dense semantic signal, `main.go:45-48`
+    * carries both on the wire). Two rankers score every candidate against
+    * query vector 0: dense = the standard stored-norm cosine; sparse =
+    * dot product over magnitude-thresholded components (|x| ≥ 0.05, the
+    * q_sparse representation — the dense-vector analog of a keyword
+    * match). Each ranker RETRIEVES its top-100 (TakeOrderedAndProject —
+    * rank-then-fuse is how production hybrid works; nobody ranks the full
+    * corpus), then RRF fuses: score = Σ 1/(60+rank) over the lists that
+    * retrieved the doc, missing list → no contribution. The fused sum is
+    * two fixed-order terms, so double addition associates identically in
+    * both engines. */
+  def hybrid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SparseVectors
+    val masked = (c: org.apache.spark.sql.Column) =>
+      SparseVectors.toDense(SparseVectors.toSparse(c, 0.05), 64)
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      .withColumn("q_norm", l2Norm(col("q_embedding")))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ds", round(cosineSimPrenormed(
+        dotProduct(col("embedding"), col("q_embedding")),
+        col("vec_norm"), col("q_norm")), 6))
+      .withColumn("ss", round(dotProduct(
+        masked(col("embedding")), masked(col("q_embedding"))), 6))
+      .select(col("vec_id"), col("label"), col("ds"), col("ss"))
+    def top100(scoreCol: String, rankName: String) = {
+      val w = Window.orderBy(col(scoreCol).desc, col("vec_id"))
+      scored.orderBy(col(scoreCol).desc, col("vec_id")).limit(100)
+        .withColumn(rankName, row_number().over(w))
+        .select(col("vec_id"), col("label"), col(rankName))
+    }
+    val d = top100("ds", "dense_rank")
+    val s = top100("ss", "sparse_rank")
+      .withColumnRenamed("label", "label_s")
+    d.join(s, Seq("vec_id"), "full_outer")
+      .select(
+        col("vec_id"),
+        coalesce(col("label"), col("label_s")).as("label"),
+        col("dense_rank"), col("sparse_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sparse_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val hybridSql: String = {
+    import VectorSql.{cosine => cos}
+    val mask = (v: String) =>
+      s"list_transform($v, x -> CASE WHEN abs(CAST(x AS DOUBLE)) >= 0.05 " +
+        "THEN CAST(x AS DOUBLE) ELSE 0.0 END)"
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, ${mask("embedding")} AS mqe
+       |           FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    ROUND(${cos("e.embedding", "q.qe")}, 6) AS ds,
+       |    ROUND(list_sum(list_transform(${mask("e.embedding")},
+       |                                  (x,i) -> x * q.mqe[i])), 6) AS ss
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |d AS (SELECT vec_id, label, ROW_NUMBER() OVER (ORDER BY ds DESC, vec_id) AS dense_rank
+       |      FROM scored ORDER BY ds DESC, vec_id LIMIT 100),
+       |s AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY ss DESC, vec_id) AS sparse_rank
+       |      FROM scored ORDER BY ss DESC, vec_id LIMIT 100),
+       |f AS (SELECT COALESCE(d.vec_id, s.vec_id) AS vec_id, d.dense_rank, s.sparse_rank
+       |      FROM d FULL OUTER JOIN s ON d.vec_id = s.vec_id)
+       |SELECT f.vec_id, e.label, f.dense_rank, f.sparse_rank,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + f.dense_rank), 0.0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (60 + f.sparse_rank), 0.0), 6) AS rrf
+       |FROM f JOIN embeddings e ON f.vec_id = e.vec_id
+       |ORDER BY rrf DESC, f.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Q-sql-knn: the SAME top-10 cosine search as q_knn, but issued
     * through the SQL surface — `spark.sql` over the registered native
     * expressions (vec_dot / vec_l2norm from [[graft.plans.GraftExtensions]]).
@@ -335,6 +411,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
+    "q_hybrid" -> (hybrid _),
     "q_sql_knn" -> (sqlKnn _),
     "q_knn_l2" -> (knnL2 _),
     "q_knn_dot" -> (knnDot _),
@@ -350,6 +427,7 @@ object VectorOps {
   def oracles: Map[String, String] = Map(
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
+    "q_hybrid" -> hybridSql,
     "q_sql_knn" -> sqlKnnSql,
     "q_knn_l2" -> knnL2Sql,
     "q_knn_dot" -> knnDotSql,

@@ -51,6 +51,26 @@ class MultimodalSpec extends SparkSpecBase with Matchers {
     decoded(1L).n_bytes shouldBe png(17, 23).length.toLong
   }
 
+  test("real resize: PNG in, target-dimension PNG out; non-images pass through") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val notAnImage = "plain text".getBytes("UTF-8")
+    val in = Seq((1L, png(64, 48)), (2L, notAnImage)).toDS()
+    val out = Multimodal.resizePartitions(in, 16, 12).collect().toMap
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L)))
+    resized.getWidth shouldBe 16
+    resized.getHeight shouldBe 12
+    out(2L) shouldBe notAnImage
+  }
+
   test("resize stub shrinks the blob to the pixel budget with new dimensions") {
     import spark.implicits._
     val one = Seq((1L, "x" * 1000)).toDF("doc_id", "text")
