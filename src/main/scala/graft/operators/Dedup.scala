@@ -245,12 +245,17 @@ object Dedup {
     * pattern); the driver sees ONE scalar per round (the changed-label
     * probe), never rows. Returns (doc_id, rep) for every doc in a pair. */
   def resolveClusters(pairs: DataFrame): DataFrame = {
+    // Pairs are unique (doc_a < doc_b) so the two-direction union is
+    // dup-free — no distinct() shuffle needed; min-aggregation below is
+    // insensitive to duplicates anyway.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
       .localCheckpoint(true) // pairs come from the LSH pipeline — never recompute per round
-    var labels = edges.select(col("src")).distinct()
-      .select(col("src").as("doc_id"), col("src").as("rep"))
+    // Fold the first propagation hop into the init: every node appears as
+    // src (both directions are in edges), so least(src, min(dst)) IS round
+    // one — saving a full join+groupBy+checkpoint cycle.
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("rep"))
       .localCheckpoint(true)
     var converged = false
     while (!converged) {
@@ -258,15 +263,15 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src")).agg(min(col("nrep")).as("min_n"))
         .withColumnRenamed("src", "doc_id")
+      // Carry the previous label through the checkpoint so convergence is
+      // a filter over the materialized partitions — no second join, and
+      // the round costs exactly one shuffle (the neighbor-min groupBy).
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("old_rep"),
           least(col("rep"), coalesce(col("min_n"), col("rep"))).as("rep"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.select(col("doc_id"), col("rep").as("old")), "doc_id")
-        .filter(col("rep") =!= col("old"))
-        .limit(1).count()
-      labels = next
+      val changed = next.filter(col("rep") =!= col("old_rep")).limit(1).count()
+      labels = next.select(col("doc_id"), col("rep"))
       converged = changed == 0
     }
     labels
