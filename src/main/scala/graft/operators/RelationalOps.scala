@@ -332,7 +332,104 @@ object RelationalOps {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Full outer join of two FILTERED aggregates — high-balance customers
+    * vs active event users. The filters make both sides genuinely partial
+    * (each holds keys the other lacks), so the outer join's null-extension
+    * fires in both directions; coalescing the key back gives one row per
+    * entity across either universe. Aggregate-then-join keeps the shuffle
+    * on pre-shrunk inputs; at 100 TB the events side reduces by ~events/
+    * user before any join moves data. The per-user reduction uses COUNT
+    * and MAX (order-independent) — never a raw double SUM, whose
+    * accumulation order differs per engine. */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("key"), col("c_name"), col("c_acctbal"))
+    val activity = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"), round(max(col("value")), 6).as("max_value"))
+      .filter(col("n_events") > 100)
+    cust.join(activity, Seq("key"), "full_outer")
+      .select(col("key"), col("c_name"), col("c_acctbal"),
+        col("n_events"), col("max_value"))
+      .orderBy(col("key"))
+  }
+
+  val fullOuterActivitySql: String =
+    """WITH cust AS (SELECT c_custkey AS key, c_name, c_acctbal
+      |              FROM customer WHERE c_acctbal > 5000.0),
+      |act AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |          ROUND(MAX(value), 6) AS max_value
+      |        FROM events GROUP BY user_id HAVING COUNT(*) > 100)
+      |SELECT COALESCE(cust.key, act.key) AS key, c_name, c_acctbal,
+      |  n_events, max_value
+      |FROM cust FULL OUTER JOIN act ON cust.key = act.key
+      |ORDER BY key""".stripMargin
+
+  /** Ranking-window suite: rank / dense_rank / percent_rank / cume_dist
+    * over a deliberately tie-prone key (the 10k-wide price bucket) so the
+    * tie semantics of each function actually show, plus row_number and
+    * ntile over the tiebroken order (they are positional — without a total
+    * order they'd be nondeterministic). One partition key, two window
+    * sorts; Spark plans a single exchange on o_orderpriority. */
+  def rankOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(spark, dir)
+      .withColumn("bucket", floor(col("o_totalprice") / 10000.0))
+    val tieProne = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("bucket").desc)
+    val total = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("bucket").desc, col("o_orderkey"))
+    ord.select(col("o_orderpriority"), col("o_orderkey"), col("bucket"),
+        row_number().over(total).as("rn"),
+        rank().over(tieProne).as("rnk"),
+        dense_rank().over(tieProne).as("drnk"),
+        ntile(4).over(total).as("quartile"),
+        round(percent_rank().over(tieProne), 6).as("pct_rank"),
+        round(cume_dist().over(tieProne), 6).as("cume"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val rankOrdersSql: String =
+    """WITH r AS (SELECT o_orderpriority, o_orderkey,
+      |    CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+      |    ROW_NUMBER() OVER w2 AS rn,
+      |    RANK() OVER w1 AS rnk,
+      |    DENSE_RANK() OVER w1 AS drnk,
+      |    NTILE(4) OVER w2 AS quartile,
+      |    ROUND(PERCENT_RANK() OVER w1, 6) AS pct_rank,
+      |    ROUND(CUME_DIST() OVER w1, 6) AS cume
+      |  FROM orders
+      |  WINDOW w1 AS (PARTITION BY o_orderpriority ORDER BY FLOOR(o_totalprice / 10000.0) DESC),
+      |         w2 AS (PARTITION BY o_orderpriority ORDER BY FLOOR(o_totalprice / 10000.0) DESC, o_orderkey))
+      |SELECT o_orderpriority, o_orderkey, bucket, rn, rnk, drnk, quartile, pct_rank, cume
+      |FROM r WHERE rn <= 10 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Fixed-width numeric histogram of order totals — the profiling scan
+    * every pipeline runs before choosing partition bounds. One partial
+    * (map-side) aggregate on the bucket key; money stays in decimal until
+    * the final cast (exact, engine-independent); MIN/MAX are
+    * order-independent so no FP concerns. */
+  def histogramOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+      .orderBy(col("bucket"))
+
+  val histogramOrdersSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (fullOuterActivity _),
+    "q_rank_orders" -> (rankOrders _),
+    "q_histogram" -> (histogramOrders _),
     "q_percentiles" -> (percentiles _),
     "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
@@ -349,6 +446,9 @@ object RelationalOps {
     "q_grouping_sets" -> (groupingSetsQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_full_outer" -> fullOuterActivitySql,
+    "q_rank_orders" -> rankOrdersSql,
+    "q_histogram" -> histogramOrdersSql,
     "q_percentiles" -> percentilesSql,
     "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,

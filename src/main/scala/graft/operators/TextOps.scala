@@ -378,7 +378,85 @@ object TextOps {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** GPT-2-style pre-tokenizer pattern, ASCII-simplified so Java regex and
+    * RE2 agree: contractions, space-prefixed letter runs, space-prefixed
+    * digit runs, space-prefixed punctuation runs. Alternation order
+    * matters (longest-specific first) and is identical on both sides. */
+  private val BpeIshPattern = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Q-token-bpe: subword-style token accounting — the billing/budgeting
+    * pass of a training pipeline (whitespace counting under-reports BPE
+    * token spend by 20–40% on punctuated text). Pure map-side: one regex
+    * scan per doc, no shuffle until the final sort. */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit(BpeIshPattern), lit(0)).as("toks"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_bpe"),
+        size(array_distinct(col("toks"))).as("n_bpe_unique"),
+        col("n_ws"),
+        round(size(col("toks")).cast("double") /
+          greatest(col("n_ws"), lit(1)).cast("double"), 6).as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+
+  val tokenBpeSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_extract_all(text, '${BpeIshPattern.replace("'", "''")}') AS toks,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws
+       |  FROM documents)
+       |SELECT doc_id, len(toks) AS n_bpe,
+       |  len(list_distinct(toks)) AS n_bpe_unique, n_ws,
+       |  ROUND(CAST(len(toks) AS DOUBLE) / GREATEST(n_ws, 1), 6) AS bpe_per_word
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Q-tfidf: top-3 characteristic terms per document (first 50 docs) by
+    * tf·idf. All corpus statistics stay relational — df is an aggregate
+    * over the exploded (doc, term) stream, N a 1-row count crossed in;
+    * the score is a single product chain (no sum of doubles, so no
+    * FP-association concern — just one final round). At 100 TB the
+    * doc-term explode is the only heavy shuffle; df/N are
+    * metadata-sized and broadcast. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    val tf = terms.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfd = terms.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(dfd, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfSql: String =
+    """WITH terms AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |               FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY w),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, w,
+      |    ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+      |  FROM tf JOIN df USING (w) CROSS JOIN n WHERE doc_id < 50),
+      |rk AS (SELECT doc_id, w, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+      |  FROM scored)
+      |SELECT doc_id, rk, w AS term, score FROM rk
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_bpe" -> (tokenBpe _),
+    "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25 _),
     "q_winnow" -> (winnow _),
     "q_chat_fold" -> (chatFold _),
@@ -392,6 +470,8 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_token_bpe" -> tokenBpeSql,
+    "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_winnow" -> winnowSql,
     "q_chat_fold" -> chatFoldSql,
