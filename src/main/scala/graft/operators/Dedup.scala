@@ -83,7 +83,38 @@ object Dedup {
     * over the capped gram sets on BOTH engines, a self-consistent
     * similarity over discriminative grams. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        maxDf: Int = 32): DataFrame = {
+                        maxDf: Int = 32): DataFrame =
+    gramPairStats(docs, maxDf)
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Asymmetric containment |A∩B|/|A| ≥ threshold — catches SUBSET
+    * duplication (a doc wholly embedded in a larger one), which symmetric
+    * Jaccard misses: a 100-gram doc inside a 10000-gram doc has Jaccard
+    * ≈ 0.01 but containment 1.0. Emits ordered pairs (doc_a contained in
+    * doc_b); both directions of each unordered intersection are tested, so
+    * mutual near-copies yield two rows. Same inverted-index shuffle shape
+    * (and df cap) as [[ngramJaccardPairs]] — the direction split is a
+    * map-side projection after the pair stats. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       maxDf: Int = 32): DataFrame = {
+    val stats = gramPairStats(docs, maxDf)
+    val fwd = stats.select(col("doc_a"), col("doc_b"),
+      (col("i").cast("double") / col("na").cast("double")).as("containment"))
+    val rev = stats.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+      (col("i").cast("double") / col("nb").cast("double")).as("containment"))
+    fwd.unionByName(rev)
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** Shared core of the exact pairwise-overlap family: for every unordered
+    * doc pair with at least one common (df-capped) gram, the intersection
+    * size `i` and both docs' kept-gram counts `na`/`nb`. See
+    * [[ngramJaccardPairs]] for the scale analysis of each step. */
+  private def gramPairStats(docs: DataFrame, maxDf: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), shingles3(col("text")).as("grams"))
     // Join on a 64-bit hash of the gram, not the ~90-char string: the
     // shuffle moves 8-byte keys and the join compares longs. Distinct grams
@@ -128,10 +159,7 @@ object Dedup {
     inter
       .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("i"), col("na"), col("nb"))
   }
 
   // MinHash parameters: 16 hash functions h_j(x) = (a_j·(x mod p) + b_j) mod p

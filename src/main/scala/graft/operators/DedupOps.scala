@@ -69,6 +69,33 @@ object DedupOps {
        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Q-containment: asymmetric overlap — doc_a's grams ≥ 90% covered by
+    * doc_b ([[Dedup.containmentPairs]]); catches subset duplication that
+    * symmetric Jaccard structurally misses. Oracle mirrors the df cap and
+    * tests both directions of each intersection. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), 0.9, maxDf = 32)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupContainmentSql: String =
+    s"""WITH $shinglesCte,
+       |ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |dropped AS (SELECT gram FROM ex0 GROUP BY gram HAVING COUNT(*) > 32),
+       |ex AS (SELECT doc_id, gram FROM ex0 ANTI JOIN dropped USING (gram)),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |dirs AS (
+       |  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / na.n AS containment
+       |  FROM inter JOIN n na ON doc_a = na.doc_id
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, CAST(i AS DOUBLE) / nb.n AS containment
+       |  FROM inter JOIN n nb ON doc_b = nb.doc_id)
+       |SELECT doc_a, doc_b, ROUND(containment, 6) AS containment
+       |FROM dirs WHERE containment >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Q-dedup-minhash: LSH candidate pairs with signature-agreement
     * estimate ≥ 0.5. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -227,6 +254,7 @@ object DedupOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_containment" -> (dedupContainment _),
     "q_dedup_gated" -> (dedupGated _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_minhash" -> (dedupMinhash _),
@@ -236,6 +264,7 @@ object DedupOps {
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_containment" -> dedupContainmentSql,
     "q_dedup_gated" -> dedupGatedSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,

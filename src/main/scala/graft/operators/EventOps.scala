@@ -264,7 +264,87 @@ object EventOps {
       |GROUP BY CUBE(event_type, strftime(ts, '%a'))
       |ORDER BY event_type, weekday""".stripMargin
 
+  /** Q-funnel: strictly-ordered conversion funnel signup → view →
+    * purchase. A user reaches stage k only with an event of that type
+    * STRICTLY AFTER their earliest stage-(k−1) arrival — the sequential
+    * semantics marketing funnels mean, not three independent existence
+    * checks. Each stage is one filtered aggregate joined on user_id
+    * (pre-aggregated before the join, so at 100 TB the join moves one row
+    * per user, not per event; the type filter prunes the scan first).
+    * Timestamps compare in integer micros — no FP, no TZ. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(spark, dir),
+      Seq("signup", "view", "purchase")).orderBy(col("stage"))
+
+  /** The funnel core — callable on any events frame (hand-computed
+    * semantics tests exercise THIS code) and over any stage sequence.
+    * Stage k's arrival time is the min event time of its type strictly
+    * after the user's stage-(k−1) arrival. */
+  def funnelStages(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val arrivals = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (t, _)) =>
+        val st = ev.filter(col("event_type") === t)
+        Some(prev match {
+          case None => st.groupBy(col("user_id")).agg(min(col("us")).as("arr"))
+          case Some(p) =>
+            st.join(p.select(col("user_id"), col("arr").as("prev_arr")), "user_id")
+              .filter(col("us") > col("prev_arr"))
+              .groupBy(col("user_id")).agg(min(col("us")).as("arr"))
+        })
+    }.flatten
+    stages.zip(arrivals).zipWithIndex.map { case ((t, df), k) =>
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(s"${k + 1}_$t").as("stage"), col("users"))
+    }.reduce(_ unionByName _)
+  }
+
+  val funnelSql: String =
+    """WITH a AS (SELECT user_id, MIN(epoch_us(ts)) AS ta FROM events
+      |           WHERE event_type = 'signup' GROUP BY user_id),
+      |b AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tb
+      |      FROM events e JOIN a ON e.user_id = a.user_id
+      |      WHERE e.event_type = 'view' AND epoch_us(e.ts) > a.ta
+      |      GROUP BY e.user_id),
+      |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+      |      FROM events e JOIN b ON e.user_id = b.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.tb
+      |      GROUP BY e.user_id)
+      |SELECT '1_signup' AS stage, COUNT(*) AS users FROM a
+      |UNION ALL SELECT '2_view', COUNT(*) FROM b
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM c
+      |ORDER BY stage""".stripMargin
+
+  /** Q-retention: classic cohort-retention matrix — users grouped by
+    * first-seen day, distinct-counted at each day offset 0–7. Two
+    * shuffles: the per-user min (reduces events → users before anything
+    * else moves) and the cohort-cell distinct count. Dates emitted as
+    * formatted strings (oracle-parity rule for derived time values). */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+    ev.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("d"), col("c0")))
+      .filter(col("offset") <= 7)
+      .groupBy(date_format(col("c0"), "yyyy-MM-dd").as("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  val retentionSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, MIN(d) AS c0 FROM ev GROUP BY user_id)
+      |SELECT strftime(c0, '%Y-%m-%d') AS cohort,
+      |  datediff('day', c0, d) AS "offset",
+      |  COUNT(DISTINCT ev.user_id) AS users
+      |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+      |WHERE datediff('day', c0, d) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (funnel _),
+    "q_retention" -> (retention _),
     "q_map_props" -> (mapProps _),
     "q_cube_events" -> (cubeEvents _),
     "q_pivot_events" -> (pivotEvents _),
@@ -279,6 +359,8 @@ object EventOps {
     "q_approx_distinct" -> (approxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_retention" -> retentionSql,
     "q_map_props" -> mapPropsSql,
     "q_cube_events" -> cubeEventsSql,
     "q_pivot_events" -> pivotEventsSql,

@@ -423,8 +423,9 @@ object TextOps {
     val terms = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
     val tf = terms.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfd = terms.select(col("doc_id"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // df directly from tf — its rows are already distinct (doc, term), so
+    // this avoids a second tokenization pass + corpus-wide distinct.
+    val dfd = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.filter(col("doc_id") < 50)
       .join(dfd, "w")
