@@ -342,7 +342,43 @@ object EventOps {
       |WHERE datediff('day', c0, d) <= 7
       |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
 
+  /** Q-anomaly: z-score outliers per event_type (|z| > 3). The moments are
+    * computed over DECIMAL casts — the testdata values are exact 2-decimal
+    * doubles, so Σv and Σv² are exact integers-in-decimal and the
+    * engine-dependent double-accumulation-order problem never arises; the
+    * final mean/variance/z arithmetic runs in double from identical exact
+    * inputs, so it is bit-identical too. One partial-aggregated pass for
+    * the 5 per-type moment rows (broadcast back), one map-side scoring
+    * pass — the profiling shape that scales to any corpus. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("s"),
+        sum((col("value").cast("decimal(12,2)") * col("value").cast("decimal(12,2)"))
+          .cast("decimal(24,4)")).cast("double").as("ssq"))
+      .withColumn("mean", col("s") / col("n"))
+      .withColumn("std", sqrt((col("ssq") - col("s") * col("s") / col("n")) / col("n")))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("std"), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  val anomalySql: String =
+    """WITH m AS (SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) AS DECIMAL(24,4))) AS DOUBLE) AS ssq
+      |  FROM events GROUP BY event_type),
+      |scored AS (SELECT event_id, e.event_type, value,
+      |    ROUND((value - s / n) / sqrt((ssq - s * s / n) / n), 6) AS z
+      |  FROM events e JOIN m ON e.event_type = m.event_type)
+      |SELECT event_id, event_type, value, z FROM scored
+      |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly" -> (anomaly _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
     "q_map_props" -> (mapProps _),
@@ -359,6 +395,7 @@ object EventOps {
     "q_approx_distinct" -> (approxDistinct _))
 
   def oracles: Map[String, String] = Map(
+    "q_anomaly" -> anomalySql,
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
     "q_map_props" -> mapPropsSql,

@@ -455,7 +455,46 @@ object TextOps {
       |SELECT doc_id, rk, w AS term, score FROM rk
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Q-entropy: character-level Shannon entropy per document — the
+    * classic gibberish/boilerplate quality signal (low H = repeated
+    * characters, high H = noise). H = ln(n) − (Σ cᵢ·ln cᵢ)/n from EXACT
+    * integer character counts; the only FP hazard is the Σ over distinct
+    * characters, which both engines fold sequentially over the SAME
+    * char-sorted list (ordered aggregate), so the double association is
+    * identical. The per-(doc,char) count is one partial-aggregated
+    * shuffle; the fold is per-doc over ≤ alphabet-size terms. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+        col("text"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sort_array(collect_list(struct(col("ch"), (col("c").cast("double") *
+          log(col("c").cast("double"))).as("term")))).as("terms"))
+      .withColumn("sum_clnc",
+        aggregate(col("terms"), lit(0.0), (acc, x) => acc + x.getField("term")))
+      .select(col("doc_id"), col("n"), col("distinct_chars"),
+        round(log(col("n").cast("double")) - col("sum_clnc") / col("n"), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropySql: String =
+    """WITH pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+      |             FROM documents),
+      |chars AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch FROM pos),
+      |cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS distinct_chars,
+      |          list(c * ln(c) ORDER BY ch) AS terms
+      |        FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n, distinct_chars,
+      |  ROUND(ln(n) - CAST(list_sum(terms) AS DOUBLE) / n, 6) AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_entropy" -> (entropy _),
     "q_token_bpe" -> (tokenBpe _),
     "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25 _),
@@ -471,6 +510,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_entropy" -> entropySql,
     "q_token_bpe" -> tokenBpeSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,

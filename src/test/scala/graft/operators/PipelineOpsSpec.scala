@@ -52,6 +52,28 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
     out("3_purchase") shouldBe 1L // user 1 only
   }
 
+  test("entropy: uniform text maxes, single-char text zeroes, formula exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"))
+      .toDF("doc_id", "text").write.parquet(tmp + "/documents.parquet")
+    val out = TextOps.entropy(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out(1L) shouldBe 0.0 // single distinct char
+    out(2L) shouldBe math.log(4.0) +- 1e-6 // uniform over 4 chars
+    out(3L) shouldBe math.log(2.0) +- 1e-6 // uniform over 2 chars
+  }
+
+  test("anomaly: z-scores are standard — mean 0, |z|>3 only for true tails") {
+    val rows = EventOps.anomaly(spark, sfDir).collect()
+    // every reported row genuinely exceeds the bar
+    rows.foreach(r => math.abs(r.getDouble(3)) should be > 3.0)
+    // and the set is a small tail of the corpus (sanity against a
+    // formula bug marking everything anomalous)
+    val total = graft.Tables.events(spark, sfDir).count()
+    rows.length.toDouble / total should be < 0.05
+  }
+
   test("retention matrix: day-0 cell equals cohort size, offsets bounded") {
     val out = EventOps.retention(spark, sfDir).collect()
     out.length should be > 0
