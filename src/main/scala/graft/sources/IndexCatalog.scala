@@ -148,6 +148,46 @@ object IndexCatalog {
       keep = if (buckets.nonEmpty) Seq("bucket") else Nil)
   }
 
+  /** Incremental upsert into a persisted partitioned index — the index-
+    * MAINTENANCE half of the reference's upsert loop (`upsert/upsert.go:
+    * 167-190` re-posts vectors one by one; Pinecone merges by id). Merge
+    * semantics are last-write-wins by `keyCol` (batch beats index; within
+    * the batch the caller pre-dedupes via [[graft.operators.Upsert]]).
+    *
+    * Scale shape: only partitions TOUCHED by the batch are rewritten
+    * (dynamic partition overwrite) — a partition is touched if the batch
+    * writes into it or holds an old version of a batch key (an updated
+    * vector can MOVE buckets, so its old partition must be rewritten to
+    * drop the stale row). Batch keys broadcast; the survivor scan is
+    * restricted to touched partitions via a partition-column semi-join, so
+    * the rewrite I/O is proportional to the batch's partition footprint,
+    * never the index size. The union is localCheckpoint-ed before the
+    * write: it cuts the plan's lineage on the files being overwritten
+    * (Spark refuses to overwrite a path it is reading from) and its
+    * footprint is the touched partitions only. */
+  def upsertInto(spark: SparkSession, basePath: String, name: String,
+                 batch: DataFrame, keyCol: String,
+                 partitionCols: Seq[String]): Unit = {
+    require(exists(basePath, name), s"no such index: $name")
+    val idx = load(spark, basePath, name)
+    val newRows = KnnSearch.withNorm(batch).select(idx.columns.map(col): _*)
+    val keys = batch.select(col(keyCol)).distinct()
+    val touched = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(partitionCols.map(col): _*)
+      .unionByName(newRows.select(partitionCols.map(col): _*))
+      .distinct()
+    val survivors = idx
+      .join(broadcast(touched), partitionCols, "left_semi")
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+    survivors.unionByName(newRows)
+      .repartition(partitionCols.map(col): _*)
+      .localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(Paths.get(basePath, name, "data").toString)
+  }
+
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per
     * namespace — partition pruning makes this a metadata-sized scan; with
     * `namespace` set, a single-directory scan. */

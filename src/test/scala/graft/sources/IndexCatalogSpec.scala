@@ -108,4 +108,73 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     plan should include("PartitionFilters: [isnotnull(label")
     one.count() should be > 0L
   }
+
+  test("incremental upsert rewrites only touched partitions: update, move, insert") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RandomHyperplaneLsh
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val data = emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("ups", 64, "cosine"), data, partitionCols = Seq("bucket")) shouldBe true
+    val before = IndexCatalog.load(spark, base, "ups")
+    val n0 = before.count()
+    val v0 = before.filter(col("vec_id") === 0).head()
+    val oldBucket0 = v0.getAs[Number]("bucket").longValue
+
+    // snapshot the on-disk partition files (path -> mtime)
+    def files(): Map[String, Long] = {
+      val dataDir = java.nio.file.Paths.get(base, "ups", "data")
+      val s = java.nio.file.Files.walk(dataDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      } finally s.close()
+    }
+    val filesBefore = files()
+
+    // batch: vec_id 0 negated (moves to the antipodal bucket), vec_id 1
+    // updated in place (same vector, new label), vec_id 99999 brand-new
+    val moved = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), transform(col("embedding"), x => -x).as("embedding"), col("label"))
+    val updated = emb.filter(col("vec_id") === 1)
+      .select(col("vec_id"), col("embedding"), lit(777).cast("int").as("label"))
+    val fresh = emb.filter(col("vec_id") === 2)
+      .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val batch = moved.unionByName(updated).unionByName(fresh)
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    val touchedBuckets = batch.select(col("bucket")).distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSet + oldBucket0
+
+    IndexCatalog.upsertInto(spark, base, "ups", batch, "vec_id", Seq("bucket"))
+
+    val after = IndexCatalog.load(spark, base, "ups")
+    after.count() shouldBe n0 + 1 // one insert, two replacements
+    // the moved vector left its old bucket and landed in the new one
+    val row0 = after.filter(col("vec_id") === 0).collect()
+    row0.length shouldBe 1
+    val newBucket0 = row0.head.getAs[Number]("bucket").longValue
+    assert(newBucket0 != oldBucket0)
+    // in-place update visible
+    after.filter(col("vec_id") === 1).head().getAs[Int]("label") shouldBe 777
+    after.filter(col("vec_id") === 99999L).count() shouldBe 1
+
+    // untouched partitions' files are bit-for-bit the ones from the build
+    val filesAfter = files()
+    def bucketOfPath(p: String): Option[Long] =
+      "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong)
+    val untouchedBefore = filesBefore.filter { case (p, _) =>
+      bucketOfPath(p).exists(b => !touchedBuckets.contains(b)) }
+    untouchedBefore.foreach { case (p, mtime) =>
+      filesAfter.get(p) shouldBe Some(mtime)
+    }
+    assert(untouchedBefore.nonEmpty)
+    // search still honors the index: the updated vec 0 is findable in its new bucket
+    val q = after.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val res = IndexCatalog.search(spark, base, "ups", q, 3, buckets = Seq(newBucket0))
+    res.count() should be > 0L
+  }
 }
