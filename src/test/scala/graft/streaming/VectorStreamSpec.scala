@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.{SparkSpecBase, Tables}
+import graft.operators.RandomHyperplaneLsh
+import graft.sources.IndexCatalog
+import graft.sources.IndexCatalog.IndexDescriptor
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+case class VecUpdate(vec_id: Long, embedding: Array[Float], label: Int, version: Long)
+
+/** Streaming index maintenance end-to-end: micro-batches of vector
+  * updates merge into the persisted bucket-partitioned index and the
+  * final state equals the batch-upsert semantics (last-write-wins,
+  * moved vectors leave their old bucket). */
+class VectorStreamSpec extends SparkSpecBase with Matchers {
+
+  test("micro-batched vector updates maintain the persisted index incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    val data = emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("stream-idx", 64, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    val n0 = IndexCatalog.load(spark, base, "stream-idx").count()
+
+    val v0 = emb.filter(col("vec_id") === 0).head()
+    val vec0 = v0.getSeq[Float](1).toArray
+    val oldBucket0 = RandomHyperplaneLsh.bucketOf(vec0)
+
+    val source = MemoryStream[VecUpdate]
+    val query = VectorStream.start(source.toDF(), base, "stream-idx", dim = 64)
+    try {
+      // batch 1: move vec 0 (negate) + insert a new key; duplicate key in
+      // the same batch resolves by version (the v2 negated vector wins)
+      source.addData(
+        VecUpdate(0L, vec0, 5, version = 1L),
+        VecUpdate(0L, vec0.map(-_), 5, version = 2L),
+        VecUpdate(424242L, vec0, 9, version = 1L))
+      query.processAllAvailable()
+
+      val mid = IndexCatalog.load(spark, base, "stream-idx")
+      mid.count() shouldBe n0 + 1
+      val bucket0AfterMove = mid.filter(col("vec_id") === 0)
+        .head().getAs[Number]("bucket").longValue
+      bucket0AfterMove shouldBe RandomHyperplaneLsh.bucketOf(vec0.map(-_))
+      assert(bucket0AfterMove != oldBucket0)
+
+      // batch 2: move vec 0 back — successive micro-batches are successive
+      // merges (the second batch sees the first batch's index state)
+      source.addData(VecUpdate(0L, vec0, 5, version = 3L))
+      query.processAllAvailable()
+
+      val fin = IndexCatalog.load(spark, base, "stream-idx")
+      fin.count() shouldBe n0 + 1
+      fin.filter(col("vec_id") === 0).head()
+        .getAs[Number]("bucket").longValue shouldBe oldBucket0
+      // the streamed insert is searchable through the catalog API
+      val q = fin.filter(col("vec_id") === 424242L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      IndexCatalog.search(spark, base, "stream-idx", q, 3,
+        buckets = Seq(oldBucket0)).count() should be > 0L
+    } finally query.stop()
+  }
+}
