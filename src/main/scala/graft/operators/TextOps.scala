@@ -493,7 +493,57 @@ object TextOps {
       |  ROUND(ln(n) - CAST(list_sum(terms) AS DOUBLE) / n, 6) AS entropy
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Q-collocations: corpus-wide bigram PMI — the collocation-mining pass
+    * of corpus analysis (PMI spikes on fixed phrases, the signal used for
+    * tokenizer-vocabulary and boilerplate discovery). PMI(a,b) =
+    * ln(c_ab·T / (c_a·c_b)) over EXACT integer counts with one ln per
+    * surviving bigram — no FP accumulation anywhere. Two partial-agg
+    * shuffles (unigrams, bigrams) + a broadcast of the 1-row total; the
+    * min-count filter keeps the ranked output statistically meaningful
+    * and bounded. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("tot"))
+    // adjacent pairs map-side: zip the token array against itself shifted
+    // by one — no positional self-join touches the corpus
+    val bi = toks
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))).as("p"))
+      .select(col("p.w").as("w"), col("p.w2").as("w2"))
+      .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bi.join(broadcast(uni.select(col("w"), col("c").as("c_a"))), "w")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w").as("w1"), col("w2"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("tot").cast("double") /
+          (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  val collocationsSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS c
+      |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |total AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM uni),
+      |pairs AS (SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |          FROM toks),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT w1, w2, c_ab,
+      |  ROUND(ln(CAST(c_ab AS DOUBLE) * tot / (ua.c * ub.c)), 6) AS pmi
+      |FROM bi JOIN uni ua ON w1 = ua.w JOIN uni ub ON w2 = ub.w
+      |CROSS JOIN total
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (collocations _),
     "q_entropy" -> (entropy _),
     "q_token_bpe" -> (tokenBpe _),
     "q_tfidf" -> (tfidf _),
@@ -510,6 +560,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_collocations" -> collocationsSql,
     "q_entropy" -> entropySql,
     "q_token_bpe" -> tokenBpeSql,
     "q_tfidf" -> tfidfSql,
