@@ -464,7 +464,12 @@ object TextOps {
     * identical. The per-(doc,char) count is one partial-aggregated
     * shuffle; the fold is per-doc over ≤ alphabet-size terms. */
   def entropy(spark: SparkSession, dir: String): DataFrame = {
+    // empty docs are filtered BEFORE the position explode: Spark's
+    // sequence(1, 0) infers step -1 and yields [1, 0] (a phantom row),
+    // while the oracle's range(1, 1) is empty — both sides must simply
+    // emit no row for an empty text
     val chars = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
       .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
         col("text"))
       .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))

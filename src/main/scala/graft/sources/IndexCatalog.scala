@@ -172,20 +172,47 @@ object IndexCatalog {
     val idx = load(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.map(col): _*)
     val keys = batch.select(col(keyCol)).distinct()
+    // Touched-partition values are cast to the INDEX column's type before
+    // the semi-join: partition-value inference reads small buckets back as
+    // int while callers compute long signatures, and a casted partition
+    // ATTRIBUTE would not prune (same rule as loadBuckets) — the cast must
+    // land on the probe side, never on idx's column.
     val touched = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(partitionCols.map(col): _*)
       .unionByName(newRows.select(partitionCols.map(col): _*))
       .distinct()
+      .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
     val survivors = idx
       .join(broadcast(touched), partitionCols, "left_semi")
       .join(broadcast(keys), Seq(keyCol), "left_anti")
-    survivors.unionByName(newRows)
+    val out = survivors.unionByName(newRows)
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(true)
-      .write.mode("overwrite")
+    // Dynamic overwrite only rewrites partitions PRESENT in `out`. A
+    // touched partition whose every row was superseded (all its keys moved
+    // elsewhere, nothing new landed) is absent from `out` and would keep
+    // its stale directory — delete those explicitly. Both lists are
+    // partition-value tuples of the batch's footprint: tiny, driver-safe.
+    // Collected BEFORE the write: `touched`'s plan reads the index files
+    // the write is about to replace.
+    val touchedValues = touched.collect().map(_.toSeq)
+    val written = out.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(Paths.get(basePath, name, "data").toString)
+    val emptied = touchedValues.filterNot(written.contains)
+    emptied.foreach { values =>
+      val dir = partitionCols.zip(values)
+        .map { case (c, v) => s"$c=$v" }
+        .foldLeft(Paths.get(basePath, name, "data"))(_ resolve _)
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+        finally s.close()
+      }
+    }
   }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per

@@ -35,9 +35,13 @@ object VectorStream {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the deduped+bucketed batch ONCE: upsertInto evaluates
+        // it several times (keys, touched, union) and each pass would
+        // re-run the window dedup + 8 plane dots per vector otherwise
         val deduped = Upsert.lastWriteWins(batch, Seq("vec_id"), "version")
           .drop("version")
           .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
+          .localCheckpoint(true)
         if (!deduped.isEmpty)
           IndexCatalog.upsertInto(batch.sparkSession, basePath, name,
             deduped, "vec_id", Seq("bucket"))

@@ -109,6 +109,34 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     one.count() should be > 0L
   }
 
+  test("upsert that empties a partition deletes its stale directory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-empty").toString
+    // bucket 7 holds EXACTLY one key; bucket 9 holds two
+    val data = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0, 7L),
+      (2L, Array(0f, 1f, 0f, 0f), 0, 9L),
+      (3L, Array(0f, 0f, 1f, 0f), 0, 9L)
+    ).toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("tiny", 4, "cosine"), data, partitionCols = Seq("bucket")) shouldBe true
+
+    // move key 1 out of bucket 7 — nothing survives there, nothing new lands
+    val batch = Seq((1L, Array(0f, 1f, 1f, 0f), 0, 9L))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.upsertInto(spark, base, "tiny", batch, "vec_id", Seq("bucket"))
+
+    val after = IndexCatalog.load(spark, base, "tiny")
+    after.count() shouldBe 3 // no stale duplicate of key 1
+    after.filter(col("vec_id") === 1).count() shouldBe 1
+    after.filter(col("vec_id") === 1).head().getAs[Number]("bucket").longValue shouldBe 9L
+    // the emptied bucket=7 directory is gone (dynamic overwrite alone
+    // would have left the superseded row on disk)
+    val dir7 = java.nio.file.Paths.get(base, "tiny", "data", "bucket=7")
+    java.nio.file.Files.exists(dir7) shouldBe false
+  }
+
   test("incremental upsert rewrites only touched partitions: update, move, insert") {
     import org.apache.spark.sql.functions._
     import graft.operators.RandomHyperplaneLsh
