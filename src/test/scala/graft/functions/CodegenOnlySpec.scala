@@ -37,7 +37,8 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
         ColumnBridge.column(WordNGramShingles(ColumnBridge.expression(col("text")), 2,
           distinct = false)).as("bigram_stream"),
         ColumnBridge.column(FeatureHashEmbed(ColumnBridge.expression(col("text")), 16)).as("emb"),
-        ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)).as("winnow"))
+        ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)).as("winnow"),
+        ColumnBridge.column(CharEntropy(ColumnBridge.expression(col("text")))).as("entropy_stats"))
       .orderBy(col("doc_id"))
 
   private def vectorExprs: DataFrame =
