@@ -176,6 +176,23 @@ object EventOps {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("event_type"))
 
+  /** Q-approx-quantiles: sketch-based percentiles per event_type
+    * (Greenwald–Khanna summaries, mergeable map-side partials — the
+    * 100 TB path where the EXACT q_percentiles' per-group sort is the
+    * price of exactness). Declared rows-only like q_approx_distinct:
+    * DuckDB's approx_quantile is a different sketch (t-digest), so
+    * there is no bit-exact oracle BY CONSTRUCTION; the rank-error
+    * contract (ε = 0.01 vs the exact quantiles) is asserted in
+    * ProfilingOpsSpec instead. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(100)).as("p95"),
+        percentile_approx(col("value"), lit(0.99), lit(100)).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Q-map-props: the metadata-map surface (SURVEY.md §2.8 map family —
     * the reference declares `map[string]string` metadata but never stores
     * it, bug B8). `props` is parsed into a real MapType and accessed with
@@ -392,7 +409,8 @@ object EventOps {
     "q_running_sum" -> (runningSum _),
     "q_lag_lead" -> (lagLead _),
     "q_distinct_users" -> (distinctUsers _),
-    "q_approx_distinct" -> (approxDistinct _))
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "q_anomaly" -> anomalySql,

@@ -63,6 +63,27 @@ class ProfilingOpsSpec extends SparkSpecBase with Matchers {
     out(2L) shouldBe ((4, 4))
   }
 
+  test("approx quantiles honor the sketch's rank-error contract vs exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val approx = EventOps.approxQuantiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ev = graft.Tables.events(spark, sfDir)
+    approx.foreach { case (tpe, qs) =>
+      val values = ev.filter(col("event_type") === tpe)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val n = values.length
+      Seq(0.5, 0.95, 0.99).zip(qs).foreach { case (p, est) =>
+        // percentile_approx(accuracy=100) guarantees rank error <= n/100;
+        // check the estimate sits within that band of the exact order stats
+        val eps = math.max(1, n / 100)
+        val lo = values(math.max(0, (p * n).toInt - eps - 1))
+        val hi = values(math.min(n - 1, (p * n).toInt + eps))
+        assert(est >= lo && est <= hi,
+          s"$tpe p$p: $est outside rank-error band [$lo, $hi]")
+      }
+    }
+  }
+
   test("tfidf ranks a doc-unique term above corpus-wide terms") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
