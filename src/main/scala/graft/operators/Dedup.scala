@@ -355,22 +355,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by a cluster/label column so
-    * the pair space is per-block quadratic, not global — the dense-vector
-    * analog of LSH banding. Expects `vec_norm` precomputed (KnnSearch
-    * .withNorm). */
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("vec_a"),
+  /** Embedding-cosine near-dup pairs, blocked by `blockCol` so the pair
+    * space is per-block quadratic, not global — the dense-vector analog of
+    * LSH banding. The block is a precomputed cluster/label where one
+    * exists, or an LSH bucket computed map-side where none does
+    * (q_dedup_embed_lsh — the no-metadata path). Expects `vec_norm`
+    * precomputed (KnnSearch.withNorm). */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
+                            blockCol: String = "label"): DataFrame = {
+    val a = emb.select(col(blockCol), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("vec_norm").as("norm_a"))
-    val b = emb.select(col("label"), col("vec_id").as("vec_b"),
+    val b = emb.select(col(blockCol), col("vec_id").as("vec_b"),
       col("embedding").as("emb_b"), col("vec_norm").as("norm_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq(blockCol))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("score", cosineSimPrenormed(
         graft.functions.VectorFunctions.dotProduct(col("emb_a"), col("emb_b")),
         col("norm_a"), col("norm_b")))
       .filter(col("score") >= threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"),
+      .select(col(blockCol), col("vec_a"), col("vec_b"),
         round(col("score"), 6).as("score"))
   }
 }

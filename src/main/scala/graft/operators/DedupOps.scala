@@ -251,6 +251,31 @@ object DedupOps {
        |WHERE score >= 0.4 ORDER BY label, vec_a, vec_b""".stripMargin
   }
 
+  /** Q-dedup-embed-lsh: embedding near-dup with NO precomputed cluster —
+    * the block key is an LSH bucket computed map-side ([[RandomHyperplaneLsh
+    * .bucket]]), the realistic 100 TB shape when no label/cluster metadata
+    * exists. Same per-block-quadratic pair join as q_dedup_embed; single-
+    * probe recall semantics (pairs split across buckets are missed — the
+    * multi-probe extension covers them, LshRecallSpec). */
+  def dedupEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    Dedup.embeddingNearDupPairs(emb, 0.4, blockCol = "bucket")
+      .orderBy(col("bucket"), col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbedLshSql: String = {
+    val cos = VectorSql.cosine("a.embedding", "b.embedding")
+    val bucket = RandomHyperplaneLsh.bucketSqlPublic("embedding")
+    s"""WITH bk AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS score
+       |  FROM bk a JOIN bk b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, vec_a, vec_b, ROUND(score, 6) AS score FROM scored
+       |WHERE score >= 0.4 ORDER BY bucket, vec_a, vec_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -259,7 +284,8 @@ object DedupOps {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
-    "q_dedup_embed" -> (dedupEmbed _))
+    "q_dedup_embed" -> (dedupEmbed _),
+    "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -269,5 +295,6 @@ object DedupOps {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
-    "q_dedup_embed" -> dedupEmbedSql)
+    "q_dedup_embed" -> dedupEmbedSql,
+    "q_dedup_embed_lsh" -> dedupEmbedLshSql)
 }
