@@ -44,23 +44,25 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
 
 object CharEntropy {
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code. Sorting
+    * the codepoint array and run-length counting gives the counts in
+    * exactly the ascending-codepoint order the fold requires, with
+    * primitive arithmetic only (no per-character boxing — this is the
+    * per-character hot path of a map-side kernel). */
   def compute(input: UTF8String): InternalRow = {
     val cps = input.toString.codePoints().toArray
-    // sorted map: the Σ c·ln c fold must run in ascending codepoint order
-    // (see class doc); counts are exact longs
-    val counts = new java.util.TreeMap[Integer, Long]()
+    java.util.Arrays.sort(cps)
+    var sum = 0.0
+    var distinct = 0L
     var i = 0
     while (i < cps.length) {
-      counts.merge(cps(i), 1L, (a, b) => a + b)
-      i += 1
-    }
-    var sum = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val c = it.next().toDouble
+      var j = i + 1
+      while (j < cps.length && cps(j) == cps(i)) j += 1
+      val c = (j - i).toDouble
       sum += c * java.lang.Math.log(c)
+      distinct += 1
+      i = j
     }
-    new GenericInternalRow(Array[Any](cps.length.toLong, counts.size().toLong, sum))
+    new GenericInternalRow(Array[Any](cps.length.toLong, distinct, sum))
   }
 }
