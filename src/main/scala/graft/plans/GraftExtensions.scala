@@ -53,7 +53,20 @@ object GraftExtensions {
       info("feature_hash_embed",
         "feature_hash_embed(text, dim) - deterministic unit-norm embedding"),
       (args: Seq[Expression]) => FeatureHashEmbed(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())))
+        args(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("md5_prefix48"),
+      info("md5_prefix48", "md5_prefix48(s) - first 6 md5 digest bytes as a bigint (portable 48-bit hash)"),
+      (args: Seq[Expression]) => Md5Prefix48(args.head)),
+    (FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, k, w) - sorted distinct winnowed k-gram fingerprints"),
+      (args: Seq[Expression]) => WinnowFingerprints(args.head,
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("char_entropy_stats"),
+      info("char_entropy_stats",
+        "char_entropy_stats(text) - struct(n, distinct_chars, sum_clnc) for Shannon entropy"),
+      (args: Seq[Expression]) => CharEntropy(args.head)))
 
   /** Register on an already-running session (extensions configured at
     * build time can't be added retroactively). */

@@ -43,6 +43,20 @@ class ExtensionsAndMetricsSpec extends SparkSpecBase with Matchers {
     GraftExtensions.register(spark)
     spark.sql("SELECT vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d")
       .head().getDouble(0) shouldBe 11.0
+    // the text/hash kernels are SQL-reachable too
+    val r = spark.sql(
+      """SELECT md5_prefix48('abc') AS h,
+        |  size(winnow_fingerprints('abcdefghij', 5, 4)) AS n_fps,
+        |  char_entropy_stats('aabb').n AS n,
+        |  char_entropy_stats('aabb').distinct_chars AS d,
+        |  round(ln(char_entropy_stats('aabb').n)
+        |        - char_entropy_stats('aabb').sum_clnc / char_entropy_stats('aabb').n, 6) AS h2
+        |""".stripMargin).head()
+    r.getLong(0) shouldBe java.lang.Long.parseLong("900150983cd2", 16)
+    assert(r.getInt(1) >= 1)
+    r.getLong(2) shouldBe 4L
+    r.getLong(3) shouldBe 2L
+    r.getDouble(4) shouldBe math.log(2.0) +- 1e-6 // uniform over 2 chars
   }
 
   test("a null array ELEMENT nulls the result instead of crashing or reading 0") {
