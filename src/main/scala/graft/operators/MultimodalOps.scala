@@ -112,11 +112,11 @@ object Multimodal {
   final class ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     private val fallback = new StubCodec
-    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    private[operators] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
-      val img = read(bytes)
+      val img = readImage(bytes)
       if (img == null) fallback.decode(id, bytes)
       else MediaMeta(id, bytes.length.toLong,
         img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
@@ -125,7 +125,7 @@ object Multimodal {
       * re-encode PNG. Undecodable bytes pass through unchanged — one bad
       * row costs one row. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val img = read(bytes)
+      val img = readImage(bytes)
       if (img == null) return bytes
       val scaled = new java.awt.image.BufferedImage(w, h,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -137,6 +137,78 @@ object Multimodal {
       javax.imageio.ImageIO.write(scaled, "png", out)
       out.toByteArray
     }
+  }
+
+  /** 64-bit average-hash (aHash) of an image blob: decode → 8×8
+    * area-averaged grayscale → bit i set iff that cell's luminance exceeds
+    * the 64-cell mean. Integer luminance (299r+587g+114b)/1000 and the
+    * deterministic scaler keep the hash reproducible across runs/JVMs.
+    * Undecodable bytes hash their CONTENT (sha-prefix), so non-images
+    * still dedup exactly; cross-space hamming-≤3 collisions between a
+    * sha-prefix and a real aHash are as unlikely as any random 64-bit
+    * near-collision. */
+  def ahash64(codec: ImageIoCodec, bytes: Array[Byte]): Long = {
+    val img = codec.readImage(bytes)
+    if (img == null) {
+      val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      return (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+    }
+    val scaled = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try g.drawImage(
+      img.getScaledInstance(8, 8, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+    finally g.dispose()
+    val lum = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      val rgb = scaled.getRGB(i % 8, i / 8)
+      lum(i) = (((rgb >> 16) & 0xff) * 299L + ((rgb >> 8) & 0xff) * 587L +
+        (rgb & 0xff) * 114L) / 1000L
+      total += lum(i)
+      i += 1
+    }
+    val mean = total / 64L
+    var h = 0L
+    i = 0
+    while (i < 64) { if (lum(i) > mean) h |= 1L << i; i += 1 }
+    h
+  }
+
+  /** Per-partition aHash pass — the dedup-signature analog of
+    * [[decodePartitions]]. */
+  def ahashPartitions(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])])
+  : DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      val codec = new ImageIoCodec
+      it.map { case (id, bytes) => (id, ahash64(codec, bytes)) }
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Perceptual near-dup pairs at hamming ≤ maxHamming over the 64-bit
+    * aHash — [[Dedup.simhashPairs]]'s banding transplanted to images:
+    * 4 × 16-bit chunks are pigeonhole-lossless for hamming ≤ 3, so the
+    * banded equi-join is an optimization, never a recall loss. At 100 TB
+    * the hash pass is map-side; only (media_id, hash, chunk) tuples
+    * shuffle. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only lossless for hamming <= 3")
+    val chunked = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("ahash"), 16 * k).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("media_id", "ahash", "chunk_idx", "chunk_val")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Real image resize over the same per-partition batching as

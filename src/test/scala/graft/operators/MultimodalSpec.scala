@@ -96,4 +96,39 @@ class MultimodalSpec extends SparkSpecBase with Matchers {
     new String(frames.head) shouldBe "abc"
     all(frames.map(_.length)) should be <= 3
   }
+
+  test("perceptual aHash dedup: near-identical images pair, different ones don't") {
+    import spark.implicits._
+    // deterministic gradient image; `tweak` flips a few pixels' brightness
+    def png(seed: Int, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = (x * 4 + y * 0 + seed * 37) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (tweak) for (x <- 0 until 3; y <- 0 until 3) img.setRGB(x, y, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val blobs = Seq(
+      (1L, png(0, tweak = false)),
+      (2L, png(0, tweak = true)),              // near-dup of 1
+      (3L, png(3, tweak = false)),             // different gradient phase
+      (4L, "not an image at all".getBytes),    // fallback path
+      (5L, "not an image at all".getBytes)     // exact dup of 4 via sha-prefix
+    ).toDS()
+    val hashes = Multimodal.ahashPartitions(blobs)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val pairKeys = pairs.map(p => (p._1, p._2)).toSet
+    pairKeys should contain((1L, 2L))   // small tweak stays within hamming 3
+    pairKeys should contain((4L, 5L))   // identical non-images: hamming 0
+    assert(!pairKeys.exists(p => p == ((1L, 3L)) || p == ((2L, 3L))),
+      "distinct gradients must not pair")
+    // hash determinism across evaluations
+    val again = Multimodal.ahashPartitions(blobs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
+  }
 }
