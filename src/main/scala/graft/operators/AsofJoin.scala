@@ -73,9 +73,36 @@ object AsofJoin {
       |       ELSE (epoch_us(t) - epoch_us(asof_ts)) // 1000000 END AS secs_since
       |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin
 
+  /** Q-asof-tolerance: the bounded-staleness variant — a match older than
+    * `toleranceSecs` is discarded (NULLed), the semantics every
+    * market-data / feature-store as-of join actually wants (an hours-old
+    * click is not "the click before this purchase"). Same single
+    * union-and-carry-forward pass; the tolerance is one post-window
+    * predicate, costing nothing extra at any scale. */
+  def asofWithTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val toleranceSecs = 600L
+    lastEventBefore(Tables.events(spark, dir), "purchase", "click")
+      .withColumn("asof_id",
+        when(col("secs_since") <= toleranceSecs, col("asof_id"))
+          .otherwise(lit(null).cast("long")))
+      .withColumn("secs_since",
+        when(col("asof_id").isNotNull, col("secs_since"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("event_id"))
+  }
+
+  val asofWithToleranceSql: String =
+    s"""WITH base AS ($asofClickPurchaseSql)
+       |SELECT event_id, user_id,
+       |  CASE WHEN secs_since <= 600 THEN asof_id ELSE CAST(NULL AS BIGINT) END AS asof_id,
+       |  CASE WHEN secs_since <= 600 THEN secs_since ELSE CAST(NULL AS BIGINT) END AS secs_since
+       |FROM base ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join" -> (asofClickPurchase _))
+    "q_asof_join" -> (asofClickPurchase _),
+    "q_asof_tolerance" -> (asofWithTolerance _))
 
   def oracles: Map[String, String] = Map(
-    "q_asof_join" -> asofClickPurchaseSql)
+    "q_asof_join" -> asofClickPurchaseSql,
+    "q_asof_tolerance" -> asofWithToleranceSql)
 }
