@@ -87,4 +87,35 @@ class PropertySpec extends SparkSpecBase with Matchers {
       larger.take(smaller.length) shouldBe smaller
     }
   }
+
+  test("property: CharEntropy kernel matches a naive reference on generated strings") {
+    val strGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t', 'é', '中', '!')))
+      .map(_.mkString)
+    samples(strGen, 40).filter(_.nonEmpty).foreach { str =>
+      val row = graft.functions.CharEntropy.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str))
+      val cps = str.codePoints().toArray
+      val counts = cps.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      row.getLong(0) shouldBe cps.length.toLong
+      row.getLong(1) shouldBe counts.size.toLong
+      // fold the naive sum in the SAME ascending-codepoint order
+      val expected = counts.toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (_, c)) => acc + c * math.log(c.toDouble) }
+      row.getDouble(2) shouldBe expected // bit-exact: same fold order
+      // entropy bounds: 0 <= H <= ln(distinct)
+      val h = math.log(cps.length.toDouble) - row.getDouble(2) / cps.length
+      h should (be >= -1e-9 and be <= math.log(counts.size.toDouble) + 1e-9)
+    }
+  }
+
+  test("property: aHash is deterministic and identical bytes hash identically") {
+    val bytesGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    val codec = new graft.operators.Multimodal.ImageIoCodec
+    samples(bytesGen, 20).foreach { bytes =>
+      val h1 = graft.operators.Multimodal.ahash64(codec, bytes)
+      val h2 = graft.operators.Multimodal.ahash64(codec, bytes)
+      h1 shouldBe h2
+      java.lang.Long.bitCount(h1 ^ h1) shouldBe 0
+    }
+  }
 }
