@@ -351,8 +351,11 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter-before-distinct: hamming is determined by the pair, so this
+      // is result-identical but dedups only near-dup pairs, not every
+      // chunk-sharing candidate
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `blockCol` so the pair

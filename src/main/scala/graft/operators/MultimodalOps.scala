@@ -112,6 +112,8 @@ object Multimodal {
   final class ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
     private val fallback = new StubCodec
+    private[operators] val contentDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
     private[operators] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
@@ -150,7 +152,10 @@ object Multimodal {
   def ahash64(codec: ImageIoCodec, bytes: Array[Byte]): Long = {
     val img = codec.readImage(bytes)
     if (img == null) {
-      val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+      // per-codec digest instance (StubCodec pattern) — never a
+      // MessageDigest.getInstance per row on the map-side hot path
+      codec.contentDigest.reset()
+      val d = codec.contentDigest.digest(bytes)
       return (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
     }
     val scaled = new java.awt.image.BufferedImage(8, 8,
@@ -207,8 +212,11 @@ object Multimodal {
           col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
         bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
-      .distinct()
+      // hamming is functionally determined by the pair, so filtering BEFORE
+      // the distinct is equivalent — and shrinks the dedup shuffle to only
+      // near-duplicate pairs instead of every chunk-sharing candidate
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Real image resize over the same per-partition batching as

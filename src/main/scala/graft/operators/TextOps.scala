@@ -501,7 +501,8 @@ object TextOps {
     * surviving bigram — no FP accumulation anywhere. Two partial-agg
     * shuffles (unigrams, bigrams) + a broadcast of the 1-row total; the
     * min-count filter keeps the ranked output statistically meaningful
-    * and bounded. */
+    * and bounded. Only the 1-row total broadcasts; unigram counts join
+    * by shuffle (a corpus vocabulary outgrows any broadcast cap). */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
@@ -517,8 +518,11 @@ object TextOps {
       .select(col("p.w").as("w"), col("p.w2").as("w2"))
       .groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
-    bi.join(broadcast(uni.select(col("w"), col("c").as("c_a"))), "w")
-      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))), "w2")
+    // unigram counts SHUFFLE-join (corpus-wide vocabulary is not
+    // broadcastable at scale — only the 1-row total is); AQE still
+    // broadcasts when the vocab is genuinely small
+    bi.join(uni.select(col("w"), col("c").as("c_a")), "w")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
       .crossJoin(broadcast(total))
       .select(col("w").as("w1"), col("w2"), col("c_ab"),
         round(log(col("c_ab").cast("double") * col("tot").cast("double") /

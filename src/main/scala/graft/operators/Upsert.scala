@@ -20,9 +20,15 @@ object Upsert {
 
   /** Keep, per key, the single row with the highest version (ties broken by
     * the later batch winning is undefined in the reference; we make version
-    * strictly ordered so there are none). */
-  def lastWriteWins(batches: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    * strictly ordered so there are none). `tieBreak` columns order rows
+    * WITHIN an equal version deterministically — required wherever the
+    * caller's idempotency contract (e.g. a streaming sink retry) must pick
+    * the same winner on every evaluation even if an at-least-once upstream
+    * duplicated a (key, version) with different payloads. */
+  def lastWriteWins(batches: DataFrame, keys: Seq[String], versionCol: String,
+                    tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieBreak: _*)
     batches
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -177,35 +177,50 @@ object IndexCatalog {
     // int while callers compute long signatures, and a casted partition
     // ATTRIBUTE would not prune (same rule as loadBuckets) — the cast must
     // land on the probe side, never on idx's column.
-    val touched = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
+    // The batch's partition footprint is collected FIRST (it is tiny by
+    // construction — one tuple per touched partition) and turned into a
+    // LITERAL partition predicate, so the survivor scan is statically
+    // partition-pruned (the loadBuckets pattern) and the index is scanned
+    // exactly once more (the footprint scan) instead of re-running the
+    // semi-join plan per consumer.
+    val touchedValues = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(partitionCols.map(col): _*)
       .unionByName(newRows.select(partitionCols.map(col): _*))
       .distinct()
       .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
-    val survivors = idx
-      .join(broadcast(touched), partitionCols, "left_semi")
+      .collect().map(_.toSeq)
+    val touchedPred = touchedValues.map { values =>
+      partitionCols.zip(values)
+        .map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val survivors = idx.filter(touchedPred)
       .join(broadcast(keys), Seq(keyCol), "left_anti")
     val out = survivors.unionByName(newRows)
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(true)
-    // Dynamic overwrite only rewrites partitions PRESENT in `out`. A
-    // touched partition whose every row was superseded (all its keys moved
-    // elsewhere, nothing new landed) is absent from `out` and would keep
-    // its stale directory — delete those explicitly. Both lists are
-    // partition-value tuples of the batch's footprint: tiny, driver-safe.
-    // Collected BEFORE the write: `touched`'s plan reads the index files
-    // the write is about to replace.
-    val touchedValues = touched.collect().map(_.toSeq)
     val written = out.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq).toSet
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(Paths.get(basePath, name, "data").toString)
+    // Dynamic overwrite only rewrites partitions PRESENT in `out`. A
+    // touched partition whose every row was superseded (all its keys moved
+    // elsewhere, nothing new landed) is absent from `out` and would keep
+    // its stale directory — delete those explicitly. Directory names use
+    // Spark's own Hive-escaping (a string label 'a:b' lives in
+    // 'label=a%3Ab'; null in the default-partition dir), so the cleanup
+    // finds exactly the directories the writer created.
     val emptied = touchedValues.filterNot(written.contains)
     emptied.foreach { values =>
       val dir = partitionCols.zip(values)
-        .map { case (c, v) => s"$c=$v" }
+        .map { case (c, v) =>
+          if (v == null)
+            s"$c=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME}"
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, String.valueOf(v))
+        }
         .foldLeft(Paths.get(basePath, name, "data"))(_ resolve _)
       if (Files.exists(dir)) {
         val s = Files.walk(dir)

@@ -38,7 +38,11 @@ object VectorStream {
         // materialize the deduped+bucketed batch ONCE: upsertInto evaluates
         // it several times (keys, touched, union) and each pass would
         // re-run the window dedup + 8 plane dots per vector otherwise
-        val deduped = Upsert.lastWriteWins(batch, Seq("vec_id"), "version")
+        // tie-break equal (key, version) rows by a content hash: an
+        // at-least-once upstream can duplicate a version with different
+        // payloads, and a retry must pick the SAME winner (idempotency)
+        val deduped = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
+            tieBreak = Seq(xxhash64(col("embedding"), col("label"))))
           .drop("version")
           .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
           .localCheckpoint(true)

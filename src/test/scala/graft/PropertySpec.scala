@@ -110,12 +110,12 @@ class PropertySpec extends SparkSpecBase with Matchers {
 
   test("property: aHash is deterministic and identical bytes hash identically") {
     val bytesGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
-    val codec = new graft.operators.Multimodal.ImageIoCodec
+    val codec1 = new graft.operators.Multimodal.ImageIoCodec
+    val codec2 = new graft.operators.Multimodal.ImageIoCodec
     samples(bytesGen, 20).foreach { bytes =>
-      val h1 = graft.operators.Multimodal.ahash64(codec, bytes)
-      val h2 = graft.operators.Multimodal.ahash64(codec, bytes)
-      h1 shouldBe h2
-      java.lang.Long.bitCount(h1 ^ h1) shouldBe 0
+      val h1 = graft.operators.Multimodal.ahash64(codec1, bytes)
+      val h2 = graft.operators.Multimodal.ahash64(codec2, bytes)
+      h1 shouldBe h2 // no per-codec-instance state may leak into the hash
     }
   }
 }
