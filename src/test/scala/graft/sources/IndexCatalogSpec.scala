@@ -137,6 +137,31 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     java.nio.file.Files.exists(dir7) shouldBe false
   }
 
+  test("emptied-partition cleanup finds Hive-escaped directories (string values)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-esc").toString
+    // namespace 'a:b' gets Hive-escaped on disk (label=a%3Ab)
+    val data = Seq(
+      (1L, Array(1f, 0f), "a:b"),
+      (2L, Array(0f, 1f), "plain")
+    ).toDF("vec_id", "embedding", "label")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("esc", 2, "cosine"), data, partitionCols = Seq("label")) shouldBe true
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "esc", "data", "label=a%3Ab")) shouldBe true
+
+    // move the only 'a:b' row to 'plain' — the escaped dir must be deleted
+    val batch = Seq((1L, Array(1f, 1f), "plain")).toDF("vec_id", "embedding", "label")
+    IndexCatalog.upsertInto(spark, base, "esc", batch, "vec_id", Seq("label"))
+
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "esc", "data", "label=a%3Ab")) shouldBe false
+    val after = IndexCatalog.load(spark, base, "esc")
+    after.count() shouldBe 2
+    after.filter(col("vec_id") === 1).head().getAs[String]("label") shouldBe "plain"
+  }
+
   test("incremental upsert rewrites only touched partitions: update, move, insert") {
     import org.apache.spark.sql.functions._
     import graft.operators.RandomHyperplaneLsh
