@@ -426,7 +426,48 @@ object RelationalOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** 32-bit Morton (Z-order) value interleaving the low 16 bits of two
+    * non-negative dimensions — the lakehouse multi-dimensional clustering
+    * key: sorting a table by z-value before write co-locates rows close in
+    * BOTH dimensions into the same Parquet row groups, so min/max stats
+    * prune scans filtered on either dimension (a 1-D sort only ever helps
+    * its own leading column). Pure integer bit arithmetic, codegen'd. */
+  def zvalue16(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Q-zorder: the clustering key itself, oracle-checked bit-for-bit —
+    * the first 100 orders in Z-order over (price-bucket, custkey).
+    * Declared as a query so the interleaving arithmetic (the part that
+    * must be exactly right for pruning claims to mean anything) is held
+    * to the same hash-match bar as every operator; the write-side use is
+    * `df.sortWithinPartitions(zvalue16(...))` before a partitioned write. */
+  def zorderOrders(spark: SparkSession, dir: String): DataFrame = {
+    val x = floor(col("o_totalprice") / 1000.0).cast("long")
+    val y = col("o_custkey").bitwiseAND(lit(0xffffL))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), x.as("xb"), y.as("yb"),
+        zvalue16(x, y).as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val zorderOrdersSql: String = {
+    val terms = (0 until 16).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT o_orderkey,
+       |    CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS xb,
+       |    o_custkey & 65535 AS yb
+       |  FROM orders)
+       |SELECT o_orderkey, xb, yb, CAST($terms AS BIGINT) AS zval
+       |FROM d ORDER BY zval, o_orderkey LIMIT 100""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder" -> (zorderOrders _),
     "q_full_outer" -> (fullOuterActivity _),
     "q_rank_orders" -> (rankOrders _),
     "q_histogram" -> (histogramOrders _),
@@ -446,6 +487,7 @@ object RelationalOps {
     "q_grouping_sets" -> (groupingSetsQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_zorder" -> zorderOrdersSql,
     "q_full_outer" -> fullOuterActivitySql,
     "q_rank_orders" -> rankOrdersSql,
     "q_histogram" -> histogramOrdersSql,
