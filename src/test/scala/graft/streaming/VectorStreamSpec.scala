@@ -66,4 +66,39 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
         buckets = Seq(oldBucket0)).count() should be > 0L
     } finally query.stop()
   }
+
+  test("equal-version duplicate keys resolve deterministically (retry idempotency)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vstream-tie").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("tie-idx", 64, "cosine"),
+      emb.withColumn("bucket",
+        RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64)),
+      partitionCols = Seq("bucket")) shouldBe true
+    val vec = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+
+    // the same duplicated (key, version) batch applied to two fresh copies
+    // of the index must produce the SAME winner — the contract a
+    // foreachBatch retry relies on
+    def applyBatch(name: String): Int = {
+      val src = MemoryStream[VecUpdate]
+      val q = VectorStream.start(src.toDF(), base, name, dim = 64)
+      try {
+        src.addData(
+          VecUpdate(0L, vec, 111, version = 9L),
+          VecUpdate(0L, vec.map(-_), 222, version = 9L))
+        q.processAllAvailable()
+      } finally q.stop()
+      IndexCatalog.load(spark, base, name)
+        .filter(col("vec_id") === 0).head().getAs[Int]("label")
+    }
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexCatalog.IndexDescriptor("tie-idx2", 64, "cosine"),
+      emb.withColumn("bucket",
+        RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64)),
+      partitionCols = Seq("bucket")) shouldBe true
+    applyBatch("tie-idx") shouldBe applyBatch("tie-idx2")
+  }
 }
