@@ -129,6 +129,16 @@ object Dedup {
     val ex0 = toks.select(col("doc_id"),
       explode(col("grams")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+    pairStatsFromPostings(ex0, maxDf)
+  }
+
+  /** The inverted-index pair machinery over ANY distinct postings frame
+    * `(doc_id, gram)` — shared by word-shingle overlap ([[gramPairStats]])
+    * and winnowed-fingerprint overlap ([[graft.operators.TextOps]]'s MOSS
+    * query). Same df cap, same bounded collect_list, same double-explode
+    * pair generation; see [[ngramJaccardPairs]] for the per-step scale
+    * analysis. */
+  private[operators] def pairStatsFromPostings(ex0: DataFrame, maxDf: Int): DataFrame = {
     // df-cap via the DROPPED set, not the kept set: grams with df > maxDf
     // are stopword phrases — a tiny table by construction (the cap only
     // catches high-frequency grams), so it BROADCASTS, and the filter is

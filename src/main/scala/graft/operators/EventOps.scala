@@ -394,7 +394,43 @@ object EventOps {
       |SELECT event_id, event_type, value, z FROM scored
       |WHERE abs(z) > 3.0 ORDER BY event_id""".stripMargin
 
+  /** Q-transition: first-order Markov transition matrix over per-user
+    * event sequences — the sequence-analytics complement of the funnel
+    * (which checks ONE ordered path; this measures all of them). One
+    * window pass for the lagged type, one partial-aggregated count, and
+    * probabilities from exact integer counts (single division, round 6 —
+    * no FP accumulation). */
+  def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUserTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        lag(col("event_type"), 1).over(byUserTime).as("prev_type"),
+        col("ts"), col("event_id"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+    val fromTotals = pairs.groupBy(col("prev_type")).agg(sum(col("c")).as("tot"))
+    pairs.join(fromTotals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("c"),
+        round(col("c").cast("double") / col("tot").cast("double"), 6).as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val transitionsSql: String =
+    """WITH seq AS (SELECT user_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |pairs AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+      |          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS tot FROM pairs GROUP BY prev_type)
+      |SELECT prev_type, next_type, c,
+      |  ROUND(CAST(c AS DOUBLE) / tot, 6) AS p
+      |FROM pairs JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_transition" -> (transitions _),
     "q_anomaly" -> (anomaly _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
@@ -413,6 +449,7 @@ object EventOps {
     "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_transition" -> transitionsSql,
     "q_anomaly" -> anomalySql,
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,

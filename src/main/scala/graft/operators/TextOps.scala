@@ -547,7 +547,61 @@ object TextOps {
       |CROSS JOIN total
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Q-winnow-overlap: MOSS-style local-similarity detection — document
+    * pairs sharing ≥ 5 winnowed fingerprints. Where whole-doc Jaccard
+    * needs globally similar documents, winnowing guarantees any shared
+    * run of ≥ w+k−1 chars leaves at least one COMMON fingerprint, so this
+    * catches localized copying (a stolen paragraph in an otherwise
+    * different doc). Rides the same df-capped inverted-index pair core as
+    * the shingle family — fingerprints are already 8-byte longs, so the
+    * shuffle needs no re-hash. */
+  def winnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fp = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WinnowFingerprints(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          normalizeText(col("text"))), 5, 4))
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(fp).as("gram"))
+    Dedup.pairStatsFromPostings(postings, maxDf = 32)
+      .filter(col("i") >= 5)
+      .select(col("doc_a"), col("doc_b"), col("i").as("shared_fps"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val winnowOverlapSql: String =
+    """WITH cs AS (SELECT doc_id,
+      |    list_transform(
+      |      regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ''),
+      |      x -> unicode(x)) AS c
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_transform(range(1, greatest(len(c) - 3, 1)),
+      |      i -> ((((CAST(c[i] AS BIGINT)*257 + c[i+1])*257 + c[i+2])*257 + c[i+3])*257 + c[i+4])
+      |           % 1000000007) AS hs
+      |  FROM cs),
+      |fps AS (SELECT doc_id,
+      |    CASE WHEN len(hs) = 0 THEN []
+      |         ELSE list_sort(list_distinct(list_transform(
+      |                range(1, greatest(len(hs) - 2, 2)),
+      |                j -> list_min(hs[j:j+3])))) END AS fp
+      |  FROM h),
+      |ex0 AS (SELECT doc_id, unnest(fp) AS gram FROM fps),
+      |dropped AS (SELECT gram FROM ex0 GROUP BY gram HAVING COUNT(*) > 32),
+      |ex AS (SELECT doc_id, gram FROM ex0 ANTI JOIN dropped USING (gram)),
+      |n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, i AS shared_fps,
+      |  na.n AS n_a, nb.n AS n_b
+      |FROM inter
+      |JOIN n na ON doc_a = na.doc_id
+      |JOIN n nb ON doc_b = nb.doc_id
+      |WHERE i >= 5 ORDER BY doc_a, doc_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_overlap" -> (winnowOverlap _),
     "q_collocations" -> (collocations _),
     "q_entropy" -> (entropy _),
     "q_token_bpe" -> (tokenBpe _),
@@ -565,6 +619,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_winnow_overlap" -> winnowOverlapSql,
     "q_collocations" -> collocationsSql,
     "q_entropy" -> entropySql,
     "q_token_bpe" -> tokenBpeSql,
