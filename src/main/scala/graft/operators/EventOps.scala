@@ -404,9 +404,8 @@ object EventOps {
     val byUserTime = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val pairs = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_type"),
-        lag(col("event_type"), 1).over(byUserTime).as("prev_type"),
-        col("ts"), col("event_id"))
+      .select(col("event_type"),
+        lag(col("event_type"), 1).over(byUserTime).as("prev_type"))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("c"))

@@ -565,7 +565,7 @@ object TextOps {
     Dedup.pairStatsFromPostings(postings, maxDf = 32)
       .filter(col("i") >= 5)
       .select(col("doc_a"), col("doc_b"), col("i").as("shared_fps"),
-        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
+        col("na").as("n_a"), col("nb").as("n_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -74,6 +74,41 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
     rows.length.toDouble / total should be < 0.05
   }
 
+  test("winnow overlap finds a shared paragraph inside otherwise-different docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("winover").toString
+    val stolen = "the quick brown fox jumps over the lazy dog again and again today"
+    val docA = stolen + " plus completely original content about databases and queries"
+    val docB = "unrelated preamble text discussing weather patterns " + stolen
+    val docC = "nothing in common here at all just noise tokens everywhere always"
+    Seq((1L, docA), (2L, docB), (3L, docC))
+      .toDF("doc_id", "text").write.parquet(tmp + "/documents.parquet")
+    val pairs = TextOps.winnowOverlap(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L)) // the stolen run leaves >= 5 shared fingerprints
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "doc 3 shares nothing")
+    // and whole-doc Jaccard misses the same pair at a high bar: the shared
+    // run is a minority of each doc's shingles
+    val jac = graft.operators.Dedup
+      .ngramJaccardPairs(graft.Tables.documents(spark, tmp), 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("transition matrix rows are proper distributions and counts are exact") {
+    val rows = EventOps.transitions(spark, sfDir).collect()
+    rows.length should be > 0
+    // per prev_type, probabilities sum to ~1 and counts are positive
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val ps = g.map(_.getDouble(3))
+      ps.sum shouldBe 1.0 +- 1e-4 // round-6 per cell
+      all(g.map(_.getLong(2))) should be > 0L
+    }
+    // total transitions = total events - one per user (first event has no prev)
+    val ev = graft.Tables.events(spark, sfDir)
+    val users = ev.select("user_id").distinct().count()
+    rows.map(_.getLong(2)).sum shouldBe ev.count() - users
+  }
+
   test("retention matrix: day-0 cell equals cohort size, offsets bounded") {
     val out = EventOps.retention(spark, sfDir).collect()
     out.length should be > 0
