@@ -600,7 +600,66 @@ object TextOps {
       |JOIN n nb ON doc_b = nb.doc_id
       |WHERE i >= 5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Q-perplexity: bigram-language-model quality score per document — the
+    * classic LM-based corpus filter (a doc scoring far above the corpus
+    * LM's expectation is boilerplate-free noise; far below is repetitive
+    * template text). score = −(1/n)·Σ ln P(w_i | w_{i−1}) with add-one
+    * smoothing over corpus-wide counts. The Σ over a doc's bigrams is a
+    * double fold in POSITION order on both engines (the ordered-fold
+    * parity pattern), every other input is an exact integer count, so the
+    * score is bit-identical. Scale shape: bigram/unigram count tables are
+    * partial-aggregated once; the scoring join shuffles (doc, pos, w1, w2)
+    * tuples; V and the fold are per-doc local. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val pairs = toks
+      .select(col("doc_id"), posexplode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("w1"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("w2"))))
+      .select(col("doc_id"), col("pos"), col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_a"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    pairs
+      .join(bi, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("term",
+        log((col("c_ab") + 1).cast("double") / (col("c_a") + col("v")).cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(struct(col("pos"), col("term")))).as("terms"))
+      .withColumn("sum_lnp",
+        aggregate(col("terms"), lit(0.0), (acc, x) => acc + x.getField("term")))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lnp") / col("n_bigrams"), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexitySql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |              FROM documents),
+      |pairs AS (SELECT doc_id, unnest(range(1, len(t))) AS pos,
+      |                 unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      |          FROM toks),
+      |bi AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY 1, 2),
+      |uni AS (SELECT w, COUNT(*) AS c_a
+      |        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |terms AS (SELECT doc_id, pos,
+      |    ln(CAST(c_ab + 1 AS DOUBLE) / (c_a + v)) AS term
+      |  FROM pairs JOIN bi USING (w1, w2)
+      |  JOIN uni ON w1 = uni.w CROSS JOIN vocab),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |          CAST(list_sum(list(term ORDER BY pos)) AS DOUBLE) AS sum_lnp
+      |        FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, ROUND(-sum_lnp / n_bigrams, 6) AS nll
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_perplexity" -> (perplexity _),
     "q_winnow_overlap" -> (winnowOverlap _),
     "q_collocations" -> (collocations _),
     "q_entropy" -> (entropy _),
@@ -619,6 +678,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_perplexity" -> perplexitySql,
     "q_winnow_overlap" -> winnowOverlapSql,
     "q_collocations" -> collocationsSql,
     "q_entropy" -> entropySql,
