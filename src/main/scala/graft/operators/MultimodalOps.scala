@@ -123,22 +123,56 @@ object Multimodal {
       else MediaMeta(id, bytes.length.toLong,
         img.getWidth.toLong, img.getHeight.toLong, n_frames = 1L)
     }
-    /** REAL resize: decode, area-averaged scale (deterministic filter),
-      * re-encode PNG. Undecodable bytes pass through unchanged — one bad
-      * row costs one row. */
+    /** REAL resize: decode, box-filter scale ([[boxScale]] — synchronous,
+      * bit-deterministic), re-encode PNG. Undecodable bytes pass through
+      * unchanged — one bad row costs one row. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val img = readImage(bytes)
       if (img == null) return bytes
-      val scaled = new java.awt.image.BufferedImage(w, h,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = scaled.createGraphics()
-      try g.drawImage(
-        img.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-      finally g.dispose()
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(scaled, "png", out)
+      javax.imageio.ImageIO.write(boxScale(img, w, h), "png", out)
       out.toByteArray
     }
+  }
+
+  /** Synchronous integer box-filter scale. AWT's `getScaledInstance`
+    * produces pixels ASYNCHRONOUSLY — `drawImage(scaledInstance, …, null)`
+    * can return before any pixel exists, silently yielding a blank target
+    * (and, downstream, an all-zero aHash that pairs unrelated images).
+    * This walks the source raster directly: target pixel (x,y) averages
+    * the source box [x·sw/w, (x+1)·sw/w) × [y·sh/h, (y+1)·sh/h) per
+    * channel in integer arithmetic — synchronous, no observer protocol,
+    * and bit-identical across JVMs (no AWT filter-implementation drift). */
+  private[operators] def boxScale(img: java.awt.image.BufferedImage,
+                                  w: Int, h: Int): java.awt.image.BufferedImage = {
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val y0 = y.toLong * sh / h; val y1 = math.max(y0 + 1, (y + 1).toLong * sh / h)
+      var x = 0
+      while (x < w) {
+        val x0 = x.toLong * sw / w; val x1 = math.max(x0 + 1, (x + 1).toLong * sw / w)
+        var (r, g, b) = (0L, 0L, 0L)
+        var sy = y0
+        while (sy < y1) {
+          var sx = x0
+          while (sx < x1) {
+            val rgb = img.getRGB(sx.toInt, sy.toInt)
+            r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+            sx += 1
+          }
+          sy += 1
+        }
+        val n = (x1 - x0) * (y1 - y0)
+        dst.setRGB(x, y,
+          (((r / n) << 16) | ((g / n) << 8) | (b / n)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    dst
   }
 
   /** 64-bit average-hash (aHash) of an image blob: decode → 8×8
@@ -158,12 +192,7 @@ object Multimodal {
       val d = codec.contentDigest.digest(bytes)
       return (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
     }
-    val scaled = new java.awt.image.BufferedImage(8, 8,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val g = scaled.createGraphics()
-    try g.drawImage(
-      img.getScaledInstance(8, 8, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
-    finally g.dispose()
+    val scaled = boxScale(img, 8, 8)
     val lum = new Array[Long](64)
     var total = 0L
     var i = 0

@@ -169,6 +169,10 @@ object IndexCatalog {
                  batch: DataFrame, keyCol: String,
                  partitionCols: Seq[String]): Unit = {
     require(exists(basePath, name), s"no such index: $name")
+    // An empty batch touches no partitions — a no-op, not an error. Without
+    // this guard the touched-partition reduce below throws an opaque
+    // 'empty.reduce' from deep inside the merge.
+    if (batch.isEmpty) return
     val idx = load(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.map(col): _*)
     val keys = batch.select(col(keyCol)).distinct()

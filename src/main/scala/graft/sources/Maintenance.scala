@@ -53,14 +53,18 @@ object Maintenance {
   /** Compact every partition directory holding more than `maxFiles` part
     * files down to one file. Returns the number of partitions rewritten.
     *
-    * Each fragmented partition is read, coalesced, localCheckpoint-ed
-    * (cutting lineage on the files about to be replaced), and rewritten
-    * in place; compact partitions are never touched (asserted by mtime in
-    * the spec). Atomicity note: per-partition rewrite is
-    * delete-then-write; a crash mid-partition loses no data that a re-run
-    * of the source job can't restore, and real deployments run this under
-    * a table-format transaction (the Parquet-directory layout here has
-    * none to offer). */
+    * Each fragmented partition is read, coalesced, and WRITE-THEN-SWAPPED:
+    * the compacted file lands in a hidden `.compact-tmp` subdirectory
+    * (invisible to Spark scans) while the originals are still intact, is
+    * moved into the partition directory, and only then are the original
+    * part files (and their `.crc` sidecars) deleted. A crash at any point
+    * leaves the partition readable — before the move it is untouched;
+    * between move and delete it holds duplicate rows that the next
+    * compaction run collapses again (compaction input is whatever is in
+    * the directory). Compact partitions are never touched (asserted by
+    * mtime in the spec). Real deployments run this under a table-format
+    * transaction; this is the strongest ordering a bare Parquet directory
+    * offers. */
   def compactPartitions(spark: SparkSession, tableDir: String,
                         partitionCols: Seq[String], maxFiles: Int = 1): Int = {
     val root = Paths.get(tableDir)
@@ -70,14 +74,38 @@ object Maintenance {
       .filter(_._2.length > maxFiles)
     fragmented.foreach { case (dir, files) =>
       // read THIS partition only; partition-col values live in the path,
-      // and the rewrite stays inside the directory, so they are inert
-      val rows = spark.read.parquet(dir.toString)
+      // and the rewrite stays inside the directory, so they are inert.
+      // The originals stay on disk while the compacted copy is written —
+      // no lineage cut needed, the write never overwrites its own input.
+      val tmp = dir.resolve(".compact-tmp")
+      spark.read.parquet(dir.toString)
         .coalesce(1)
-        .localCheckpoint(true)
-      files.foreach(Files.delete)
-      rows.write.mode("append").parquet(dir.toString)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val compacted = parquetFiles(tmp)
+      // land the new file(s) first, then drop the originals + sidecars
+      compacted.foreach { f =>
+        Files.move(f, dir.resolve(f.getFileName))
+        val crc = f.resolveSibling("." + f.getFileName + ".crc")
+        if (Files.exists(crc)) Files.move(crc, dir.resolve(crc.getFileName))
+      }
+      files.foreach { f =>
+        Files.delete(f)
+        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
+      }
+      deleteRecursively(tmp)
     }
     fragmented.size
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    val all = try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally s.close()
+    all.reverse.foreach(Files.delete)
   }
 
   /** File-count census per partition directory — the health metric that

@@ -137,6 +137,19 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     java.nio.file.Files.exists(dir7) shouldBe false
   }
 
+  test("upsertInto with an empty batch is a no-op, not an empty.reduce crash") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-nil").toString
+    val data = Seq((1L, Array(1f, 0f), 0, 7L), (2L, Array(0f, 1f), 0, 9L))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("nil", 2, "cosine"), data, partitionCols = Seq("bucket")) shouldBe true
+    val emptyBatch = data.filter(lit(false))
+    IndexCatalog.upsertInto(spark, base, "nil", emptyBatch, "vec_id", Seq("bucket"))
+    IndexCatalog.load(spark, base, "nil").count() shouldBe 2
+  }
+
   test("emptied-partition cleanup finds Hive-escaped directories (string values)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

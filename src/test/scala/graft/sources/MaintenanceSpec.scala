@@ -36,5 +36,20 @@ class MaintenanceSpec extends SparkSpecBase with Matchers {
     java.nio.file.Files.getLastModifiedTime(bFile).toMillis shouldBe bMtime
     // second run is a no-op
     Maintenance.compactPartitions(spark, dir, Seq("part")) shouldBe 0
+
+    // write-then-swap leaves no temp dir and no orphaned .crc sidecars:
+    // every .crc in the rewritten partition matches a live parquet file
+    val aDir = java.nio.file.Paths.get(dir, "part=a")
+    java.nio.file.Files.exists(aDir.resolve(".compact-tmp")) shouldBe false
+    val s = java.nio.file.Files.list(aDir)
+    val names = try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) buf += it.next().getFileName.toString
+      buf.toSeq
+    } finally s.close()
+    names.filter(_.endsWith(".parquet.crc")).foreach { crc =>
+      names should contain(crc.stripPrefix(".").stripSuffix(".crc"))
+    }
   }
 }
