@@ -214,22 +214,26 @@ object Dedup {
         array((0 until MinhashFns).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Banded frame `(doc_id, band_idx, band_hash)` from a signature frame —
+    * the LSH blocking key. Carries ONLY the band tuple: the 16-long
+    * signature must not ride through the 8× band explode, the join, and
+    * the distinct — at scale that is 8× the shuffle bytes for no
+    * information. Shared by the self-join candidates below and the
+    * batch-vs-corpus incremental path ([[PipelineOps.incrementalDedup]]). */
+  def lshBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+        k => md5(concat_ws(",",
+          element_at(col("sig"), k * 2 + 1), element_at(col("sig"), k * 2 + 2))))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
   /** LSH candidate pairs + signature-agreement estimate of Jaccard.
     * Candidates = docs sharing ≥1 of 8 two-row band hashes; estimate =
     * fraction of the 16 minhashes that agree; `minEstimate` suppresses
     * chance band collisions. */
   def minhashLshPairs(docs: DataFrame, minEstimate: Double): DataFrame = {
     val sigs = minhashSignatures(docs)
-    // The banded frame carries ONLY (doc_id, band_idx, band_hash): the
-    // 16-long signature must not ride through the 8× band explode, the
-    // self-join, and the distinct — at scale that is 8× the shuffle bytes
-    // for no information. Signatures are joined back onto the (far
-    // smaller) deduplicated pair set afterwards.
-    val bands = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
-        k => md5(concat_ws(",",
-          element_at(col("sig"), k * 2 + 1), element_at(col("sig"), k * 2 + 2))))))
-      .toDF("doc_id", "band_idx", "band_hash")
+    val bands = lshBands(sigs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

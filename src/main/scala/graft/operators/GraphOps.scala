@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-purchase graph (parts connected when they
+  * appear in the same order) — the relational twin of the dedup suite's
+  * pair machinery: the same explode-a-bounded-group pair generation
+  * builds the edges, and the triangle count is two self-joins over the
+  * id-oriented edge list. The reference has no graph surface; these are
+  * north-star pipeline diagnostics (co-occurrence structure of a corpus)
+  * expressed on the TPC-H-ish tables so the oracle can verify them.
+  */
+object GraphOps {
+
+  /** Distinct (order, part) incidences — the bipartite source of the
+    * co-purchase graph. */
+  private def incidences(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  /** Unordered co-purchase part pairs with their support (number of
+    * orders containing both). Pair generation explodes each order's
+    * basket against itself — the basket (a few parts) is the bounded
+    * group, so the fanout is Σ |basket|²/2, never corpus-quadratic; one
+    * shuffle keys the pairs. This is [[Dedup]]'s inverted-index shape with
+    * orders as "grams" — the df-cap is unnecessary because basket size is
+    * bounded by the domain (an order has few lines), the exact condition
+    * a real pipeline must check before choosing this plan. */
+  private def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val byOrder = incidences(spark, dir)
+      .groupBy(col("ok")).agg(collect_list(col("pk")).as("parts"))
+    byOrder
+      .select(explode(col("parts")).as("pa"), col("parts"))
+      .select(col("pa"), explode(col("parts")).as("pb"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Q-affinity: top co-purchase part pairs — market-basket / item-item
+    * collaborative-filtering affinity, ranked by support with the Jaccard
+    * of the two parts' order sets alongside. TakeOrderedAndProject caps
+    * the result; the per-part order counts ride a broadcast join (the
+    * part dimension is small next to the pair set). */
+  def affinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = incidences(spark, dir)
+    val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    copurchasePairs(spark, dir)
+      .join(broadcast(n.select(col("pk").as("pa"), col("n").as("na"))), "pa")
+      .join(broadcast(n.select(col("pk").as("pb"), col("n").as("nb"))), "pb")
+      .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_orders"),
+        round(col("n_orders").cast("double") /
+          (col("na") + col("nb") - col("n_orders")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val affinitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT pk, COUNT(*) AS n FROM li GROUP BY pk),
+      |p AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |      GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_orders,
+      |  ROUND(n_orders * 1.0 / (na.n + nb.n - n_orders), 6) AS jaccard
+      |FROM p JOIN n na ON na.pk = part_a JOIN n nb ON nb.pk = part_b
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  /** Minimum co-purchase support for an edge of the triangle graph —
+    * thins incidental same-order pairs to repeated affinities. */
+  val TriangleMinSupport = 2L
+
+  /** Q-triangles: global triangle count over the support-thresholded
+    * co-purchase graph, plus its edge count. Edges are id-oriented
+    * (u < v), so each triangle is counted exactly once by the two-hop
+    * join `ab ⋈ bc ⋈ ac`; the per-node join fanout is bounded by
+    * out-degree under the orientation — the standard distributed triangle
+    * shape (degree-ordering is the further refinement when id order
+    * correlates with degree; id-orientation already breaks symmetry). */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = copurchasePairs(spark, dir)
+      .filter(col("n_orders") >= TriangleMinSupport)
+      .select(col("pa"), col("pb"))
+      // two self-joins consume this — materialize once (the resolveClusters
+      // localCheckpoint discipline), or the whole basket pipeline runs 3×
+      .localCheckpoint(true)
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), col("ab.pb") === col("bc.pa"))
+      .join(edges.as("ac"),
+        col("ac.pa") === col("ab.pa") && col("ac.pb") === col("bc.pb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
+
+  val trianglesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+       |      ON a.ok = b.ok AND a.pk < b.pk
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= $TriangleMinSupport)
+       |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+       |  (SELECT COUNT(*) FROM e ab JOIN e bc ON ab.v = bc.u
+       |     JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_affinity" -> (affinity _),
+    "q_triangles" -> (triangles _))
+
+  def oracles: Map[String, String] = Map(
+    "q_affinity" -> affinitySql,
+    "q_triangles" -> trianglesSql)
+}

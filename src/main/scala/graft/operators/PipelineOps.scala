@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.tokenCount
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus assembly operators (north-star LLM-data-pipeline
+  * surface): sequence packing, overlap chunking, incremental cross-corpus
+  * dedup, duplicate-cluster representative selection, and corpus-level
+  * vocabulary similarity. The reference stops at per-line embedding
+  * (`embed/embed.go:94-138`); these are the operators that turn its
+  * corpus into model-ready training batches at 100 TB.
+  */
+object PipelineOps {
+
+  /** Tokens per packed training sequence (q_pack_sequences). */
+  val PackBudget = 1024L
+
+  /** Range-bucket width for the distributed prefix sum: one bucket ≈ one
+    * task's worth of docs. At 100 TB this is "tokens per task ≈ width ×
+    * avg-doc-tokens" — sized so the per-bucket subtotal frame (one row
+    * per bucket) stays driver-broadcastable (millions of rows at most). */
+  val PackBucketWidth = 128L
+
+  /** Q-pack-sequences: concat-and-chunk sequence packing — every doc gets
+    * its token span `[start_tok, start_tok + n_tokens)` in the single
+    * global token stream (docs concatenated in doc_id order), and the
+    * budget-sized training sequences it lands in. This is the standard
+    * "pack the corpus into fixed-length rows" step before LLM training;
+    * docs may span sequence boundaries by design.
+    *
+    * The global running offset is a DISTRIBUTED two-phase prefix sum, not
+    * one global window: a global `ORDER BY doc_id` window moves the whole
+    * corpus to ONE partition (Spark warns exactly that) — dead at scale.
+    * Instead: (1) per-range-bucket token subtotals (one shuffle to a
+    * bucket-count-sized frame), (2) an exclusive prefix over that TINY
+    * frame (single-partition window over #buckets rows — the driver-sized
+    * step, same ladder as Spark's own zipWithIndex), broadcast-joined
+    * back, (3) an intra-bucket exclusive window partitioned BY bucket —
+    * parallel across buckets. Result is identical to the naive global
+    * window; only the shuffle shape changes. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    // integer div, not floor(/): `/` on longs is DOUBLE division — exact
+    // only below 2^53, an avoidable cliff for a 100 TB id space
+    val bucketed = docs.withColumn("pbucket",
+      expr(s"doc_id DIV $PackBucketWidth"))
+    val subtot = bucketed.groupBy(col("pbucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+    val wBuckets = Window.orderBy(col("pbucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtot
+      .withColumn("boffset", coalesce(sum(col("btok")).over(wBuckets), lit(0L)))
+      .select(col("pbucket"), col("boffset"))
+    val wIntra = Window.partitionBy(col("pbucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("intra", coalesce(sum(col("n_tokens")).over(wIntra), lit(0L)))
+      .join(broadcast(offsets), Seq("pbucket"))
+      .withColumn("start_tok", col("boffset") + col("intra"))
+      .withColumn("first_seq", expr(s"start_tok DIV $PackBudget"))
+      .withColumn("last_seq",
+        expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) DIV $PackBudget"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("first_seq"), col("last_seq"),
+        (col("last_seq") - col("first_seq") + lit(1L)).as("n_seqs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle states the SAME semantics as the naive single window —
+    * proving the two-phase prefix sum result-identical to it. */
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // $PackBudget AS first_seq,
+       |  (start_tok + greatest(n_tokens, 1) - 1) // $PackBudget AS last_seq,
+       |  ((start_tok + greatest(n_tokens, 1) - 1) // $PackBudget)
+       |    - (start_tok // $PackBudget) + 1 AS n_seqs
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  val ChunkSize = 64L
+  val ChunkStride = 48L
+
+  /** Q-chunk-overlap: sliding token-window chunking (RAG / long-doc
+    * training prep): each doc yields windows of [[ChunkSize]] tokens
+    * starting every [[ChunkStride]] tokens, the final window truncated at
+    * the doc end. Pure map-side explode — each doc's chunk list derives
+    * from its own token count alone, so the operator scales linearly with
+    * corpus size and parallelizes per-file. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    docs
+      .withColumn("n_chunks",
+        lit(1L) + greatest(
+          ceil((col("n_tokens") - lit(ChunkSize)).cast("double") / ChunkStride),
+          lit(0L)))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_tok", col("chunk_idx") * ChunkStride)
+      .withColumn("chunk_len", least(lit(ChunkSize), col("n_tokens") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    1 + greatest(CAST(ceil((n_tokens - $ChunkSize) / $ChunkStride.0) AS BIGINT), 0) AS n_chunks
+       |  FROM t WHERE n_tokens > 0),
+       |e AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+       |SELECT doc_id, chunk_idx, chunk_idx * $ChunkStride AS start_tok,
+       |  least($ChunkSize, n_tokens - chunk_idx * $ChunkStride) AS chunk_len
+       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The held-out "new batch" sources for the incremental queries. */
+  val BatchSources: Seq[String] = Seq("src15", "src16", "src17", "src18", "src19")
+
+  /** Q-dedup-incremental: near-dup dedup of a NEW batch against an
+    * EXISTING corpus — the steady-state form of corpus dedup (a crawl
+    * refresh is never deduped against itself from scratch; it is deduped
+    * against the already-clean corpus). Same LSH-gate-then-exact-verify
+    * composition as [[Dedup.nearDupPairs]], but the band join is
+    * batch × corpus instead of a self-join: at 100 TB the corpus band
+    * table is precomputed and persisted (the [[graft.sources.IndexCatalog]]
+    * discipline), and the batch side — tiny by comparison — broadcasts,
+    * so the incremental cost is proportional to the BATCH, not the
+    * corpus. Every batch doc is returned with its verdict: `dup_of` = the
+    * lowest corpus doc it near-duplicates (3-gram Jaccard ≥ 0.8), `keep` =
+    * no such match. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val flagged = docs.select(col("doc_id"), col("text"),
+      col("source").isin(BatchSources: _*).as("is_batch"))
+    // signatures for the WHOLE corpus in one pass, split after — the
+    // split is a column filter, not a second shingle computation
+    val sigs = Dedup.minhashSignatures(flagged)
+      .join(flagged.select(col("doc_id"), col("is_batch")), Seq("doc_id"))
+    val bands = Dedup.lshBands(sigs.select(col("doc_id"), col("sig")))
+      .join(sigs.select(col("doc_id"), col("is_batch")), Seq("doc_id"))
+    val batchBands = bands.filter(col("is_batch"))
+      .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+    val corpusBands = bands.filter(!col("is_batch"))
+      .select(col("doc_id").as("doc_c"), col("band_idx"), col("band_hash"))
+    val cand = corpusBands.join(broadcast(batchBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_b"), col("doc_c")).distinct()
+    // exact verify on candidates only (the gated-dedup discipline)
+    val grams = flagged.select(col("doc_id"), Dedup.shingles3(col("text")).as("grams"))
+    val matches = cand
+      .join(grams.select(col("doc_id").as("doc_b"), col("grams").as("grams_b")), "doc_b")
+      .join(grams.select(col("doc_id").as("doc_c"), col("grams").as("grams_c")), "doc_c")
+      .withColumn("i", size(array_intersect(col("grams_b"), col("grams_c"))))
+      .withColumn("jaccard", col("i").cast("double") /
+        (size(col("grams_b")) + size(col("grams_c")) - col("i")).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .groupBy(col("doc_b")).agg(min(col("doc_c")).as("dup_of"))
+    flagged.filter(col("is_batch")).select(col("doc_id"))
+      .join(matches.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: brute-force exact Jaccard between the halves — proving the
+    * LSH gate lossless on this corpus (planted pairs sit at J ≈ 0.98;
+    * the analytic miss probability at the 0.8 threshold is ≈ 2e-4). */
+  val incrementalDedupSql: String = {
+    val batch = BatchSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, source, trim(text) AS tt,
+       |                regexp_split_to_array(trim(text), '\\s+') AS t
+       |         FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |         CASE WHEN len(t) >= 3
+       |           THEN list_distinct(list_transform(range(1, len(t)-1),
+       |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |           ELSE [tt] END AS grams
+       |       FROM toks),
+       |b AS (SELECT doc_id, grams FROM sh WHERE source IN ($batch)),
+       |c AS (SELECT doc_id, grams FROM sh WHERE source NOT IN ($batch)),
+       |m AS (SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS dup_of
+       |      FROM b JOIN c ON len(list_intersect(b.grams, c.grams)) * 1.0
+       |           / (len(b.grams) + len(c.grams) - len(list_intersect(b.grams, c.grams))) >= 0.8
+       |      GROUP BY b.doc_id)
+       |SELECT d.doc_id, m.dup_of, m.dup_of IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE source IN ($batch)) d
+       |LEFT JOIN m USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Q-cluster-rep: duplicate-cluster representative selection — the step
+    * AFTER clustering that decides what actually ships to training: per
+    * near-dup cluster, keep the highest-quality member (here: longest
+    * text, ties to the lowest doc_id) instead of [[Dedup.resolveClusters]]'
+    * blind lowest-id rule. One window over the (tiny) cluster-member set;
+    * the heavy lifting is the upstream gated pipeline. */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.resolveClusters(
+      Dedup.nearDupPairs(docs, 0.8).select(col("doc_a"), col("doc_b")))
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col("best_chars").desc, col("doc_id"))
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars").cast("long").as("best_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("rep"))))
+      .filter(col("rn") === 1)
+      .select(col("rep").as("cluster"), col("n_members"),
+        col("doc_id").as("best_doc"), col("best_chars"))
+      .orderBy(col("cluster"))
+  }
+
+  val clusterRepresentativesSql: String =
+    s"""WITH m AS (SELECT c.doc_id, c.rep, CAST(d.n_chars AS BIGINT) AS best_chars
+       |           FROM (${DedupOps.dedupClustersSql}) c
+       |           JOIN documents d USING (doc_id)),
+       |r AS (SELECT rep, doc_id, best_chars,
+       |        ROW_NUMBER() OVER (PARTITION BY rep ORDER BY best_chars DESC, doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY rep) AS n_members
+       |      FROM m)
+       |SELECT rep AS cluster, CAST(n_members AS BIGINT) AS n_members,
+       |  doc_id AS best_doc, best_chars
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
+  /** Q-source-sim: corpus-level vocabulary similarity — Jaccard over each
+    * source's distinct token vocabulary, the mixing-diagnostics view that
+    * tells a data curator which corpora are near-copies of each other
+    * before any document-level work runs. Inverted-index shape: the join
+    * key is the 8-byte token hash (equality-only use — engine-private
+    * xxhash64 is fine), per-token fanout is bounded by the SOURCE count
+    * (each token appears once per source after the distinct), so the pair
+    * join is #tokens × #sources², never doc-quadratic. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("source"), xxhash64(col("w")).as("h"))
+      .distinct()
+    val n = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(n.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+      .join(n.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("overlap"),
+        round(col("overlap").cast("double") /
+          (col("na") + col("nb") - col("overlap")).cast("double"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  val sourceSimilaritySql: String =
+    """WITH tok AS (SELECT DISTINCT source, w FROM (
+      |        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)),
+      |n AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+      |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS overlap
+      |      FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT src_a, src_b, overlap,
+      |  ROUND(overlap * 1.0 / (na.n + nb.n - overlap), 6) AS jaccard
+      |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+      |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> (packSequences _),
+    "q_chunk_overlap" -> (chunkOverlap _),
+    "q_dedup_incremental" -> (incrementalDedup _),
+    "q_cluster_rep" -> (clusterRepresentatives _),
+    "q_source_sim" -> (sourceSimilarity _))
+
+  def oracles: Map[String, String] = Map(
+    "q_pack_sequences" -> packSequencesSql,
+    "q_chunk_overlap" -> chunkOverlapSql,
+    "q_dedup_incremental" -> incrementalDedupSql,
+    "q_cluster_rep" -> clusterRepresentativesSql,
+    "q_source_sim" -> sourceSimilaritySql)
+}

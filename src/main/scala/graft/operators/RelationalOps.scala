@@ -268,6 +268,58 @@ object RelationalOps {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** Q-local-supplier: the six-table snowflake join (TPC-H Q5 shape) —
+    * revenue from orders where the supplier and customer share a nation,
+    * per nation of one region and one year. The dimensional chain
+    * region→nation broadcasts (tiny); supplier broadcasts (small next to
+    * lineitem); the one real shuffle is orders⋈lineitem on the order key.
+    * AQE re-plans the customer join side at runtime. The same-nation
+    * predicate (`s_nationkey = c_nationkey`) lands INSIDE the supplier
+    * join condition, not as a post-join filter — Catalyst pushes it into
+    * the hash-join key, so mismatched nations never materialize. */
+  def localSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1996-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1997-01-01 00:00:00"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s),
+        l("l_suppkey") === s("s_suppkey") &&
+          s("s_nationkey") === c("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum((price * disc).cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Correlated scalar subquery (Catalyst decorrelates it into an
     * aggregate + join — no per-row re-execution): orders costing more
     * than 1.5x their customer's average order. */
@@ -474,6 +526,7 @@ object RelationalOps {
     "q_percentiles" -> (percentiles _),
     "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
+    "q_local_supplier" -> (localSupplier _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_agg_lineitem" -> (aggLineitem _),
     "q_join_orders_customer" -> (joinOrdersCustomer _),
@@ -494,6 +547,7 @@ object RelationalOps {
     "q_percentiles" -> percentilesSql,
     "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_supplier" -> localSupplierSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,
     "q_join_orders_customer" -> joinOrdersCustomerSql,

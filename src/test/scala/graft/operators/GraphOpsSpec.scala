@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Hand-computed semantics for the co-purchase graph operators. */
+class GraphOpsSpec extends SparkSpecBase with Matchers {
+
+  test("triangles counts a planted triangle exactly once") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graph").toString
+    // orders 1 and 2 both hold parts {10, 20, 30} → edges 10-20, 10-30,
+    // 20-30 each at support 2 → exactly one triangle. Order 3 adds a
+    // support-1 pair (10, 40) that must be thresholded away.
+    Seq((1L, 10L), (1L, 20L), (1L, 30L),
+        (2L, 10L), (2L, 20L), (2L, 30L),
+        (3L, 10L), (3L, 40L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.parquet(tmp + "/lineitem.parquet")
+    val r = GraphOps.triangles(spark, tmp).head()
+    r.getAs[Long]("n_edges") shouldBe 3L
+    r.getAs[Long]("n_triangles") shouldBe 1L
+  }
+
+  test("affinity support equals the true co-order count; Jaccard is consistent") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey")))
+    val byPart = li.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    GraphOps.affinity(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"))
+      val inter = (byPart(a) intersect byPart(b)).size.toLong
+      r.getAs[Long]("n_orders") shouldBe inter
+      r.getAs[Double]("jaccard") shouldBe
+        BigDecimal(inter.toDouble / (byPart(a).size + byPart(b).size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    }
+  }
+}
