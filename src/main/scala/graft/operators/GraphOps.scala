@@ -14,31 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Distinct (order, part) incidences — the bipartite source of the
-    * co-purchase graph. */
-  private def incidences(spark: SparkSession, dir: String): DataFrame =
+  /** Per-order distinct part baskets — the bipartite source of the
+    * co-purchase graph. ONE shuffle on the order key: `collect_set`
+    * dedupes repeated parts inside the aggregation, where a separate
+    * `distinct()` before the groupBy would hash-partition the incidence
+    * frame twice for the same result (measured: the two-shuffle form was
+    * the dominant cost of both graph queries). The set buffer is bounded
+    * by basket size — a domain constant (an order has few lines), the
+    * exact condition a real pipeline must check before choosing an
+    * unbounded grouped collect. */
+  private def baskets(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
 
   /** Unordered co-purchase part pairs with their support (number of
     * orders containing both). Pair generation explodes each order's
-    * basket against itself — the basket (a few parts) is the bounded
-    * group, so the fanout is Σ |basket|²/2, never corpus-quadratic; one
-    * shuffle keys the pairs. This is [[Dedup]]'s inverted-index shape with
-    * orders as "grams" — the df-cap is unnecessary because basket size is
-    * bounded by the domain (an order has few lines), the exact condition
-    * a real pipeline must check before choosing this plan. */
-  private def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val byOrder = incidences(spark, dir)
-      .groupBy(col("ok")).agg(collect_list(col("pk")).as("parts"))
-    byOrder
+    * basket against itself — the basket is the bounded group, so the
+    * fanout is Σ |basket|²/2, never corpus-quadratic; one shuffle keys
+    * the pairs. This is [[Dedup]]'s inverted-index shape with orders as
+    * "grams" — no df-cap needed, see [[baskets]]. */
+  private def copurchasePairs(baskets: DataFrame): DataFrame =
+    baskets
       .select(explode(col("parts")).as("pa"), col("parts"))
       .select(col("pa"), explode(col("parts")).as("pb"))
       .filter(col("pa") < col("pb"))
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n_orders"))
-  }
 
   /** Q-affinity: top co-purchase part pairs — market-basket / item-item
     * collaborative-filtering affinity, ranked by support with the Jaccard
@@ -46,9 +48,13 @@ object GraphOps {
     * the result; the per-part order counts ride a broadcast join (the
     * part dimension is small next to the pair set). */
   def affinity(spark: SparkSession, dir: String): DataFrame = {
-    val li = incidences(spark, dir)
-    val n = li.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    copurchasePairs(spark, dir)
+    // per-part order counts derive from the SAME basket aggregation as
+    // the pairs — the explode is map-side, so the baskets shuffle is paid
+    // once and this branch adds only the (small) per-part count shuffle
+    val b = baskets(spark, dir).localCheckpoint(true)
+    val n = b.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    copurchasePairs(b)
       .join(broadcast(n.select(col("pk").as("pa"), col("n").as("na"))), "pa")
       .join(broadcast(n.select(col("pk").as("pb"), col("n").as("nb"))), "pb")
       .select(col("pa").as("part_a"), col("pb").as("part_b"), col("n_orders"),
@@ -81,7 +87,7 @@ object GraphOps {
     * shape (degree-ordering is the further refinement when id order
     * correlates with degree; id-orientation already breaks symmetry). */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = copurchasePairs(spark, dir)
+    val edges = copurchasePairs(baskets(spark, dir))
       .filter(col("n_orders") >= TriangleMinSupport)
       .select(col("pa"), col("pb"))
       // two self-joins consume this — materialize once (the resolveClusters
