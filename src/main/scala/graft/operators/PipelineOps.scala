@@ -275,17 +275,112 @@ object PipelineOps {
       |FROM p JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
       |ORDER BY jaccard DESC, src_a, src_b LIMIT 20""".stripMargin
 
+  /** Q-interleave: weighted domain-mixing schedule (stride scheduling) —
+    * the deterministic "how do sources interleave in the training stream"
+    * step after [[graft.operators.CorpusOps.mixSources]] decides RATES.
+    * Every doc gets virtual time `rn / w` (rn = its rank within its
+    * source, w = the source's mixing weight); reading in virtual-time
+    * order yields each source at a rate proportional to its weight.
+    * Per-source ranks are windows PARTITIONED by source — parallel across
+    * sources; the output's global sort is a range partition, never a
+    * single-partition window (no global row_number is materialized). */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val weight = element_at(array(lit(4), lit(3), lit(2), lit(1)),
+      pmod(srcNum, lit(4)) + 1)
+    val wn = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("w", weight)
+      .withColumn("rn", row_number().over(wn).cast("long"))
+      .withColumn("mix_key", col("rn").cast("double") / col("w"))
+      .select(col("doc_id"), col("source"), col("w"), col("rn"), col("mix_key"))
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+  }
+
+  val interleaveSql: String =
+    """SELECT doc_id, source,
+      |  ([4, 3, 2, 1])[(CAST(substr(source, 4) AS INT) % 4) + 1] AS w,
+      |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE)
+      |    / ([4, 3, 2, 1])[(CAST(substr(source, 4) AS INT) % 4) + 1] AS mix_key
+      |FROM documents
+      |ORDER BY mix_key, source, doc_id""".stripMargin
+
+  /** Q-bpe-pairs: the inner counting step of BPE tokenizer TRAINING — the
+    * most frequent adjacent character pairs across the corpus (each merge
+    * iteration of byte-pair encoding picks exactly this argmax). Pure
+    * map-side pair explode (each word's pairs derive from the word alone)
+    * plus one count shuffle keyed by the 2-char pair. Words shorter than
+    * 2 chars are filtered BEFORE the sequence — `sequence(1, 0)` yields
+    * `[1, 0]`, not empty (the phantom-row trap). */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    terms
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |           FROM documents),
+      |f AS (SELECT w FROM t WHERE len(w) >= 2),
+      |e AS (SELECT w, unnest(range(1, len(w))) AS i FROM f)
+      |SELECT substr(w, CAST(i AS INT), 2) AS pair, COUNT(*) AS n
+      |FROM e GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
+  /** Q-readability: Flesch-style reading-ease scoring — the classic
+    * document-quality signal alongside [[graft.operators.TextOps]]'s
+    * punct/stopword ratios. Sentence count = punctuation-run count,
+    * syllable proxy = vowel-group count; all three inputs are exact
+    * integer regexp counts, so the only doubles are the two final
+    * divisions — written identically on both engines. Pure map-side. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val words = tokenCount(col("text"))
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+    val syl = greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        words.as("n_words"), sents.as("n_sentences"), syl.as("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (words.cast("double") / sents)
+          - lit(84.6) * (syl.cast("double") / greatest(words, lit(1))), 6)
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val readabilitySql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+      |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |  greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables,
+      |  ROUND(206.835
+      |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 6) AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pack_sequences" -> (packSequences _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_incremental" -> (incrementalDedup _),
     "q_cluster_rep" -> (clusterRepresentatives _),
-    "q_source_sim" -> (sourceSimilarity _))
+    "q_source_sim" -> (sourceSimilarity _),
+    "q_interleave" -> (interleave _),
+    "q_bpe_pairs" -> (bpePairs _),
+    "q_readability" -> (readability _))
 
   def oracles: Map[String, String] = Map(
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_dedup_incremental" -> incrementalDedupSql,
     "q_cluster_rep" -> clusterRepresentativesSql,
-    "q_source_sim" -> sourceSimilaritySql)
+    "q_source_sim" -> sourceSimilaritySql,
+    "q_interleave" -> interleaveSql,
+    "q_bpe_pairs" -> bpePairsSql,
+    "q_readability" -> readabilitySql)
 }

@@ -408,7 +408,65 @@ object VectorOps {
       |FROM ranked WHERE (rn - 1) % 5 = 0
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Q-sq8-knn: top-10 search over INT8 scalar-quantized vectors — the
+    * 4× compression that makes a 100 TB float index a 25 TB scan (the
+    * standard memory/bandwidth trade every production vector store
+    * offers). Per-vector symmetric quantization: q_i = ⌊x_i·s + ½⌋ with
+    * s = 127/max|x| (⌊·+½⌋, not round() — the two engines disagree on
+    * round's tie rule, floor is bit-identical). All quantized values are
+    * small integers, so dot products and norms are EXACT integer sums —
+    * no FP-ordering hazard anywhere until the single final division. The
+    * quantized arrays are cast to float (integers ≤ 127 and 64-term
+    * integer sums are exact in binary32/64) so scoring reuses the native
+    * codegen'd dot kernel. Exact cosine rides along for the
+    * recall-vs-compression comparison. */
+  def sq8Knn(spark: SparkSession, dir: String): DataFrame = {
+    def quantized(emb: DataFrame): DataFrame = emb
+      // materialize the scale as a column FIRST: a lambda referencing an
+      // outer expression re-evaluates it per element (no CSE) — inlining
+      // the max|x| here would be O(dim²) per row
+      .withColumn("s", lit(127.0) / greatest(
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-30)))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * col("s") + lit(0.5))).cast("array<float>"))
+      .withColumn("qnorm", sqrt(dotProduct(col("qv"), col("qv"))))
+    val emb = quantized(Tables.embeddings(spark, dir))
+    val q = quantized(Tables.embeddings(spark, dir).filter(col("vec_id") === 0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("qv").as("q_qv"), col("qnorm").as("q_qnorm"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos", round(
+        when(col("qnorm") * col("q_qnorm") === 0.0, 0.0)
+          .otherwise(dotProduct(col("qv"), col("q_qv")) / (col("qnorm") * col("q_qnorm"))), 6))
+      .withColumn("exact_cos", round(cosineSim(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("approx_cos"), col("exact_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val sq8KnnSql: String = {
+    val q = (v: String) =>
+      s"list_transform($v, x -> floor(CAST(x AS DOUBLE) * (127.0 / greatest(" +
+        s"list_max(list_transform($v, y -> abs(CAST(y AS DOUBLE)))), 1e-30)) + 0.5))"
+    val dot = (a: String, b: String) =>
+      s"list_sum(list_transform($a, (x,i) -> x * $b[i]))"
+    s"""WITH qv AS (SELECT vec_id, label, embedding, ${q("embedding")} AS qv
+       |            FROM embeddings),
+       |n AS (SELECT vec_id, label, embedding, qv,
+       |        sqrt(${dot("qv", "qv")}) AS qnorm FROM qv),
+       |query AS (SELECT qv AS q_qv, qnorm AS q_qnorm, embedding AS qe
+       |          FROM n WHERE vec_id = 0)
+       |SELECT b.vec_id, b.label,
+       |  ROUND(CASE WHEN b.qnorm * query.q_qnorm = 0.0 THEN 0.0
+       |    ELSE ${dot("b.qv", "query.q_qv")} / (b.qnorm * query.q_qnorm) END, 6) AS approx_cos,
+       |  ROUND(${VectorSql.cosine("b.embedding", "query.qe")}, 6) AS exact_cos
+       |FROM n b, query WHERE b.vec_id <> 0
+       |ORDER BY approx_cos DESC, b.vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sq8_knn" -> (sq8Knn _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
     "q_hybrid" -> (hybrid _),
@@ -425,6 +483,7 @@ object VectorOps {
     "q_ann_ivf_persisted" -> (annIvfPersisted _))
 
   def oracles: Map[String, String] = Map(
+    "q_sq8_knn" -> sq8KnnSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
     "q_hybrid" -> hybridSql,

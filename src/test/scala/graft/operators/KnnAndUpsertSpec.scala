@@ -63,6 +63,20 @@ class KnnAndUpsertSpec extends SparkSpecBase with Matchers {
     engine shouldBe brute
   }
 
+  test("int8 scalar quantization preserves cosine ranking to small error") {
+    val rows = VectorOps.sq8Knn(spark, sfDir).collect()
+    rows.length shouldBe 10
+    rows.foreach { r =>
+      // 8-bit symmetric quantization on 64-dim vectors: worst-case per-dim
+      // error 0.5/127 ≈ 0.004 — cosine drift stays well under 0.05
+      math.abs(r.getAs[Double]("approx_cos") - r.getAs[Double]("exact_cos")) should be < 0.05
+    }
+    // the quantized top set must substantially agree with the exact top-10
+    val exact = KnnSearch.topK(index, q, 10).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.map(_.getAs[Long]("vec_id")).count(exact.contains) should be >= 8
+  }
+
   test("fetch returns exactly the requested id (point lookup)") {
     val r = KnnSearch.fetch(emb, 42L).collect()
     r.length shouldBe 1

@@ -88,6 +88,44 @@ class TrainingPipelineSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("interleave: virtual time is rank/weight and heavy sources front-load the stream") {
+    val rows = PipelineOps.interleave(spark, sfDir).collect()
+    rows.foreach { r =>
+      r.getAs[Double]("mix_key") shouldBe
+        r.getAs[Long]("rn").toDouble / r.getAs[Int]("w")
+    }
+    // in the first fifth of the schedule, weight-4 sources must outnumber
+    // weight-1 sources ~4:1 — allow slack for per-source doc-count jitter
+    val head = rows.take(rows.length / 5)
+    val byW = head.groupBy(_.getAs[Int]("w")).view.mapValues(_.length).toMap
+    byW.getOrElse(4, 0) should be > 2 * byW.getOrElse(1, 0)
+  }
+
+  test("bpePairs counts adjacent character pairs (hand-computed)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((1L, "aaab aaab"), (2L, "ab x")) // 'x' is length-1: no pairs
+      .toDF("doc_id", "text").write.parquet(tmp + "/documents.parquet")
+    val pairs = PipelineOps.bpePairs(spark, tmp).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    pairs("aa") shouldBe 4L // two per "aaab", twice
+    pairs("ab") shouldBe 3L // one per "aaab" (x2) + the standalone "ab"
+    pairs.keySet shouldBe Set("aa", "ab")
+  }
+
+  test("readability: hand-computed Flesch score") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("flesch").toString
+    Seq((1L, "Hello world. It is good."))
+      .toDF("doc_id", "text").write.parquet(tmp + "/documents.parquet")
+    val r = PipelineOps.readability(spark, tmp).head()
+    r.getAs[Int]("n_words") shouldBe 5
+    r.getAs[Int]("n_sentences") shouldBe 2
+    r.getAs[Int]("n_syllables") shouldBe 6
+    // 206.835 - 1.015*(5/2) - 84.6*(6/5)
+    r.getAs[Double]("flesch") shouldBe 102.7775 +- 1e-6
+  }
+
   test("sourceSimilarity: valid Jaccard range, canonical pair order") {
     val sims = PipelineOps.sourceSimilarity(spark, sfDir).collect()
     sims should not be empty
