@@ -320,6 +320,35 @@ object RelationalOps {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q-salted-join: nation revenue computed THROUGH [[Salting.saltedJoin]]
+    * — the manual skew mitigation (hot key spread over 8 synthetic
+    * sub-keys, small side replicated per salt) declared as a driver-gated
+    * query, so "salting is result-identical to the plain join" is checked
+    * by the oracle every round, not just by a spec. The oracle is the
+    * PLAIN join: identical output through a different physical plan. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val customer = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    Salting.saltedJoin(orders, customer, "custkey", numSalts = 8)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val saltedJoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Correlated scalar subquery (Catalyst decorrelates it into an
     * aggregate + join — no per-row re-execution): orders costing more
     * than 1.5x their customer's average order. */
@@ -527,6 +556,7 @@ object RelationalOps {
     "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_local_supplier" -> (localSupplier _),
+    "q_salted_join" -> (saltedJoinQuery _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_agg_lineitem" -> (aggLineitem _),
     "q_join_orders_customer" -> (joinOrdersCustomer _),
@@ -548,6 +578,7 @@ object RelationalOps {
     "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_supplier" -> localSupplierSql,
+    "q_salted_join" -> saltedJoinSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,
     "q_join_orders_customer" -> joinOrdersCustomerSql,

@@ -465,8 +465,35 @@ object VectorOps {
        |ORDER BY approx_cos DESC, b.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Q-recall-eval: recall@5 of the multi-probe LSH search against exact
+    * brute-force top-5 — the index-quality monitoring metric a production
+    * vector store tracks per index build (the reference trusts Pinecone's
+    * recall blindly; here it is a declared, oracle-checked query). Both
+    * rankings are existing operators; the metric is one broadcast-sized
+    * join and a global count. */
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val ann = RandomHyperplaneLsh.annLshMultiProbe(spark, dir).select(col("vec_id"))
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val exact = KnnSearch.topK(emb, q, 5).select(col("vec_id"))
+    ann.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(5L).as("k"), col("n_hits"),
+        round(col("n_hits").cast("double") / 5.0, 6).as("recall"))
+  }
+
+  val recallEvalSql: String =
+    s"""WITH ann AS (SELECT vec_id FROM (${RandomHyperplaneLsh.annLshMultiProbeSql})),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+       |       ORDER BY ${cosSql("e.embedding", "qe")} DESC, e.vec_id LIMIT 5)
+       |SELECT 5 AS k, COUNT(*) AS n_hits, ROUND(COUNT(*) / 5.0, 6) AS recall
+       |FROM ann JOIN ex USING (vec_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sq8_knn" -> (sq8Knn _),
+    "q_recall_eval" -> (recallEval _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
     "q_hybrid" -> (hybrid _),
@@ -484,6 +511,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "q_sq8_knn" -> sq8KnnSql,
+    "q_recall_eval" -> recallEvalSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,
     "q_hybrid" -> hybridSql,
