@@ -173,15 +173,82 @@ object CorpusOps {
       |SELECT source, w, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept
       |FROM d GROUP BY source, w ORDER BY source""".stripMargin
 
+  /** Q-split: deterministic train/val/test assignment (80/10/10) by
+    * md5-prefix hash of the doc id — the standard leakage-safe ML split:
+    * membership is a pure function of the id, so it is stable under
+    * corpus growth, re-runs, and repartitioning (a `sample()`/RNG split
+    * is none of these). Map-side projection + one tiny 3-group
+    * aggregation; the salt literal keeps this split independent of every
+    * other hash-gated decision ([[mixSources]]' keep gate). */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(Dedup.hash48(concat(col("doc_id"), lit(":split"))), lit(100L))
+    val bucket = when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .withColumn("split", bucket)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split"))
+  }
+
+  val trainValTestSplitSql: String =
+    """WITH d AS (SELECT *,
+      |    CAST('0x' || substr(md5(doc_id || ':split'), 1, 12) AS BIGINT) % 100 AS h
+      |  FROM documents)
+      |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Docs kept per source by [[sourceCap]] — a domain constant. */
+  val SourceCap = 50
+
+  /** Q-source-cap: per-source document cap — keep each source's top
+    * [[SourceCap]] docs by length (doc_id tiebreak), the anti-domination
+    * guard of web-scale corpora (one crawl domain must not swamp the
+    * mixture). One shuffle on the source key; rank-truncation inside each
+    * partition is Spark's WindowGroupLimit pushdown (`rk <= cap` prunes
+    * before the full sort materializes), the same shape the kNN join
+    * uses. Reported per source: kept count, kept chars, and the length
+    * threshold that made the cut. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast("long").as("kept_chars"),
+        min(col("n_chars")).as("min_chars_kept"))
+      .orderBy(col("source"))
+  }
+
+  val sourceCapSql: String =
+    s"""WITH ranked AS (SELECT source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+       |  MIN(n_chars) AS min_chars_kept
+       |FROM ranked WHERE rk <= $SourceCap
+       |GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
     "q_pii_redact" -> (piiRedact _),
-    "q_mix_sources" -> (mixSources _))
+    "q_mix_sources" -> (mixSources _),
+    "q_split" -> (trainValTestSplit _),
+    "q_source_cap" -> (sourceCap _))
 
   def oracles: Map[String, String] = Map(
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_pii_redact" -> piiRedactSql,
-    "q_mix_sources" -> mixSourcesSql)
+    "q_mix_sources" -> mixSourcesSql,
+    "q_split" -> trainValTestSplitSql,
+    "q_source_cap" -> sourceCapSql)
 }

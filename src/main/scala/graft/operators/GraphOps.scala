@@ -110,11 +110,82 @@ object GraphOps {
        |  (SELECT COUNT(*) FROM e ab JOIN e bc ON ab.v = bc.u
        |     JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles""".stripMargin
 
+  /** Fixed PageRank iteration count — a constant (not convergence-tested)
+    * so the oracle can mirror the exact computation as chained CTEs. */
+  val PagerankIters = 3
+
+  /** Q-pagerank: 3 damped PageRank iterations (d = 0.85) over the
+    * support-thresholded co-purchase graph, top-20 parts by rank — the
+    * canonical iterative-graph workload (importance weighting of corpus
+    * items by co-occurrence centrality).
+    *
+    * Scale shape: one iteration = one shuffle join of the edge list with
+    * the rank vector on the source node + one grouped aggregation on the
+    * destination — the standard distributed PageRank step; the edge list
+    * and degree vector are materialized ONCE (`localCheckpoint`, the
+    * [[triangles]]/resolveClusters discipline) so the basket pipeline is
+    * not re-run per iteration. Per-node neighbor sums fold in source-id
+    * order (`sort_array` + `aggregate`) purely for bit-exact oracle
+    * parity — the buffer is bounded by in-degree; a production run without
+    * a DuckDB twin would use a plain `sum` and shed the collect. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val und = copurchasePairs(baskets(spark, dir))
+      .filter(col("n_orders") >= TriangleMinSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(und.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val nDf = deg.agg(count(lit(1)).cast("double").as("n"))
+    var pr = deg.crossJoin(broadcast(nDf))
+      .select(col("u"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to PagerankIters) {
+      pr = edges.join(pr, Seq("u")).join(deg, Seq("u"))
+        .select(col("v"),
+          struct(col("u"), (col("pr") / col("d").cast("double")).as("c")).as("t"))
+        .groupBy(col("v"))
+        .agg(sort_array(collect_list(col("t"))).as("ts"))
+        .withColumn("s",
+          aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("c")))
+        .crossJoin(broadcast(nDf))
+        .select(col("v").as("u"),
+          (lit(0.15) / col("n") + lit(0.85) * col("s")).as("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("u"))
+      .limit(20)
+      .select(col("u").as("part"), round(col("pr"), 6).as("pagerank"))
+  }
+
+  val pagerankSql: String = {
+    def step(prev: String, out: String): String =
+      s"""$out AS (SELECT e.v AS u,
+         |    0.15 / nn.n + 0.85 *
+         |      CAST(list_sum(list(p.pr / CAST(deg.d AS DOUBLE) ORDER BY e.u)) AS DOUBLE) AS pr
+         |  FROM e JOIN $prev p ON p.u = e.u JOIN deg ON deg.u = e.u CROSS JOIN nn
+         |  GROUP BY e.v, nn.n)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+       |       ON a.ok = b.ok AND a.pk < b.pk
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriangleMinSupport),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       |p0 AS (SELECT u, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn),
+       |${step("p0", "p1")},
+       |${step("p1", "p2")},
+       |${step("p2", "p3")}
+       |SELECT u AS part, ROUND(pr, 6) AS pagerank
+       |FROM p3 ORDER BY pr DESC, u LIMIT 20""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_affinity" -> (affinity _),
-    "q_triangles" -> (triangles _))
+    "q_triangles" -> (triangles _),
+    "q_pagerank" -> (pagerank _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
-    "q_triangles" -> trianglesSql)
+    "q_triangles" -> trianglesSql,
+    "q_pagerank" -> pagerankSql)
 }

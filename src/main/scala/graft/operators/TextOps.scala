@@ -174,6 +174,44 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Q-quality-logistic: fixed-weight logistic quality classifier scored
+    * over the whole corpus — the batch-inference shape of a trained
+    * fastText/logreg quality model (weights would come from offline
+    * training; here they are fixed constants so the oracle can reproduce
+    * the exact arithmetic). Pure per-row projection — no shuffle until
+    * the final top-K (TakeOrderedAndProject), which is how model scoring
+    * over 100 TB should look: the featurizer and the dot product ride the
+    * scan. Ranked on the exact score (round only for display), id
+    * tiebreak, so both engines select identical rows. */
+  def qualityLogistic(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val lenN = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val z = lit(-1.0) + lit(3.0) * lenN - lit(8.0) * punctRatio(text) +
+      lit(5.0) * stopwordRatio(text)
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), score.as("s"))
+      .orderBy(col("s").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("source"), round(col("s"), 6).as("ml_score"))
+  }
+
+  val qualityLogisticSql: String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    val punct =
+      "len(regexp_extract_all(text, '[[:punct:]]')) / CAST(greatest(length(text), 1) AS DOUBLE)"
+    val stop =
+      s"""len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN ($stops)))
+         | / CAST(greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1) AS DOUBLE)"""
+        .stripMargin.replace("\n", "")
+    s"""WITH scored AS (SELECT doc_id, source,
+       |    1.0 / (1.0 + exp(-(-1.0 + 3.0 * least(length(text) / 500.0, 1.0)
+       |                       - 8.0 * ($punct) + 5.0 * ($stop)))) AS s
+       |  FROM documents)
+       |SELECT doc_id, source, ROUND(s, 6) AS ml_score
+       |FROM scored ORDER BY s DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   /** Q-fingerprint: md5-of-normalized-text fingerprint + per-fingerprint
     * cardinality (the exact-dedup key; SURVEY.md §2.10). */
   def fingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -675,6 +713,7 @@ object TextOps {
     "q_lang_filter" -> (langFilter _),
     "q_langid" -> (langId _),
     "q_quality" -> (quality _),
+    "q_quality_logistic" -> (qualityLogistic _),
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
@@ -694,5 +733,6 @@ object TextOps {
     "q_lang_filter" -> langFilterSql,
     "q_langid" -> langIdSql,
     "q_quality" -> qualitySql,
+    "q_quality_logistic" -> qualityLogisticSql,
     "q_fingerprint" -> fingerprintSql)
 }
