@@ -77,6 +77,38 @@ class CorpusOpsSpec extends SparkSpecBase with Matchers {
       math.abs(kept - expected) should be <= (4 * sigma + 1)
     }
   }
+
+  test("train/val/test split partitions the corpus deterministically near 80/10/10") {
+    val total = graft.Tables.documents(spark, sfDir).count()
+    val a = CorpusOps.trainValTestSplit(spark, sfDir).collect()
+    val b = CorpusOps.trainValTestSplit(spark, sfDir).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // pure function of doc_id
+    a.map(_.getAs[Long]("n_docs")).sum shouldBe total // a partition, no loss
+    val byName = a.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    // hash-uniformity: 4-sigma binomial slack around each target share
+    Seq("train" -> 0.80, "val" -> 0.10, "test" -> 0.10).foreach { case (s, p) =>
+      val sigma = math.sqrt(total * p * (1 - p))
+      math.abs(byName(s) - total * p) should be <= (4 * sigma + 1)
+    }
+  }
+
+  test("source cap keeps min(cap, source size) docs and the longest ones") {
+    val perSource = graft.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val capped = CorpusOps.sourceCap(spark, sfDir).collect()
+    capped.map(_.getString(0)).toSet shouldBe perSource.keySet // no source dropped
+    capped.foreach { r =>
+      val src = r.getString(0)
+      r.getAs[Long]("n_kept") shouldBe math.min(CorpusOps.SourceCap.toLong, perSource(src))
+      // threshold consistency: everything longer than the cut was kept
+      val above = graft.Tables.documents(spark, sfDir)
+        .filter(col("source") === src &&
+          col("n_chars") > r.getAs[Long]("min_chars_kept"))
+        .count()
+      above should be <= r.getAs[Long]("n_kept")
+    }
+  }
 }
 
 /** Exposes the repetition core over an arbitrary docs frame so the

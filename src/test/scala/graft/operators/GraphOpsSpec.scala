@@ -23,6 +23,22 @@ class GraphOpsSpec extends SparkSpecBase with Matchers {
     r.getAs[Long]("n_triangles") shouldBe 1L
   }
 
+  test("pagerank: mass sums to 1 and the star hub ranks first") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graph").toString
+    // star: hub part 1 co-ordered (twice each, to clear the support
+    // threshold) with leaves 10..14 → hub degree 5, leaves degree 1.
+    val rows = (10L to 14L).flatMap(leaf =>
+      Seq((leaf * 2, 1L), (leaf * 2, leaf), (leaf * 2 + 1, 1L), (leaf * 2 + 1, leaf)))
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(tmp + "/lineitem.parquet")
+    val r = GraphOps.pagerank(spark, tmp).collect()
+    r.length shouldBe 6
+    r.head.getAs[Long]("part") shouldBe 1L // hub collects 0.85 of each leaf's mass
+    r.map(_.getAs[Double]("pagerank")).sum shouldBe 1.0 +- 1e-5
+    // leaves are symmetric → identical rank
+    r.tail.map(_.getAs[Double]("pagerank")).toSet.size shouldBe 1
+  }
+
   test("affinity support equals the true co-order count; Jaccard is consistent") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()

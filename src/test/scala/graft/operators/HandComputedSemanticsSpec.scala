@@ -87,4 +87,23 @@ class HandComputedSemanticsSpec extends SparkSpecBase with Matchers {
       .orderBy(col("msg_no")).collect().map(_.getAs[String]("message"))
     folded shouldBe Array("first continuation of first", "second")
   }
+
+  test("logistic quality score matches the hand-computed sigmoid") {
+    // "the cat sat." → 3 tokens, 1 stopword; 1 punct char over 12 chars.
+    val text = "the cat sat."
+    val lenN = math.min(text.length / 500.0, 1.0)
+    val z = -1.0 + 3.0 * lenN - 8.0 * (1.0 / 12.0) + 5.0 * (1.0 / 3.0)
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tmp = java.nio.file.Files.createTempDirectory("logit").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, text, "en", "src0", text.length.toLong)), schema)
+      .write.parquet(tmp + "/documents.parquet")
+    val r = TextOps.qualityLogistic(spark, tmp).head()
+    r.getAs[Double]("ml_score") shouldBe expected +- 1e-9
+  }
 }
