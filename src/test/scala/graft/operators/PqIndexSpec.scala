@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the oracle-inexpressible PQ search: code shape, determinism,
+  * and recall@10 against exact brute force (the LshRecallSpec discipline —
+  * an ANN path must prove its approximation quality, not just run). */
+class PqIndexSpec extends SparkSpecBase with Matchers {
+
+  test("codes are M small ints per vector, one row per vector") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = PqIndex.trainCodebooks(emb)
+    val codes = PqIndex.encode(emb, cb).collect()
+    codes.length shouldBe emb.count()
+    codes.foreach { r =>
+      val code = r.getSeq[Long](1)
+      code.length shouldBe PqIndex.M
+      all(code) should (be >= 0L and be < PqIndex.K.toLong)
+    }
+    // the codebook is actually used: vectors spread over many codewords
+    codes.map(_.getSeq[Long](1)).distinct.length should be > codes.length / 4
+  }
+
+  test("pq search is deterministic and recalls most of the exact top-10") {
+    val a = PqIndex.pqKnn(spark, sfDir).collect()
+    val b = PqIndex.pqKnn(spark, sfDir).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // deterministic seeds + Lloyd
+    a.length shouldBe 10
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val exact = KnnSearch.topK(emb, q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = a.map(_.getAs[Long]("vec_id")).toSet
+    // 8-byte codes + 50-deep rerank on 500 vectors: expect high overlap
+    (got intersect exact).size.toDouble / 10.0 should be >= 0.8
+    // rerank outputs exact cosine scores in descending order
+    val scores = a.map(_.getAs[Double]("score"))
+    scores.toSeq shouldBe scores.sorted.reverse.toSeq
+  }
+}
