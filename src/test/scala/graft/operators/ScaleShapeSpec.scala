@@ -121,4 +121,38 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
     // co-located: the join reads pre-bucketed data, no Exchange on either side
     plan should not include "Exchange hashpartitioning"
   }
+
+  test("logistic scoring plan: featurizer rides the scan, global TakeOrdered, zero exchanges") {
+    val plan = TextOps.qualityLogistic(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    // batch inference must not shuffle the corpus: score is a projection
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  test("source cap plan: rank truncation pushes down as WindowGroupLimit") {
+    val plan = CorpusOps.sourceCap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("WindowGroupLimit")
+  }
+
+  test("pq ADC scoring plan: no join and no exchange before the shortlist TakeOrdered") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = PqIndex.trainCodebooks(emb)
+    val codes = PqIndex.encode(emb, cb).localCheckpoint(true)
+    // the ADC stage over materialized codes (as a persisted code table at
+    // scale): literal LUT → pure projection + TakeOrderedAndProject
+    val lut = array((0 until PqIndex.M).map(_ =>
+      array((0 until PqIndex.K).map(c => lit(c * 0.01)): _*)): _*)
+    val adc = codes.withColumn("approx_dot",
+        aggregate(
+          transform(col("code"),
+            (c, i) => element_at(element_at(lut, i + 1), c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .orderBy(col("approx_dot").desc, col("vec_id")).limit(PqIndex.Shortlist)
+    val plan = adc.queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Exchange hashpartitioning"
+    (plan should not).include("Join")
+  }
 }
