@@ -236,13 +236,126 @@ object CorpusOps {
        |FROM ranked WHERE rk <= $SourceCap
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Stopword probe set for the Gopher stop-word rule (the testdata vocab
+    * contains 'the' and 'a'; 'and'/'of' exercise the absent case). */
+  private val GopherStops = Seq("the", "a", "and", "of")
+
+  /** Q-gopher-rules: Gopher-style composite quality-rule filter — each doc
+    * gets a per-rule verdict (word-count bounds, mean-word-length bounds,
+    * ≥2 distinct stopwords present, duplicate-token fraction ≤ 0.5) plus
+    * the conjunction `keep`. Shipping the per-rule flags, not just the
+    * conjunction, is the point: at corpus scale the follow-up question is
+    * always "WHICH rule is rejecting my documents" (aggregate the flags),
+    * and re-running one rule over 100 TB to find out is the anti-pattern.
+    * Pure map-side projection — every metric derives from the doc's own
+    * token array; rule flags are 0/1 ints so both engines hash the same
+    * column class. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stops = GopherStops.map(w => array_contains(col("t"), w).cast("int"))
+    Tables.documents(spark, dir)
+      .withColumn("t", split(trim(col("text")), "\\s+"))
+      .withColumn("n_words",
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(col("t")).cast("long")))
+      .withColumn("mean_wl",
+        when(col("n_words") > 0, round(
+          expr("aggregate(transform(t, x -> CAST(length(x) AS BIGINT)), 0L, (s, x) -> s + x)")
+            .cast("double") / col("n_words"), 6)))
+      .withColumn("dup_frac",
+        when(col("n_words") > 0, round(
+          lit(1.0) - size(array_distinct(col("t"))).cast("double") / col("n_words"), 6)))
+      .withColumn("n_stop", stops.reduce(_ + _))
+      .withColumn("pass_nwords",
+        (col("n_words") >= 10 && col("n_words") <= 1000).cast("int"))
+      .withColumn("pass_mwl",
+        (col("mean_wl").isNotNull && col("mean_wl") >= 2.0 && col("mean_wl") <= 12.0).cast("int"))
+      .withColumn("pass_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("pass_dup",
+        (col("dup_frac").isNotNull && col("dup_frac") <= 0.5).cast("int"))
+      .withColumn("keep",
+        (col("pass_nwords") === 1 && col("pass_mwl") === 1 &&
+          col("pass_stop") === 1 && col("pass_dup") === 1).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"), col("dup_frac"),
+        col("n_stop"), col("pass_nwords"), col("pass_mwl"), col("pass_stop"),
+        col("pass_dup"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRulesSql: String = {
+    val stopSum = GopherStops
+      .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words
+       |  FROM documents),
+       |m AS (SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN ROUND(
+       |      CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+       |        / n_words, 6) END AS mean_wl,
+       |    CASE WHEN n_words > 0 THEN ROUND(
+       |      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_words, 6) END AS dup_frac,
+       |    $stopSum AS n_stop
+       |  FROM toks)
+       |SELECT doc_id, n_words, mean_wl, dup_frac, n_stop,
+       |  CAST(n_words >= 10 AND n_words <= 1000 AS INT) AS pass_nwords,
+       |  CAST(mean_wl IS NOT NULL AND mean_wl >= 2.0 AND mean_wl <= 12.0 AS INT) AS pass_mwl,
+       |  CAST(n_stop >= 2 AS INT) AS pass_stop,
+       |  CAST(dup_frac IS NOT NULL AND dup_frac <= 0.5 AS INT) AS pass_dup,
+       |  CAST(n_words >= 10 AND n_words <= 1000
+       |    AND mean_wl IS NOT NULL AND mean_wl >= 2.0 AND mean_wl <= 12.0
+       |    AND n_stop >= 2
+       |    AND dup_frac IS NOT NULL AND dup_frac <= 0.5 AS INT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quantile for the per-source quality floor (q_quality_gate). */
+  val GateQuantile = 0.25
+
+  /** Q-quality-gate: per-source exact-percentile quality thresholding —
+    * each source keeps only docs at or above its own P25 of the quality
+    * score (here `n_chars`, the pluggable stand-in for any per-doc score —
+    * classifier logit, perplexity, entropy). Per-source thresholds, not a
+    * global one, are the production shape: sources have wildly different
+    * score distributions and one global floor empties the clean-but-short
+    * source. The threshold frame is one row per source — it BROADCASTS,
+    * so the gate itself is a map-side filter; the only shuffle is the
+    * percentile aggregation (exact interpolated percentile, the same
+    * kernel parity q_percentiles proves). */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("double").as("score"))
+    val thresholds = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(score, $GateQuantile)").as("thr"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .groupBy(col("source"), col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("score") < col("thr"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("source"), round(col("thr"), 6).as("thr"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val qualityGateSql: String =
+    s"""WITH scored AS (SELECT source, CAST(n_chars AS DOUBLE) AS score FROM documents),
+       |thr AS (SELECT source, quantile_cont(score, $GateQuantile) AS thr
+       |        FROM scored GROUP BY source)
+       |SELECT scored.source, ROUND(thr, 6) AS thr,
+       |  CAST(SUM(CASE WHEN score >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN score < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM scored JOIN thr USING (source)
+       |GROUP BY scored.source, thr ORDER BY scored.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
     "q_pii_redact" -> (piiRedact _),
     "q_mix_sources" -> (mixSources _),
     "q_split" -> (trainValTestSplit _),
-    "q_source_cap" -> (sourceCap _))
+    "q_source_cap" -> (sourceCap _),
+    "q_gopher_rules" -> (gopherRules _),
+    "q_quality_gate" -> (qualityGate _))
 
   def oracles: Map[String, String] = Map(
     "q_repetition" -> repetitionSql,
@@ -250,5 +363,7 @@ object CorpusOps {
     "q_pii_redact" -> piiRedactSql,
     "q_mix_sources" -> mixSourcesSql,
     "q_split" -> trainValTestSplitSql,
-    "q_source_cap" -> sourceCapSql)
+    "q_source_cap" -> sourceCapSql,
+    "q_gopher_rules" -> gopherRulesSql,
+    "q_quality_gate" -> qualityGateSql)
 }

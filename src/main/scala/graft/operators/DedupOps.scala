@@ -276,7 +276,43 @@ object DedupOps {
        |WHERE score >= 0.4 ORDER BY bucket, vec_a, vec_b""".stripMargin
   }
 
+  /** Q-dup-gram-frac: per-doc CROSS-corpus duplicated-shingle fraction —
+    * the share of a doc's distinct 3-gram shingles that also appear in at
+    * least one OTHER document (RefinedWeb-style duplication profiling;
+    * the within-doc twin is q_repetition). Unlike the pair queries this
+    * never materializes pairs: one partial-aggregated count per gram (the
+    * df frame), one shuffle join postings⋈df on the 8-byte gram hash, one
+    * per-doc re-aggregation. Hot stopword grams cost a COUNT, not a
+    * buffer, so there is no skew bomb; AQE splits any oversized join
+    * partition. Shingles are distinct per doc by construction, so df is
+    * exactly the number of docs containing the gram. */
+  def dupGramFrac(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingles3(col("text"))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+    val dfreq = ex.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val dupGramFracSql: String =
+    s"""WITH $shinglesCte,
+       |ex0 AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |dfreq AS (SELECT gram, COUNT(*) AS df FROM ex0 GROUP BY gram)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  ROUND(CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS dup_frac
+       |FROM ex0 JOIN dfreq USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_gram_frac" -> (dupGramFrac _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_containment" -> (dedupContainment _),
@@ -288,6 +324,7 @@ object DedupOps {
     "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
+    "q_dup_gram_frac" -> dupGramFracSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_containment" -> dedupContainmentSql,

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-reconciliation operators: blocked fuzzy entity matching and
+  * snapshot diffing. The reference's only identity notion is the
+  * synthesized `vector_id_<lineNumber>` (`upsert/upsert.go:170`), which
+  * makes re-runs silently overwrite and gives no way to reconcile two
+  * ingests of the same corpus; these are the operators a production
+  * pipeline runs instead — match records that ALMOST agree (entity
+  * resolution) and classify exactly what changed between two loads
+  * (snapshot diff).
+  *
+  * Scale shapes: fuzzy matching never goes quadratic — candidates come
+  * from a blocking-key equi-join over the (dedup'd, much smaller)
+  * distinct-name frame, and the expensive edit-distance kernel runs only
+  * inside blocks; the diff is one full-outer hash join on the key with
+  * map-side snapshot derivation on both inputs.
+  */
+object ReconcileOps {
+
+  /** Edit-distance threshold for a candidate match. */
+  val FuzzyMaxDist = 2
+
+  /** Q-fuzzy-join: blocked fuzzy entity matching over part names. Names
+    * are first DEDUP'D to the distinct-name frame (with part counts, so
+    * nothing is lost), then candidate pairs come from an equi-join on a
+    * BLOCKING KEY (the name's last word — the entity's "type" token) and
+    * only in-block pairs pay the Levenshtein kernel, `dist <= 2` keeps a
+    * match. This is standard record-linkage blocking: at 100 TB the
+    * distinct-name frame is orders of magnitude smaller than the records
+    * table, the block join is a plain hash join (no cross product — plan
+    * asserted in ReconcileOpsSpec), and per-block fanout is bounded by
+    * block cardinality, the knob blocking exists to control.
+    *
+    * Both engines ship the same classic Levenshtein (unit-cost edits), so
+    * the oracle runs the identical predicate. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("block", regexp_extract(col("p_name"), "(\\S+)$", 1))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("cnt_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("cnt_b"), col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("cnt_a"), col("cnt_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val fuzzyJoinSql: String =
+    s"""WITH names AS (
+       |  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |         regexp_extract(p_name, '(\\S+)$$', 1) AS block
+       |  FROM part GROUP BY p_name)
+       |SELECT a.p_name AS name_a, b.p_name AS name_b,
+       |  levenshtein(a.p_name, b.p_name) AS dist,
+       |  a.n_parts AS cnt_a, b.n_parts AS cnt_b
+       |FROM names a JOIN names b USING (block)
+       |WHERE a.p_name < b.p_name
+       |  AND levenshtein(a.p_name, b.p_name) <= $FuzzyMaxDist
+       |ORDER BY name_a, name_b""".stripMargin
+
+  /** Q-table-diff: snapshot diff — classify every key as added / removed
+    * / changed / unchanged between two loads of the events table. The two
+    * snapshots are derived deterministically from the one shipped table
+    * (an "old" load missing `id % 11 = 3`, with `id % 7 = 0` values
+    * drifted by +1.0; a "new" load missing `id % 13 = 5`), so the oracle
+    * states the identical arithmetic. Presence is tracked with explicit
+    * marker columns — NOT null-ness of payload columns, which conflates
+    * "row absent" with "column null" — and value comparison is null-safe
+    * (`<=>`). One full-outer hash join on the key; at 100 TB the wide
+    * payload compare becomes a per-side row-hash compare (xxhash64 of the
+    * payload struct, computed map-side), with this exact classification
+    * logic unchanged. */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val old = ev.filter(col("event_id") % 11 =!= 3)
+      .select(col("event_id"),
+        col("event_type").as("type_old"),
+        when(col("event_id") % 7 === 0, col("value") + 1.0)
+          .otherwise(col("value")).as("value_old"),
+        lit(1).as("in_old"))
+    val neu = ev.filter(col("event_id") % 13 =!= 5)
+      .select(col("event_id"),
+        col("event_type").as("type_new"),
+        col("value").as("value_new"),
+        lit(1).as("in_new"))
+    old.join(neu, Seq("event_id"), "full_outer")
+      .withColumn("change_class",
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("value_old") <=> col("value_new")) ||
+            !(col("type_old") <=> col("type_new")), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("change_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .orderBy(col("change_class"))
+  }
+
+  val tableDiffSql: String =
+    """WITH old AS (
+      |  SELECT event_id, event_type AS type_old,
+      |    CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value_old,
+      |    1 AS in_old
+      |  FROM events WHERE event_id % 11 != 3),
+      |neu AS (
+      |  SELECT event_id, event_type AS type_new, value AS value_new, 1 AS in_new
+      |  FROM events WHERE event_id % 13 != 5),
+      |j AS (
+      |  SELECT COALESCE(old.event_id, neu.event_id) AS event_id,
+      |    CASE WHEN in_old IS NULL THEN 'added'
+      |         WHEN in_new IS NULL THEN 'removed'
+      |         WHEN value_old IS DISTINCT FROM value_new
+      |           OR type_old IS DISTINCT FROM type_new THEN 'changed'
+      |         ELSE 'unchanged' END AS change_class
+      |  FROM old FULL OUTER JOIN neu ON old.event_id = neu.event_id)
+      |SELECT change_class, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM j GROUP BY change_class ORDER BY change_class""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join" -> (fuzzyJoin _),
+    "q_table_diff" -> (tableDiff _))
+
+  def oracles: Map[String, String] = Map(
+    "q_fuzzy_join" -> fuzzyJoinSql,
+    "q_table_diff" -> tableDiffSql)
+}

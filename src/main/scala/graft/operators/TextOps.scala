@@ -696,7 +696,29 @@ object TextOps {
       |SELECT doc_id, n_bigrams, ROUND(-sum_lnp / n_bigrams, 6) AS nll
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Q-compress-ratio: DEFLATE-compressibility quality signal — the
+    * deflated/raw byte ratio per doc (low ratio = repetitive boilerplate,
+    * the cheap stand-in for an LM quality score; see
+    * [[graft.functions.DeflateStats]]). Pure map-side native kernel, one
+    * pass over the text bytes, no shuffle before the output sort. zlib
+    * has no DuckDB twin, so this is rows-only by design; determinism and
+    * the boilerplate<prose ordering are gated by DeflateStatsSpec. */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame = {
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.DeflateStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text"))))
+    Tables.documents(spark, dir)
+      .withColumn("s", stats)
+      .select(col("doc_id"), col("s.raw_bytes").as("raw_bytes"),
+        col("s.deflated_bytes").as("deflated_bytes"),
+        when(col("s.raw_bytes") > 0,
+          round(col("s.deflated_bytes").cast("double") / col("s.raw_bytes"), 6))
+          .as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compress_ratio" -> (compressRatio _),
     "q_perplexity" -> (perplexity _),
     "q_winnow_overlap" -> (winnowOverlap _),
     "q_collocations" -> (collocations _),

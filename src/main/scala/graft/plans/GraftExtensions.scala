@@ -66,7 +66,11 @@ object GraftExtensions {
     (FunctionIdentifier("char_entropy_stats"),
       info("char_entropy_stats",
         "char_entropy_stats(text) - struct(n, distinct_chars, sum_clnc) for Shannon entropy"),
-      (args: Seq[Expression]) => CharEntropy(args.head)))
+      (args: Seq[Expression]) => CharEntropy(args.head)),
+    (FunctionIdentifier("deflate_stats"),
+      info("deflate_stats",
+        "deflate_stats(text) - struct(raw_bytes, deflated_bytes) DEFLATE compressibility"),
+      (args: Seq[Expression]) => DeflateStats(args.head)))
 
   /** Register on an already-running session (extensions configured at
     * build time can't be added retroactively). */

@@ -38,7 +38,8 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
           distinct = false)).as("bigram_stream"),
         ColumnBridge.column(FeatureHashEmbed(ColumnBridge.expression(col("text")), 16)).as("emb"),
         ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)).as("winnow"),
-        ColumnBridge.column(CharEntropy(ColumnBridge.expression(col("text")))).as("entropy_stats"))
+        ColumnBridge.column(CharEntropy(ColumnBridge.expression(col("text")))).as("entropy_stats"),
+        ColumnBridge.column(DeflateStats(ColumnBridge.expression(col("text")))).as("deflate_stats"))
       .orderBy(col("doc_id"))
 
   private def vectorExprs: DataFrame =

@@ -109,6 +109,48 @@ class CorpusOpsSpec extends SparkSpecBase with Matchers {
       above should be <= r.getAs[Long]("n_kept")
     }
   }
+
+  test("gopher rules: each planted violator fails exactly its own rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val good = "the a " + (1 to 20).map(i => s"word$i").mkString(" ")
+    val tooShort = "the a tiny" // 3 words
+    val tinyWords = "the a " + ('b' to 's').mkString(" ") // mean word length 1.2
+    val spammy = "the a " + Seq.fill(20)("spam").mkString(" ") // dup_frac 19/22
+    val noStops = (1 to 15).map(i => s"word$i").mkString(" ")
+    docsDf(1L -> good, 2L -> tooShort, 3L -> tinyWords, 4L -> spammy, 5L -> noStops)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val rows = CorpusOps.gopherRules(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = {
+      val r = rows(id)
+      (r.getInt(5), r.getInt(6), r.getInt(7), r.getInt(8), r.getInt(9))
+    }
+    flags(1L) shouldBe ((1, 1, 1, 1, 1)) // keep
+    flags(2L) shouldBe ((0, 1, 1, 1, 0)) // word count
+    flags(3L) shouldBe ((1, 0, 1, 1, 0)) // mean word length
+    flags(4L) shouldBe ((1, 1, 1, 0, 0)) // duplicate-token fraction
+    flags(5L) shouldBe ((1, 1, 0, 1, 0)) // stopwords
+  }
+
+  test("quality gate thresholds each source at its own exact P25") {
+    val tmp = java.nio.file.Files.createTempDirectory("qgate").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = Seq(
+      (1L, "s1", 10L), (2L, "s1", 20L), (3L, "s1", 30L), (4L, "s1", 40L),
+      (5L, "s2", 5L), (6L, "s2", 5L), (7L, "s2", 5L), (8L, "s2", 5L))
+    spark.createDataFrame(java.util.Arrays.asList(
+      rows.map { case (i, s, n) => Row(i, "x", "en", s, n) }: _*), schema)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val out = CorpusOps.qualityGate(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    // interpolated P25 of [10,20,30,40] = 17.5 → 20/30/40 pass, 10 drops;
+    // a constant source keeps everything (thr = the constant)
+    out("s1") shouldBe ((17.5, 3L, 1L))
+    out("s2") shouldBe ((5.0, 4L, 0L))
+  }
 }
 
 /** Exposes the repetition core over an arbitrary docs frame so the

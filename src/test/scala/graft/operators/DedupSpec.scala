@@ -143,6 +143,25 @@ class DedupSpec extends SparkSpecBase with Matchers {
     banded shouldBe brute
   }
 
+  test("cross-corpus duplicated-gram fraction matches hand-computed values") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dupfrac").toString
+    // X and Y identical (both grams shared) -> 1.0; W shares exactly one
+    // of its two grams with X/Y -> 0.5; Z shares nothing -> 0.0
+    Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma zetax"),
+      (4L, "pqq rqq sqq tqq"))
+      .toDF("doc_id", "text").write.parquet(tmp + "/documents.parquet")
+    val out = DedupOps.dupGramFrac(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 2L, 1.0))
+    out(2L) shouldBe ((2L, 2L, 1.0))
+    out(3L) shouldBe ((2L, 1L, 0.5))
+    out(4L) shouldBe ((2L, 0L, 0.0))
+  }
+
   test("embedding near-dup pairs are symmetric-unique and above threshold") {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
     val pairs = Dedup.embeddingNearDupPairs(emb, 0.3).collect()
