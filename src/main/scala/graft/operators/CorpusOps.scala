@@ -347,7 +347,60 @@ object CorpusOps {
        |FROM scored JOIN thr USING (source)
        |GROUP BY scored.source, thr ORDER BY scored.source""".stripMargin
 
+  /** Temperature exponent: effective mixture ∝ n^TempAlpha (T = 1/α). */
+  val TempAlpha = 0.5
+
+  /** Q-temperature-mix: temperature-flattened language rebalancing — the
+    * multilingual-LLM mixing step (sampling share ∝ size^α). Keep-rate
+    * per language is `min(1, (n_min/n_l)^(1-α))`: the smallest language
+    * keeps everything, dominant ones are downsampled toward the flattened
+    * share. Normalizing by the group MIN (an exact integer) instead of
+    * the softmax denominator is deliberate: a Σ n^α across groups sums
+    * doubles in engine-dependent order, while `sqrt` and one division of
+    * exact ints are correctly-rounded IEEE on both engines — the gate
+    * literal `floor(rate·10⁶)` is therefore bit-identical to the oracle.
+    * Membership is a salted portable-hash gate (same leakage-safe
+    * determinism as [[trainValTestSplit]]): stable under re-runs,
+    * repartitioning, and corpus appends. The rates frame is one row per
+    * language — broadcast; the whole gate is map-side. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = sizes.agg(min(col("n_docs")).as("n_min"))
+    val rates = sizes.crossJoin(broadcast(minN))
+      // α = 0.5 → the exponent is exactly 1/2: use sqrt, which IEEE
+      // guarantees correctly rounded on both engines — pow(x, 0.5) is not
+      .withColumn("rate", least(lit(1.0),
+        sqrt(col("n_min").cast("double") / col("n_docs"))))
+      .withColumn("gate", floor(col("rate") * lit(1000000.0)).cast("long"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("kept",
+        (pmod(Dedup.hash48(concat(col("doc_id"), lit(":temp"))),
+          lit(1000000L)) < col("gate")).cast("int"))
+      .groupBy(col("lang"), col("n_docs"), col("rate"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"),
+        col("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixSql: String =
+    s"""WITH sizes AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |mn AS (SELECT MIN(n_docs) AS n_min FROM sizes),
+       |rates AS (SELECT lang, n_docs,
+       |    LEAST(1.0, sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS rate
+       |  FROM sizes, mn),
+       |d AS (SELECT documents.lang, n_docs, rate,
+       |    CASE WHEN CAST('0x' || substr(md5(doc_id || ':temp'), 1, 12) AS BIGINT)
+       |              % 1000000 < CAST(FLOOR(rate * 1000000.0) AS BIGINT)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM documents JOIN rates USING (lang))
+       |SELECT lang, n_docs, ROUND(rate, 6) AS rate,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept
+       |FROM d GROUP BY lang, n_docs, rate ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_temperature_mix" -> (temperatureMix _),
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
     "q_pii_redact" -> (piiRedact _),
@@ -358,6 +411,7 @@ object CorpusOps {
     "q_quality_gate" -> (qualityGate _))
 
   def oracles: Map[String, String] = Map(
+    "q_temperature_mix" -> temperatureMixSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_pii_redact" -> piiRedactSql,

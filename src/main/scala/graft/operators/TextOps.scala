@@ -717,7 +717,49 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary size for the OOV-rate profile (the corpus has 31 distinct
+    * tokens; 25 leaves a discriminating out-of-vocabulary tail). */
+  val OovVocabK = 25
+
+  /** Q-oov-rate: out-of-vocabulary fraction per doc against the corpus'
+    * own top-[[OovVocabK]] token vocabulary (count desc, token asc
+    * tiebreak — fully deterministic cut). The tokenizer-coverage profile
+    * of a training corpus: docs with high OOV under a candidate vocab are
+    * the ones that will fragment into byte-fallback tokens. The vocab is
+    * K rows — a TakeOrderedAndProject, then BROADCAST to a map-side
+    * left-anti membership probe; the only corpus-sized shuffles are the
+    * token-count partial aggregation and the per-doc re-aggregation. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tok"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val oovRateSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |vocab AS (SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS cnt,
+       |      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+       |    FROM toks GROUP BY tok) WHERE rk <= $OovVocabK)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  ROUND(CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS oov_frac
+       |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_oov_rate" -> (oovRate _),
     "q_compress_ratio" -> (compressRatio _),
     "q_perplexity" -> (perplexity _),
     "q_winnow_overlap" -> (winnowOverlap _),
@@ -739,6 +781,7 @@ object TextOps {
     "q_fingerprint" -> (fingerprintQuery _))
 
   def oracles: Map[String, String] = Map(
+    "q_oov_rate" -> oovRateSql,
     "q_perplexity" -> perplexitySql,
     "q_winnow_overlap" -> winnowOverlapSql,
     "q_collocations" -> collocationsSql,

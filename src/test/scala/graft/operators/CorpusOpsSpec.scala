@@ -132,6 +132,33 @@ class CorpusOpsSpec extends SparkSpecBase with Matchers {
     flags(5L) shouldBe ((1, 1, 0, 1, 0)) // stopwords
   }
 
+  test("temperature mix: smallest language keeps everything, bigger ones flatten by sqrt") {
+    val tmp = java.nio.file.Files.createTempDirectory("tempmix").toString
+    // langs sized 4 / 16 / 64: rates 1.0 / 0.5 / 0.25
+    val rows = (1 to 4).map(i => (i.toLong, "aa")) ++
+      (5 to 20).map(i => (i.toLong, "bb")) ++
+      (21 to 84).map(i => (i.toLong, "cc"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      rows.map { case (i, l) => Row(i, "x", l, "src0", 1L) }: _*), schema)
+      .write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val out = CorpusOps.temperatureMix(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    out("aa")._2 shouldBe 1.0
+    out("bb")._2 shouldBe 0.5
+    out("cc")._2 shouldBe 0.25
+    out("aa")._3 shouldBe 4L // rate 1.0 is a tautological gate: all kept
+    // hash-gated keeps stay within loose binomial bounds of rate·n
+    out("bb")._3.toDouble should (be >= 2.0 and be <= 14.0)
+    out("cc")._3.toDouble should (be >= 6.0 and be <= 26.0)
+    // deterministic: re-run bit-identical
+    CorpusOps.temperatureMix(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap shouldBe out
+  }
+
   test("quality gate thresholds each source at its own exact P25") {
     val tmp = java.nio.file.Files.createTempDirectory("qgate").toString
     val schema = StructType(Seq(

@@ -106,4 +106,28 @@ class HandComputedSemanticsSpec extends SparkSpecBase with Matchers {
     val r = TextOps.qualityLogistic(spark, tmp).head()
     r.getAs[Double]("ml_score") shouldBe expected +- 1e-9
   }
+
+  test("oov rate: the vocab cut is count-then-token deterministic, fractions hand-checked") {
+    // 30 distinct tokens; t01 count 3, t02..t25 count 2, t26 count 2,
+    // t27..t30 count 1. The rank-25 cut falls INSIDE the count-2 tie group
+    // — the token-asc tiebreak puts t02..t25 in, t26 out.
+    val a = ((1 to 25).map(i => f"t$i%02d") ++ (1 to 25).map(i => f"t$i%02d")).mkString(" ")
+    val b = "t26 t27 t28 t29 t30"
+    val c = "t01 t26"
+    val tmp = java.nio.file.Files.createTempDirectory("oov").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(java.util.Arrays.asList(
+        Row(1L, a, "en", "src0", a.length.toLong),
+        Row(2L, b, "en", "src0", b.length.toLong),
+        Row(3L, c, "en", "src0", c.length.toLong)), schema)
+      .write.parquet(tmp + "/documents.parquet")
+    val out = TextOps.oovRate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((50L, 0L, 0.0))  // all in vocab
+    out(2L) shouldBe ((5L, 5L, 1.0))   // t26 loses the tie, t27..t30 below cut
+    out(3L) shouldBe ((2L, 1L, 0.5))
+  }
 }
