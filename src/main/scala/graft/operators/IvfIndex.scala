@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest neighbor: partition the index into
@@ -21,20 +20,26 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   /** Assign every vector to its nearest centroid by cosine (ties → lowest
-    * centroid id). One broadcast join + per-vector rank — no shuffle of
-    * the index side beyond the ranking window's local sort. */
-  def assign(index: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_score").desc, col("cent_id"))
+    * centroid id). One broadcast join + an argmax AGGREGATION — `min` of
+    * `struct(-score, cent_id, payload…)`, whose lexicographic ordering is
+    * exactly the old window's `ORDER BY c_score DESC, cent_id` — so the
+    * k×-expanded candidate frame partial-aggregates back to one row per
+    * vector map-side BEFORE the exchange, and nothing sorts a k× frame.
+    * (The window form shuffled k candidate rows per vector, each carrying
+    * the full embedding, then sorted them — k× the exchange volume for
+    * the same result.) */
+  def assign(index: DataFrame, centroids: DataFrame): DataFrame =
     index
       .crossJoin(broadcast(centroids))
       .withColumn("c_score", cosineSimPrenormed(
         dotProduct(col("embedding"), col("c_embedding")),
         col("vec_norm"), col("c_norm")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("vec_norm"), col("cent_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("c_score")).as("ns"), col("cent_id"),
+        col("label"), col("embedding"), col("vec_norm"))).as("b"))
+      .select(col("vec_id"), col("b.label").as("label"),
+        col("b.embedding").as("embedding"), col("b.vec_norm").as("vec_norm"),
+        col("b.cent_id").as("cent_id"))
 
   /** Probe: the query's top-`nprobe` centroids. */
   def probes(centroids: DataFrame, query: DataFrame, nprobe: Int): DataFrame =

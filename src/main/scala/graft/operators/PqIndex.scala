@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.{PqEncode, VectorFunctions}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the memory-side scale path for vector
@@ -15,14 +15,18 @@ import org.apache.spark.sql.functions._
   * `upsert/upsert.go:38-111` delegation.
   *
   * Mechanics: unit-normalize, cut each vector into [[M]] subvectors, train
-  * an independent [[K]]-centroid L2 codebook per subspace (Lloyd), store
-  * each vector as its per-subspace nearest-centroid ids. A query builds an
-  * asymmetric-distance lookup table (ADC LUT: dot product of each QUERY
-  * subvector against every centroid — M·K doubles, constant-size per
-  * query), scores every code map-side as Σₘ LUT[m][code[m]], shortlists,
-  * and exact-reranks the shortlist — the standard two-stage retrieval.
-  * Because the vectors are unit-normalized first, the decomposed dot
-  * product approximates cosine directly.
+  * an independent [[K]]-centroid L2 codebook per subspace (Lloyd) on a
+  * bounded deterministic sample, then encode the WHOLE corpus in one
+  * map-side pass: the trained codebook (M·K·SubDim doubles — 4 KB) is
+  * collected as planner metadata and rides a native expression
+  * ([[graft.functions.PqEncode]]), so encoding is scan → project with no
+  * explode, no join, and no shuffle. A query builds an asymmetric-distance
+  * lookup table (ADC LUT: dot product of each QUERY subvector against
+  * every centroid — M·K doubles, constant-size per query), scores every
+  * code map-side as Σₘ LUT[m][code[m]], shortlists, and exact-reranks the
+  * shortlist — the standard two-stage retrieval. Because the vectors are
+  * unit-normalized first, the decomposed dot product approximates cosine
+  * directly.
   *
   * Training and encoding are oracle-inexpressible (iterative k-means), so
   * q_pq_knn is declared rows-only; PqIndexSpec gates recall@10 against
@@ -38,6 +42,13 @@ object PqIndex {
   val K = 16
   /** Lloyd iterations for codebook training. */
   val TrainIters = 4
+  /** Codebook training sample cap — FAISS's max-points-per-centroid
+    * discipline: K=16 centroids per subspace need a few hundred training
+    * points, not the corpus. The sample is a deterministic hash-ordered
+    * top-N (TakeOrderedAndProject — one scan, no full sort), so training
+    * cost is CONSTANT in corpus size; only the map-side encode pass scales
+    * with N. */
+  val TrainCap = 512
   /** Approximate-stage shortlist size handed to exact rerank. A constant
     * (not a corpus fraction): PQ's role is to cut the candidate set to
     * something rerank-able regardless of N; recall@10 at sf0.001 measured
@@ -58,35 +69,36 @@ object PqIndex {
       .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sv").as("sv"))
   }
 
-  /** Nearest codebook centroid per subvector (L2, ties → lowest cent_id).
-    * The codebook (M·K rows) broadcasts; the rank is a per-(vec,sub)
-    * window over K candidates. */
-  private def assign(sv: DataFrame, codebook: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
-      .orderBy(col("dist"), col("cent_id"))
+  /** Nearest codebook centroid per subvector (L2, ties → lowest cent_id),
+    * carrying the subvector through for the training update. The codebook
+    * (M·K rows) broadcasts; the argmin is `min(struct(dist, cent_id, sv))`
+    * — an aggregation with map-side partial merge, not a window: the
+    * K×-expanded candidate frame reduces to one row per (vec, sub) BEFORE
+    * the exchange, and nothing sorts. */
+  private def assignSv(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("sub_id"))
       .withColumn("dist", l2Dist(col("sv"), col("c_sv")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("sub_id"), col("cent_id"))
-  }
+      .groupBy(col("vec_id"), col("sub_id"))
+      .agg(min(struct(col("dist"), col("cent_id"), col("sv"))).as("b"))
+      .select(col("sub_id"), col("b.cent_id").as("cent_id"), col("b.sv").as("sv"))
 
   /** All M codebooks trained in ONE frame (sub_id is part of the grouping
     * key), so an iteration is one broadcast join + one typed VectorMean
     * aggregation regardless of M — the [[IvfIndex.trainCentroids]]
     * discipline, including the per-iteration `localCheckpoint` lineage
-    * cut. Seeds are the first K vectors' subvectors (deterministic). */
+    * cut. Training reads only the [[TrainCap]]-vector sample; seeds are
+    * the first K vectors' subvectors (deterministic). */
   def trainCodebooks(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sv = subvectors(emb).localCheckpoint(true)
+    val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainCap)
+    val sv = subvectors(sample).localCheckpoint(true)
     var cb = subvectors(emb.filter(col("vec_id") < K))
       .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("c_sv"))
       .localCheckpoint(true)
     val mean = new graft.api.Typed.VectorMean(SubDim).toColumn
     for (_ <- 1 to TrainIters) {
-      val next = assign(sv, cb).join(sv, Seq("vec_id", "sub_id"))
-        .select(col("sub_id"), col("cent_id"), col("sv"))
+      val next = assignSv(sv, cb)
         .as[(Int, Long, Array[Float])]
         .groupByKey(r => (r._1, r._2)).mapValues(_._3)
         .agg(mean.name("c_sv"))
@@ -97,17 +109,32 @@ object PqIndex {
     cb
   }
 
-  /** PQ codes: per vector, its M nearest-centroid ids in subspace order —
-    * the M-byte stored representation. One groupBy(vec_id) shuffle of
-    * (id, sub, code) triples; at scale this is the index-build job whose
-    * output persists next to the vectors ([[graft.sources.IndexCatalog]]
-    * would carry `code` as just another column). */
+  /** The trained codebook as the flat `[m][k][subDim]` double array
+    * [[graft.functions.PqEncode]] consumes — M·K·SubDim doubles (4 KB),
+    * collected once per build like the ADC LUT. Clusters Lloyd dropped
+    * (empty assignment) fill with +∞ coordinates: no vector can select
+    * them, and no stored code references them. */
+  def collectCodebook(cb: DataFrame): Array[Double] = {
+    val flat = Array.fill(M * K * SubDim)(Double.PositiveInfinity)
+    cb.collect().foreach { r =>
+      val base = (r.getAs[Int]("sub_id") * K + r.getAs[Long]("cent_id").toInt) * SubDim
+      val sv = r.getSeq[Float](r.fieldIndex("c_sv"))
+      var d = 0
+      while (d < SubDim) { flat(base + d) = sv(d).toDouble; d += 1 }
+    }
+    flat
+  }
+
+  /** PQ codes: per vector, its M nearest-centroid byte ids in subspace
+    * order — the M-byte stored representation. A PURE MAP (normalize +
+    * encode ride the scan in one whole-stage-codegen projection): at scale
+    * this is the index-build job whose output persists next to the vectors
+    * ([[graft.sources.IndexCatalog]] would carry `code` as just another
+    * column), and it moves zero rows. */
   def encode(emb: DataFrame, codebook: DataFrame): DataFrame =
-    assign(subvectors(emb), codebook)
-      .groupBy(col("vec_id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("sub_id"), col("cent_id")))),
-        s => s.getField("cent_id")).as("code"))
+    emb.select(col("vec_id"),
+      PqEncode.encode(VectorFunctions.normalize(col("embedding")),
+        collectCodebook(codebook), M, K, SubDim).as("code"))
 
   /** Q-pq-knn: two-stage PQ search for vector 0's top-10 — ADC shortlist
     * over codes, exact cosine rerank of the shortlist.

@@ -50,7 +50,9 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
         VectorFunctions.dotProduct(col("embedding"), col("embedding")).as("selfdot"),
         VectorFunctions.l2Norm(col("embedding")).as("norm"),
         VectorFunctions.l2Dist(col("embedding"), col("embedding")).as("selfdist"),
-        SparseVectors.toDense(SparseVectors.toSparse(col("embedding"), 0.05), 64).as("sparse_rt"))
+        SparseVectors.toDense(SparseVectors.toSparse(col("embedding"), 0.05), 64).as("sparse_rt"),
+        PqEncode.encode(VectorFunctions.normalize(col("embedding")),
+          Array.tabulate(8 * 16 * 8)(i => (i % 97) * 0.01), 8, 16, 8).as("pq_code"))
       .orderBy(col("vec_id"))
 
   test("all native expressions execute under CODEGEN_ONLY and match interpreted eval") {

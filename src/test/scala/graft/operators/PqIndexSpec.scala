@@ -15,12 +15,12 @@ class PqIndexSpec extends SparkSpecBase with Matchers {
     val codes = PqIndex.encode(emb, cb).collect()
     codes.length shouldBe emb.count()
     codes.foreach { r =>
-      val code = r.getSeq[Long](1)
+      val code = r.getSeq[Byte](1)
       code.length shouldBe PqIndex.M
-      all(code) should (be >= 0L and be < PqIndex.K.toLong)
+      all(code) should (be >= 0.toByte and be < PqIndex.K.toByte)
     }
     // the codebook is actually used: vectors spread over many codewords
-    codes.map(_.getSeq[Long](1)).distinct.length should be > codes.length / 4
+    codes.map(_.getSeq[Byte](1)).distinct.length should be > codes.length / 4
   }
 
   test("pq search is deterministic and recalls most of the exact top-10") {
