@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{PqEncode, VectorFunctions}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization (PQ) — the memory-side scale path for vector
@@ -136,21 +136,11 @@ object PqIndex {
       PqEncode.encode(VectorFunctions.normalize(col("embedding")),
         collectCodebook(codebook), M, K, SubDim).as("code"))
 
-  /** Q-pq-knn: two-stage PQ search for vector 0's top-10 — ADC shortlist
-    * over codes, exact cosine rerank of the shortlist.
-    *
-    * The LUT collect is M·K = 128 doubles — constant per query,
-    * independent of corpus size (FAISS computes the same table per query
-    * in-core); it parameterizes a LITERAL array so the ADC score is a pure
-    * map-side expression over the code column: no join, no shuffle until
-    * the top-[[Shortlist]] TakeOrderedAndProject. Rerank touches exactly
-    * Shortlist full vectors via an id join against the (broadcast)
-    * shortlist. */
-  def pqKnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cb = trainCodebooks(emb)
-    val codes = encode(emb, cb)
-    val q = emb.filter(col("vec_id") === 0)
+  /** The per-query ADC lookup table as a LITERAL array column: the dot
+    * product of each QUERY subvector against every centroid — M·K = 128
+    * doubles collected once per query, constant in corpus size (FAISS
+    * computes the same table per query in-core). */
+  private def adcLut(q: DataFrame, cb: DataFrame): Column = {
     val lutRows = subvectors(q).join(broadcast(cb), Seq("sub_id"))
       .select(col("sub_id"), col("cent_id"),
         dotProduct(col("sv"), col("c_sv")).as("p"))
@@ -158,13 +148,31 @@ object PqIndex {
     val lut = Array.fill(M, K)(0.0)
     lutRows.foreach(r =>
       lut(r.getAs[Int]("sub_id"))(r.getAs[Long]("cent_id").toInt) = r.getAs[Double]("p"))
-    val lutCol = array(lut.map(sub => array(sub.map(lit).toSeq: _*)).toSeq: _*)
+    array(lut.map(sub => array(sub.map(lit).toSeq: _*)).toSeq: _*)
+  }
+
+  /** Σₘ LUT[m][code[m]] — the approximate dot product, a pure map-side
+    * expression over the stored code column. */
+  private def adcScore(lutCol: Column): Column =
+    aggregate(
+      transform(col("code"),
+        (c, i) => element_at(element_at(lutCol, i + 1), c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Q-pq-knn: two-stage PQ search for vector 0's top-10 — ADC shortlist
+    * over codes, exact cosine rerank of the shortlist.
+    *
+    * The [[adcLut]] literal makes the ADC score a pure map-side expression
+    * over the code column: no join, no shuffle until the top-[[Shortlist]]
+    * TakeOrderedAndProject. Rerank touches exactly Shortlist full vectors
+    * via an id join against the (broadcast) shortlist. */
+  def pqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = trainCodebooks(emb)
+    val codes = encode(emb, cb)
+    val q = emb.filter(col("vec_id") === 0)
     val shortlist = codes
-      .withColumn("approx_dot",
-        aggregate(
-          transform(col("code"),
-            (c, i) => element_at(element_at(lutCol, i + 1), c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx_dot", adcScore(adcLut(q, cb)))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("approx_dot").desc, col("vec_id"))
       .limit(Shortlist)
@@ -175,8 +183,50 @@ object PqIndex {
       qSide, 10, keep = Seq("approx_dot"))
   }
 
+  /** Q-ivfpq-knn: the composed FAISS layout — IVF coarse buckets prune the
+    * SCAN (only the query's nprobe nearest buckets are read; persisted,
+    * the bucket is a partition column exactly as in q_ann_ivf_persisted)
+    * while PQ codes shrink the MEMORY the approximate pass touches (M
+    * bytes per vector instead of dim×4). Bucket assignment and code ride
+    * ONE build pass over the corpus (assign's aggregation carries the
+    * embedding; the encode projection is map-side), the probe filter is a
+    * broadcast semi-join on nprobe centroid ids, ADC scores map-side, and
+    * the exact rerank touches only the [[Shortlist]].
+    *
+    * Like q_pq_knn this is rows-only by design (k-means training);
+    * PqIndexSpec gates recall against the exact-scoring IVF search over
+    * the same probed buckets, plus bucket containment and determinism. */
+  def ivfPqKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cent = KnnSearch.withNorm(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val cb = trainCodebooks(emb)
+    val flat = collectCodebook(cb)
+    val indexFrame = IvfIndex.assign(KnnSearch.withNorm(emb), cent)
+      .withColumn("code", PqEncode.encode(
+        VectorFunctions.normalize(col("embedding")), flat, M, K, SubDim))
+    val q = emb.filter(col("vec_id") === 0)
+    val qn = KnnSearch.withNorm(
+      q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    val shortlist = indexFrame
+      .join(broadcast(IvfIndex.probes(cent, qn, nprobe = 4)), Seq("cent_id"))
+      .withColumn("approx_dot", adcScore(adcLut(q, cb)))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(Shortlist)
+      .select(col("vec_id"), col("cent_id"), round(col("approx_dot"), 6).as("approx_dot"))
+    val qSide = q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(
+      KnnSearch.withNorm(emb).join(broadcast(shortlist), Seq("vec_id")),
+      qSide, 10, keep = Seq("cent_id", "approx_dot"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pq_knn" -> (pqKnn _))
+    "q_pq_knn" -> (pqKnn _),
+    "q_ivfpq_knn" -> (ivfPqKnn _))
 
   /** Iterative k-means has no SQL twin — rows-only by design; recall,
     * determinism, and code shape are gated by PqIndexSpec. */

@@ -40,4 +40,21 @@ class PqIndexSpec extends SparkSpecBase with Matchers {
     val scores = a.map(_.getAs[Double]("score"))
     scores.toSeq shouldBe scores.sorted.reverse.toSeq
   }
+
+  test("ivf-pq search stays inside probed buckets and recalls the exact-scoring IVF result") {
+    val a = PqIndex.ivfPqKnn(spark, sfDir).collect()
+    val b = PqIndex.ivfPqKnn(spark, sfDir).collect()
+    a.map(_.toString) shouldBe b.map(_.toString) // deterministic seeds + Lloyd
+    a.length shouldBe 10
+    // nprobe=4: every result must come from one of at most 4 coarse buckets
+    a.map(_.getAs[Long]("cent_id")).distinct.length should be <= 4
+    // the exact-scoring IVF search over the SAME probed buckets (q_ann_ivf)
+    // is the reference result the PQ approximation + rerank must recover
+    val exact = VectorOps.annIvf(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = a.map(_.getAs[Long]("vec_id")).toSet
+    (got intersect exact).size.toDouble / 10.0 should be >= 0.8
+    val scores = a.map(_.getAs[Double]("score"))
+    scores.toSeq shouldBe scores.sorted.reverse.toSeq
+  }
 }
