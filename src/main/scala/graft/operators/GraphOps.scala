@@ -119,15 +119,18 @@ object GraphOps {
     * canonical iterative-graph workload (importance weighting of corpus
     * items by co-occurrence centrality).
     *
-    * Scale shape: one iteration = one shuffle join of the edge list with
-    * the rank vector on the source node + one grouped aggregation on the
-    * destination — the standard distributed PageRank step; the edge list
-    * and degree vector are materialized ONCE (`localCheckpoint`, the
-    * [[triangles]]/resolveClusters discipline) so the basket pipeline is
-    * not re-run per iteration. Per-node neighbor sums fold in source-id
-    * order (`sort_array` + `aggregate`) purely for bit-exact oracle
-    * parity — the buffer is bounded by in-degree; a production run without
-    * a DuckDB twin would use a plain `sum` and shed the collect. */
+    * Scale shape: one iteration = a BROADCAST join of the edge list with
+    * the rank and degree vectors (node-sized — the part catalog, tiny
+    * next to the edge list; when the node set outgrows broadcast the same
+    * code degrades to a shuffle join on `u`, the standard distributed
+    * step) + one grouped aggregation on the destination, so the edge list
+    * moves only through the dst-keyed shuffle. Edges and degrees are
+    * materialized ONCE (`localCheckpoint`, the [[triangles]]/
+    * resolveClusters discipline) so the basket pipeline is not re-run per
+    * iteration. Per-node neighbor sums fold in source-id order
+    * (`sort_array` + `aggregate`) purely for bit-exact oracle parity —
+    * the buffer is bounded by in-degree; a production run without a DuckDB
+    * twin would use a plain `sum` and shed the collect. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val und = copurchasePairs(baskets(spark, dir))
       .filter(col("n_orders") >= TriangleMinSupport)
@@ -141,7 +144,7 @@ object GraphOps {
     var pr = deg.crossJoin(broadcast(nDf))
       .select(col("u"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to PagerankIters) {
-      pr = edges.join(pr, Seq("u")).join(deg, Seq("u"))
+      pr = edges.join(broadcast(pr), Seq("u")).join(broadcast(deg), Seq("u"))
         .select(col("v"),
           struct(col("u"), (col("pr") / col("d").cast("double")).as("c")).as("t"))
         .groupBy(col("v"))
