@@ -70,7 +70,17 @@ object GraftExtensions {
     (FunctionIdentifier("deflate_stats"),
       info("deflate_stats",
         "deflate_stats(text) - struct(raw_bytes, deflated_bytes) DEFLATE compressibility"),
-      (args: Seq[Expression]) => DeflateStats(args.head)))
+      (args: Seq[Expression]) => DeflateStats(args.head)),
+    (FunctionIdentifier("pq_encode"),
+      info("pq_encode",
+        "pq_encode(vec, codebook, m, k, subdim) - per-subspace nearest-centroid byte codes " +
+          "against a flat [m][k][subdim] codebook literal"),
+      (args: Seq[Expression]) => PqEncode(args.head,
+        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        args(2).eval().asInstanceOf[Number].intValue(),
+        args(3).eval().asInstanceOf[Number].intValue(),
+        args(4).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-running session (extensions configured at
     * build time can't be added retroactively). */

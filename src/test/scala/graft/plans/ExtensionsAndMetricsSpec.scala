@@ -57,6 +57,12 @@ class ExtensionsAndMetricsSpec extends SparkSpecBase with Matchers {
     r.getLong(2) shouldBe 4L
     r.getLong(3) shouldBe 2L
     r.getDouble(4) shouldBe math.log(2.0) +- 1e-6 // uniform over 2 chars
+    // pq_encode: 1 subspace of dim 2, centroids (0,0) and (1,1) —
+    // (0.9,0.9) is nearest centroid 1
+    spark.sql(
+      """SELECT pq_encode(array(0.9D, 0.9D),
+        |  array(0.0D, 0.0D, 1.0D, 1.0D), 1, 2, 2) AS code""".stripMargin)
+      .head().getSeq[Byte](0) shouldBe Seq(1.toByte)
   }
 
   test("a null array ELEMENT nulls the result instead of crashing or reading 0") {
