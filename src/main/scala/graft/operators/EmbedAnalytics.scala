@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space corpus analytics: per-class centroids, outlier
+  * detection against them, and hard-negative mining — the embedding-side
+  * quality/curation counterpart of the text profiling suite (the
+  * reference stores vectors but never analyzes them; these are the
+  * diagnostics a training pipeline runs over its embedding table before
+  * trusting labels or sampling contrastive pairs).
+  *
+  * All three are oracle-gated: the per-dimension means sum DECIMAL casts
+  * (the q_anomaly discipline — exact, order-free, partial-aggregatable,
+  * so the engine-dependent double-accumulation-order problem never
+  * arises), and every downstream cosine runs from those identical
+  * rounded inputs.
+  */
+object EmbedAnalytics {
+
+  /** Q-label-centroids: the per-label mean embedding (and class size) —
+    * the class prototype used for outlier screening, nearest-class-mean
+    * classification, and cluster drift monitoring.
+    *
+    * Scale shape: posexplode is map-side; the (label, dim) partial
+    * aggregation combines before its exchange carries one row per
+    * (label, dim) per task; the final assembly groups #labels×dim rows.
+    * The DECIMAL(38,18) cast makes the per-dimension sum exact and thus
+    * independent of partitioning — bit-identical to the oracle's
+    * sequential sum by construction, not by accumulation-order luck. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        round(sum(col("x").cast("double").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("m"),
+        count(lit(1)).as("n"))
+    per.groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      .orderBy(col("label"))
+  }
+
+  val labelCentroidsSql: String =
+    """WITH ex AS (
+      |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
+      |  FROM embeddings),
+      |per AS (
+      |  SELECT label, u.i - 1 AS pos,
+      |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |          / COUNT(*), 6) AS m,
+      |    COUNT(*) AS n
+      |  FROM ex GROUP BY 1, 2)
+      |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+      |  list(m ORDER BY pos) AS centroid
+      |FROM per GROUP BY label ORDER BY label""".stripMargin
+
+  /** Q-embed-outliers: the 20 vectors least similar to their OWN label's
+    * centroid — mislabeled or out-of-distribution candidates (the
+    * embedding-space analog of q_anomaly's z-score tail). The centroid
+    * table is #labels rows and broadcasts; scoring is one map-side cosine
+    * per vector over the scan. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .join(broadcast(labelCentroids(spark, dir).select(col("label"), col("centroid"))),
+        "label")
+      .withColumn("centroid_cos", round(cosineSim(col("embedding"), col("centroid")), 6))
+      .select(col("vec_id"), col("label"), col("centroid_cos"))
+      .orderBy(col("centroid_cos").asc, col("vec_id"))
+      .limit(20)
+
+  val embedOutliersSql: String = {
+    import graft.operators.{VectorSql => V}
+    s"""WITH ex AS (
+       |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
+       |  FROM embeddings),
+       |per AS (
+       |  SELECT label, u.i - 1 AS pos,
+       |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |          / COUNT(*), 6) AS m
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY label)
+       |SELECT e.vec_id, e.label,
+       |  ROUND(${V.cosine("e.embedding", "c.centroid")}, 6) AS centroid_cos
+       |FROM embeddings e JOIN cent c ON e.label = c.label
+       |ORDER BY centroid_cos ASC, e.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Q-hard-negatives: for each of the first 5 query vectors, the 5 most
+    * cosine-similar vectors with a DIFFERENT label — contrastive-training
+    * hard-negative mining (the pairs a metric-learning run needs most).
+    * Same shape as the batch kNN join (broadcast query block, one scored
+    * pass, per-query rank pruned by WindowGroupLimit); the label
+    * inequality is a map-side filter BEFORE ranking, so the window never
+    * sees same-class rows. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_embedding"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    emb
+      .crossJoin(broadcast(q.withColumn("q_norm", l2Norm(col("q_embedding")))))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("score", KnnSearch.prenormedScore)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("label"), col("score"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String = {
+    import graft.operators.{VectorSql => V}
+    s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, e.label,
+       |    ROUND(${V.cosine("e.embedding", "q.qe")}, 6) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |                               ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, vec_id, label, score, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_label_centroids" -> (labelCentroids _),
+    "q_embed_outliers" -> (embedOutliers _),
+    "q_hard_negatives" -> (hardNegatives _))
+
+  def oracles: Map[String, String] = Map(
+    "q_label_centroids" -> labelCentroidsSql,
+    "q_embed_outliers" -> embedOutliersSql,
+    "q_hard_negatives" -> hardNegativesSql)
+}

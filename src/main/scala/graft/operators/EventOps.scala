@@ -428,7 +428,44 @@ object EventOps {
       |FROM pairs JOIN tot USING (prev_type)
       |ORDER BY prev_type, next_type""".stripMargin
 
+  /** Q-time-decay: recency-weighted per-user engagement — each event
+    * weighs 0.5^⌊age_days/7⌋ (one-week half-life against the fixed
+    * anchor date after the testdata's last event), top-25 users by
+    * decayed score. The weights are EXACT DYADIC DECIMALS (0.5^n for
+    * n ≤ 8 is an 8-decimal-digit literal): the sum is exact and
+    * order-free like the q_anomaly moments, so the score is
+    * bit-identical across engines and partitionings — where a
+    * `pow(0.5, age/7.0)` double fold would depend on both libm and
+    * accumulation order. One partial-aggregated pass; the weight CASE is
+    * map-side. */
+  def timeDecay(spark: SparkSession, dir: String): DataFrame = {
+    val halfLives = (0 to 8).map(n =>
+      java.math.BigDecimal.valueOf(1L).divide(
+        java.math.BigDecimal.valueOf(1L << n), 8, java.math.RoundingMode.UNNECESSARY))
+    val weight = element_at(
+      array(halfLives.map(w => lit(w).cast("decimal(12,8)")): _*),
+      least(floor(datediff(lit(java.sql.Date.valueOf("2024-01-31")),
+        col("ts").cast("date")) / 7).cast("int"), lit(8)) + 1)
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(weight).cast("double"), 6).as("decayed"))
+      .orderBy(col("decayed").desc, col("user_id"))
+      .limit(25)
+  }
+
+  val timeDecaySql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CASE LEAST(CAST(datediff('day', CAST(ts AS DATE), DATE '2024-01-31') AS INT) // 7, 8)
+      |    WHEN 0 THEN CAST('1' AS DECIMAL(12,8)) WHEN 1 THEN CAST('0.5' AS DECIMAL(12,8))
+      |    WHEN 2 THEN CAST('0.25' AS DECIMAL(12,8)) WHEN 3 THEN CAST('0.125' AS DECIMAL(12,8))
+      |    WHEN 4 THEN CAST('0.0625' AS DECIMAL(12,8)) WHEN 5 THEN CAST('0.03125' AS DECIMAL(12,8))
+      |    WHEN 6 THEN CAST('0.015625' AS DECIMAL(12,8)) WHEN 7 THEN CAST('0.0078125' AS DECIMAL(12,8))
+      |    ELSE CAST('0.00390625' AS DECIMAL(12,8)) END) AS DOUBLE), 6) AS decayed
+      |FROM events GROUP BY user_id ORDER BY decayed DESC, user_id LIMIT 25""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_decay" -> (timeDecay _),
     "q_transition" -> (transitions _),
     "q_anomaly" -> (anomaly _),
     "q_funnel" -> (funnel _),
@@ -448,6 +485,7 @@ object EventOps {
     "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_time_decay" -> timeDecaySql,
     "q_transition" -> transitionsSql,
     "q_anomaly" -> anomalySql,
     "q_funnel" -> funnelSql,
