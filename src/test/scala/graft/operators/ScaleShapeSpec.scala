@@ -155,4 +155,29 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
     plan should not include "Exchange hashpartitioning"
     (plan should not).include("Join")
   }
+
+  test("pq encode plan: a single projection over the scan — no explode, join, or exchange") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = PqIndex.encode(emb, PqIndex.trainCodebooks(emb))
+      .queryExecution.executedPlan.toString
+    plan should include("pq_encode")
+    plan should not include "Exchange"
+    (plan should not).include("Join")
+    (plan should not).include("Generate") // no subvector explode at encode time
+  }
+
+  test("ivf assignment plan: argmax is a partial aggregation before the exchange, not a window") {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
+    val cent = KnnSearch.withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val plan = IvfIndex.assign(emb, cent).queryExecution.executedPlan.toString
+    (plan should not).include("Window")
+    plan should include("partial_min")
+    // the k×-expanded candidate frame reduces BEFORE the shuffle: the
+    // partial aggregation must appear below (after, in text order) the
+    // vec_id exchange
+    plan.indexOf("partial_min") should be > plan.indexOf("Exchange hashpartitioning")
+  }
 }
