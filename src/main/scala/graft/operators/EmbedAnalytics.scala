@@ -132,13 +132,69 @@ object EmbedAnalytics {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Q-ncm-eval: nearest-class-mean classification accuracy per label —
+    * how separable the classes are in embedding space (the standard cheap
+    * probe of embedding quality before training on the labels). Each
+    * vector is assigned to its most-cosine-similar label centroid
+    * (ROUNDED scores compared, ties → lowest label — both engines compare
+    * identical values); accuracy is exact counts + one division.
+    *
+    * Scale shape: the centroid table broadcasts, argmax is the
+    * [[IvfIndex.assign]] min-struct aggregation (partial-aggregated
+    * map-side, no window), and the final per-label rollup is #labels
+    * rows. */
+  def ncmEval(spark: SparkSession, dir: String): DataFrame = {
+    val cents = labelCentroids(spark, dir)
+      .select(col("label").as("c_label"), col("centroid"))
+    val pred = Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", round(cosineSim(col("embedding"), col("centroid")), 6))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct((-col("cos")).as("ns"), col("c_label"))).as("b"))
+      .select(col("label"), col("b.c_label").as("pred"))
+    pred.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n").cast("double"), 6))
+      .orderBy(col("label"))
+  }
+
+  val ncmEvalSql: String = {
+    import graft.operators.{VectorSql => V}
+    s"""WITH ex AS (
+       |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
+       |  FROM embeddings),
+       |per AS (
+       |  SELECT label, u.i - 1 AS pos,
+       |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+       |          / COUNT(*), 6) AS m
+       |  FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
+       |         FROM per GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.c_label,
+       |    ROUND(${V.cosine("e.embedding", "c.centroid")}, 6) AS cos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |pred AS (
+       |  SELECT vec_id, label, c_label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rn
+       |  FROM scored)
+       |SELECT label, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  ROUND(SUM(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS accuracy
+       |FROM pred WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_centroids" -> (labelCentroids _),
     "q_embed_outliers" -> (embedOutliers _),
-    "q_hard_negatives" -> (hardNegatives _))
+    "q_hard_negatives" -> (hardNegatives _),
+    "q_ncm_eval" -> (ncmEval _))
 
   def oracles: Map[String, String] = Map(
     "q_label_centroids" -> labelCentroidsSql,
     "q_embed_outliers" -> embedOutliersSql,
-    "q_hard_negatives" -> hardNegativesSql)
+    "q_hard_negatives" -> hardNegativesSql,
+    "q_ncm_eval" -> ncmEvalSql)
 }
