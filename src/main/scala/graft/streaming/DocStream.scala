@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.functions.TextFunctions.fingerprint
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+
+/** Streaming corpus ingestion with incremental exact dedup — the
+  * nightly-append pipeline (q_dedup_incremental's shape) as a Structured
+  * Streaming sink: each micro-batch of documents is deduped within
+  * itself, anti-joined against the PERSISTED corpus's fingerprints, and
+  * only the genuinely new documents append.
+  *
+  * Idempotent by construction (the foreachBatch retry contract): a
+  * replayed micro-batch re-runs the anti-join against a corpus that
+  * already contains its survivors, so the replay appends nothing — no
+  * transaction log needed, the dedup IS the exactly-once mechanism.
+  * Within a batch the lowest doc_id per fingerprint wins
+  * (deterministic).
+  *
+  * At scale: the corpus side is read as fingerprints only (column
+  * pruning reaches the scan); the batch side is micro-batch-sized and
+  * broadcasts, so per-batch cost is ∝ batch — the corpus is never
+  * reshuffled, exactly like the batch q_dedup_incremental. Appends are
+  * new parquet files; [[graft.sources.Maintenance.compactPartitions]]
+  * is the matching compaction story for a long-running trickle.
+  */
+object DocStream {
+
+  /** Batch-side core (shared with the spec's batch-parity check): dedup
+    * `batch` within itself and against `corpusFps` (a `fp` column or
+    * null), returning the rows to append with their fingerprints. */
+  def newDocuments(batch: DataFrame, corpusFps: Option[DataFrame]): DataFrame = {
+    val withFp = batch.withColumn("fp", fingerprint(col("text")))
+    val inBatch = withFp
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("b"))
+      .select(col("b.doc_id").as("doc_id"), col("b.text").as("text"), col("fp"))
+    corpusFps match {
+      case Some(fps) => inBatch.join(fps.select(col("fp")), Seq("fp"), "left_anti")
+      case None => inBatch
+    }
+  }
+
+  /** Attach a document stream (`doc_id, text`) to a persisted deduped
+    * corpus at `path` as a foreachBatch maintenance sink. Caller
+    * starts/stops the returned query. */
+  def maintainCorpus(stream: DataFrame, path: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val corpus =
+          if (corpusExists(spark, path)) Some(spark.read.parquet(path))
+          else None
+        // materialize ONCE: the anti-join plan would otherwise re-run the
+        // batch dedup during the write
+        val fresh = newDocuments(batch, corpus).localCheckpoint(true)
+        if (!fresh.isEmpty)
+          fresh.select(col("doc_id"), col("text"), col("fp"))
+            .write.mode("append").parquet(path)
+      }
+
+  def start(stream: DataFrame, path: String): StreamingQuery =
+    maintainCorpus(stream, path).start()
+
+  private def corpusExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}

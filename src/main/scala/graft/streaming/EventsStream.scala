@@ -189,6 +189,28 @@ object StreamingDemo {
     val streamJoin = spark.table("purchase_click_join").count()
     println(s"STREAM consistency interval_join=$streamJoin batch=$batchJoin")
     assert(streamJoin == batchJoin, "stream-stream join diverged from batch")
+    // Streaming corpus ingestion (DocStream): replay the documents table
+    // in two staged halves, then replay the first half AGAIN — the corpus
+    // must equal batch exact-dedup of the table (stream == batch) and the
+    // replay must append nothing (idempotent retries).
+    locally {
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val stagedDocs = java.nio.file.Files.createTempDirectory("graft-docstage").toString
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(stagedDocs)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(stagedDocs)
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(stagedDocs)
+      val corpus = java.nio.file.Files.createTempDirectory("graft-doccorpus")
+        .resolve("corpus").toString
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stagedDocs)
+      val q = DocStream.start(stream, corpus)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.read.parquet(corpus).count()
+      val batchDeduped = graft.operators.Dedup.exact(docs).count()
+      println(s"STREAM consistency doc_corpus=$streamed batch_dedup=$batchDeduped")
+      assert(streamed == batchDeduped, "streaming corpus dedup diverged from batch")
+    }
     spark.stop()
   }
 }
