@@ -85,6 +85,48 @@ object CorpusOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Q-decontaminate-bloom: the SAME benchmark-overlap computation as
+    * q_decontaminate, with a BLOOM-FILTER pre-join — the 100 TB shape.
+    * The benchmark grams aggregate into Spark's native bloom sketch
+    * (`BloomFilterAggregate`, the same structure the engine's own runtime
+    * row-level filtering injects), which collects as O(bits) planner
+    * metadata (~180 KB at 100k items); `might_contain` then thins the
+    * corpus-sized gram stream MAP-SIDE before any join or aggregation.
+    * False positives are removed by the exact semi-join that follows, so
+    * the result is IDENTICAL to q_decontaminate — same oracle — while the
+    * rows that pay the join and the countDistinct shuffle drop from
+    * "every gram in the corpus" to "grams that (probably) hit the
+    * benchmark". At real scale the bench-gram set outgrows a string
+    * broadcast and the verify becomes a shuffle semi-join — whose left
+    * side this bloom has already thinned; that ordering (sketch filter →
+    * exact verify) is the standard decontamination-at-scale pipeline. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(Dedup.shingles3(col("text"))).as("gram"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val bloomBytes = benchGrams
+      .select(toCol(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          toExpr(xxhash64(col("gram"))), 100000L).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpusGrams = grams.filter(col("doc_id") % 97 =!= 0)
+    // an empty benchmark aggregates to a null sketch — fall through to the
+    // exact path rather than filtering on might_contain(null) (all-null)
+    val prefiltered =
+      if (bloomBytes == null) corpusGrams
+      else corpusGrams.filter(toCol(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          toExpr(lit(bloomBytes)), toExpr(xxhash64(col("gram"))))))
+    prefiltered
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val decontaminateSql: String =
     """WITH toks AS (SELECT doc_id, trim(text) AS tt,
       |                regexp_split_to_array(trim(text), '\s+') AS t
@@ -403,6 +445,7 @@ object CorpusOps {
     "q_temperature_mix" -> (temperatureMix _),
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
+    "q_decontaminate_bloom" -> (decontaminateBloom _),
     "q_pii_redact" -> (piiRedact _),
     "q_mix_sources" -> (mixSources _),
     "q_split" -> (trainValTestSplit _),
@@ -414,6 +457,7 @@ object CorpusOps {
     "q_temperature_mix" -> temperatureMixSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
+    "q_decontaminate_bloom" -> decontaminateSql,
     "q_pii_redact" -> piiRedactSql,
     "q_mix_sources" -> mixSourcesSql,
     "q_split" -> trainValTestSplitSql,

@@ -166,6 +166,15 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
     (plan should not).include("Generate") // no subvector explode at encode time
   }
 
+  test("bloom decontamination plan: might_contain thins the gram stream before the semi-join") {
+    val plan = CorpusOps.decontaminateBloom(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("might_contain")
+    // the sketch probe must sit with the scan-side filter, upstream of the
+    // exact verify join
+    plan.indexOf("might_contain") should be > plan.indexOf("Join")
+  }
+
   test("ivf assignment plan: argmax is a partial aggregation before the exchange, not a window") {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
     val cent = KnnSearch.withNorm(
