@@ -105,8 +105,10 @@ object CorpusOps {
     val docs = Tables.documents(spark, dir)
     val grams = docs.select(col("doc_id"),
       explode(Dedup.shingles3(col("text"))).as("gram"))
+    // materialize ONCE: both the sketch collect and the verify semi-join
+    // consume this frame (the GraphOps.affinity discipline)
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select(col("gram")).distinct()
+      .select(col("gram")).distinct().localCheckpoint(true)
     val bloomBytes = benchGrams
       .select(toCol(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -46,8 +46,11 @@ object EmbedAnalytics {
       .orderBy(col("label"))
   }
 
-  val labelCentroidsSql: String =
-    """WITH ex AS (
+  /** The per-dimension exact-decimal mean CTEs, shared by every oracle in
+    * this suite (the DedupOps.shinglesCte discipline: ONE definition of
+    * the centroid arithmetic, so the oracles cannot drift apart). */
+  private val centroidCte: String =
+    """ex AS (
       |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
       |  FROM embeddings),
       |per AS (
@@ -55,10 +58,13 @@ object EmbedAnalytics {
       |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
       |          / COUNT(*), 6) AS m,
       |    COUNT(*) AS n
-      |  FROM ex GROUP BY 1, 2)
-      |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-      |  list(m ORDER BY pos) AS centroid
-      |FROM per GROUP BY label ORDER BY label""".stripMargin
+      |  FROM ex GROUP BY 1, 2)""".stripMargin
+
+  val labelCentroidsSql: String =
+    s"""WITH $centroidCte
+       |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       |  list(m ORDER BY pos) AS centroid
+       |FROM per GROUP BY label ORDER BY label""".stripMargin
 
   /** Q-embed-outliers: the 20 vectors least similar to their OWN label's
     * centroid — mislabeled or out-of-distribution candidates (the
@@ -76,14 +82,7 @@ object EmbedAnalytics {
 
   val embedOutliersSql: String = {
     import graft.operators.{VectorSql => V}
-    s"""WITH ex AS (
-       |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
-       |  FROM embeddings),
-       |per AS (
-       |  SELECT label, u.i - 1 AS pos,
-       |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
-       |          / COUNT(*), 6) AS m
-       |  FROM ex GROUP BY 1, 2),
+    s"""WITH $centroidCte,
        |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM per GROUP BY label)
        |SELECT e.vec_id, e.label,
        |  ROUND(${V.cosine("e.embedding", "c.centroid")}, 6) AS centroid_cos
@@ -162,14 +161,7 @@ object EmbedAnalytics {
 
   val ncmEvalSql: String = {
     import graft.operators.{VectorSql => V}
-    s"""WITH ex AS (
-       |  SELECT label, UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
-       |  FROM embeddings),
-       |per AS (
-       |  SELECT label, u.i - 1 AS pos,
-       |    ROUND(CAST(SUM(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
-       |          / COUNT(*), 6) AS m
-       |  FROM ex GROUP BY 1, 2),
+    s"""WITH $centroidCte,
        |cent AS (SELECT label AS c_label, list(m ORDER BY pos) AS centroid
        |         FROM per GROUP BY label),
        |scored AS (

@@ -442,10 +442,14 @@ object EventOps {
     val halfLives = (0 to 8).map(n =>
       java.math.BigDecimal.valueOf(1L).divide(
         java.math.BigDecimal.valueOf(1L << n), 8, java.math.RoundingMode.UNNECESSARY))
+    // clamp BOTH ends: an event after the anchor (negative age) weighs 1.0
+    // — without the greatest() a future timestamp under-runs the weight
+    // array (element_at index 0 throws; negative indexes silently read
+    // from the end), and the oracle's CASE would fall to ELSE instead
     val weight = element_at(
       array(halfLives.map(w => lit(w).cast("decimal(12,8)")): _*),
-      least(floor(datediff(lit(java.sql.Date.valueOf("2024-01-31")),
-        col("ts").cast("date")) / 7).cast("int"), lit(8)) + 1)
+      greatest(least(floor(datediff(lit(java.sql.Date.valueOf("2024-01-31")),
+        col("ts").cast("date")) / 7).cast("int"), lit(8)), lit(0)) + 1)
     Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -456,7 +460,7 @@ object EventOps {
 
   val timeDecaySql: String =
     """SELECT user_id, COUNT(*) AS n_events,
-      |  ROUND(CAST(SUM(CASE LEAST(CAST(datediff('day', CAST(ts AS DATE), DATE '2024-01-31') AS INT) // 7, 8)
+      |  ROUND(CAST(SUM(CASE GREATEST(LEAST(CAST(datediff('day', CAST(ts AS DATE), DATE '2024-01-31') AS INT) // 7, 8), 0)
       |    WHEN 0 THEN CAST('1' AS DECIMAL(12,8)) WHEN 1 THEN CAST('0.5' AS DECIMAL(12,8))
       |    WHEN 2 THEN CAST('0.25' AS DECIMAL(12,8)) WHEN 3 THEN CAST('0.125' AS DECIMAL(12,8))
       |    WHEN 4 THEN CAST('0.0625' AS DECIMAL(12,8)) WHEN 5 THEN CAST('0.03125' AS DECIMAL(12,8))

@@ -75,12 +75,26 @@ object GraftExtensions {
       info("pq_encode",
         "pq_encode(vec, codebook, m, k, subdim) - per-subspace nearest-centroid byte codes " +
           "against a flat [m][k][subdim] codebook literal"),
-      (args: Seq[Expression]) => PqEncode(args.head,
-        args(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray(),
-        args(2).eval().asInstanceOf[Number].intValue(),
-        args(3).eval().asInstanceOf[Number].intValue(),
-        args(4).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        // The codebook and geometry parameterize the kernel, so they must
+        // be foldable; normalize any numeric array (un-suffixed literals
+        // parse as DECIMAL) through a Cast instead of blind asInstanceOfs.
+        def foldableInt(e: Expression, what: String): Int = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"pq_encode: $what must be a literal, got ${e.sql}")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        val cbExpr = args(1)
+        if (!cbExpr.foldable) throw new IllegalArgumentException(
+          s"pq_encode: codebook must be a foldable array literal, got ${cbExpr.sql}")
+        val cb = org.apache.spark.sql.catalyst.expressions.Cast(cbExpr,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false))
+          .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        PqEncode(args.head, cb, foldableInt(args(2), "m"),
+          foldableInt(args(3), "k"), foldableInt(args(4), "subdim"))
+      }))
 
   /** Register on an already-running session (extensions configured at
     * build time can't be added retroactively). */

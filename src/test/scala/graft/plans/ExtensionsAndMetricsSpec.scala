@@ -63,6 +63,17 @@ class ExtensionsAndMetricsSpec extends SparkSpecBase with Matchers {
       """SELECT pq_encode(array(0.9D, 0.9D),
         |  array(0.0D, 0.0D, 1.0D, 1.0D), 1, 2, 2) AS code""".stripMargin)
       .head().getSeq[Byte](0) shouldBe Seq(1.toByte)
+    // un-suffixed literals parse as DECIMAL — the registration must cast,
+    // not blind-cast-crash
+    spark.sql(
+      "SELECT pq_encode(array(0.9D, 0.9D), array(0.0, 0.0, 1.0, 1.0), 1, 2, 2) AS code")
+      .head().getSeq[Byte](0) shouldBe Seq(1.toByte)
+    // a non-literal codebook is rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT pq_encode(embedding, embedding, 8, 16, 8) FROM " +
+        s"parquet.`$sfDir/embeddings.parquet` LIMIT 1").head()
+    }
+    err.getMessage should include("foldable array literal")
   }
 
   test("a null array ELEMENT nulls the result instead of crashing or reading 0") {
