@@ -333,6 +333,71 @@ object PipelineOps {
       |SELECT substr(w, CAST(i AS INT), 2) AS pair, COUNT(*) AS n
       |FROM e GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Merge steps for [[bpeTrain]] — fixed so runs are comparable. */
+  val BpeMerges = 5
+
+  /** BPE tokenizer training over a word-frequency table (`w`, `wc`):
+    * [[BpeMerges]] iterations of count-adjacent-pairs → take the global
+    * argmax → apply the merge (Sennrich et al. 2016). Returns the learned
+    * merge table (rank, pair, weighted count) — the artifact a tokenizer
+    * ships.
+    *
+    * Scale shape: BPE trains on the VOCABULARY (distinct words ×
+    * frequency), which partial-aggregates out of any corpus size in one
+    * pass; each iteration is then one pair-count aggregation over the
+    * vocab frame (map-side combine), a 1-row TakeOrdered argmax collect
+    * (driver metadata, the IVF-probe discipline), and a pure-map merge by
+    * the native [[graft.functions.BpeMergePair]] kernel — with the
+    * per-iteration `localCheckpoint` lineage cut of every iterative
+    * operator here (k-means, PageRank). Ties break lexicographically so
+    * training is deterministic. */
+  def bpeTrainCore(words: DataFrame): DataFrame = {
+    val spark = words.sparkSession
+    var vocab = words
+      .select(col("wc"), split(col("w"), "").as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (r <- 1 to BpeMerges) {
+      val top = vocab
+        .select(col("wc"), explode(arrays_zip(
+          slice(col("s"), lit(1), size(col("s")) - 1).as("a"),
+          slice(col("s"), lit(2), size(col("s")) - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      top.headOption.foreach { t =>
+        val (a, b) = (t.getString(0), t.getString(1))
+        merges += org.apache.spark.sql.Row(r, a, b, t.getLong(2))
+        vocab = vocab
+          .withColumn("s", graft.functions.BpeMergePair.merge(col("s"), a, b))
+          .localCheckpoint(true)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_a",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("sym_b",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Q-bpe-train: the learned merge table over the documents corpus.
+    * Iterative argmax training has no SQL twin — rows-only by design;
+    * BpeTrainSpec pins the exact merge sequence on a hand-computed
+    * vocabulary plus determinism on the real corpus. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainCore(
+      Tables.documents(spark, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc")))
+
   /** Q-readability: Flesch-style reading-ease scoring — the classic
     * document-quality signal alongside [[graft.operators.TextOps]]'s
     * punct/stopword ratios. Sentence count = punctuation-run count,
@@ -372,6 +437,7 @@ object PipelineOps {
     "q_source_sim" -> (sourceSimilarity _),
     "q_interleave" -> (interleave _),
     "q_bpe_pairs" -> (bpePairs _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_readability" -> (readability _))
 
   def oracles: Map[String, String] = Map(

@@ -94,6 +94,17 @@ object GraftExtensions {
           .toDoubleArray()
         PqEncode(args.head, cb, foldableInt(args(2), "m"),
           foldableInt(args(3), "k"), foldableInt(args(4), "subdim"))
+      }),
+    (FunctionIdentifier("bpe_merge_pair"),
+      info("bpe_merge_pair",
+        "bpe_merge_pair(symbols, a, b) - replace adjacent (a,b) with a||b, leftmost-first"),
+      (args: Seq[Expression]) => {
+        def foldableStr(e: Expression, what: String): String = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"bpe_merge_pair: $what must be a string literal, got ${e.sql}")
+          e.eval().toString
+        }
+        BpeMergePair(args.head, foldableStr(args(1), "a"), foldableStr(args(2), "b"))
       }))
 
   /** Register on an already-running session (extensions configured at

@@ -39,7 +39,9 @@ class CodegenOnlySpec extends SparkSpecBase with Matchers {
         ColumnBridge.column(FeatureHashEmbed(ColumnBridge.expression(col("text")), 16)).as("emb"),
         ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(col("text")), 5, 4)).as("winnow"),
         ColumnBridge.column(CharEntropy(ColumnBridge.expression(col("text")))).as("entropy_stats"),
-        ColumnBridge.column(DeflateStats(ColumnBridge.expression(col("text")))).as("deflate_stats"))
+        ColumnBridge.column(DeflateStats(ColumnBridge.expression(col("text")))).as("deflate_stats"),
+        ColumnBridge.column(BpeMergePair(ColumnBridge.expression(
+          split(col("text"), "")), "e", "r")).as("bpe_merged"))
       .orderBy(col("doc_id"))
 
   private def vectorExprs: DataFrame =
