@@ -398,6 +398,34 @@ object PipelineOps {
         .filter(length(col("w")) >= 1)
         .groupBy(col("w")).agg(count(lit(1)).as("wc")))
 
+  /** Q-bpe-encode: tokenize the corpus with the TRAINED merges — per-doc
+    * BPE token accounting (the number a packing/budgeting pipeline
+    * actually needs, where q_token_bpe approximates with a pre-tokenizer).
+    * The learned merge table collects as [[BpeMerges]] rows of planner
+    * metadata and applies as a chain of [[graft.functions.BpeMergePair]]
+    * projections — all fused into ONE whole-stage-codegen map over the
+    * exploded word stream; the only shuffle is the per-doc count
+    * re-aggregation. Rows-only (the merges are data-dependent); gated by
+    * BpeTrainSpec's compression and determinism asserts. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrain(spark, dir).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val merged = merges.foldLeft(words.withColumn("s", split(col("w"), ""))) {
+      case (df, (a, b)) =>
+        df.withColumn("s", graft.functions.BpeMergePair.merge(col("s"), a, b))
+    }
+    merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_word_chars"),
+        sum(size(col("s"))).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_word_chars").cast("double") / col("n_bpe_tokens").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Q-readability: Flesch-style reading-ease scoring — the classic
     * document-quality signal alongside [[graft.operators.TextOps]]'s
     * punct/stopword ratios. Sentence count = punctuation-run count,
@@ -438,6 +466,7 @@ object PipelineOps {
     "q_interleave" -> (interleave _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_encode" -> (bpeEncode _),
     "q_readability" -> (readability _))
 
   def oracles: Map[String, String] = Map(

@@ -224,9 +224,60 @@ object PqIndex {
       qSide, 10, keep = Seq("cent_id", "approx_dot"))
   }
 
+  /** Q-ivfpq-persisted: the [[ivfPqKnn]] layout ON DISK — the index
+    * persists `partitionBy(bucket)` with the PQ code as a stored column,
+    * so a query (a) collects its nprobe centroid ids as planner metadata,
+    * (b) reads ONLY the probed `bucket=` directories (PartitionFilters,
+    * the q_ann_ivf_persisted evidence path), (c) ADC-scores the byte
+    * codes it loaded, and (d) exact-reranks the shortlist. This is the
+    * complete FAISS IVF-PQ deployment shape: scan pruned by the coarse
+    * quantizer, memory bounded by the code width, build amortized across
+    * queries (createIfAbsent). Training is deterministic, so the stored
+    * codes always agree with the recomputed codebook's ADC table. */
+  def ivfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-ivfpq-bucketed"
+    val emb = Tables.embeddings(spark, dir)
+    val cent = KnnSearch.withNorm(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val cb = trainCodebooks(emb)
+    if (!IndexCatalog.exists(base, name)) {
+      val flat = collectCodebook(cb)
+      val data = IvfIndex.assign(KnnSearch.withNorm(emb), cent)
+        .withColumnRenamed("cent_id", "bucket")
+        .drop("vec_norm") // createIfAbsent recomputes it via withNorm
+        .withColumn("code", PqEncode.encode(
+          VectorFunctions.normalize(col("embedding")), flat, M, K, SubDim))
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("bucket"))
+    }
+    val q = emb.filter(col("vec_id") === 0)
+    val qn = KnnSearch.withNorm(
+      q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    val probeIds = IvfIndex.probes(cent, qn, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val shortlist = IndexCatalog.loadBuckets(spark, base, name, probeIds)
+      .withColumn("approx_dot", adcScore(adcLut(q, cb)))
+      .filter(col("vec_id") =!= 0)
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(Shortlist)
+      .select(col("vec_id"), col("bucket").cast("long").as("cent_id"),
+        round(col("approx_dot"), 6).as("approx_dot"))
+    val qSide = q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(
+      KnnSearch.withNorm(emb).join(broadcast(shortlist), Seq("vec_id")),
+      qSide, 10, keep = Seq("cent_id", "approx_dot"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_knn" -> (pqKnn _),
-    "q_ivfpq_knn" -> (ivfPqKnn _))
+    "q_ivfpq_knn" -> (ivfPqKnn _),
+    "q_ivfpq_persisted" -> (ivfPqPersisted _))
 
   /** Iterative k-means has no SQL twin — rows-only by design; recall,
     * determinism, and code shape are gated by PqIndexSpec. */

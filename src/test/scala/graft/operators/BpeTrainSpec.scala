@@ -47,4 +47,18 @@ class BpeTrainSpec extends SparkSpecBase with Matchers {
     // which are substrings of it, still bounded by its count
     counts.zip(counts.tail).foreach { case (x, y) => y should be <= x }
   }
+
+  test("encoding with the trained merges compresses and accounts exactly") {
+    val rows = PipelineOps.bpeEncode(spark, sfDir).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val chars = r.getAs[Long]("n_word_chars")
+      val toks = r.getAs[Long]("n_bpe_tokens")
+      // every merge application reduces the symbol count by exactly one,
+      // so tokens ∈ [chars - merges_applied, chars] and never below words
+      toks should be <= chars
+      toks should be >= r.getAs[Long]("n_words")
+      r.getAs[Double]("chars_per_token") should be >= 1.0
+    }
+  }
 }

@@ -57,4 +57,13 @@ class PqIndexSpec extends SparkSpecBase with Matchers {
     val scores = a.map(_.getAs[Double]("score"))
     scores.toSeq shouldBe scores.sorted.reverse.toSeq
   }
+
+  test("persisted ivf-pq search equals the in-memory composition") {
+    // deterministic centroids + deterministic Lloyd → the on-disk codes
+    // agree with a fresh in-memory build, so the two access paths must
+    // return identical rows (the q_ann_ivf vs q_ann_ivf_persisted parity)
+    val disk = PqIndex.ivfPqPersisted(spark, sfDir).collect().map(_.toString)
+    val mem = PqIndex.ivfPqKnn(spark, sfDir).collect().map(_.toString)
+    disk shouldBe mem
+  }
 }
