@@ -127,10 +127,13 @@ object GraphOps {
     * moves only through the dst-keyed shuffle. Edges and degrees are
     * materialized ONCE (`localCheckpoint`, the [[triangles]]/
     * resolveClusters discipline) so the basket pipeline is not re-run per
-    * iteration. Per-node neighbor sums fold in source-id order
-    * (`sort_array` + `aggregate`) purely for bit-exact oracle parity —
-    * the buffer is bounded by in-degree; a production run without a DuckDB
-    * twin would use a plain `sum` and shed the collect. */
+    * iteration. Per-node neighbor sums are EXACT-DECIMAL (each
+    * contribution cast to DECIMAL(38,20) — the q_anomaly moment
+    * discipline): the sum is order-free, so it partial-aggregates
+    * map-side with an O(1) buffer AND matches the oracle bit-for-bit
+    * under any partitioning — strictly better than the earlier
+    * collect-and-fold-in-source-order parity trick, whose buffer grew
+    * with in-degree. */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val und = copurchasePairs(baskets(spark, dir))
       .filter(col("n_orders") >= TriangleMinSupport)
@@ -146,11 +149,9 @@ object GraphOps {
     for (_ <- 1 to PagerankIters) {
       pr = edges.join(broadcast(pr), Seq("u")).join(broadcast(deg), Seq("u"))
         .select(col("v"),
-          struct(col("u"), (col("pr") / col("d").cast("double")).as("c")).as("t"))
+          (col("pr") / col("d").cast("double")).cast("decimal(38,20)").as("c"))
         .groupBy(col("v"))
-        .agg(sort_array(collect_list(col("t"))).as("ts"))
-        .withColumn("s",
-          aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("c")))
+        .agg(sum(col("c")).cast("double").as("s"))
         .crossJoin(broadcast(nDf))
         .select(col("v").as("u"),
           (lit(0.15) / col("n") + lit(0.85) * col("s")).as("pr"))
@@ -164,7 +165,7 @@ object GraphOps {
     def step(prev: String, out: String): String =
       s"""$out AS (SELECT e.v AS u,
          |    0.15 / nn.n + 0.85 *
-         |      CAST(list_sum(list(p.pr / CAST(deg.d AS DOUBLE) ORDER BY e.u)) AS DOUBLE) AS pr
+         |      CAST(SUM(CAST(p.pr / CAST(deg.d AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS pr
          |  FROM e JOIN $prev p ON p.u = e.u JOIN deg ON deg.u = e.u CROSS JOIN nn
          |  GROUP BY e.v, nn.n)""".stripMargin
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
