@@ -468,7 +468,36 @@ object EventOps {
       |    ELSE CAST('0.00390625' AS DECIMAL(12,8)) END) AS DOUBLE), 6) AS decayed
       |FROM events GROUP BY user_id ORDER BY decayed DESC, user_id LIMIT 25""".stripMargin
 
+  /** Q-minmax-norm: per-type min-max feature scaling — the standard
+    * normalize-before-train primitive next to q_anomaly's z-scores. Range
+    * stats are min/max (no summation at all, so no FP-accumulation-order
+    * exposure to start with); the #types-row stats frame broadcasts back
+    * for a map-side scoring pass. A degenerate type (max == min)
+    * normalizes to 0.0 rather than dividing by zero. */
+  def minmaxNorm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy(col("event_type"))
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("norm",
+        when(col("vmax") === col("vmin"), lit(0.0))
+          .otherwise(round((col("value") - col("vmin")) / (col("vmax") - col("vmin")), 6)))
+      .select(col("event_id"), col("event_type"), col("value"), col("norm"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+  }
+
+  val minmaxNormSql: String =
+    """WITH st AS (SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      |            FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  CASE WHEN vmax = vmin THEN 0.0
+      |       ELSE ROUND((value - vmin) / (vmax - vmin), 6) END AS norm
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |ORDER BY event_id LIMIT 2000""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minmax_norm" -> (minmaxNorm _),
     "q_time_decay" -> (timeDecay _),
     "q_transition" -> (transitions _),
     "q_anomaly" -> (anomaly _),
@@ -489,6 +518,7 @@ object EventOps {
     "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_minmax_norm" -> minmaxNormSql,
     "q_time_decay" -> timeDecaySql,
     "q_transition" -> transitionsSql,
     "q_anomaly" -> anomalySql,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational substrate: aggregations, joins, set ops, top-K.
@@ -547,7 +548,51 @@ object RelationalOps {
        |FROM d ORDER BY zval, o_orderkey LIMIT 100""".stripMargin
   }
 
+  /** Q-market-share: per-nation revenue share of each order year — the
+    * TPC-H Q8-style nested aggregation (a share needs BOTH the group
+    * total and the grand total). Shape: the four-table join aggregates to
+    * a (nation × year)-row frame FIRST; the year totals are then a window
+    * over that tiny frame — no second pass over lineitem, no self-join.
+    * Revenue sums are exact decimals (the q_agg_lineitem discipline), so
+    * the shares divide identical inputs on both engines. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+          .cast("decimal(18,4)").as("rev"))
+      .groupBy(col("nation"), col("yr"))
+      .agg(sum(col("rev")).as("nation_rev"))
+    val byYear = Window.partitionBy(col("yr"))
+    rev
+      .withColumn("year_rev", sum(col("nation_rev")).over(byYear))
+      .select(col("yr"), col("nation"),
+        col("nation_rev").cast("double").as("revenue"),
+        round(col("nation_rev").cast("double") / col("year_rev").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("yr"), col("nation"))
+  }
+
+  val marketShareSql: String =
+    """WITH rev AS (
+      |  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS yr,
+      |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |             CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS nation_rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT yr, nation, CAST(nation_rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(nation_rev AS DOUBLE) /
+      |        CAST(SUM(nation_rev) OVER (PARTITION BY yr) AS DOUBLE), 6) AS share
+      |FROM rev ORDER BY yr, nation""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_market_share" -> (marketShare _),
     "q_zorder" -> (zorderOrders _),
     "q_full_outer" -> (fullOuterActivity _),
     "q_rank_orders" -> (rankOrders _),
@@ -581,6 +626,7 @@ object RelationalOps {
     "q_salted_join" -> saltedJoinSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,
+    "q_market_share" -> marketShareSql,
     "q_join_orders_customer" -> joinOrdersCustomerSql,
     "q_semijoin" -> semiJoinSql,
     "q_antijoin" -> antiJoinSql,
