@@ -118,4 +118,44 @@ class PropertySpec extends SparkSpecBase with Matchers {
       h1 shouldBe h2 // no per-codec-instance state may leak into the hash
     }
   }
+
+  test("property: bpe merge preserves concatenation and leaves no adjacent pair") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val sym = Gen.oneOf("a", "b", "c", "ab")
+    val seqGen = Gen.listOfN(12, sym)
+    samples(seqGen, 30).foreach { syms =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        syms.map(UTF8String.fromString).toArray[Any])
+      val out = graft.functions.BpeMergePair.compute(in,
+        UTF8String.fromString("a"), UTF8String.fromString("b"))
+      val outSyms = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      // the concatenated text is invariant under merging
+      outSyms.mkString shouldBe syms.mkString
+      // no adjacent (a, b) survives (merging creates "ab", never a bare "a")
+      outSyms.zip(outSyms.drop(1)).foreach { p => p should not be ("a", "b") }
+    }
+  }
+
+  test("property: pq_encode agrees with an independent per-subspace argmin") {
+    val m = 2; val k = 4; val subDim = 3
+    val cbGen = Gen.listOfN(m * k * subDim, Gen.chooseNum(-5.0, 5.0))
+    val vGen = Gen.listOfN(m * subDim, Gen.chooseNum(-5.0, 5.0))
+    samples(Gen.zip(cbGen, vGen), 20).foreach { case (cb, v) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        v.map(x => x: Any).toArray)
+      val code = graft.functions.PqEncode.compute(arr, isFloat = false,
+        cb.toArray, m, k, subDim)
+      (0 until m).foreach { mm =>
+        val dists = (0 until k).map { kk =>
+          (0 until subDim).map { d =>
+            val x = v(mm * subDim + d) - cb((mm * k + kk) * subDim + d)
+            x * x
+          }.sum
+        }
+        // strict-< argmin keeps the LOWEST id on ties (same rule as the kernel)
+        val expected = dists.zipWithIndex.minBy { case (dd, i) => (dd, i) }._2
+        code.getByte(mm).toInt shouldBe expected
+      }
+    }
+  }
 }
