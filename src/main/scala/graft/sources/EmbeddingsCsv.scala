@@ -24,17 +24,24 @@ import org.apache.spark.sql.functions._
 object EmbeddingsCsv {
 
   def write(emb: DataFrame, path: String): Unit =
-    emb.select(concat_ws(",",
-        col("vec_id").cast("string"),
-        concat_ws(",", transform(col("embedding"),
-          x => format_string("%.6f", x.cast("double"))))).as("value"))
+    emb.select(
+        // an empty (or null) vector writes the bare id — a trailing comma
+        // would read back as a 1-element [null] vector, not []
+        when(size(col("embedding")) > 0,
+          concat_ws(",",
+            col("vec_id").cast("string"),
+            concat_ws(",", transform(col("embedding"),
+              x => format_string("%.6f", x.cast("double"))))))
+          .otherwise(col("vec_id").cast("string")).as("value"))
       .write.mode("overwrite").text(path)
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val parts = split(col("value"), ",")
     spark.read.text(path)
       .select(
-        element_at(parts, 1).cast("long").as("vec_id"),
+        // try_cast like the elements: a malformed/foreign id line becomes
+        // a NULL id instead of failing the whole read under ANSI mode
+        element_at(parts, 1).try_cast("long").as("vec_id"),
         transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
           s => s.try_cast("float")).as("embedding"))
   }

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.operators.KnnSearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -87,6 +89,34 @@ object IndexCatalog {
     } yield IndexDescriptor(n, d.trim.toInt, m)
   }
 
+  /** The index's ACTUAL on-disk partition layout, derived from the
+    * `col=value` directory nesting under `data/`. Deriving (rather than
+    * trusting a per-caller argument) makes layout corruption structurally
+    * impossible: a maintenance writer that assumed `bucket` against an
+    * index built `label/bucket` would interleave conflicting directory
+    * trees that fail every later load — with derivation the stored layout
+    * always wins. */
+  def partitionLayout(basePath: String, name: String): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dir = Paths.get(basePath, name, "data")
+    var done = false
+    while (!done) {
+      val next = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.find(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        finally s.close()
+      }
+      next match {
+        case Some(p) =>
+          cols += p.getFileName.toString.split("=", 2)(0)
+          dir = p
+        case None => done = true
+      }
+    }
+    cols.toSeq
+  }
+
   /** Catalog listing (`debug-commands.txt:1-3`). */
   def list(basePath: String): Seq[String] = {
     val base = Paths.get(basePath)
@@ -164,11 +194,25 @@ object IndexCatalog {
     * never the index size. The union is localCheckpoint-ed before the
     * write: it cuts the plan's lineage on the files being overwritten
     * (Spark refuses to overwrite a path it is reading from) and its
-    * footprint is the touched partitions only. */
+    * footprint is the touched partitions only.
+    *
+    * Honest cost note: the touched-partition DISCOVERY scan reads the
+    * whole index's (keyCol, partitionCols) columns per call — old
+    * versions of a key can live in any partition, so it cannot be
+    * partition-pruned. Column pruning keeps it cheap next to the rewrite,
+    * but at true 100 TB a steady trickle of tiny batches would motivate a
+    * persisted key→partition sidecar (or batches that carry their prior
+    * bucket) to make discovery ∝ batch as well. */
   def upsertInto(spark: SparkSession, basePath: String, name: String,
-                 batch: DataFrame, keyCol: String,
-                 partitionCols: Seq[String]): Unit = {
+                 batch: DataFrame, keyCol: String): Unit = {
     require(exists(basePath, name), s"no such index: $name")
+    // the layout is DERIVED from the index, never trusted from the caller
+    // (see partitionLayout) — the batch must carry those columns
+    val partitionCols = partitionLayout(basePath, name)
+    require(partitionCols.nonEmpty, s"index $name has no partition layout")
+    partitionCols.foreach(c => require(batch.columns.contains(c),
+      s"batch is missing the index's partition column '$c' " +
+        s"(layout: ${partitionCols.mkString("/")})"))
     // An empty batch touches no partitions — a no-op, not an error. Without
     // this guard the touched-partition reduce below throws an opaque
     // 'empty.reduce' from deep inside the merge.
@@ -246,10 +290,4 @@ object IndexCatalog {
       .orderBy(col("label"))
   }
 
-  private implicit class IterOps[T](it: java.util.Iterator[T]) {
-    def asScala: Iterator[T] = new Iterator[T] {
-      def hasNext: Boolean = it.hasNext
-      def next(): T = it.next()
-    }
-  }
 }

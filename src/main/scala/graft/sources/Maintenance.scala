@@ -53,22 +53,30 @@ object Maintenance {
   /** Compact every partition directory holding more than `maxFiles` part
     * files down to one file. Returns the number of partitions rewritten.
     *
-    * Each fragmented partition is read, coalesced, and WRITE-THEN-SWAPPED:
-    * the compacted file lands in a hidden `.compact-tmp` subdirectory
-    * (invisible to Spark scans) while the originals are still intact, is
-    * moved into the partition directory, and only then are the original
-    * part files (and their `.crc` sidecars) deleted. A crash at any point
-    * leaves the partition readable — before the move it is untouched;
-    * between move and delete it holds duplicate rows that the next
-    * compaction run collapses again (compaction input is whatever is in
-    * the directory). Compact partitions are never touched (asserted by
-    * mtime in the spec). Real deployments run this under a table-format
-    * transaction; this is the strongest ordering a bare Parquet directory
-    * offers. */
+    * Crash-safe via a per-partition MANIFEST (the poor man's commit log a
+    * bare Parquet directory allows): the compacted file lands in a hidden
+    * `.compact-tmp` subdirectory (invisible to Spark scans) while the
+    * originals are intact; then a manifest naming the compacted file(s)
+    * and the originals-to-delete is atomically moved into place; only
+    * then do the moves and deletes run, and the manifest is removed LAST.
+    * Every run replays unfinished manifests first, so a crash at any
+    * point either rolls forward (manifest present → finish the moves and
+    * the listed deletes — and ONLY the listed deletes, so rows appended
+    * after the crash are never touched) or rolls back (no manifest → a
+    * stale tmp dir is discarded and the partition is untouched). Without
+    * the manifest, a crash between landing the compacted copy and
+    * deleting the originals would leave duplicate rows that NO later
+    * compaction could remove — compaction merges files, it never dedups
+    * rows. Compact partitions are never touched (asserted by mtime in the
+    * spec). Real deployments run this under a table-format transaction;
+    * the manifest reproduces the ordering such formats guarantee. */
   def compactPartitions(spark: SparkSession, tableDir: String,
                         partitionCols: Seq[String], maxFiles: Int = 1): Int = {
     val root = Paths.get(tableDir)
     require(Files.exists(root), s"no such table dir: $tableDir")
+    // roll forward any compaction a previous crash left half-done BEFORE
+    // deciding what is fragmented (a replayed partition may no longer be)
+    partitionDirs(root, partitionCols.length).foreach(recoverPartition)
     val fragmented = partitionDirs(root, partitionCols.length)
       .map(d => d -> parquetFiles(d))
       .filter(_._2.length > maxFiles)
@@ -78,24 +86,61 @@ object Maintenance {
       // The originals stay on disk while the compacted copy is written —
       // no lineage cut needed, the write never overwrites its own input.
       val tmp = dir.resolve(".compact-tmp")
+      deleteRecursively(tmp) // a stale no-manifest tmp is uncommitted work
       spark.read.parquet(dir.toString)
         .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val compacted = parquetFiles(tmp)
-      // land the new file(s) first, then drop the originals + sidecars
-      compacted.foreach { f =>
-        Files.move(f, dir.resolve(f.getFileName))
-        val crc = f.resolveSibling("." + f.getFileName + ".crc")
-        if (Files.exists(crc)) Files.move(crc, dir.resolve(crc.getFileName))
-      }
-      files.foreach { f =>
-        Files.delete(f)
-        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
-      }
-      deleteRecursively(tmp)
+      writeManifest(dir, compacted.map(_.getFileName.toString),
+        files.map(_.getFileName.toString))
+      finishCompaction(dir)
     }
     fragmented.size
   }
+
+  private val ManifestName = ".compact-manifest"
+
+  /** Atomically publish the commit point: tmp-write then ATOMIC_MOVE. */
+  private def writeManifest(dir: Path, compacted: Seq[String],
+                            originals: Seq[String]): Unit = {
+    val body = (compacted.map("C " + _) ++ originals.map("O " + _))
+      .mkString("", "\n", "\n")
+    val tmp = dir.resolve(ManifestName + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, dir.resolve(ManifestName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Execute (or re-execute — every step is idempotent) the moves and
+    * deletes a manifest records, removing the manifest last. */
+  private def finishCompaction(dir: Path): Unit = {
+    val manifest = dir.resolve(ManifestName)
+    val tmp = dir.resolve(".compact-tmp")
+    val lines = Files.readString(manifest).split("\n").filter(_.nonEmpty)
+    lines.filter(_.startsWith("C ")).map(_.drop(2)).foreach { name =>
+      val from = tmp.resolve(name)
+      if (Files.exists(from)) {
+        Files.move(from, dir.resolve(name))
+        val crc = from.resolveSibling("." + name + ".crc")
+        if (Files.exists(crc)) Files.move(crc, dir.resolve(crc.getFileName))
+      }
+      require(Files.exists(dir.resolve(name)),
+        s"compaction manifest names a missing compacted file: $name in $dir")
+    }
+    lines.filter(_.startsWith("O ")).map(_.drop(2)).foreach { name =>
+      Files.deleteIfExists(dir.resolve(name))
+      Files.deleteIfExists(dir.resolve("." + name + ".crc"))
+    }
+    Files.delete(manifest)
+    deleteRecursively(tmp)
+  }
+
+  /** Crash recovery: a manifest means the compacted file was fully
+    * written and committed — roll the partition forward. No manifest
+    * means nothing was committed — a leftover tmp dir is discarded by the
+    * next compaction attempt and the originals stand. */
+  private def recoverPartition(dir: Path): Unit =
+    if (Files.exists(dir.resolve(ManifestName))) finishCompaction(dir)
 
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)

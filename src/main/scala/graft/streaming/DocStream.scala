@@ -29,15 +29,32 @@ object DocStream {
 
   /** Batch-side core (shared with the spec's batch-parity check): dedup
     * `batch` within itself and against `corpusFps` (a `fp` column or
-    * null), returning the rows to append with their fingerprints. */
+    * null), returning the rows to append with their fingerprints.
+    *
+    * A null text fingerprints as the empty string (not NULL): a NULL join
+    * key never matches in the anti-join, so a null-text doc would
+    * re-append on every batch AND every replay — breaking both dedup and
+    * the idempotency contract.
+    *
+    * Join direction: Spark cannot broadcast the LEFT side of a left_anti,
+    * so `batch ANTI corpus` would broadcast-or-shuffle the CORPUS. Instead
+    * the corpus is probed with a broadcast left_semi (corpus stays
+    * map-side, output = the batch fingerprints already present — bounded
+    * by the batch), and the batch anti-joins against that tiny frame —
+    * the `PipelineOps.incrementalDedup` discipline: per-batch cost ∝
+    * batch, corpus never reshuffles. */
   def newDocuments(batch: DataFrame, corpusFps: Option[DataFrame]): DataFrame = {
-    val withFp = batch.withColumn("fp", fingerprint(col("text")))
+    val withFp = batch.withColumn("fp",
+      fingerprint(coalesce(col("text"), lit(""))))
     val inBatch = withFp
       .groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("text"))).as("b"))
       .select(col("b.doc_id").as("doc_id"), col("b.text").as("text"), col("fp"))
     corpusFps match {
-      case Some(fps) => inBatch.join(fps.select(col("fp")), Seq("fp"), "left_anti")
+      case Some(fps) =>
+        val seen = fps.select(col("fp"))
+          .join(broadcast(inBatch.select(col("fp"))), Seq("fp"), "left_semi")
+        inBatch.join(broadcast(seen), Seq("fp"), "left_anti")
       case None => inBatch
     }
   }

@@ -47,11 +47,16 @@ object EventsStream {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n_events"), col("sum_value"))
 
-  /** Streaming dedup by event id: state bounded by the watermark (an id
-    * older than the watermark can no longer collide and is evicted). */
+  /** Streaming dedup by event id ONLY, state bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` evicts an id once the watermark
+    * passes its first-seen event time. The earlier
+    * `dropDuplicates(event_id, ts)` form silently narrowed the contract —
+    * an at-least-once redelivery with a re-stamped/jittered ts is a
+    * DIFFERENT key there and sails through; id-only is the documented
+    * semantic. */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Session windows per user: 30 minutes of inactivity closes a session —
     * the streaming twin of EventOps.sessionize's lag-based batch form. */
@@ -86,13 +91,23 @@ object EventsStream {
       .select(col("p_id"), col("p_user"), col("c_id"), col("p_ts"), col("c_ts"))
   }
 
-  /** Custom arbitrary state (SURVEY.md §2.9): per-user lifetime stats via
+  /** Idle horizon after which a user's running-stats state is evicted —
+    * in EVENT time: a user silent for this long past the watermark drops
+    * from the store (their counter restarts on return, the standard
+    * activity-horizon semantic of evictable running stats). */
+  val UserStatsIdleTimeout = "7 days"
+
+  /** Custom arbitrary state (SURVEY.md §2.9): per-user running stats via
     * `flatMapGroupsWithState` — the escape hatch when no built-in stateful
     * operator fits (here: a monotone per-user counter + running value sum
     * + last event type, emitted on every update). State lives in the
     * state store, partitioned by user — the same shuffle key as every
     * other per-user operator, so at scale state is as distributed as the
-    * data. EventTimeTimeout evicts users idle past the watermark. */
+    * data. Eviction is REGISTERED, not just configured: EventTimeTimeout
+    * does nothing unless each update arms `setTimeoutTimestamp` and the
+    * timed-out invocation removes the state — without those two calls the
+    * store grows one entry per user forever (churning user ids = unbounded
+    * state), which is exactly what the earlier version did. */
   case class UserState(nEvents: Long, totalValue: Double, lastType: String)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                         last_type: String)
@@ -109,12 +124,20 @@ object EventsStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserUpdate](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[UserState]) if state.hasTimedOut =>
+          // idle past the horizon: drop the state, emit nothing
+          state.remove()
+          Iterator.empty
         case (userId, rows, state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0.0, ""))
           val next = rows.foldLeft(prev) { (s, r) =>
             UserState(s.nEvents + 1, s.totalValue + r._3, r._2)
           }
           state.update(next)
+          // arm eviction relative to event time: idle users time out once
+          // the watermark passes (their last activity + horizon)
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs(), UserStatsIdleTimeout)
           Iterator.single(UserUpdate(userId, next.nEvents,
             math.rint(next.totalValue * 1000) / 1000, next.lastType))
       }

@@ -48,7 +48,7 @@ object VectorStream {
           .localCheckpoint(true)
         if (!deduped.isEmpty)
           IndexCatalog.upsertInto(batch.sparkSession, basePath, name,
-            deduped, "vec_id", Seq("bucket"))
+            deduped, "vec_id")
       }
 
   /** Convenience: start with a trigger of all available data (used by the

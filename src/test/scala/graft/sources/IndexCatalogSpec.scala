@@ -125,7 +125,7 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     // move key 1 out of bucket 7 — nothing survives there, nothing new lands
     val batch = Seq((1L, Array(0f, 1f, 1f, 0f), 0, 9L))
       .toDF("vec_id", "embedding", "label", "bucket")
-    IndexCatalog.upsertInto(spark, base, "tiny", batch, "vec_id", Seq("bucket"))
+    IndexCatalog.upsertInto(spark, base, "tiny", batch, "vec_id")
 
     val after = IndexCatalog.load(spark, base, "tiny")
     after.count() shouldBe 3 // no stale duplicate of key 1
@@ -146,7 +146,7 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     IndexCatalog.createIfAbsent(spark, base,
       IndexDescriptor("nil", 2, "cosine"), data, partitionCols = Seq("bucket")) shouldBe true
     val emptyBatch = data.filter(lit(false))
-    IndexCatalog.upsertInto(spark, base, "nil", emptyBatch, "vec_id", Seq("bucket"))
+    IndexCatalog.upsertInto(spark, base, "nil", emptyBatch, "vec_id")
     IndexCatalog.load(spark, base, "nil").count() shouldBe 2
   }
 
@@ -166,7 +166,7 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
 
     // move the only 'a:b' row to 'plain' — the escaped dir must be deleted
     val batch = Seq((1L, Array(1f, 1f), "plain")).toDF("vec_id", "embedding", "label")
-    IndexCatalog.upsertInto(spark, base, "esc", batch, "vec_id", Seq("label"))
+    IndexCatalog.upsertInto(spark, base, "esc", batch, "vec_id")
 
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(base, "esc", "data", "label=a%3Ab")) shouldBe false
@@ -214,7 +214,7 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     val touchedBuckets = batch.select(col("bucket")).distinct()
       .collect().map(_.getAs[Number](0).longValue).toSet + oldBucket0
 
-    IndexCatalog.upsertInto(spark, base, "ups", batch, "vec_id", Seq("bucket"))
+    IndexCatalog.upsertInto(spark, base, "ups", batch, "vec_id")
 
     val after = IndexCatalog.load(spark, base, "ups")
     after.count() shouldBe n0 + 1 // one insert, two replacements

@@ -52,4 +52,57 @@ class MaintenanceSpec extends SparkSpecBase with Matchers {
       names should contain(crc.stripPrefix(".").stripSuffix(".crc"))
     }
   }
+
+  test("a crash between manifest commit and cleanup rolls forward without duplicating rows") {
+    import spark.implicits._
+    import java.nio.file.{Files => F, Paths => P}
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/t"
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"row$i", "a")).toDF("id", "payload", "part")
+        .write.mode("append").partitionBy("part").parquet(dir)
+    }
+    val content = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val aDir = P.get(dir, "part=a")
+
+    // simulate the crash window: compacted copy fully written to the tmp
+    // dir and the manifest committed, but no move/delete ran
+    val tmp = aDir.resolve(".compact-tmp")
+    spark.read.parquet(aDir.toString).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val compactedName = {
+      val s = F.list(tmp)
+      try {
+        var n: String = null
+        val it = s.iterator()
+        while (it.hasNext) { val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) n = f.getFileName.toString }
+        n
+      } finally s.close()
+    }
+    val originals = {
+      val s = F.list(aDir)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) { val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) buf += f.getFileName.toString }
+        buf.toSeq
+      } finally s.close()
+    }
+    F.writeString(aDir.resolve(".compact-manifest"),
+      (s"C $compactedName" +: originals.map("O " + _)).mkString("", "\n", "\n"))
+    // a row appended AFTER the crash must survive recovery (it is not in
+    // the manifest's delete list)
+    Seq((99L, "late", "a")).toDF("id", "payload", "part")
+      .write.mode("append").partitionBy("part").parquet(dir)
+
+    // next maintenance run replays the manifest before compacting
+    Maintenance.compactPartitions(spark, dir, Seq("part"))
+
+    F.exists(aDir.resolve(".compact-manifest")) shouldBe false
+    F.exists(tmp) shouldBe false
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    after shouldBe (content :+ Seq((99L, "late", "a")).toDF("id", "payload", "part")
+      .collect().map(_.toString).head).sorted
+  }
 }
