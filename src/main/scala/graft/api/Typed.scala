@@ -43,9 +43,14 @@ object Typed {
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
     override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+      // fail loudly on a dimension mismatch (the VectorExprUtil
+      // requireSameLength discipline) — silently truncating/zero-padding
+      // would return a plausible-looking mean diluted toward zero
+      if (v.length != dim) throw new IllegalArgumentException(
+        s"VectorMean($dim): vector of length ${v.length}")
       val (sums, n) = b
       var i = 0
-      while (i < dim && i < v.length) { sums(i) += v(i); i += 1 }
+      while (i < dim) { sums(i) += v(i); i += 1 }
       (sums, n + 1)
     }
 

@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class CharEntropy(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("distinct_chars", LongType, nullable = false),

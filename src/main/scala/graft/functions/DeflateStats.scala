@@ -28,6 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class DeflateStats(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = StructType(Seq(
     StructField("raw_bytes", LongType, nullable = false),
     StructField("deflated_bytes", LongType, nullable = false)))

@@ -31,6 +31,9 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
 
   require(dim >= 1, s"embedding dim must be >= 1, got $dim")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -60,20 +63,27 @@ object FeatureHashEmbed {
     h
   }
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * Lowercasing is Locale.ROOT — the JVM-default-locale form would make
+    * "I" hash differently on a Turkish-locale executor (dotless ı), a
+    * silent cross-cluster determinism break. Tokenization is the corpus
+    * convention ([[WordNGramShingles.compute]]: space-only trim, split
+    * keeping empties) with empty tokens SKIPPED — an empty token would
+    * otherwise hash a phantom feature into whitespace-edged docs. */
   def compute(input: UTF8String, dim: Int): ArrayData = {
-    val text = input.toString.toLowerCase.trim
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val acc = new Array[Double](dim)
-    if (text.nonEmpty) {
-      val toks = ws.split(text)
-      var i = 0
-      while (i < toks.length) {
+    val toks = ws.split(text, -1)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
         val h = fnv1a64(toks(i))
         val slot = java.lang.Math.floorMod(h, dim.toLong).toInt
         val sign = if (((h >>> 32) & 1L) == 1L) 1.0 else -1.0
         acc(slot) += sign
-        i += 1
       }
+      i += 1
     }
     var norm = 0.0
     var d = 0

@@ -21,6 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class Md5Prefix48(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

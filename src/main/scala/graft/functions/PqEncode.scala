@@ -28,12 +28,21 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType}
   * a vector whose length ≠ m·subDim raises — dimension is a fixed upstream
   * invariant, not a scorable shape.
   */
-case class PqEncode(child: Expression, codebook: Array[Double],
+case class PqEncode(child: Expression, codebook: Seq[Double],
                     m: Int, k: Int, subDim: Int)
     extends UnaryExpression {
 
   require(codebook.length == m * k * subDim,
     s"codebook length ${codebook.length} != m*k*subDim ${m * k * subDim}")
+  // ids are stored SIGNED bytes and ADC consumers index 1-based arrays
+  // with them — k past 128 would silently wrap/alias centroid ids
+  require(k >= 1 && k <= 128, s"k must be in [1, 128] to fit a signed byte id, got $k")
+
+  // Seq (not Array) so equals/hashCode are structural — an Array field
+  // would give the expression identity equality, silently defeating
+  // Catalyst canonicalization / common-subexpression elimination. The
+  // kernel still gets a primitive array, converted once.
+  private lazy val cbArr: Array[Double] = codebook.toArray
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   private lazy val isFloat = VectorExprUtil.elemIsFloat(child.dataType)
@@ -45,14 +54,14 @@ case class PqEncode(child: Expression, codebook: Array[Double],
   override def nullable: Boolean = super.nullable || elemNullable
 
   override def nullSafeEval(v: Any): Any =
-    PqEncode.compute(v.asInstanceOf[ArrayData], isFloat, codebook, m, k, subDim)
+    PqEncode.compute(v.asInstanceOf[ArrayData], isFloat, cbArr, m, k, subDim)
 
   // Static-kernel call (L2Normalize discipline): the loop body is shared
   // between interpreted eval and generated code; `ev.isNull` is only
   // assigned when the expression is nullable (see DotProduct.doGenCode).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+      val cbRef = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
       val call = s"graft.functions.PqEncode.compute($a, $isFloat, $cbRef, $m, $k, $subDim)"
       if (elemNullable)
         s"""
@@ -108,5 +117,6 @@ object PqEncode {
 
   /** Column wrapper (VectorFunctions discipline). */
   def encode(a: Column, codebook: Array[Double], m: Int, k: Int, subDim: Int): Column =
-    ColumnBridge.column(PqEncode(ColumnBridge.expression(a), codebook, m, k, subDim))
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(a),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(codebook), m, k, subDim))
 }

@@ -50,9 +50,13 @@ object TextFunctions {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count proxy: words + punctuation marks counted
-    * separately (a cheap, deterministic stand-in for a real tokenizer). */
+    * separately (a cheap, deterministic stand-in for a real tokenizer).
+    * Guarded like [[tokenCount]]: split of the empty string yields [""]
+    * (size 1), which would count a phantom subword for empty docs. */
   def approxBpeCount(text: Column): Column =
-    size(split(trim(text), "\\s+")) + regexp_count(text, lit("[\\p{Punct}]"))
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+"))) +
+      regexp_count(text, lit("[\\p{Punct}]"))
 
   /** Punctuation ratio for quality scoring. */
   def punctRatio(text: Column): Column =

@@ -43,6 +43,16 @@ object VectorExprUtil {
       s"$name requires array<float> or array<double> arguments, got " +
         types.map(_.simpleString).mkString(", "))
 
+  /** The string twin of [[checkVectorInputs]]: the text kernels are
+    * SQL-registered (GraftExtensions), so `md5_prefix48(42)` must fail
+    * analysis with a clear message — not pass the default check and die
+    * at runtime with a ClassCastException (interpreted) or a Janino
+    * compile failure that silently disables codegen. */
+  def checkStringInput(name: String, dt: DataType): TypeCheckResult =
+    if (dt == org.apache.spark.sql.types.StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a string argument, got ${dt.simpleString}")
+
   @inline def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 

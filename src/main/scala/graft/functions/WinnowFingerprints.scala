@@ -36,6 +36,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
   require(k <= 6, s"k=$k would overflow the exact-in-int64 k-gram hash (max k=6)")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

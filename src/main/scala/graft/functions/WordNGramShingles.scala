@@ -29,6 +29,9 @@ case class WordNGramShingles(child: Expression, n: Int, distinct: Boolean = true
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprUtil.checkStringInput(prettyName, child.dataType)
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

@@ -101,7 +101,8 @@ object TextOps {
     s"""SELECT doc_id, length(text) AS n_char,
        |  CASE WHEN length(trim(text)) = 0 THEN 0
        |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-       |  len(regexp_split_to_array(trim(text), '\\s+'))
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
        |    + len(regexp_extract_all(text, '[[:punct:]]')) AS n_bpe,
        |  ROUND(len(regexp_extract_all(text, '[[:punct:]]'))
        |    / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,

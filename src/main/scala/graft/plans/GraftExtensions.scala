@@ -24,6 +24,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Literal-parameter extraction shared by every builder with non-column
+    * parameters: a non-foldable or NULL argument fails function resolution
+    * with a clear message instead of an opaque eval()/NPE crash. */
+  private def foldableInt(e: Expression, fn: String, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(s"$fn: $what must not be NULL")
+    v.asInstanceOf[Number].intValue()
+  }
+
+  private def foldableStr(e: Expression, fn: String, what: String): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got ${e.sql}")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(s"$fn: $what must not be NULL")
+    v.toString
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "",
       "", "", "", "scala_udf")
@@ -48,12 +67,12 @@ object GraftExtensions {
       info("word_ngram_shingles",
         "word_ngram_shingles(text, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => WordNGramShingles(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())),
+        foldableInt(args(1), "word_ngram_shingles", "n"))),
     (FunctionIdentifier("feature_hash_embed"),
       info("feature_hash_embed",
         "feature_hash_embed(text, dim) - deterministic unit-norm embedding"),
       (args: Seq[Expression]) => FeatureHashEmbed(args.head,
-        args(1).eval().asInstanceOf[Number].intValue())),
+        foldableInt(args(1), "feature_hash_embed", "dim"))),
     (FunctionIdentifier("md5_prefix48"),
       info("md5_prefix48", "md5_prefix48(s) - first 6 md5 digest bytes as a bigint (portable 48-bit hash)"),
       (args: Seq[Expression]) => Md5Prefix48(args.head)),
@@ -61,8 +80,8 @@ object GraftExtensions {
       info("winnow_fingerprints",
         "winnow_fingerprints(text, k, w) - sorted distinct winnowed k-gram fingerprints"),
       (args: Seq[Expression]) => WinnowFingerprints(args.head,
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())),
+        foldableInt(args(1), "winnow_fingerprints", "k"),
+        foldableInt(args(2), "winnow_fingerprints", "w"))),
     (FunctionIdentifier("char_entropy_stats"),
       info("char_entropy_stats",
         "char_entropy_stats(text) - struct(n, distinct_chars, sum_clnc) for Shannon entropy"),
@@ -76,14 +95,8 @@ object GraftExtensions {
         "pq_encode(vec, codebook, m, k, subdim) - per-subspace nearest-centroid byte codes " +
           "against a flat [m][k][subdim] codebook literal"),
       (args: Seq[Expression]) => {
-        // The codebook and geometry parameterize the kernel, so they must
-        // be foldable; normalize any numeric array (un-suffixed literals
-        // parse as DECIMAL) through a Cast instead of blind asInstanceOfs.
-        def foldableInt(e: Expression, what: String): Int = {
-          if (!e.foldable) throw new IllegalArgumentException(
-            s"pq_encode: $what must be a literal, got ${e.sql}")
-          e.eval().asInstanceOf[Number].intValue()
-        }
+        // normalize any numeric array (un-suffixed literals parse as
+        // DECIMAL) through a Cast instead of blind asInstanceOfs
         val cbExpr = args(1)
         if (!cbExpr.foldable) throw new IllegalArgumentException(
           s"pq_encode: codebook must be a foldable array literal, got ${cbExpr.sql}")
@@ -92,20 +105,18 @@ object GraftExtensions {
               org.apache.spark.sql.types.DoubleType, containsNull = false))
           .eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toDoubleArray()
-        PqEncode(args.head, cb, foldableInt(args(2), "m"),
-          foldableInt(args(3), "k"), foldableInt(args(4), "subdim"))
+        PqEncode(args.head,
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(cb),
+          foldableInt(args(2), "pq_encode", "m"),
+          foldableInt(args(3), "pq_encode", "k"),
+          foldableInt(args(4), "pq_encode", "subdim"))
       }),
     (FunctionIdentifier("bpe_merge_pair"),
       info("bpe_merge_pair",
         "bpe_merge_pair(symbols, a, b) - replace adjacent (a,b) with a||b, leftmost-first"),
-      (args: Seq[Expression]) => {
-        def foldableStr(e: Expression, what: String): String = {
-          if (!e.foldable) throw new IllegalArgumentException(
-            s"bpe_merge_pair: $what must be a string literal, got ${e.sql}")
-          e.eval().toString
-        }
-        BpeMergePair(args.head, foldableStr(args(1), "a"), foldableStr(args(2), "b"))
-      }))
+      (args: Seq[Expression]) => BpeMergePair(args.head,
+        foldableStr(args(1), "bpe_merge_pair", "a"),
+        foldableStr(args(2), "bpe_merge_pair", "b"))))
 
   /** Register on an already-running session (extensions configured at
     * build time can't be added retroactively). */
