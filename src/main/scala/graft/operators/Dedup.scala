@@ -262,7 +262,16 @@ object Dedup {
     * set back to per-doc gram arrays and intersects per pair. At J ≥ 0.8
     * with 8×2 banding the candidate-miss probability is
     * 1−(1−0.8²)⁸ ≈ 2e-4 per pair (≈1e-12 at the planted J≈0.98), vs the
-    * unguarded quadratic join's skew bomb on any hot gram. */
+    * unguarded quadratic join's skew bomb on any hot gram.
+    *
+    * Measure note: verification here is Jaccard over the FULL gram sets —
+    * this path needs no df cap for safety (banding bounds the candidates).
+    * [[ngramJaccardPairs]] measures Jaccard over df-CAPPED gram sets (its
+    * cap is structural, and its oracle mirrors the capped measure). The
+    * two agree exactly whenever no gram's df exceeds the cap (true of the
+    * testdata, max df 25 < 32); on a corpus with hotter grams they are
+    * deliberately different estimators — capped-set Jaccard discounts
+    * stopword phrases, full-set Jaccard counts them. */
   def nearDupPairs(docs: DataFrame, threshold: Double,
                    minEstimate: Double = 0.5): DataFrame = {
     val cand = minhashLshPairs(docs, minEstimate).select(col("doc_a"), col("doc_b"))

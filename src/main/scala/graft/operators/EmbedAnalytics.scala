@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding-space corpus analytics: per-class centroids, outlier
@@ -100,17 +99,14 @@ object EmbedAnalytics {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("embedding").as("q_embedding"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    emb
-      .crossJoin(broadcast(q.withColumn("q_norm", l2Norm(col("q_embedding")))))
-      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
-      .withColumn("score", KnnSearch.prenormedScore)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("vec_id"), col("label"), col("score"), col("rank"))
+    // ONE shared per-query-top-K pipeline (KnnSearch.knnJoin) with the
+    // label inequality as the candidate filter — not a copy of it
+    KnnSearch.knnJoin(emb, q, 5,
+        candidateFilter = col("label") =!= col("q_label"))
+      .select(col("query_id").as("q_id"), col("vec_id"), col("label"),
+        col("score"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 

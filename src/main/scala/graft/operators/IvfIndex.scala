@@ -28,18 +28,24 @@ object IvfIndex {
     * (The window form shuffled k candidate rows per vector, each carrying
     * the full embedding, then sorted them — k× the exchange volume for
     * the same result.) */
-  def assign(index: DataFrame, centroids: DataFrame): DataFrame =
+  def assign(index: DataFrame, centroids: DataFrame): DataFrame = {
+    // carry whatever payload the frame has (label, metadata, …) instead of
+    // hard-coding a label column: k-means training runs on unlabeled
+    // frames too, and the payload rides the struct without affecting the
+    // argmax (ns + cent_id decide before any payload field compares)
+    val payload = index.columns.filterNot(_ == "vec_id")
     index
       .crossJoin(broadcast(centroids))
       .withColumn("c_score", cosineSimPrenormed(
         dotProduct(col("embedding"), col("c_embedding")),
         col("vec_norm"), col("c_norm")))
       .groupBy(col("vec_id"))
-      .agg(min(struct((-col("c_score")).as("ns"), col("cent_id"),
-        col("label"), col("embedding"), col("vec_norm"))).as("b"))
-      .select(col("vec_id"), col("b.label").as("label"),
-        col("b.embedding").as("embedding"), col("b.vec_norm").as("vec_norm"),
-        col("b.cent_id").as("cent_id"))
+      .agg(min(struct(
+        (-col("c_score")).as("ns") +: col("cent_id") +: payload.map(col): _*)).as("b"))
+      .select(
+        col("vec_id") +: payload.map(c => col(s"b.$c").as(c)) :+
+          col("b.cent_id").as("cent_id"): _*)
+  }
 
   /** Probe: the query's top-`nprobe` centroids. */
   def probes(centroids: DataFrame, query: DataFrame, nprobe: Int): DataFrame =

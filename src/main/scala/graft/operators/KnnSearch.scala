@@ -84,14 +84,19 @@ object KnnSearch {
       "vec_id", k, metric)
 
   /** Batch kNN join: top-K neighbors for EVERY query row (the north-star
-    * "similarity search as a join", SURVEY.md §2.3 J2). */
+    * "similarity search as a join", SURVEY.md §2.3 J2). `candidateFilter`
+    * restricts candidates BEFORE ranking (e.g. a label inequality for
+    * hard-negative mining) so excluded rows never occupy a rank slot —
+    * there is exactly one copy of this broadcast + score + WindowGroupLimit
+    * pipeline, shared by every per-query-top-K variant. */
   def knnJoin(index: DataFrame, queries: DataFrame, k: Int,
-              metric: String = "cosine"): DataFrame = {
+              metric: String = "cosine",
+              candidateFilter: Column = lit(true)): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(scoreOrder(metric), col("vec_id"))
     index
       .crossJoin(broadcast(queries.withColumn("q_norm", l2Norm(col("q_embedding")))))
-      .filter(col("vec_id") =!= col("query_id"))
+      .filter(col("vec_id") =!= col("query_id") && candidateFilter)
       .withColumn("score", metricScore(metric))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -23,11 +23,16 @@ object Metrics {
     * invariant the reference prints (`embed/embed.go:130-131`). */
   def observeParse(df: DataFrame, textCol: String = "text"): (DataFrame, Observation) = {
     val obs = Observation("parse_counters")
+    // null-safe: a NULL text makes the prefix predicate NULL, which
+    // both when() branches would skip — processed would exceed ok +
+    // failures, silently breaking the documented invariant. NULL counts
+    // as a parse failure and as an empty line.
+    val ok = coalesce(TextFunctions.hasChatPrefix(col(textCol)), lit(false))
     val observed = df.observe(obs,
       count(lit(1)).as("lines_processed"),
-      count(when(TextFunctions.hasChatPrefix(col(textCol)), 1)).as("parse_ok"),
-      count(when(!TextFunctions.hasChatPrefix(col(textCol)), 1)).as("parse_failures"),
-      count(when(length(col(textCol)) === 0, 1)).as("empty_lines"))
+      count(when(ok, 1)).as("parse_ok"),
+      count(when(!ok, 1)).as("parse_failures"),
+      count(when(coalesce(length(col(textCol)) === 0, lit(true)), 1)).as("empty_lines"))
     (observed, obs)
   }
 

@@ -115,8 +115,12 @@ object Multimodal {
     private[operators] val contentDigest =
       java.security.MessageDigest.getInstance("SHA-256")
     private[operators] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      // NonFatal, not just IOException: JDK readers throw runtime
+      // exceptions (AIOOBE, IllegalArgument, CMMException) on
+      // corrupt-but-recognized bytes — any of them escaping here would
+      // fail the task and start the retry storm the codec exists to avoid
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     def decode(id: Long, bytes: Array[Byte]): MediaMeta = {
       val img = readImage(bytes)
       if (img == null) fallback.decode(id, bytes)

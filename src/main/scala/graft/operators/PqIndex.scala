@@ -148,7 +148,34 @@ object PqIndex {
     val lut = Array.fill(M, K)(0.0)
     lutRows.foreach(r =>
       lut(r.getAs[Int]("sub_id"))(r.getAs[Long]("cent_id").toInt) = r.getAs[Double]("p"))
+    lutLiteral(lut)
+  }
+
+  private def lutLiteral(lut: Array[Array[Double]]): Column =
     array(lut.map(sub => array(sub.map(lit).toSeq: _*)).toSeq: _*)
+
+  /** The ADC LUT computed DRIVER-SIDE from a flat stored codebook and the
+    * raw query vector — arithmetic replicated step-for-step from the
+    * relational [[adcLut]] path (normalize in double, cast subvector
+    * elements to FLOAT, sequential double dot), so the two paths produce
+    * bit-identical tables; dropped-cluster slots (+∞ sentinel) stay 0.0
+    * exactly as the relational join leaves them absent. */
+  private[operators] def lutFromFlat(qVec: Array[Float], flat: Array[Double]): Array[Array[Double]] = {
+    val vals = qVec.map(_.toDouble)
+    var ss = 0.0
+    vals.foreach(v => ss += v * v)
+    val inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 0.0
+    val nq = vals.map(v => (v * inv).toFloat)
+    Array.tabulate(M, K) { (mm, kk) =>
+      val base = (mm * K + kk) * SubDim
+      if (flat(base).isPosInfinity) 0.0
+      else {
+        var s = 0.0
+        var d = 0
+        while (d < SubDim) { s += nq(mm * SubDim + d).toDouble * flat(base + d); d += 1 }
+        s
+      }
+    }
   }
 
   /** Σₘ LUT[m][code[m]] — the approximate dot product, a pure map-side
@@ -232,10 +259,17 @@ object PqIndex {
     * codes it loaded, and (d) exact-reranks the shortlist. This is the
     * complete FAISS IVF-PQ deployment shape: scan pruned by the coarse
     * quantizer, memory bounded by the code width, build amortized across
-    * queries (createIfAbsent). Training is deterministic, so the stored
-    * codes always agree with the recomputed codebook's ADC table. */
+    * queries (createIfAbsent). The trained codebook PERSISTS next to the
+    * index (4 KB of exact-round-trip doubles, written atomically), so a
+    * steady-state query never re-trains: the ADC table derives
+    * driver-side from the stored codebook and the collected query vector
+    * — the per-query cost is probe selection + the pruned scan, exactly
+    * the amortized-build claim. A pre-codebook cache entry (index present,
+    * codebook file absent) retrains once and backfills — training is
+    * deterministic, so the stored codes always agree. */
   def ivfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = IndexCatalog.cacheBase(dir)
     val name = "emb-ivfpq-bucketed"
     val emb = Tables.embeddings(spark, dir)
@@ -243,9 +277,14 @@ object PqIndex {
       emb.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
       "c_embedding").withColumnRenamed("vec_norm", "c_norm")
-    val cb = trainCodebooks(emb)
+    val cbFile = Paths.get(base, name, "pq_codebook.txt")
+    def writeCodebook(flat: Array[Double]): Unit = {
+      val tmp = cbFile.resolveSibling("pq_codebook.txt.tmp")
+      Files.writeString(tmp, flat.map(_.toString).mkString(","))
+      Files.move(tmp, cbFile, StandardCopyOption.ATOMIC_MOVE)
+    }
     if (!IndexCatalog.exists(base, name)) {
-      val flat = collectCodebook(cb)
+      val flat = collectCodebook(trainCodebooks(emb))
       val data = IvfIndex.assign(KnnSearch.withNorm(emb), cent)
         .withColumnRenamed("cent_id", "bucket")
         .drop("vec_norm") // createIfAbsent recomputes it via withNorm
@@ -254,15 +293,25 @@ object PqIndex {
       IndexCatalog.createIfAbsent(spark, base,
         IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
         partitionCols = Seq("bucket"))
+      writeCodebook(flat)
     }
+    val flat =
+      if (Files.exists(cbFile))
+        Files.readString(cbFile).split(",").map(_.toDouble)
+      else {
+        val f = collectCodebook(trainCodebooks(emb))
+        writeCodebook(f)
+        f
+      }
     val q = emb.filter(col("vec_id") === 0)
+    val qVec = q.select(col("embedding")).head().getSeq[Float](0).toArray
     val qn = KnnSearch.withNorm(
       q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
       "q_embedding").withColumnRenamed("vec_norm", "q_norm")
     val probeIds = IvfIndex.probes(cent, qn, nprobe = 4)
       .collect().map(_.getLong(0)).toSeq
     val shortlist = IndexCatalog.loadBuckets(spark, base, name, probeIds)
-      .withColumn("approx_dot", adcScore(adcLut(q, cb)))
+      .withColumn("approx_dot", adcScore(lutLiteral(lutFromFlat(qVec, flat))))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("approx_dot").desc, col("vec_id"))
       .limit(Shortlist)

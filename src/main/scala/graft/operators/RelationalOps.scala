@@ -353,6 +353,11 @@ object RelationalOps {
   /** Correlated scalar subquery (Catalyst decorrelates it into an
     * aggregate + join — no per-row re-execution): orders costing more
     * than 1.5x their customer's average order. */
+  // The per-customer threshold is an exact-decimal SUM cast to double,
+  // divided by the count — NOT AVG: Spark's decimal AVG rounds to scale 6
+  // while DuckDB's returns full-precision double, so a boundary order
+  // could be classified differently (a latent oracle flake that grows
+  // with SF). Sum-then-divide gives both engines identical doubles.
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("__orders")
     spark.sql(
@@ -360,7 +365,7 @@ object RelationalOps {
         |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
         |FROM __orders o
         |WHERE o_totalprice > 1.5 * (
-        |  SELECT AVG(CAST(i.o_totalprice AS DECIMAL(14,2)))
+        |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
         |  FROM __orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -369,7 +374,7 @@ object RelationalOps {
     """SELECT o_orderkey, o_custkey, o_totalprice
       |FROM orders o
       |WHERE o_totalprice > 1.5 * (
-      |  SELECT AVG(CAST(i.o_totalprice AS DECIMAL(14,2)))
+      |  SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*)
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * The skewed (big) side spreads each hot key across `numSalts` synthetic
   * sub-keys; the small side is replicated once per salt. The join key
   * becomes (key, salt), so one hot key's rows land on `numSalts`
-  * reducers instead of one. Salt assignment hashes the whole row
-  * (xxhash64), keeping the operator deterministic — re-runs produce the
-  * same partitioning, unlike rand()-based salting.
+  * reducers instead of one. Salt assignment round-robins a per-row id
+  * (monotonically_increasing_id mod numSalts): a row-CONTENT hash would
+  * send full-duplicate rows of a hot key — the classic skew case — to
+  * ONE salt, silently reproducing the straggler the operator exists to
+  * break. The salt only controls placement, never the join result, so
+  * the id's run-to-run instability is invisible in the output.
   */
 object Salting {
 
@@ -20,8 +23,9 @@ object Salting {
     * side on `key`. Result is row-identical to `big.join(small, key)`. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  numSalts: Int): DataFrame = {
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(numSalts)))
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
     val replicated = small.withColumn("__salt",
       explode(array((0 until numSalts).map(s => lit(s.toLong)): _*)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -132,16 +132,22 @@ object VectorOps {
   /** Q-index-stats: per-namespace vector counts — the reference's
     * `describe_index_stats` (`debug-commands.txt:10-12`), with `label`
     * standing in for the namespace partition. */
+  // avg_norm sums DECIMAL(38,18) casts of the norms (the labelCentroids
+  // discipline): a raw double avg is accumulation-order-dependent, so the
+  // rounded 6th decimal could flip between engines/partitionings when a
+  // mean sits near a rounding boundary.
   def indexStats(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(l2Norm(col("embedding"))), 6).as("avg_norm"))
+        round(sum(l2Norm(col("embedding")).cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("avg_norm"))
       .orderBy(col("label"))
 
   val indexStatsSql: String =
     s"""SELECT label, COUNT(*) AS n_vectors,
-       |  ROUND(AVG(${normSql("embedding")}), 6) AS avg_norm
+       |  ROUND(CAST(SUM(CAST(${normSql("embedding")} AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(*), 6) AS avg_norm
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** Q-upsert: last-write-wins merge by id (Pinecone upsert semantics,
@@ -272,9 +278,7 @@ object VectorOps {
       .withColumn("q_norm", l2Norm(col("q_embedding")))
     val scored = emb.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("ds", round(cosineSimPrenormed(
-        dotProduct(col("embedding"), col("q_embedding")),
-        col("vec_norm"), col("q_norm")), 6))
+      .withColumn("ds", KnnSearch.prenormedScore)
       .withColumn("ss", round(dotProduct(
         masked(col("embedding")), masked(col("q_embedding"))), 6))
       .select(col("vec_id"), col("label"), col("ds"), col("ss"))
