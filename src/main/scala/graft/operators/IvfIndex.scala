@@ -33,7 +33,7 @@ object IvfIndex {
     // hard-coding a label column: k-means training runs on unlabeled
     // frames too, and the payload rides the struct without affecting the
     // argmax (ns + cent_id decide before any payload field compares)
-    val payload = index.columns.filterNot(_ == "vec_id")
+    val payload = index.columns.toIndexedSeq.filterNot(_ == "vec_id")
     index
       .crossJoin(broadcast(centroids))
       .withColumn("c_score", cosineSimPrenormed(

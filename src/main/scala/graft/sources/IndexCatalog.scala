@@ -218,7 +218,7 @@ object IndexCatalog {
     // 'empty.reduce' from deep inside the merge.
     if (batch.isEmpty) return
     val idx = load(spark, basePath, name)
-    val newRows = KnnSearch.withNorm(batch).select(idx.columns.map(col): _*)
+    val newRows = KnnSearch.withNorm(batch).select(idx.columns.toIndexedSeq.map(col): _*)
     val keys = batch.select(col(keyCol)).distinct()
     // Touched-partition values are cast to the INDEX column's type before
     // the semi-join: partition-value inference reads small buckets back as
