@@ -243,4 +243,37 @@ class IndexCatalogSpec extends SparkSpecBase with Matchers {
     val res = IndexCatalog.search(spark, base, "ups", q, 3, buckets = Seq(newBucket0))
     res.count() should be > 0L
   }
+
+  test("partition layout derives from the directory nesting; upsert follows a two-level layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val data = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1, 7L),
+      (1L, Array(0f, 1f, 0f, 0f), 2, 7L),
+      (2L, Array(0f, 0f, 1f, 0f), 1, 9L)
+    ).toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("two", 4, "cosine"), data,
+      partitionCols = Seq("label", "bucket")) shouldBe true
+    // the ON-DISK nesting is the source of truth — the caller never
+    // re-declares it (a wrong caller assumption used to silently
+    // interleave a conflicting directory tree)
+    IndexCatalog.partitionLayout(base, "two") shouldBe Seq("label", "bucket")
+
+    val batch = Seq((0L, Array(0f, 1f, 1f, 0f), 2, 9L))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.upsertInto(spark, base, "two", batch, "vec_id")
+    val after = IndexCatalog.load(spark, base, "two")
+    after.count() shouldBe 3
+    val moved = after.filter(org.apache.spark.sql.functions.col("vec_id") === 0).head()
+    moved.getAs[Number]("label").intValue shouldBe 2
+    moved.getAs[Number]("bucket").longValue shouldBe 9L
+
+    // a batch missing a layout column fails loudly, not corruptly
+    val bad = Seq((5L, Array(1f, 1f, 0f, 0f), 9L)).toDF("vec_id", "embedding", "bucket")
+    val err = intercept[IllegalArgumentException] {
+      IndexCatalog.upsertInto(spark, base, "two", bad, "vec_id")
+    }
+    err.getMessage should include("partition column 'label'")
+  }
 }

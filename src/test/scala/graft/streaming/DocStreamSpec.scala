@@ -53,6 +53,16 @@ class DocStreamSpec extends SparkSpecBase with Matchers {
       val batchDedup = Dedup.exact(everything)
         .select("doc_id", "text").collect().map(_.toString).sorted
       fin.select("doc_id", "text").collect().map(_.toString).sorted shouldBe batchDedup
+
+      // null text fingerprints as the empty string: it appends once and a
+      // replay appends nothing (a NULL fp would never match the anti-join
+      // and re-append forever)
+      source.addData(Doc(6, null), Doc(7, null))
+      query.processAllAvailable()
+      spark.read.parquet(path).count() shouldBe 4
+      source.addData(Doc(6, null))
+      query.processAllAvailable()
+      spark.read.parquet(path).count() shouldBe 4
     } finally query.stop()
   }
 }
