@@ -60,7 +60,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session("graft-bench")
-    println(jsonLine(measure(spark, sfDir), sfDir))
+    val line = jsonLine(measure(spark, sfDir), sfDir)
+    println(line)
+    // Stdout alone is not a durable artifact: the driver's capture keeps a
+    // bounded tail, which truncated 59 of 128 per-query times in round 6
+    // (BENCH_r06.json "parsed": null). The full JSON is therefore also
+    // written to a file in the repo, committed per round, so the headline
+    // total is always reconstructible from the artifact itself.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_SELF.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -20,6 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the declared query is rows-only by design; determinism and ordering
   * properties are gated by DeflateStatsSpec.
   *
+  * Determinism scope: `deflated_bytes` depends on the JVM's bundled zlib.
+  * It is bit-stable across runs, threads, and executors of ONE JDK build
+  * (DeflateStatsSpec gates this), but a cluster mixing JDK builds — or a
+  * JDK upgrade between runs — can change the count for the same text.
+  * That is acceptable for the quality-signal use (the ratio shifts by a
+  * rounding hair, thresholds don't care); if cross-cluster bit-stability
+  * ever matters, homogenize the JDK or pin a pure-Java DEFLATE.
+  *
   * Codegen emits a static call into [[DeflateStats.compute]], keeping the
   * projection inside whole-stage codegen. The Deflater instance and
   * scratch buffer are thread-local — allocated once per task thread, not

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * diagnostics a training pipeline runs over its embedding table before
   * trusting labels or sampling contrastive pairs).
   *
-  * All three are oracle-gated: the per-dimension means sum DECIMAL casts
+  * All four declared queries are oracle-gated: the per-dimension means sum DECIMAL casts
   * (the q_anomaly discipline — exact, order-free, partial-aggregatable,
   * so the engine-dependent double-accumulation-order problem never
   * arises), and every downstream cosine runs from those identical
@@ -20,30 +20,49 @@ import org.apache.spark.sql.functions._
   */
 object EmbedAnalytics {
 
-  /** Q-label-centroids: the per-label mean embedding (and class size) —
-    * the class prototype used for outlier screening, nearest-class-mean
-    * classification, and cluster drift monitoring.
+  /** Per-(label, dimension) exact-decimal means — the shared core of this
+    * suite.
     *
     * Scale shape: posexplode is map-side; the (label, dim) partial
     * aggregation combines before its exchange carries one row per
-    * (label, dim) per task; the final assembly groups #labels×dim rows.
+    * (label, dim) per task; downstream consumers group #labels×dim rows.
     * The DECIMAL(38,18) cast makes the per-dimension sum exact and thus
     * independent of partitioning — bit-identical to the oracle's
     * sequential sum by construction, not by accumulation-order luck. */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables.embeddings(spark, dir)
+  private def perDimMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(
         round(sum(col("x").cast("double").cast("decimal(38,18)")).cast("double") /
           count(lit(1)), 6).as("m"),
         count(lit(1)).as("n"))
-    per.groupBy(col("label"))
+
+  /** Q-label-centroids: the per-label mean embedding (and class size) —
+    * the class prototype used for outlier screening, nearest-class-mean
+    * classification, and cluster drift monitoring.
+    *
+    * DECLARED SHAPE: one row per (label, dimension) — all-scalar columns,
+    * because the driver's pandas comparator cannot sort/hash an
+    * array-typed cell (round-6 CORRECTNESS: `unhashable numpy.ndarray`).
+    * The assembled array form lives in [[labelCentroids]] for the
+    * in-plan consumers; the semantics (exact-decimal per-dimension
+    * means) are identical — this is a presentation reshape only. */
+  def labelCentroidsFlat(spark: SparkSession, dir: String): DataFrame =
+    perDimMeans(spark, dir)
+      .select(col("label"), col("pos").cast("long").as("pos"), col("m"),
+        col("n").as("n_vectors"))
+      .orderBy(col("label"), col("pos"))
+
+  /** The centroid as an `array<double>` column, ordered by dimension —
+    * the in-plan form [[embedOutliers]] and [[ncmEval]] consume (a
+    * broadcast of #labels rows each carrying one dense vector). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    perDimMeans(spark, dir).groupBy(col("label"))
       .agg(max(col("n")).as("n_vectors"),
         transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
       .orderBy(col("label"))
-  }
 
   /** The per-dimension exact-decimal mean CTEs, shared by every oracle in
     * this suite (the DedupOps.shinglesCte discipline: ONE definition of
@@ -61,9 +80,8 @@ object EmbedAnalytics {
 
   val labelCentroidsSql: String =
     s"""WITH $centroidCte
-       |SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
-       |  list(m ORDER BY pos) AS centroid
-       |FROM per GROUP BY label ORDER BY label""".stripMargin
+       |SELECT label, CAST(pos AS BIGINT) AS pos, m, CAST(n AS BIGINT) AS n_vectors
+       |FROM per ORDER BY label, pos""".stripMargin
 
   /** Q-embed-outliers: the 20 vectors least similar to their OWN label's
     * centroid — mislabeled or out-of-distribution candidates (the
@@ -175,7 +193,7 @@ object EmbedAnalytics {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_label_centroids" -> (labelCentroids _),
+    "q_label_centroids" -> (labelCentroidsFlat _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_ncm_eval" -> (ncmEval _))

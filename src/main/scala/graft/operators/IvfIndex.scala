@@ -21,13 +21,21 @@ object IvfIndex {
 
   /** Assign every vector to its nearest centroid by cosine (ties → lowest
     * centroid id). One broadcast join + an argmax AGGREGATION — `min` of
-    * `struct(-score, cent_id, payload…)`, whose lexicographic ordering is
-    * exactly the old window's `ORDER BY c_score DESC, cent_id` — so the
-    * k×-expanded candidate frame partial-aggregates back to one row per
-    * vector map-side BEFORE the exchange, and nothing sorts a k× frame.
-    * (The window form shuffled k candidate rows per vector, each carrying
-    * the full embedding, then sorted them — k× the exchange volume for
-    * the same result.) */
+    * `struct(-score, cent_id, payload…)`, whose lexicographic ordering
+    * matches the old window's `ORDER BY c_score DESC, cent_id` for all
+    * finite scores — so the k×-expanded candidate frame partial-aggregates
+    * back to one row per vector map-side BEFORE the exchange, and nothing
+    * sorts a k× frame. (The window form shuffled k candidate rows per
+    * vector, each carrying the full embedding, then sorted them — k× the
+    * exchange volume for the same result.)
+    *
+    * NaN edge (a zero-norm centroid or vector makes cosineSimPrenormed
+    * 0/0 = NaN): Spark sorts NaN GREATEST, so the old `DESC` window put a
+    * NaN-scored centroid FIRST while `min(struct(-score, …))` puts it
+    * last — min(struct) is the sane behavior (never assign to an
+    * unscorable centroid), and no zero-norm vectors exist in any caller's
+    * data (embeddings are unit-normalized upstream), but the two forms
+    * are NOT equivalent in that degenerate edge. */
   def assign(index: DataFrame, centroids: DataFrame): DataFrame = {
     // carry whatever payload the frame has (label, metadata, …) instead of
     // hard-coding a label column: k-means training runs on unlabeled

@@ -92,9 +92,12 @@ object EventsStream {
   }
 
   /** Idle horizon after which a user's running-stats state is evicted —
-    * in EVENT time: a user silent for this long past the watermark drops
-    * from the store (their counter restarts on return, the standard
-    * activity-horizon semantic of evictable running stats). */
+    * in EVENT time, measured from the user's LAST ACTIVITY (the max event
+    * time seen for the key, clamped up to the current watermark for
+    * fully-late batches — Spark requires timeouts later than the
+    * watermark): a user silent for this long drops from the store (their
+    * counter restarts on return, the standard activity-horizon semantic
+    * of evictable running stats). */
   val UserStatsIdleTimeout = "7 days"
 
   /** Custom arbitrary state (SURVEY.md §2.9): per-user running stats via
@@ -130,14 +133,19 @@ object EventsStream {
           Iterator.empty
         case (userId, rows, state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0.0, ""))
+          var lastActivityMs = Long.MinValue
           val next = rows.foldLeft(prev) { (s, r) =>
+            lastActivityMs = math.max(lastActivityMs, r._4.getTime)
             UserState(s.nEvents + 1, s.totalValue + r._3, r._2)
           }
           state.update(next)
-          // arm eviction relative to event time: idle users time out once
-          // the watermark passes (their last activity + horizon)
+          // arm eviction at last activity + horizon. Clamped up to the
+          // current watermark for fully-late batches (Spark rejects a
+          // timeout at-or-before the watermark); the clamp only ever
+          // EXTENDS a lapsed horizon, never shortens a live one.
           state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs(), UserStatsIdleTimeout)
+            math.max(lastActivityMs, state.getCurrentWatermarkMs() + 1),
+            UserStatsIdleTimeout)
           Iterator.single(UserUpdate(userId, next.nEvents,
             math.rint(next.totalValue * 1000) / 1000, next.lastType))
       }

@@ -4,7 +4,7 @@ import graft.{SparkSpecBase, Tables}
 import org.scalatest.matchers.should.Matchers
 
 /** Structural gates for the embedding-analytics suite; value correctness
-  * is oracle-gated (all three queries hash-match DuckDB). */
+  * is oracle-gated (all four declared queries hash-match DuckDB). */
 class EmbedAnalyticsSpec extends SparkSpecBase with Matchers {
 
   test("label centroids cover every vector and have the index dimension") {
@@ -12,6 +12,19 @@ class EmbedAnalyticsSpec extends SparkSpecBase with Matchers {
     rows.map(_.getAs[Long]("n_vectors")).sum shouldBe
       Tables.embeddings(spark, sfDir).count()
     all(rows.map(_.getSeq[Double](rows.head.fieldIndex("centroid")).length)) shouldBe 64
+  }
+
+  test("declared flat shape carries exactly the array form's values, all-scalar") {
+    val flat = EmbedAnalytics.labelCentroidsFlat(spark, sfDir)
+    flat.schema.fields.foreach(f =>
+      f.dataType.typeName should (be("long") or be("integer") or be("double")))
+    val byLabel = flat.collect().groupBy(_.getAs[Int]("label"))
+    EmbedAnalytics.labelCentroids(spark, sfDir).collect().foreach { r =>
+      val rows = byLabel(r.getAs[Int]("label")).sortBy(_.getAs[Long]("pos"))
+      rows.map(_.getAs[Double]("m")).toSeq shouldBe
+        r.getSeq[Double](r.fieldIndex("centroid"))
+      all(rows.map(_.getAs[Long]("n_vectors"))) shouldBe r.getAs[Long]("n_vectors")
+    }
   }
 
   test("hard negatives never share the query's label and rank densely") {
