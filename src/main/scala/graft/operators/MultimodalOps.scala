@@ -252,6 +252,48 @@ object Multimodal {
       .distinct()
   }
 
+  /** SplitMix64 finalizer (Steele et al., public domain) — the
+    * deterministic 64-bit scrambler behind the synthetic image fixtures:
+    * pure arithmetic, so the "random" group patterns are identical on
+    * every run, JVM, and executor. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic synthetic test image for id: a 64×64 PNG of 8×8
+    * black/white cells whose pattern is splitmix64(id % groups) — so ids
+    * sharing a group render near-identical images — with ONE cell
+    * inverted per later copy (copy = id / groups), making within-group
+    * aHash hamming exactly 1 and cross-group hamming ~32 (two scrambled
+    * 64-bit patterns). This is the image-side analog of the planted
+    * near-dup corpora the text dedup specs use: the near-dup structure is
+    * known by construction, so the query's recall is assertable without
+    * any external image fixtures (none exist in this environment). */
+  def renderSyntheticPng(id: Long, groups: Int): Array[Byte] = {
+    val pattern = splitmix64(id % groups)
+    val copy = (id / groups).toInt
+    val flipCell = if (copy == 0) -1 else (copy * 31) % 64
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val cell = (y / 8) * 8 + (x / 8)
+        val on = (((pattern >>> cell) & 1L) == 1L) ^ (cell == flipCell)
+        img.setRGB(x, y, if (on) 0xffffff else 0x000000)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Real image resize over the same per-partition batching as
     * [[decodePartitions]]: one codec per partition, (id, blob) in →
     * (id, resized blob) out. The [[resizeStub]] column expression remains
@@ -298,8 +340,35 @@ object MultimodalOps {
       |  CAST('0x' || substr(sha256(text), 9, 4) AS BIGINT) % 240 + 1 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Groups for [[imageNearDup]]'s planted corpus: ids < 2×this render as
+    * 40 base images (ids 0–39) plus one near-dup copy each (ids 40–79,
+    * one cell inverted), present at every testdata SF. */
+  val ImageNearDupGroups = 40
+
+  /** Q-image-neardup: perceptual image near-duplicate pairs — the FULL
+    * real-decode path (PNG render → javax.imageio decode → box-filter
+    * 8×8 → 64-bit aHash → pigeonhole-banded pair join) as a declared
+    * query over a planted corpus derived from the documents table.
+    * Rows-only by design: zlib-style, there is no DuckDB twin for an
+    * image decode; recall is assertable instead because the near-dup
+    * structure is known by construction (MultimodalSpec pins the exact
+    * 40 planted pairs at hamming 1). At 100 TB the hash pass is map-side
+    * behind the per-partition codec seam; only (media_id, hash, chunk)
+    * tuples shuffle. */
+  def imageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = ImageNearDupGroups
+    val blobs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 2 * g)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.renderSyntheticPng(id, g))))
+    Multimodal.imageNearDupPairs(Multimodal.ahashPartitions(blobs), maxHamming = 3)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> (multimodalMeta _))
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_image_neardup" -> (imageNearDup _))
 
   def oracles: Map[String, String] = Map(
     "q_multimodal_meta" -> multimodalMetaSql)

@@ -375,16 +375,85 @@ object PipelineOps {
       }
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("merge_rank",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("sym_a",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("sym_b",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("pair_count",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      spark.sparkContext.parallelize(merges.toSeq, 1), MergeTableSchema)
+  }
+
+  /** Learned-merge-table schema, shared by both training paths. */
+  private val MergeTableSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("merge_rank",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("sym_a",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sym_b",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pair_count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The PRODUCTION-SCALE twin of [[bpeTrainCore]]: aggregate the
+    * vocabulary ONCE in Spark (the only pass that touches corpus-sized
+    * data), collect the bounded (word, count) table to the driver, and
+    * run the merge loop locally — the standard two-level BPE pattern
+    * every industrial tokenizer trainer uses.
+    *
+    * Why this exists: [[bpeTrainCore]] schedules one Spark job PER MERGE
+    * (pair-count aggregation + 1-row argmax collect). At the demo's 5
+    * merges that is invisible; at a real tokenizer's 32k merges it is 32k
+    * job schedules of a vocab-sized frame — scheduler-bound long before
+    * it is data-bound. The vocabulary, by contrast, is Heaps-law bounded
+    * (~millions of rows for a 100 TB corpus — hundreds of MB, driver-
+    * safe), and once it is local each merge is a linear in-memory scan.
+    * [[bpeTrainCore]] remains the all-Spark demonstration (and the path
+    * for a vocabulary that genuinely cannot fit the driver); BpeTrainSpec
+    * pins both paths to the identical merge table.
+    *
+    * Parity detail: tie-breaks compare symbols as UTF8String (Spark's
+    * binary string ordering = code-point order), not java.lang.String
+    * (UTF-16 code-unit order) — the two differ for supplementary-plane
+    * characters, exactly the drift a parity-pinned twin must not have. */
+  def bpeTrainLocal(words: DataFrame, nMerges: Int = BpeMerges): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = words.sparkSession
+    var vocab: Array[(Array[String], Long)] = words.select(col("w"), col("wc"))
+      .collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    for (r <- 1 to nMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, wc) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wc)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) =>
+          (-n, UTF8String.fromString(a), UTF8String.fromString(b))
+        }(Ordering.Tuple3(Ordering.Long,
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[UTF8String]()),
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[UTF8String]())))
+        merges += org.apache.spark.sql.Row(r, a, b, n)
+        vocab = vocab.map { case (s, wc) => (mergeLocal(s, a, b), wc) }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), MergeTableSchema)
+  }
+
+  /** Driver-side mirror of [[graft.functions.BpeMergePair.compute]]
+    * (leftmost-first, non-overlapping). */
+  private def mergeLocal(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** Q-bpe-train: the learned merge table over the documents corpus.

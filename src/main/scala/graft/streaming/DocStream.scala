@@ -86,4 +86,64 @@ object DocStream {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Stamp strictly increasing file mtimes in part-name order. The file
+    * source consumes by (mtime, path); parallel-written parts carry tie
+    * mtimes, making micro-batch order nondeterministic across runs — the
+    * StreamingDemo lesson (one out-of-order file late-dropped 25% of
+    * events there; here it would flip which duplicate survives). */
+  def stampAscendingMtimes(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val base = System.currentTimeMillis() - 3600 * 1000
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
+    }
+  }
+
+  /** Q-stream-dedup: the STREAMING ingestion path run to completion over
+    * q_dedup_exact's corpus (documents ∪ id-shifted copy), checked
+    * against the SAME DuckDB oracle — the driver-gated proof that the
+    * incremental streaming dedup converges to the batch answer, not just
+    * that stream == batch Spark.
+    *
+    * The corpus replays as doc_id-ascending range files, one per
+    * micro-batch: each fingerprint's globally-lowest doc_id therefore
+    * arrives in the earliest micro-batch containing that fingerprint,
+    * and within a batch the lowest id wins — so the streaming survivor
+    * set equals batch keep-lowest exact dedup, which is what the oracle
+    * states. (An arbitrary arrival order keeps FIRST-arrival per fp —
+    * also a valid dedup, but not the oracle's deterministic statement.) */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-streamdedup-in").toString
+    corpus.repartitionByRange(3, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(staged)
+    stampAscendingMtimes(staged)
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-streamdedup-out").toString + "/corpus"
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = start(stream, outPath)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outPath)
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_dedup" -> (streamDedup _))
+
+  /** Same statement as q_dedup_exact — shared by reference so the two
+    * gates cannot drift apart. */
+  def oracles: Map[String, String] = Map(
+    "q_stream_dedup" -> graft.operators.DedupOps.dedupExactSql)
 }

@@ -177,17 +177,7 @@ object StreamingDemo {
     // watermark drops — nondeterministic across runs (observed: one file
     // out of order silently late-dropped 25% of events). Stamp strictly
     // increasing mtimes in range order.
-    locally {
-      import scala.jdk.CollectionConverters._
-      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(staged))
-        .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
-        .toSeq.sortBy(_.getFileName.toString)
-      val base = System.currentTimeMillis() - 3600 * 1000
-      parts.zipWithIndex.foreach { case (p, i) =>
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 10000L))
-      }
-    }
+    DocStream.stampAscendingMtimes(staged)
     val events = spark.readStream
       .schema(batchEvents.schema)
       .option("maxFilesPerTrigger", 1)

@@ -36,6 +36,27 @@ class BpeTrainSpec extends SparkSpecBase with Matchers {
     out(2) shouldBe Seq("a", "b") // no occurrence → unchanged
   }
 
+  test("local (two-level) training matches the distributed path exactly") {
+    import spark.implicits._
+    // the classic vocabulary, incl. the lexicographic tie at merge 5
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
+      ("hugs", 5L)).toDF("w", "wc")
+    PipelineOps.bpeTrainLocal(words).collect().map(_.toString).toSeq shouldBe
+      PipelineOps.bpeTrainCore(words).collect().map(_.toString).toSeq
+    // and on the real corpus vocabulary (schema parity included)
+    val vocab = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.col("text")), "\\s+")).as("w"))
+      .groupBy("w").count().withColumnRenamed("count", "wc")
+    val local = PipelineOps.bpeTrainLocal(vocab)
+    val dist = PipelineOps.bpeTrainCore(vocab)
+    local.schema shouldBe dist.schema
+    local.collect().map(_.toString).toSeq shouldBe
+      dist.collect().map(_.toString).toSeq
+  }
+
   test("training on the corpus is deterministic and counts are non-increasing") {
     val a = PipelineOps.bpeTrain(spark, sfDir).collect()
     val b = PipelineOps.bpeTrain(spark, sfDir).collect()

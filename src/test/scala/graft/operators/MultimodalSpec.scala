@@ -131,4 +131,15 @@ class MultimodalSpec extends SparkSpecBase with Matchers {
     val again = Multimodal.ahashPartitions(blobs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe again
   }
+
+  test("q_image_neardup recovers exactly the 40 planted pairs at hamming 1") {
+    // construction: ids 0-39 are 40 scrambled-pattern base images, ids
+    // 40-79 repeat them with ONE 8×8 cell inverted — so the true near-dup
+    // set is exactly {(g, g+40)} with aHash hamming 1, and any missing or
+    // extra pair is a recall/precision failure of the real decode→hash→
+    // banded-join path (not a threshold judgment call)
+    val rows = MultimodalOps.imageNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    rows.toSeq shouldBe (0L until 40L).map(g => (g, g + 40L, 1L))
+  }
 }
