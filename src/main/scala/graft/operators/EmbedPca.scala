@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the embeddings table: an exact-decimal covariance
+  * aggregation (oracle-gated) feeding a driver-side Jacobi eigensolver on
+  * the bounded dim×dim matrix, then a map-side projection of every vector
+  * onto the top components — the standard embedding-compaction step a
+  * training pipeline runs before ANN indexing or drift monitoring (the
+  * reference stores raw OpenAI vectors and never analyzes them;
+  * `embed/embed.go:62-138`).
+  *
+  * Scale shape, in order:
+  *  - Covariance NEVER shuffles vectors: each row map-side-explodes to
+  *    its dim(dim+1)/2 upper-triangle pair products, which the hash
+  *    aggregate combines to dim² running sums per task BEFORE the
+  *    exchange — the exchange carries dim² rows per task, independent of
+  *    corpus size (the q_bpe_pairs/shingle discipline). At dim 64 that is
+  *    2080 pairs per row in-task; at dim 1536 the same plan holds with a
+  *    ~1.2M-entry per-task hash map — documented headroom, and the
+  *    mapPartitions outer-product accumulator is the drop-in if a real
+  *    deployment outgrows it.
+  *  - The eigensolve is DRIVER-SIDE on the collected dim×dim frame (32 KB
+  *    at dim 64) — bounded planner metadata, the PQ-codebook/IVF-probe
+  *    discipline, NOT a distributed matrix factorization: cyclic Jacobi
+  *    on a symmetric matrix, deterministic to the bit for a fixed input.
+  *  - Projection is one whole-stage-codegen map over the scan (k dot
+  *    products per row against broadcast literal components); no shuffle
+  *    at all until the final presentation ORDER BY.
+  *
+  * Oracle discipline: per-pair sums Σxi and Σ(xi·xj) are DECIMAL(38,18)
+  * casts of IEEE double terms — exact and order-free, so Spark's
+  * partitioned aggregation and DuckDB's sequential one produce identical
+  * decimals; the covariance combine then runs in double from those
+  * identical inputs on both engines (the q_anomaly moment discipline).
+  * The eigensolve itself has no DuckDB twin → q_embed_pca is rows-only,
+  * gated by EmbedPcaSpec's algebraic invariants instead (orthonormality,
+  * trace preservation, per-component projection variance = eigenvalue).
+  */
+object EmbedPca {
+
+  /** Components kept by [[pcaProject]] — fixed so runs are comparable. */
+  val PcaComponents = 4
+
+  /** Q-embed-covariance: the population covariance matrix of the
+    * embedding dimensions, upper triangle (i ≤ j), exact-decimal sums.
+    * cov(i,j) = Σ(xi·xj)/n − (Σxi/n)·(Σxj/n). */
+  def covariance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // Σxi per dimension (64 rows) — broadcasts to both sides of the pair
+    val sums = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(38,18)")).cast("double")
+        .as("sx"), count(lit(1)).as("n"))
+    // upper-triangle pair products, map-side exploded then hash-combined
+    val pairSums = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj").cast("double")).cast("decimal(38,18)"))
+        .cast("double").as("sxy"))
+    pairSums
+      .join(broadcast(sums.select(col("i"), col("sx"), col("n"))), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        // + 0.0 canonicalizes a rounded-to-zero NEGATIVE covariance:
+        // IEEE -0.0 + 0.0 = +0.0, and the driver compares float reprs,
+        // where '-0.0' != '0.0' even though the values are ==
+        (round(col("sxy") / col("n") -
+          (col("sx") / col("n")) * (col("sy") / col("n")), 6) + lit(0.0))
+          .as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val covarianceSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
+      |  FROM (SELECT vec_id,
+      |          UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
+      |        FROM embeddings)),
+      |sums AS (
+      |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |         COUNT(*) AS n
+      |  FROM ex GROUP BY i),
+      |pairs AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY a.i, b.i)
+      |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+      |  ROUND(p.sxy / si.n - (si.sx / si.n) * (sj.sx / si.n), 6) + 0.0 AS cov
+      |FROM pairs p JOIN sums si ON p.i = si.i JOIN sums sj ON p.j = sj.i
+      |ORDER BY i, j""".stripMargin
+
+  /** Eigen-decomposition of the covariance matrix: (eigenvalue,
+    * eigenvector) pairs sorted by eigenvalue descending, sign-normalized
+    * (the eigenvector's largest-|component| entry is positive, lowest
+    * index on ties) so the decomposition — and everything projected
+    * through it — is fully deterministic. Driver-side on the collected
+    * dim×dim frame (bounded metadata). */
+  def components(spark: SparkSession, dir: String): Array[(Double, Array[Double])] = {
+    val tri = covariance(spark, dir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val dim = tri.iterator.map(_._2).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    tri.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    val (values, vectors) = jacobiEigen(m)
+    val order = values.indices.sortBy(k => (-values(k), k))
+    order.map { k =>
+      val v = vectors.map(_(k))
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      (values(k), if (v(pivot) < 0) v.map(-_) else v)
+    }.toArray
+  }
+
+  /** Classic cyclic Jacobi for a symmetric matrix (Golub & Van Loan
+    * §8.5): sweep all upper-triangle pivots, rotate each away until the
+    * off-diagonal norm is negligible. O(dim³) per sweep, ~8 sweeps at
+    * dim 64 — microseconds of driver time, bit-deterministic (fixed
+    * pivot order, no randomness). Returns (eigenvalues, column-major
+    * eigenvector matrix V with M = V·diag(λ)·Vᵀ). */
+  private[operators] def jacobiEigen(m0: Array[Array[Double]])
+  : (Array[Double], Array[Array[Double]]) = {
+    val dim = m0.length
+    val a = m0.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < 64 && offDiagNorm(a) > 1e-12) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          if (math.abs(a(p)(q)) > 1e-30) {
+            // 2×2 symmetric Schur rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < dim) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < dim) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(dim)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Q-embed-pca: every vector's coordinates in the top-[[PcaComponents]]
+    * principal directions — (vec_id, pc, proj) scalar rows, rows-only by
+    * design (no SQL eigensolver); EmbedPcaSpec gates the algebra. The
+    * components ride into the plan as literal arrays (driver metadata,
+    * like the PQ ADC table) and each projection is one native codegen'd
+    * `dot_product` over the scan. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dotProduct
+    val comps = components(spark, dir).take(PcaComponents)
+    val projections = comps.zipWithIndex.map { case ((_, vec), k) =>
+      struct(lit(k + 1).cast("long").as("pc"),
+        round(dotProduct(col("embedding"), lit(vec)), 6).as("proj"))
+    }
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), explode(array(projections.toIndexedSeq: _*)).as("p"))
+      .select(col("vec_id"), col("p.pc").as("pc"), col("p.proj").as("proj"))
+      .orderBy(col("vec_id"), col("pc"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_covariance" -> (covariance _),
+    "q_embed_pca" -> (pcaProject _))
+
+  def oracles: Map[String, String] = Map(
+    "q_embed_covariance" -> covarianceSql)
+}
