@@ -150,6 +150,91 @@ object EventsStream {
             math.rint(next.totalValue * 1000) / 1000, next.lastType))
       }
   }
+
+  /** Q-stream-window: the STREAMING tumbling-window aggregation run to
+    * completion and checked against a DuckDB oracle — the windowed-agg
+    * counterpart of DocStream's q_stream_dedup, closing the loop on §2.9:
+    * both streaming aggregation AND streaming dedup now carry driver-gated
+    * correctness entries, not just stream==batch asserts.
+    *
+    * Mechanics of "run to completion" in append mode: a window only emits
+    * once the WATERMARK passes its end, so the replay appends a sentinel
+    * `__flush` row 4 hours past the corpus maximum as its own final
+    * micro-batch — the standard flush-marker pattern. After its batch the
+    * watermark clears every real window's end, the finalized rows land in
+    * the parquet sink (the production sink shape, not a driver-memory
+    * table), and the sentinel's own window — never finalized — stays in
+    * state, excluded by construction.
+    *
+    * Oracle discipline: the window sum accumulates in streaming state in
+    * arrival/merge order, which for raw doubles differs from the batch
+    * and oracle orders — so the aggregated term is an exact
+    * DECIMAL(38,18), order-free by construction, and the oracle states
+    * the same decimal sum (q_window_events keeps the plain-double form;
+    * this query's contract is bit-parity through incremental state). */
+  def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-streamwin-in").toString
+    events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    // sentinel flush row, appended as the LAST consumed file (mtime past
+    // every stamped part; the stamp base is one hour in the past)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
+    val before = listParts(staged)
+    events.orderBy(col("event_id")).limit(1)
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("event_type", lit("__flush"))
+      .coalesce(1).write.mode("append").parquet(staged)
+    (listParts(staged) -- before).foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(staged).resolve(p),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val agg = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,18)")).as("sum_dec"))
+      .select(col("w.start").as("start"), col("event_type"),
+        col("n_events"), col("sum_dec"))
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-streamwin-out").toString + "/win"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streamwin-ck").toString
+    val q = agg.writeStream.outputMode("append").format("parquet")
+      .option("path", outPath).option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outPath)
+      .filter(col("event_type") =!= "__flush")
+      .select(
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n_events"),
+        round(col("sum_dec").cast("double"), 3).as("sum_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  private def listParts(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("part-")).toSet
+  }
+
+  val streamWindowSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 3) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_window" -> (streamWindowCounts _))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_window" -> streamWindowSql)
 }
 
 /** Runnable demo: replays the events table through all three streaming
