@@ -201,9 +201,71 @@ object EmbedPca {
       .orderBy(col("vec_id"), col("pc"))
   }
 
+  /** Components the PCA-shortlist search projects onto (more than the
+    * presentation query's [[PcaComponents]] — recall needs headroom).
+    *
+    * Sizing note: the synthetic embeddings are near-ISOTROPIC (the top 32
+    * of 64 eigenvalues carry only ~65% of variance — a flat spectrum), the
+    * known worst case for PCA pruning; real text-embedding spectra decay
+    * fast and prune far harder at the same recall. The constants here are
+    * sized for that worst case: half the dimensions, a 10%-of-corpus
+    * shortlist — and the spec gates the achieved recall, so a regression
+    * in the projection math (not the data's intrinsic rank) fails. */
+  val SearchComponents = 32
+
+  /** Candidates the PCA coarse pass keeps for exact reranking. */
+  val PcaShortlist = 200
+
+  /** Q-pca-recall: recall@5 of PCA-shortlisted search against exact
+    * brute-force — the dimensionality-reduction counterpart of
+    * q_recall_eval's LSH audit, and the third ANN family (IVF partitions
+    * the corpus, LSH buckets it, PCA COMPRESSES it: rank candidates on a
+    * [[SearchComponents]]-dim projection, then exact-rerank only the
+    * [[PcaShortlist]] survivors).
+    *
+    * At 100 TB the projection is a stored compact column (16 doubles vs
+    * the full vector — the scan for the coarse pass reads 4× fewer vector
+    * bytes at dim 64, 96× at dim 1536), the coarse top-N is a
+    * TakeOrdered (no shuffle before the global limit), and the exact
+    * rerank touches [[PcaShortlist]]/N of the corpus. Rows-only by
+    * design (the eigensolve has no SQL twin); EmbedPcaSpec gates recall
+    * against the in-plan exact ranking. */
+  def pcaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val comps = components(spark, dir).take(SearchComponents)
+    import graft.functions.VectorFunctions.dotProduct
+    val emb = Tables.embeddings(spark, dir)
+    val pvec = array(comps.toIndexedSeq.map(c =>
+      dotProduct(col("embedding"), lit(c._2))): _*)
+    val projected = emb
+      .select(col("vec_id"), col("embedding"), pvec.as("pvec"))
+    val q = projected.filter(col("vec_id") === 0)
+      .select(col("pvec").as("q_pvec"), col("embedding").as("q_embedding"))
+    val shortlist = projected.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("pcos", cosineSim(col("pvec"), col("q_pvec")))
+      .orderBy(col("pcos").desc, col("vec_id"))
+      .limit(PcaShortlist)
+    val approxTop = shortlist
+      .withColumn("cos", round(cosineSim(col("embedding"), col("q_embedding")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"))
+    val exact = KnnSearch.topK(KnnSearch.withNorm(emb),
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      5).select(col("vec_id"))
+    approxTop.join(exact, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(5L).as("k"), lit(PcaShortlist.toLong).as("shortlist"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / 5.0, 6).as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_covariance" -> (covariance _),
-    "q_embed_pca" -> (pcaProject _))
+    "q_embed_pca" -> (pcaProject _),
+    "q_pca_recall" -> (pcaRecall _))
 
   def oracles: Map[String, String] = Map(
     "q_embed_covariance" -> covarianceSql)

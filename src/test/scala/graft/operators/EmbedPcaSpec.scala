@@ -49,6 +49,17 @@ class EmbedPcaSpec extends SparkSpecBase with Matchers {
     comps.map(_._2.toSeq).toSeq shouldBe again.map(_._2.toSeq).toSeq
   }
 
+  test("PCA-shortlist search recovers the exact top-5 on this corpus") {
+    // isotropic worst-case data (flat spectrum): half the dims + a
+    // 10%-of-corpus shortlist still achieve full recall here, and any
+    // projection-math regression (wrong component, unsorted eigenvalues,
+    // sign chaos) collapses this immediately
+    val r = EmbedPca.pcaRecall(spark, sfDir).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_hits") shouldBe 5L
+    r.head.getAs[Double]("recall") shouldBe 1.0
+  }
+
   test("projection variance per component equals its eigenvalue") {
     val comps = EmbedPca.components(spark, sfDir).take(EmbedPca.PcaComponents)
     val rows = EmbedPca.pcaProject(spark, sfDir).collect()
