@@ -13,25 +13,53 @@ import org.apache.spark.sql.functions._
   * snapshot, not the job — so the output is one row PER CHECK with its
   * violation count, never an exception.
   *
-  * Scale shape: every check is a single scan-side aggregate (predicate
-  * counts compile to map-side partial sums), uniqueness is one count +
-  * one count-distinct over the key only (the key column is the only
-  * thing shuffled), and referential integrity is a LEFT ANTI join that
-  * broadcasts the (distinct) parent keys when small and degrades to the
-  * standard shuffled anti-join when not. Checks are independent 1-row
-  * frames; the union is presentation-only. At 100 TB this entire suite
-  * is one pass per fact table plus the key-only shuffles.
+  * Scale shape: a table's scalar checks (predicate counts) share ONE
+  * aggregation over one scan — map-side partial sums, unpivoted into
+  * check rows afterwards — so each fact table is read once for them;
+  * uniqueness is one count + one count-distinct over the key only (the
+  * key column is the only thing shuffled); referential integrity is a
+  * LEFT ANTI join with NO broadcast hint — the planner broadcasts the
+  * parent-key column while it fits `autoBroadcastJoinThreshold` and
+  * degrades to the standard shuffled anti-join beyond it (an
+  * unconditional hint would instead force a driver collect of a 100 TB
+  * parent). Null semantics are the anti-join's on BOTH engines: a NULL
+  * foreign key never matches its parent and therefore COUNTS as an
+  * orphan (the oracle states NOT EXISTS, not NOT IN, whose
+  * three-valued-logic silently drops null keys — and reports zero
+  * orphans entirely if the parent side contains one NULL key).
   */
 object DataContract {
 
-  private def check(name: String, violations: Column, checked: Column,
-                    from: DataFrame): DataFrame =
-    from.agg(
-      violations.cast("long").as("n_violations"),
-      checked.cast("long").as("n_checked"))
-      .select(lit(name).as("check_name"), col("n_violations"),
-        col("n_checked"),
-        (col("n_violations") === 0L).as("pass"))
+  private val CheckSchema = Seq("check_name", "n_violations", "n_checked")
+
+  /** One scalar-checks pass over a single table: every (name, violation
+    * predicate count) pair computes in the SAME aggregate, then unpivots
+    * map-side into one row per check. */
+  private def scalarChecks(table: DataFrame,
+                           checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, v), i) =>
+      v.cast("long").as(s"v$i")
+    } :+ count(lit(1)).as("n")
+    val rows = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col(s"v$i").as("n_violations"),
+        col("n").as("n_checked"))
+    }
+    table.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("c"))
+      .select(CheckSchema.map(f => col(s"c.$f")): _*)
+  }
+
+  /** Orphan-count check: child rows whose `fk` matches no parent `pk`.
+    * `n_checked` restates the orphan count — the contract is on the child
+    * table, and a second full child scan just to report its cardinality
+    * would double the cost of the cheapest check in the suite. */
+  private def refintCheck(name: String, child: DataFrame, fk: String,
+                          parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check_name"),
+        col("n_violations").cast("long").as("n_violations"),
+        col("n_violations").cast("long").as("n_checked"))
 
   /** Q-data-contract: the full suite over the snapshot's five core
     * tables, one row per check, total order by check name. */
@@ -43,49 +71,40 @@ object DataContract {
     val documents = Tables.documents(spark, dir)
 
     val checks = Seq(
-      // completeness: a document with no text is unusable downstream
-      check("documents_text_complete",
-        sum(when(col("text").isNull, 1L).otherwise(0L)),
-        count(lit(1)), documents),
-      // uniqueness: primary-key duplication on the orders fact
-      check("orders_orderkey_unique",
-        count(lit(1)) - count_distinct(col("o_orderkey")),
-        count(lit(1)), orders),
-      // referential integrity: orders must point at existing customers
-      check("orders_custkey_refint",
-        count(lit(1)), count(lit(1)),
-        orders.join(broadcast(customer.select(col("c_custkey"))),
-          col("o_custkey") === col("c_custkey"), "left_anti")),
-      // referential integrity: lineitems must point at existing orders
-      check("lineitem_orderkey_refint",
-        count(lit(1)), count(lit(1)),
-        lineitem.join(orders.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")),
-      // domain range: TPC-H quantities live in [1, 50]
-      check("lineitem_quantity_range",
-        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
-          .otherwise(0L)),
-        count(lit(1)), lineitem),
-      // domain range: negative event values are instrumentation bugs
-      check("events_value_nonneg",
-        sum(when(col("value") < 0.0, 1L).otherwise(0L)),
-        count(lit(1)), events),
-      // domain set: language tags must come from the declared set. The
-      // set deliberately OMITS zh (75 docs at sf0.01), so the suite
+      // documents: completeness + language domain, ONE scan. The lang set
+      // deliberately OMITS zh (75 docs at sf0.01), so the suite
       // demonstrably reports violations — a contract checker whose every
       // check passes on its own test data proves only the happy path
-      check("documents_lang_domain",
-        sum(when(col("lang").isin("en", "es", "de", "fr", "pt"), 0L)
-          .otherwise(1L)),
-        count(lit(1)), documents))
+      scalarChecks(documents, Seq(
+        "documents_text_complete" ->
+          sum(when(col("text").isNull, 1L).otherwise(0L)),
+        "documents_lang_domain" ->
+          sum(when(col("lang").isin("en", "es", "de", "fr", "pt"), 0L)
+            .otherwise(1L)))),
+      // uniqueness: primary-key duplication on the orders fact
+      scalarChecks(orders, Seq(
+        "orders_orderkey_unique" ->
+          (count(lit(1)) - count_distinct(col("o_orderkey"))))),
+      // referential integrity (see class doc for the null contract)
+      refintCheck("orders_custkey_refint", orders, "o_custkey",
+        customer, "c_custkey"),
+      refintCheck("lineitem_orderkey_refint", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      // domain range: TPC-H quantities live in [1, 50]
+      scalarChecks(lineitem, Seq(
+        "lineitem_quantity_range" ->
+          sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+            .otherwise(0L)))),
+      // domain range: negative event values are instrumentation bugs
+      scalarChecks(events, Seq(
+        "events_value_nonneg" ->
+          sum(when(col("value") < 0.0, 1L).otherwise(0L)))))
 
-    checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
+    checks.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
   }
 
-  /** `n_checked` for the referential checks counts the ORPHAN rows (the
-    * anti-join output), same as n_violations — the contract is on the
-    * child table, and restating the violation count keeps the check
-    * self-describing without a second scan of the child. */
   val dataContractSql: String =
     """SELECT check_name, n_violations, n_checked, n_violations = 0 AS pass
       |FROM (
@@ -93,14 +112,20 @@ object DataContract {
       |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
       |    COUNT(*) AS n_checked FROM documents
       |  UNION ALL
+      |  SELECT 'documents_lang_domain',
+      |    CAST(SUM(CASE WHEN lang IN ('en','es','de','fr','pt') THEN 0 ELSE 1 END) AS BIGINT),
+      |    COUNT(*) FROM documents
+      |  UNION ALL
       |  SELECT 'orders_orderkey_unique',
       |    COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders
       |  UNION ALL
       |  SELECT 'orders_custkey_refint', COUNT(*), COUNT(*)
-      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |  UNION ALL
       |  SELECT 'lineitem_orderkey_refint', COUNT(*), COUNT(*)
-      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |  UNION ALL
       |  SELECT 'lineitem_quantity_range',
       |    CAST(SUM(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT),
@@ -109,10 +134,6 @@ object DataContract {
       |  SELECT 'events_value_nonneg',
       |    CAST(SUM(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT),
       |    COUNT(*) FROM events
-      |  UNION ALL
-      |  SELECT 'documents_lang_domain',
-      |    CAST(SUM(CASE WHEN lang IN ('en','es','de','fr','pt') THEN 0 ELSE 1 END) AS BIGINT),
-      |    COUNT(*) FROM documents
       |) u ORDER BY check_name""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

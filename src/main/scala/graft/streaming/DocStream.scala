@@ -94,9 +94,13 @@ object DocStream {
     * events there; here it would flip which duplicate survives). */
   def stampAscendingMtimes(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
-    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.getFileName.toString)
+    // Files.list holds the directory stream open until closed — leak one
+    // fd per streaming-query invocation without the Using
+    val parts = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { s =>
+      s.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
     val base = System.currentTimeMillis() - 3600 * 1000
     parts.zipWithIndex.foreach { case (p, i) =>
       java.nio.file.Files.setLastModifiedTime(p,
@@ -142,8 +146,24 @@ object DocStream {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_dedup" -> (streamDedup _))
 
-  /** Same statement as q_dedup_exact — shared by reference so the two
-    * gates cannot drift apart. */
+  /** q_dedup_exact's statement with ONE declared difference: the
+    * streaming ingestion fingerprints a null text as the EMPTY STRING
+    * ([[newDocuments]] — a NULL anti-join key would re-append the doc on
+    * every batch and break replay idempotency), so the oracle states
+    * `coalesce(text, '')` too. On a null-free corpus (all testdata SFs)
+    * the two statements are identical; on a dirty one this oracle is the
+    * contract the stream actually implements. */
+  val streamDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      |fps AS (SELECT doc_id,
+      |          md5(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS fp
+      |        FROM corpus),
+      |r AS (SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |      FROM fps)
+      |SELECT doc_id, fp FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_stream_dedup" -> graft.operators.DedupOps.dedupExactSql)
+    "q_stream_dedup" -> streamDedupSql)
 }

@@ -111,7 +111,12 @@ object EventsStream {
     * timed-out invocation removes the state — without those two calls the
     * store grows one entry per user forever (churning user ids = unbounded
     * state), which is exactly what the earlier version did. */
-  case class UserState(nEvents: Long, totalValue: Double, lastType: String)
+  /** `lastActivityMs` is PERSISTED state, not recomputed per batch: a
+    * late-arriving older event must never move the armed horizon
+    * backwards, and only the state can remember the true maximum across
+    * batches. */
+  case class UserState(nEvents: Long, totalValue: Double, lastType: String,
+                       lastActivityMs: Long)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double,
                         last_type: String)
 
@@ -132,19 +137,21 @@ object EventsStream {
           state.remove()
           Iterator.empty
         case (userId, rows, state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0, ""))
-          var lastActivityMs = Long.MinValue
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, "", Long.MinValue))
           val next = rows.foldLeft(prev) { (s, r) =>
-            lastActivityMs = math.max(lastActivityMs, r._4.getTime)
-            UserState(s.nEvents + 1, s.totalValue + r._3, r._2)
+            UserState(s.nEvents + 1, s.totalValue + r._3, r._2,
+              math.max(s.lastActivityMs, r._4.getTime))
           }
           state.update(next)
-          // arm eviction at last activity + horizon. Clamped up to the
-          // current watermark for fully-late batches (Spark rejects a
-          // timeout at-or-before the watermark); the clamp only ever
-          // EXTENDS a lapsed horizon, never shortens a live one.
+          // arm eviction at last activity + horizon, where last activity
+          // is the STATE's running maximum — a batch of only late (older)
+          // events re-arms at the same horizon, never an earlier one.
+          // Clamped up to the current watermark for the degenerate case
+          // (Spark rejects a timeout at-or-before the watermark); the
+          // clamp only ever EXTENDS a lapsed horizon, never shortens a
+          // live one.
           state.setTimeoutTimestamp(
-            math.max(lastActivityMs, state.getCurrentWatermarkMs() + 1),
+            math.max(next.lastActivityMs, state.getCurrentWatermarkMs() + 1),
             UserStatsIdleTimeout)
           Iterator.single(UserUpdate(userId, next.nEvents,
             math.rint(next.totalValue * 1000) / 1000, next.lastType))
@@ -219,9 +226,11 @@ object EventsStream {
 
   private def listParts(dir: String): Set[String] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("part-")).toSet
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir))) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+    }
   }
 
   val streamWindowSql: String =
