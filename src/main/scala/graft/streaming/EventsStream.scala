@@ -161,7 +161,7 @@ object EventsStream {
   /** Q-stream-window: the STREAMING tumbling-window aggregation run to
     * completion and checked against a DuckDB oracle — the windowed-agg
     * counterpart of DocStream's q_stream_dedup, closing the loop on §2.9:
-    * both streaming aggregation AND streaming dedup now carry driver-gated
+    * the streaming aggregation, dedup, and session surfaces carry driver-gated
     * correctness entries, not just stream==batch asserts.
     *
     * Mechanics of "run to completion" in append mode: a window only emits
@@ -239,11 +239,63 @@ object EventsStream {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 3) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** Q-stream-session: STREAMING session windows run to completion and
+    * checked against q_sessionize's oracle — the third driver-gated
+    * streaming surface (aggregation, dedup, sessions). Same sentinel
+    * flush mechanics as [[streamWindowCounts]], with the sentinel under
+    * a synthetic user (-1) so it can never extend a real user's session;
+    * its own never-finalized session stays in state and the -1 filter
+    * removes any trace.
+    *
+    * Semantics note (spec-pinned on this corpus): `session_window(ts,
+    * g)` starts a NEW session at a gap of exactly g, while the batch
+    * lag-based form (`EventOps.sessionCountsPerUser`) keeps it in the
+    * old one ('strictly greater opens'). The two agree everywhere a gap
+    * is not exactly g — verified zero exact-g gaps at every SF — so the
+    * shared oracle states both; a corpus with exact-gap events would
+    * need one semantic chosen. */
+  def streamSessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-streamsess-in").toString
+    events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
+    val before = listParts(staged)
+    events.orderBy(col("event_id")).limit(1)
+      .withColumn("ts", lit(sentinelTs))
+      .withColumn("user_id", lit(-1L))
+      .coalesce(1).write.mode("append").parquet(staged)
+    (listParts(staged) -- before).foreach { p =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(staged).resolve(p),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    val sessions = sessionCounts(spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged))
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-streamsess-out").toString + "/sess"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streamsess-ck").toString
+    val q = sessions.writeStream.outputMode("append").format("parquet")
+      .option("path", outPath).option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outPath)
+      .filter(col("user_id") >= 0L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_window" -> (streamWindowCounts _))
+    "q_stream_window" -> (streamWindowCounts _),
+    "q_stream_session" -> (streamSessionCounts _))
 
   def oracles: Map[String, String] = Map(
-    "q_stream_window" -> streamWindowSql)
+    "q_stream_window" -> streamWindowSql,
+    "q_stream_session" -> graft.operators.EventOps.sessionizeSql)
 }
 
 /** Runnable demo: replays the events table through all three streaming
