@@ -311,7 +311,70 @@ object DedupOps {
        |FROM ex0 JOIN dfreq USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Q-source-overlap: the cross-SOURCE contamination matrix — word-3gram
+    * Jaccard between every pair of sources' distinct shingle vocabularies.
+    * Per-document dedup answers "is this doc a copy"; this answers the
+    * corpus-curation question one level up: WHICH FEEDS are re-crawling
+    * each other (a high-overlap source pair means one should be dropped or
+    * down-weighted BEFORE paying per-doc dedup on its documents —
+    * the mix/cap decisions of q_mix_sources and q_source_cap want exactly
+    * this signal).
+    *
+    * Scale shape: the unit of work collapses from documents to the
+    * (source, gram) DISTINCT frame — Heaps-law-bounded vocabulary × source
+    * count, orders of magnitude smaller than the corpus. The gram
+    * self-join's per-gram fanout is bounded by the SOURCE CARDINALITY
+    * (≤ S per gram, so ≤ S²/2 pairs per gram), not by document counts —
+    * no df cap needed, unlike the per-doc pair queries where fanout grows
+    * with corpus size. Two shuffles total: the distinct, then the
+    * gram-keyed intersection count; source sizes broadcast back. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles3(col("text"))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))),
+        Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (SELECT source, trim(text) AS tt,
+      |                regexp_split_to_array(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT source,
+      |         CASE WHEN len(t) >= 3
+      |           THEN list_distinct(list_transform(range(1, len(t)-1),
+      |                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |           ELSE [tt] END AS grams
+      |       FROM toks),
+      |ex0 AS (SELECT source, unnest(grams) AS gram FROM sh),
+      |ex AS (SELECT DISTINCT source, gram FROM ex0),
+      |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY source),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |            CAST(COUNT(*) AS BIGINT) AS n_shared
+      |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 6) AS jaccard
+      |FROM inter
+      |JOIN n na ON src_a = na.source
+      |JOIN n nb ON src_b = nb.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> (sourceOverlap _),
     "q_dup_gram_frac" -> (dupGramFrac _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -324,6 +387,7 @@ object DedupOps {
     "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
+    "q_source_overlap" -> sourceOverlapSql,
     "q_dup_gram_frac" -> dupGramFracSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -127,11 +127,120 @@ object ReconcileOps {
       |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
       |FROM j GROUP BY change_class ORDER BY change_class""".stripMargin
 
+  /** Q-scd2: type-2 slowly-changing-dimension merge — the history-keeping
+    * counterpart of [[graft.operators.Upsert.lastWriteWins]]. The
+    * reference's upsert silently OVERWRITES prior versions
+    * (`upsert/upsert.go:170` — same id, last write wins); SCD2 is what a
+    * production dimension load does instead: close the old version row
+    * (valid_to set, no longer current) and open a new one, so every past
+    * state stays queryable as-of any date.
+    *
+    * Two loads are derived deterministically from the shipped customer
+    * table so the oracle states the identical arithmetic: the 1995-01-01
+    * base load is the table itself; the 1996-01-01 snapshot moves
+    * `% 7 = 0` keys to segment MOVED, drifts `% 11 = 4` balances by +50,
+    * drops `% 13 = 6` keys (churn → close-out), and adds `% 97 = 0` keys
+    * re-keyed +1000000 (insert path). The merge classifies every key via
+    * ONE full-outer hash join on the key with explicit presence markers
+    * (the [[tableDiff]] discipline — null payloads don't conflate with
+    * absent rows), then emits history rows from two map-side projections
+    * of that single joined frame: the old-version row (closed iff changed
+    * or removed) and the new-version row (opened iff changed or added).
+    *
+    * Scale shape: one key shuffle for the join, map-side everything else.
+    * At 100 TB the dimension is bucketed by key so the nightly merge is a
+    * co-located join, and only partitions containing touched keys rewrite
+    * (the IndexCatalog.upsertInto partition-scoped-rewrite discipline). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val base = cust.select(
+      col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("seg_old"),
+      col("c_acctbal").as("bal_old"),
+      lit(1).as("in_old"))
+    val snap = cust.filter(col("c_custkey") % 13 =!= 6)
+      .select(
+        col("c_custkey").as("custkey"),
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")).as("seg_new"),
+        when(col("c_custkey") % 11 === 4, col("c_acctbal") + 50.0)
+          .otherwise(col("c_acctbal")).as("bal_new"))
+      .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+        .select(
+          (col("c_custkey") + 1000000L).as("custkey"),
+          lit("NEW").as("seg_new"),
+          lit(0.0).as("bal_new")))
+      .withColumn("in_new", lit(1))
+    val j = base.join(snap, Seq("custkey"), "full_outer")
+      .withColumn("changed",
+        col("in_old").isNotNull && col("in_new").isNotNull &&
+          (!(col("seg_old") <=> col("seg_new")) ||
+            !(col("bal_old") <=> col("bal_new"))))
+    val t0 = to_date(lit("1995-01-01"))
+    val t1 = to_date(lit("1996-01-01"))
+    val nullDate = lit(null).cast("date")
+    val oldRows = j.filter(col("in_old").isNotNull).select(
+      col("custkey"),
+      col("seg_old").as("segment"),
+      col("bal_old").as("acctbal"),
+      t0.as("valid_from"),
+      when(col("changed") || col("in_new").isNull, t1)
+        .otherwise(nullDate).as("valid_to"),
+      when(col("changed") || col("in_new").isNull, 0)
+        .otherwise(1).as("is_current"))
+    val newRows = j.filter(col("in_new").isNotNull &&
+        (col("changed") || col("in_old").isNull)).select(
+      col("custkey"),
+      col("seg_new").as("segment"),
+      col("bal_new").as("acctbal"),
+      t1.as("valid_from"),
+      nullDate.as("valid_to"),
+      lit(1).as("is_current"))
+    oldRows.unionByName(newRows).orderBy(col("custkey"), col("valid_from"))
+  }
+
+  val scd2Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS custkey, c_mktsegment AS seg_old,
+      |    c_acctbal AS bal_old, 1 AS in_old
+      |  FROM customer),
+      |snap AS (
+      |  SELECT c_custkey AS custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg_new,
+      |    CASE WHEN c_custkey % 11 = 4 THEN c_acctbal + 50.0 ELSE c_acctbal END AS bal_new,
+      |    1 AS in_new
+      |  FROM customer WHERE c_custkey % 13 != 6
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS custkey, 'NEW' AS seg_new,
+      |    0.0 AS bal_new, 1 AS in_new
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |j AS (
+      |  SELECT COALESCE(base.custkey, snap.custkey) AS custkey,
+      |    seg_old, bal_old, in_old, seg_new, bal_new, in_new,
+      |    (in_old IS NOT NULL AND in_new IS NOT NULL AND
+      |     (seg_old IS DISTINCT FROM seg_new
+      |      OR bal_old IS DISTINCT FROM bal_new)) AS changed
+      |  FROM base FULL OUTER JOIN snap ON base.custkey = snap.custkey)
+      |SELECT custkey, seg_old AS segment, bal_old AS acctbal,
+      |  DATE '1995-01-01' AS valid_from,
+      |  CASE WHEN changed OR in_new IS NULL THEN DATE '1996-01-01' END AS valid_to,
+      |  CASE WHEN changed OR in_new IS NULL THEN 0 ELSE 1 END AS is_current
+      |FROM j WHERE in_old IS NOT NULL
+      |UNION ALL
+      |SELECT custkey, seg_new AS segment, bal_new AS acctbal,
+      |  DATE '1996-01-01' AS valid_from,
+      |  CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+      |FROM j WHERE in_new IS NOT NULL AND (changed OR in_old IS NULL)
+      |ORDER BY custkey, valid_from""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> (fuzzyJoin _),
-    "q_table_diff" -> (tableDiff _))
+    "q_table_diff" -> (tableDiff _),
+    "q_scd2" -> (scd2 _))
 
   def oracles: Map[String, String] = Map(
     "q_fuzzy_join" -> fuzzyJoinSql,
-    "q_table_diff" -> tableDiffSql)
+    "q_table_diff" -> tableDiffSql,
+    "q_scd2" -> scd2Sql)
 }

@@ -223,7 +223,13 @@ object VectorOps {
     * — the executable form of SCALE.md's "bucket id becomes a partition
     * column → partition pruning". Same oracle as q_ann_ivf: identical
     * results, different access path. */
-  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+  /** Ensure the bucket-partitioned persisted IVF index exists (seed
+    * centroids = 16 lowest-id vectors, the [[annIvf]] stand-in for offline
+    * k-means) and return its (base, name, centroid table). Shared by the
+    * persisted search (q_ann_ivf_persisted) and the balance monitor
+    * (q_ivf_drift) so both see the identical layout. */
+  private def ensureIvfBucketed(spark: SparkSession, dir: String)
+      : (String, String, DataFrame) = {
     import graft.sources.IndexCatalog
     val base = IndexCatalog.cacheBase(dir)
     val name = "emb-ivf-bucketed"
@@ -239,6 +245,12 @@ object VectorOps {
         IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
         partitionCols = Seq("label", "bucket"))
     }
+    (base, name, cent)
+  }
+
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, cent) = ensureIvfBucketed(spark, dir)
     val q = KnnSearch.withNorm(
       Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
@@ -495,7 +507,189 @@ object VectorOps {
        |SELECT 5 AS k, COUNT(*) AS n_hits, ROUND(COUNT(*) / 5.0, 6) AS recall
        |FROM ann JOIN ex USING (vec_id)""".stripMargin
 
+  /** Overload threshold for [[ivfDrift]]: a bucket holding > 1.5× its
+    * fair share is flagged for split/rebalance. */
+  val IvfBalanceThreshold = 1.5
+
+  /** Q-ivf-drift: IVF index BALANCE MONITOR — the maintenance query a
+    * deployment runs nightly against the persisted index to decide when to
+    * retrain centroids. IVF query cost is proportional to the probed
+    * buckets' sizes, so a bucket grown past its fair share (data drift
+    * after the centroids were trained) silently degrades every query that
+    * probes it; this emits per-bucket occupancy, corpus share, balance
+    * ratio vs the ideal uniform share, and an overload flag at
+    * [[IvfBalanceThreshold]].
+    *
+    * Scale shape: the scan reads ONLY the partition columns of the
+    * persisted index (COUNT(*) grouped by the partition column — no vector
+    * bytes move; at 100 TB this is a manifest/footer-sized job), then one
+    * 16-row aggregate broadcast back over the counts. The oracle replays
+    * the full assignment from the base table (the q_ann_ivf CTE) and must
+    * agree with what the persisted layout actually contains — so a green
+    * row ALSO proves the stored index is consistent with its definition,
+    * which is the other half of what an index health check is for. */
+  def ivfDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    val counts = IndexCatalog.load(spark, base, name)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(
+      sum(col("n_vectors")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_buckets"))
+    val ratio = col("n_vectors") * col("n_buckets") / col("total")
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("bucket"),
+        col("n_vectors"),
+        round(col("n_vectors") / col("total"), 6).as("share"),
+        round(ratio, 6).as("balance"),
+        when(ratio > IvfBalanceThreshold, 1).otherwise(0).as("overloaded"))
+      .orderBy(col("bucket"))
+  }
+
+  val ivfDriftSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |c AS (SELECT cent_id AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+       |      FROM asg WHERE rn = 1 GROUP BY cent_id),
+       |t AS (SELECT CAST(SUM(n_vectors) AS DOUBLE) AS total,
+       |             CAST(COUNT(*) AS DOUBLE) AS n_buckets FROM c)
+       |SELECT bucket, n_vectors,
+       |  ROUND(n_vectors / total, 6) AS share,
+       |  ROUND(n_vectors * n_buckets / total, 6) AS balance,
+       |  CASE WHEN n_vectors * n_buckets / total > $IvfBalanceThreshold
+       |       THEN 1 ELSE 0 END AS overloaded
+       |FROM c, t ORDER BY bucket""".stripMargin
+  }
+
+  /** MMR trade-off weights. The complement is a LITERAL, not `1 - lambda`
+    * (whose IEEE value 0.30000000000000004 would diverge from the oracle's
+    * 0.3), so both engines compute bit-identical scores. */
+  val MmrLambda = 0.7
+  val MmrComplement = 0.3
+
+  /** Q-mmr-rerank: MAXIMAL MARGINAL RELEVANCE diversity re-ranking — the
+    * standard fix for a top-K that returns five near-copies of the same
+    * document (Carbonell & Goldstein 1998). From the exact top-20 cosine
+    * shortlist for query vector 0, greedily select 5: each step takes the
+    * candidate maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` (ties →
+    * lowest vec_id), so every later pick is pulled away from what is
+    * already selected.
+    *
+    * Scale shape: the candidate shortlist comes from the DISTRIBUTED
+    * search path (brute-force here; any ANN variant composes identically),
+    * and only the bounded 20-row shortlist — scores and 20×20 pairwise
+    * sims, all computed by the same native kernels as every other vector
+    * query — crosses the driver for the inherently-sequential greedy loop
+    * (the PQ-codebook discipline: bounded metadata through the driver,
+    * never corpus-sized data). Both rel and sim are rounded to the
+    * engine-portable 6 places BEFORE the greedy arithmetic, so selection
+    * compares identical doubles in both engines; the oracle unrolls the
+    * 5 greedy steps as chained CTEs over the same rounded inputs. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val shortlist = KnnSearch.topK(emb, q, 20)
+      .join(emb.select(col("vec_id"), col("embedding"), col("vec_norm")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("score"), col("embedding"), col("vec_norm"))
+      .localCheckpoint(true) // 20 rows; don't re-run the search per branch
+    val a = shortlist.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("vec_norm").as("a_norm"))
+    val b = shortlist.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("vec_norm").as("b_norm"))
+    val simRows = a.crossJoin(broadcast(b))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.VectorFunctions.cosineSimPrenormed(
+          graft.functions.VectorFunctions.dotProduct(col("a_emb"), col("b_emb")),
+          col("a_norm"), col("b_norm")), 6).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rel = shortlist.select(col("vec_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+      .sortBy(_._1)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    for (_ <- 1 to 5) {
+      val pick = rel
+        .filterNot { case (id, _) => selected.exists(_._1 == id) }
+        .map { case (id, r) =>
+          // first pick has NO diversity term (oracle s1: 0.7*rel, no
+          // subtraction); later picks subtract the TRUE max pairwise sim,
+          // which can be negative — never clamp at 0, the oracle's MAX()
+          // doesn't
+          val mmr =
+            if (selected.isEmpty) MmrLambda * r
+            else MmrLambda * r -
+              MmrComplement * selected.map(s => simRows((id, s._1))).max
+          (id, r, mmr)
+        }
+        .minBy { case (id, _, mmr) => (-mmr, id) }
+      selected += pick
+    }
+    import spark.implicits._
+    selected.toIndexedSeq.zipWithIndex
+      .map { case ((id, r, mmr), i) => (i + 1, id, r, mmr) }
+      .toDF("rank", "vec_id", "rel", "mmr")
+      // Spark's own round, so display rounding pairs with DuckDB's ROUND
+      // exactly as in every other score column (never a hand-rolled
+      // rint, whose half-even ties diverge)
+      .select(col("rank"), col("vec_id"), col("rel"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  val mmrRerankSql: String = {
+    import VectorSql.{cosine => cos}
+    // step k: among candidates not yet selected, take the max-MMR row
+    // (ties -> lowest vec_id) given the selection so far
+    def step(sel: String, out: String): String =
+      s"""$out AS (
+         |  SELECT c.vec_id, c.rel,
+         |    $MmrLambda * c.rel - $MmrComplement * (
+         |      SELECT MAX(sim) FROM sim
+         |      WHERE sim.a_id = c.vec_id
+         |        AND sim.b_id IN (SELECT vec_id FROM $sel)) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $sel)
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, ROUND(${cos("e.embedding", "qe")}, 6) AS rel, e.embedding
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+       |sim AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ROUND(${cos("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, rel, $MmrLambda * rel AS mmr
+       |       FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |${step("sel1", "s2")},
+       |sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+       |${step("sel2", "s3")},
+       |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+       |${step("sel3", "s4")},
+       |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+       |${step("sel4", "s5")}
+       |SELECT rank, vec_id, rel, ROUND(mmr, 6) AS mmr FROM (
+       |  SELECT 1 AS rank, * FROM s1 UNION ALL
+       |  SELECT 2, * FROM s2 UNION ALL
+       |  SELECT 3, * FROM s3 UNION ALL
+       |  SELECT 4, * FROM s4 UNION ALL
+       |  SELECT 5, * FROM s5)
+       |ORDER BY rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivf_drift" -> (ivfDrift _),
+    "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
     "q_recall_eval" -> (recallEval _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -514,6 +708,8 @@ object VectorOps {
     "q_ann_ivf_persisted" -> (annIvfPersisted _))
 
   def oracles: Map[String, String] = Map(
+    "q_ivf_drift" -> ivfDriftSql,
+    "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_recall_eval" -> recallEvalSql,
     "q_stratified_sample" -> stratifiedSampleSql,

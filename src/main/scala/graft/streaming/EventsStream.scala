@@ -289,13 +289,58 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** Q-stream-join: the STREAM-STREAM INTERVAL JOIN run to completion and
+    * checked against a DuckDB batch interval join — the fourth driver-gated
+    * streaming surface (aggregation, dedup, sessions, joins). Unlike the
+    * windowed surfaces, an INNER stream-stream join emits a row as soon as
+    * both sides have arrived — no watermark finalization gates emission
+    * (the watermark only bounds join STATE) — so the replay needs no
+    * sentinel flush row: `processAllAvailable` drains every match into the
+    * parquet sink. The staged multi-file replay still matters: it proves
+    * matches survive the two sides arriving in different micro-batches,
+    * which is exactly the buffering the join state exists for. */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-streamjoin-in").toString
+    events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    val joined = purchaseClickJoin(spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged))
+    val outPath = java.nio.file.Files
+      .createTempDirectory("graft-streamjoin-out").toString + "/join"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-streamjoin-ck").toString
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", outPath).option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.read.parquet(outPath)
+      .select(col("p_id"), col("p_user"), col("c_id"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+        date_format(col("c_ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"))
+      .orderBy(col("p_id"), col("c_id"))
+  }
+
+  val streamJoinSql: String =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user, c.event_id AS c_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS c_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY p_id, c_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_window" -> (streamWindowCounts _),
-    "q_stream_session" -> (streamSessionCounts _))
+    "q_stream_session" -> (streamSessionCounts _),
+    "q_stream_join" -> (streamIntervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_window" -> streamWindowSql,
-    "q_stream_session" -> graft.operators.EventOps.sessionizeSql)
+    "q_stream_session" -> graft.operators.EventOps.sessionizeSql,
+    "q_stream_join" -> streamJoinSql)
 }
 
 /** Runnable demo: replays the events table through all three streaming

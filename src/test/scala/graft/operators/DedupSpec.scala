@@ -171,4 +171,29 @@ class DedupSpec extends SparkSpecBase with Matchers {
     keys.distinct.length shouldBe keys.length
     all(keys.map { case (a, b) => a < b }) shouldBe true
   }
+
+  test("source overlap matrix equals a set-algebra referee over per-source shingle vocabularies") {
+    val out = DedupOps.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // referee: per-source distinct 3-gram sets computed in plain Scala
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap { case (_, text) =>
+        val t = text.trim.split("\\s+").toSeq
+        if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(text.trim)
+      }.toSet
+    }
+    val expected = (for {
+      (a, va) <- vocab; (b, vb) <- vocab if a < b
+      i = (va intersect vb).size if i > 0
+    } yield (a, b) -> ((i.toLong,
+      BigDecimal(i.toDouble / (va.size + vb.size - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+    out shouldBe expected
+    assert(out.nonEmpty, "the shared vocabulary guarantees cross-source gram overlap")
+  }
 }

@@ -61,4 +61,51 @@ class ReconcileOpsSpec extends SparkSpecBase with Matchers {
     expected.filter(_._2 > 0) shouldBe out
     out.values.sum shouldBe (inOld union inNew).size.toLong
   }
+
+  test("scd2 merge emits a valid type-2 history for every key class") {
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val out = ReconcileOps.scd2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getDate(3)).map(_.toString).orNull,
+        Option(r.getDate(4)).map(_.toString).orNull,
+        r.getInt(5)))
+    val byKey = out.groupBy(_._1)
+
+    // global SCD2 invariants: at most one current row per key; a closed
+    // row's valid_to equals the successor's valid_from when one exists
+    byKey.foreach { case (key, rows) =>
+      withClue(s"key $key: ") {
+        rows.count(_._6 == 1) should be <= 1
+        rows.foreach { r => if (r._6 == 1) r._5 shouldBe null }
+        rows.foreach { r => if (r._6 == 0) r._5 shouldBe "1996-01-01" }
+      }
+    }
+
+    cust.foreach { case (key, bal, seg) =>
+      val rows = byKey(key).sortBy(_._4)
+      val churned = key % 13 == 6
+      val segNew = if (key % 7 == 0) "MOVED" else seg
+      val balNew = if (key % 11 == 4) bal + 50.0 else bal
+      val changed = !churned && (segNew != seg || balNew != bal)
+      withClue(s"key $key (churned=$churned changed=$changed): ") {
+        if (churned) // close-out: single closed row, no successor
+          rows.toSeq shouldBe Seq((key, seg, bal, "1995-01-01", "1996-01-01", 0))
+        else if (changed)
+          rows.toSeq shouldBe Seq(
+            (key, seg, bal, "1995-01-01", "1996-01-01", 0),
+            (key, segNew, balNew, "1996-01-01", null, 1))
+        else
+          rows.toSeq shouldBe Seq((key, seg, bal, "1995-01-01", null, 1))
+      }
+      if (key % 97 == 0) // insert path: re-keyed row appears as new-current
+        byKey(key + 1000000L).toSeq shouldBe Seq(
+          (key + 1000000L, "NEW", 0.0, "1996-01-01", null, 1))
+    }
+    // no rows beyond the derived keyspace
+    val expectedKeys = cust.map(_._1).toSet ++
+      cust.map(_._1).filter(_ % 97 == 0).map(_ + 1000000L)
+    byKey.keySet shouldBe expectedKeys
+  }
 }
