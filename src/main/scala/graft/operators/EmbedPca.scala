@@ -102,8 +102,39 @@ object EmbedPca {
     * (the eigenvector's largest-|component| entry is positive, lowest
     * index on ties) so the decomposition — and everything projected
     * through it — is fully deterministic. Driver-side on the collected
-    * dim×dim frame (bounded metadata). */
+    * dim×dim frame (bounded metadata).
+    *
+    * The trained model PERSISTS under the per-dataset index cache (the
+    * PQ-codebook discipline: ~dim×(dim+1) exact-round-trip doubles,
+    * written atomically), so q_embed_pca and q_pca_recall pay the
+    * corpus-sized covariance pass ONCE and every later run loads the
+    * model — the offline-train / online-project split a deployment
+    * actually runs. Training is deterministic, so disk == memory
+    * (spec-pinned in EmbedPcaSpec). */
   def components(spark: SparkSession, dir: String): Array[(Double, Array[Double])] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val f = Paths.get(graft.sources.IndexCatalog.cacheBase(dir), "pca-model-v1.txt")
+    if (Files.exists(f)) {
+      Files.readString(f).split("\n").map { line =>
+        val parts = line.split(",")
+        (parts.head.toDouble, parts.tail.map(_.toDouble))
+      }
+    } else {
+      val model = trainComponents(spark, dir)
+      Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling("pca-model-v1.txt.tmp")
+      Files.writeString(tmp, model.map { case (ev, vec) =>
+        (ev +: vec.toSeq).mkString(",")
+      }.mkString("\n"))
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      model
+    }
+  }
+
+  /** The training pass proper — one corpus-sized covariance aggregation
+    * plus the driver-side Jacobi solve. */
+  private[operators] def trainComponents(
+      spark: SparkSession, dir: String): Array[(Double, Array[Double])] = {
     val tri = covariance(spark, dir).collect()
       .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
     val dim = tri.iterator.map(_._2).max + 1

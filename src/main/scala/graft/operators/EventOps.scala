@@ -496,7 +496,57 @@ object EventOps {
       |FROM events e JOIN st ON e.event_type = st.event_type
       |ORDER BY event_id LIMIT 2000""".stripMargin
 
+  /** Refresh cutoff for [[incrAgg]]: rows before it are the "already
+    * materialized" aggregate, rows at/after it are the new partition. */
+  val IncrAggCutoff = "2024-01-21"
+
+  /** Q-incr-agg: INCREMENTAL aggregate maintenance — refresh a stored
+    * per-type daily rollup with one new day-range's delta instead of
+    * recomputing over the full history. The "materialized view" (the
+    * pre-cutoff aggregate) is genuinely persisted to parquet and read
+    * back — the refresh path never touches pre-cutoff EVENTS, only their
+    * aggregate — then merged with the post-cutoff delta by re-aggregating
+    * the union of partial states. Works because count/decimal-sum are
+    * DISTRIBUTIVE: merge(agg(A), agg(B)) == agg(A ∪ B), which is exactly
+    * what the oracle states (one flat aggregate over everything) — the
+    * green gate IS the refresh-correctness proof.
+    *
+    * Scale shape: the delta aggregate scans ONE day-range partition (at
+    * 100 TB the events table is date-partitioned, so this is partition
+    * pruning, not a filter over history); the stored MV is #groups rows.
+    * The exact-decimal sum is order-free, so merge order can never change
+    * the result — the property that makes incremental refresh safe to
+    * repeat/parallelize. AVG-style aggregates ride the same path as
+    * (sum, count) pairs finalized at read time. */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        col("value").cast("decimal(38,18)").as("v"))
+    val cutoff = to_timestamp(lit(IncrAggCutoff))
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-incragg-mv").toString + "/mv"
+    ev.filter(col("ts") < cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .write.mode("overwrite").parquet(mvPath)
+    val stored = spark.read.parquet(mvPath)
+    val delta = ev.filter(col("ts") >= cutoff)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    stored.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        round(sum(col("s")).cast("double"), 3).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val incrAggSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 3) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_incr_agg" -> (incrAgg _),
     "q_minmax_norm" -> (minmaxNorm _),
     "q_time_decay" -> (timeDecay _),
     "q_transition" -> (transitions _),
@@ -518,6 +568,7 @@ object EventOps {
     "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_incr_agg" -> incrAggSql,
     "q_minmax_norm" -> minmaxNormSql,
     "q_time_decay" -> timeDecaySql,
     "q_transition" -> transitionsSql,

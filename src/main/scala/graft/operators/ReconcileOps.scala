@@ -151,7 +151,12 @@ object ReconcileOps {
     * At 100 TB the dimension is bucketed by key so the nightly merge is a
     * co-located join, and only partitions containing touched keys rewrite
     * (the IndexCatalog.upsertInto partition-scoped-rewrite discipline). */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2History(spark, dir).orderBy(col("custkey"), col("valid_from"))
+
+  /** The un-ordered SCD2 history frame — shared by the declared merge
+    * query ([[scd2]]) and its point-in-time consumer ([[asofDim]]). */
+  private def scd2History(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
     val base = cust.select(
@@ -197,11 +202,13 @@ object ReconcileOps {
       t1.as("valid_from"),
       nullDate.as("valid_to"),
       lit(1).as("is_current"))
-    oldRows.unionByName(newRows).orderBy(col("custkey"), col("valid_from"))
+    oldRows.unionByName(newRows)
   }
 
-  val scd2Sql: String =
-    """WITH base AS (
+  /** The SCD2 history as a reusable oracle CTE chain ending in `hist` —
+    * shared by the merge query's oracle and the point-in-time join's. */
+  private val scd2HistoryCte: String =
+    """base AS (
       |  SELECT c_custkey AS custkey, c_mktsegment AS seg_old,
       |    c_acctbal AS bal_old, 1 AS in_old
       |  FROM customer),
@@ -221,26 +228,75 @@ object ReconcileOps {
       |    (in_old IS NOT NULL AND in_new IS NOT NULL AND
       |     (seg_old IS DISTINCT FROM seg_new
       |      OR bal_old IS DISTINCT FROM bal_new)) AS changed
-      |  FROM base FULL OUTER JOIN snap ON base.custkey = snap.custkey)
-      |SELECT custkey, seg_old AS segment, bal_old AS acctbal,
-      |  DATE '1995-01-01' AS valid_from,
-      |  CASE WHEN changed OR in_new IS NULL THEN DATE '1996-01-01' END AS valid_to,
-      |  CASE WHEN changed OR in_new IS NULL THEN 0 ELSE 1 END AS is_current
-      |FROM j WHERE in_old IS NOT NULL
-      |UNION ALL
-      |SELECT custkey, seg_new AS segment, bal_new AS acctbal,
-      |  DATE '1996-01-01' AS valid_from,
-      |  CAST(NULL AS DATE) AS valid_to, 1 AS is_current
-      |FROM j WHERE in_new IS NOT NULL AND (changed OR in_old IS NULL)
-      |ORDER BY custkey, valid_from""".stripMargin
+      |  FROM base FULL OUTER JOIN snap ON base.custkey = snap.custkey),
+      |hist AS (
+      |  SELECT custkey, seg_old AS segment, bal_old AS acctbal,
+      |    DATE '1995-01-01' AS valid_from,
+      |    CASE WHEN changed OR in_new IS NULL THEN DATE '1996-01-01' END AS valid_to,
+      |    CASE WHEN changed OR in_new IS NULL THEN 0 ELSE 1 END AS is_current
+      |  FROM j WHERE in_old IS NOT NULL
+      |  UNION ALL
+      |  SELECT custkey, seg_new AS segment, bal_new AS acctbal,
+      |    DATE '1996-01-01' AS valid_from,
+      |    CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+      |  FROM j WHERE in_new IS NOT NULL AND (changed OR in_old IS NULL))""".stripMargin
+
+  val scd2Sql: String =
+    s"""WITH $scd2HistoryCte
+       |SELECT custkey, segment, acctbal, valid_from, valid_to, is_current
+       |FROM hist ORDER BY custkey, valid_from""".stripMargin
+
+  /** Q-asof-dim: POINT-IN-TIME join against the SCD2 history — the
+    * consumer side of [[scd2]], and the reason type-2 history exists at
+    * all: every order joins the dimension version VALID AT its order
+    * date (`valid_from <= d < valid_to`), so 1995 orders see the original
+    * segment, 1996+ orders see the post-move segment, and a churned
+    * customer's post-close-out orders match no version (orphans drop —
+    * the audit signal, not a bug). Revenue then aggregates by the
+    * temporally-correct segment; a naive join against the CURRENT
+    * dimension would misattribute every pre-change order.
+    *
+    * Scale shape: this is an EQUI-join on the dimension key — the
+    * interval predicate filters within a key's version list, which is
+    * tiny (≤ 2 here; bounded by change frequency in general), so the
+    * plan is the ordinary fact⋈dim hash/sort-merge join, never a range
+    * or theta join. The revenue sum is exact-decimal (order-free,
+    * partial-aggregated). */
+  def asofDim(spark: SparkSession, dir: String): DataFrame = {
+    val hist = scd2History(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice"))
+    orders.join(hist,
+        orders("o_custkey") === hist("custkey") &&
+          col("od") >= col("valid_from") &&
+          (col("valid_to").isNull || col("od") < col("valid_to")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(38,18)"))
+          .cast("double"), 3).as("revenue"))
+      .orderBy(col("segment"))
+  }
+
+  val asofDimSql: String =
+    s"""WITH $scd2HistoryCte
+       |SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,18))) AS DOUBLE), 3) AS revenue
+       |FROM orders o JOIN hist h
+       |  ON o.o_custkey = h.custkey
+       | AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+       | AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+       |GROUP BY segment ORDER BY segment""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> (fuzzyJoin _),
     "q_table_diff" -> (tableDiff _),
-    "q_scd2" -> (scd2 _))
+    "q_scd2" -> (scd2 _),
+    "q_asof_dim" -> (asofDim _))
 
   def oracles: Map[String, String] = Map(
     "q_fuzzy_join" -> fuzzyJoinSql,
     "q_table_diff" -> tableDiffSql,
-    "q_scd2" -> scd2Sql)
+    "q_scd2" -> scd2Sql,
+    "q_asof_dim" -> asofDimSql)
 }

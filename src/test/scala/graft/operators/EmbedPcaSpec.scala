@@ -75,4 +75,20 @@ class EmbedPcaSpec extends SparkSpecBase with Matchers {
       popVar shouldBe comps(pc.toInt - 1)._1 +- 1e-3
     }
   }
+
+  test("persisted PCA model round-trips bit-identically to a fresh train") {
+    val fresh = EmbedPca.trainComponents(spark, sfDir)
+    val cached = EmbedPca.components(spark, sfDir) // trains+writes or reads
+    val reread = EmbedPca.components(spark, sfDir) // definitely reads
+    val f = java.nio.file.Paths.get(
+      graft.sources.IndexCatalog.cacheBase(sfDir), "pca-model-v1.txt")
+    assert(java.nio.file.Files.exists(f), "model file must persist")
+    Seq(cached, reread).foreach { model =>
+      model.length shouldBe fresh.length
+      model.zip(fresh).foreach { case ((ev1, v1), (ev2, v2)) =>
+        ev1 shouldBe ev2 // exact: Double.toString round-trips
+        v1.toSeq shouldBe v2.toSeq
+      }
+    }
+  }
 }

@@ -108,4 +108,45 @@ class ReconcileOpsSpec extends SparkSpecBase with Matchers {
       cust.map(_._1).filter(_ % 97 == 0).map(_ + 1000000L)
     byKey.keySet shouldBe expectedKeys
   }
+
+  test("point-in-time join attributes each order to the version valid at its date") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val out = ReconcileOps.asofDim(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // referee: version lookup per order in plain Scala
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2)))
+    val attributed = orders.flatMap { case (ck, od, price) =>
+      cust.get(ck).flatMap { case (_, seg) =>
+        val churned = ck % 13 == 6
+        val segNew = if (ck % 7 == 0) "MOVED" else seg
+        if (od < "1996-01-01") Some(seg -> price) // version 1 valid [1995, 1996)
+        else if (churned) None // closed out, no valid version
+        else Some(segNew -> price)
+      }
+    }
+    val expected = attributed.groupBy(_._1).map { case (seg, rows) =>
+      seg -> (rows.size.toLong,
+        rows.map(r => BigDecimal(r._2)).sum
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    out.keySet shouldBe expected.keySet
+    out.foreach { case (seg, (n, rev)) =>
+      withClue(s"segment $seg: ") {
+        n shouldBe expected(seg)._1
+        rev shouldBe expected(seg)._2 +- 0.001
+      }
+    }
+    // churn is visible: post-1996 orders of churned customers drop
+    val orphans = orders.count { case (ck, od, _) =>
+      cust.contains(ck) && ck % 13 == 6 && od >= "1996-01-01" }
+    orders.size - attributed.size shouldBe orphans
+    assert(orphans > 0, "corpus has churned customers with post-close-out orders")
+  }
 }
