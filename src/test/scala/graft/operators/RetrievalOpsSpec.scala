@@ -74,6 +74,31 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("batched ANN equals the single-query IVF search run per query") {
+    val out = VectorOps.annBatch(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    out.keySet shouldBe Set(0L, 7L, 13L)
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
+    val cent = KnnSearch.withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val assigned = IvfIndex.assign(emb, cent)
+    out.foreach { case (qid, rows) =>
+      val q = KnnSearch.withNorm(
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") === qid)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+        "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+      val single = IvfIndex.search(assigned, cent, q, nprobe = 4, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      withClue(s"query $qid: ") {
+        rows.sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getInt(3), r.getLong(4), r.getDouble(5)))
+          .toSeq shouldBe single.toSeq
+      }
+    }
+  }
+
   test("ivf drift monitor reconciles with a fresh assignment of the base table") {
     val out = VectorOps.ivfDrift(spark, sfDir).collect()
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
