@@ -56,4 +56,76 @@ object VectorStream {
   def start(stream: DataFrame, basePath: String, name: String,
             dim: Int): StreamingQuery =
     maintainIndex(stream, basePath, name, dim).start()
+
+  /** Q-stream-upsert: STREAMING INDEX MAINTENANCE run to completion and
+    * checked against the last-write-wins oracle — the fifth driver-gated
+    * streaming surface, and the one that exercises the reference's whole
+    * ingest loop shape (`upsert/upsert.go:154-190`) under micro-batched
+    * delivery: an OFFLINE initial build (version 0, the full corpus),
+    * then two streamed update batches merged via [[maintainIndex]] —
+    * `% 10` keys relabeled at version 1, `% 7` keys relabeled at
+    * version 2 (keys divisible by both get BOTH updates across separate
+    * micro-batches — the replay proves the later version wins across
+    * batch boundaries), and `% 97` keys re-keyed +100000 as inserts. The
+    * final PERSISTED index state must hash-match the oracle's flat
+    * ROW_NUMBER-over-version semantics — the declared-query form of
+    * VectorStreamSpec's incremental-maintenance assertions.
+    *
+    * The index builds under a fresh temp base per run (not the shared
+    * warm cache): the query IS the build+maintain lifecycle, so caching
+    * it would measure nothing. */
+  def streamUpsert(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, dir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-streamupsert-idx").toString
+    val name = "stream-upsert"
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexCatalog.IndexDescriptor(name, 64, "cosine"),
+      emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64)),
+      partitionCols = Seq("bucket"))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-streamupsert-in").toString
+    val b1 = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") + 100).as("label"), lit(1L).as("version"))
+    val b2 = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") + 200).as("label"), lit(2L).as("version"))
+      .unionByName(emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+          col("label"), lit(2L).as("version")))
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = start(stream, base, name, dim = 64)
+    try { q.processAllAvailable() } finally { q.stop() }
+    IndexCatalog.load(spark, base, name)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val streamUpsertSql: String =
+    """WITH all_b AS (
+      |  SELECT vec_id, label, 0 AS version FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, label + 100 AS label, 1 AS version
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |  UNION ALL
+      |  SELECT vec_id, label + 200 AS label, 2 AS version
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, label, 2 AS version
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn
+      |      FROM all_b)
+      |SELECT vec_id, label FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("q_stream_upsert" -> (streamUpsert _))
+
+  def oracles: Map[String, String] =
+    Map("q_stream_upsert" -> streamUpsertSql)
 }
