@@ -136,9 +136,73 @@ object DataContract {
       |    COUNT(*) FROM events
       |) u ORDER BY check_name""".stripMargin
 
+  /** Q-table-stats: the ANALYZE-style per-column statistics profile — the
+    * artifact a cost-based optimizer (or a human sizing partitions)
+    * consumes: per column, row count, null count, EXACT distinct count,
+    * and a numeric min/max (string columns profile their LENGTH — the
+    * payload-sizing signal; timestamps profile whole epoch seconds so
+    * both engines state integer arithmetic). q_data_contract answers
+    * "does the snapshot violate its contract"; this answers "what does
+    * the snapshot look like" — the scan that runs BEFORE choosing
+    * shuffle partition counts, join strategies, and bucketing keys.
+    *
+    * Scale shape: one aggregation over one scan of the table computes
+    * every column's stats (the multi-distinct rewrite plans one Expand —
+    * rows × #distinct-aggs — with map-side partial aggregation; the
+    * alternative, one pass per column, scans the table #columns times),
+    * then the single result row unpivots map-side into one row per
+    * column. At 100 TB this is the same shape ANALYZE TABLE runs. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("value"),
+      floor(col("ts").cast("double")).as("ts_sec"),
+      length(col("event_type")).cast("long").as("type_len"),
+      length(col("props")).cast("long").as("props_len"))
+    val cols = Seq("event_id", "user_id", "value", "ts_sec",
+      "type_len", "props_len")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        round(col(s"min_$c"), 6).as("min_v"),
+        round(col(s"max_$c"), 6).as("max_v"))
+    }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("s"))
+      .select(col("s.column"), col("s.n_rows"), col("s.n_nulls"),
+        col("s.n_distinct"), col("s.min_v"), col("s.max_v"))
+      .orderBy(col("column"))
+  }
+
+  val tableStatsSql: String = {
+    def one(name: String, expr: String): String =
+      s"""SELECT '$name' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($expr) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $expr) AS BIGINT) AS n_distinct,
+         |  ROUND(CAST(MIN($expr) AS DOUBLE), 6) AS min_v,
+         |  ROUND(CAST(MAX($expr) AS DOUBLE), 6) AS max_v
+         |FROM events""".stripMargin
+    Seq(
+      one("event_id", "event_id"),
+      one("user_id", "user_id"),
+      one("value", "value"),
+      one("ts_sec", "FLOOR(epoch(ts))"),
+      one("type_len", "length(event_type)"),
+      one("props_len", "length(props)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_data_contract" -> (dataContract _))
+    "q_data_contract" -> (dataContract _),
+    "q_table_stats" -> (tableStats _))
 
   def oracles: Map[String, String] = Map(
-    "q_data_contract" -> dataContractSql)
+    "q_data_contract" -> dataContractSql,
+    "q_table_stats" -> tableStatsSql)
 }
