@@ -327,7 +327,13 @@ object DedupOps {
     * (≤ S per gram, so ≤ S²/2 pairs per gram), not by document counts —
     * no df cap needed, unlike the per-doc pair queries where fanout grows
     * with corpus size. Two shuffles total: the distinct, then the
-    * gram-keyed intersection count; source sizes broadcast back. */
+    * gram-keyed intersection count; source sizes broadcast back.
+    *
+    * Null semantics: a NULL text contributes NO grams (the native
+    * shingle kernel is null-safe, so explode drops the row); the oracle
+    * states the same via `WHERE text IS NOT NULL` — without it DuckDB's
+    * CASE falls through to `[tt]` = `[NULL]` and a null-text doc would
+    * inflate its source's vocabulary size. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("source"), explode(Dedup.shingles3(col("text"))).as("gram"))
@@ -352,7 +358,7 @@ object DedupOps {
   val sourceOverlapSql: String =
     """WITH toks AS (SELECT source, trim(text) AS tt,
       |                regexp_split_to_array(trim(text), '\s+') AS t
-      |         FROM documents),
+      |         FROM documents WHERE text IS NOT NULL),
       |sh AS (SELECT source,
       |         CASE WHEN len(t) >= 3
       |           THEN list_distinct(list_transform(range(1, len(t)-1),

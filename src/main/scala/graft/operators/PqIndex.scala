@@ -279,9 +279,13 @@ object PqIndex {
       "c_embedding").withColumnRenamed("vec_norm", "c_norm")
     val cbFile = Paths.get(base, name, "pq_codebook.txt")
     def writeCodebook(flat: Array[Double]): Unit = {
-      val tmp = cbFile.resolveSibling("pq_codebook.txt.tmp")
+      // unique tmp name: concurrent writers (bench + verify) must never
+      // interleave into one file; deterministic training makes whichever
+      // rename lands last install identical bytes
+      val tmp = Files.createTempFile(cbFile.getParent, "pq_codebook", ".tmp")
       Files.writeString(tmp, flat.map(_.toString).mkString(","))
-      Files.move(tmp, cbFile, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, cbFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
     if (!IndexCatalog.exists(base, name)) {
       val flat = collectCodebook(trainCodebooks(emb))

@@ -140,7 +140,8 @@ object ReconcileOps {
     * base load is the table itself; the 1996-01-01 snapshot moves
     * `% 7 = 0` keys to segment MOVED, drifts `% 11 = 4` balances by +50,
     * drops `% 13 = 6` keys (churn → close-out), and adds `% 97 = 0` keys
-    * re-keyed +1000000 (insert path). The merge classifies every key via
+    * re-keyed past the key domain (+max(c_custkey), insert path). The
+    * merge classifies every key via
     * ONE full-outer hash join on the key with explicit presence markers
     * (the [[tableDiff]] discipline — null payloads don't conflate with
     * absent rows), then emits history rows from two map-side projections
@@ -164,6 +165,13 @@ object ReconcileOps {
       col("c_mktsegment").as("seg_old"),
       col("c_acctbal").as("bal_old"),
       lit(1).as("in_old"))
+    // insert-path re-key offset = MAX existing key + 1, so new keys can
+    // never collide with real ones at ANY scale factor (a fixed constant
+    // like +1000000 collides once the key domain outgrows it — TPC-H
+    // custkeys reach SF*150000 — and a bare MAX collides with itself for
+    // key 0, since the testdata keys are 0-based: 0 + max == max);
+    // distinct sources keep the re-keyed ids distinct
+    val maxKey = cust.agg((max(col("c_custkey")) + 1L).as("mk"))
     val snap = cust.filter(col("c_custkey") % 13 =!= 6)
       .select(
         col("c_custkey").as("custkey"),
@@ -172,8 +180,9 @@ object ReconcileOps {
         when(col("c_custkey") % 11 === 4, col("c_acctbal") + 50.0)
           .otherwise(col("c_acctbal")).as("bal_new"))
       .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+        .crossJoin(broadcast(maxKey))
         .select(
-          (col("c_custkey") + 1000000L).as("custkey"),
+          (col("c_custkey") + col("mk")).as("custkey"),
           lit("NEW").as("seg_new"),
           lit(0.0).as("bal_new")))
       .withColumn("in_new", lit(1))
@@ -219,8 +228,8 @@ object ReconcileOps {
       |    1 AS in_new
       |  FROM customer WHERE c_custkey % 13 != 6
       |  UNION ALL
-      |  SELECT c_custkey + 1000000 AS custkey, 'NEW' AS seg_new,
-      |    0.0 AS bal_new, 1 AS in_new
+      |  SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer) AS custkey,
+      |    'NEW' AS seg_new, 0.0 AS bal_new, 1 AS in_new
       |  FROM customer WHERE c_custkey % 97 = 0),
       |j AS (
       |  SELECT COALESCE(base.custkey, snap.custkey) AS custkey,

@@ -181,10 +181,7 @@ object VectorOps {
     * bucket-pruned plan is proven against a full recomputation. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = index(spark, dir)
-    val cent = KnnSearch.withNorm(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
-      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val cent = seedCentroids(spark, dir)
     val q = KnnSearch.withNorm(
       Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
@@ -212,31 +209,28 @@ object VectorOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** Q-ann-ivf-persisted: the SAME IVF search as q_ann_ivf, but against a
-    * PERSISTED index with the centroid bucket as a physical partition
-    * column (`partitionBy("label", "bucket")`). Probe selection scores the
-    * 16-row centroid table against the query and collects the nprobe=4
-    * winning centroid ids — METADATA, not data: nprobe integers cross the
-    * driver, the way any IVF system's query planner holds its (tiny,
-    * cached) centroid codebook. Those literal ids become a PartitionFilter
-    * on the index scan, which reads only the 4 probed `bucket=` directories
-    * — the executable form of SCALE.md's "bucket id becomes a partition
-    * column → partition pruning". Same oracle as q_ann_ivf: identical
-    * results, different access path. */
+  /** The 16 lowest-id vectors as seed centroids (the deterministic
+    * stand-in for offline k-means) — THE one construction every IVF-family
+    * query and its oracle must agree on bit-for-bit (q_ann_ivf,
+    * q_ann_ivf_persisted, q_ivf_drift, q_ann_batch all share it; a change
+    * here desynchronizes the persisted index from the in-memory paths
+    * unless they all move together). */
+  private def seedCentroids(spark: SparkSession, dir: String): DataFrame =
+    KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+
   /** Ensure the bucket-partitioned persisted IVF index exists (seed
-    * centroids = 16 lowest-id vectors, the [[annIvf]] stand-in for offline
-    * k-means) and return its (base, name, centroid table). Shared by the
-    * persisted search (q_ann_ivf_persisted) and the balance monitor
-    * (q_ivf_drift) so both see the identical layout. */
+    * centroids = [[seedCentroids]]) and return its (base, name, centroid
+    * table). Shared by the persisted search (q_ann_ivf_persisted) and the
+    * balance monitor (q_ivf_drift) so both see the identical layout. */
   private def ensureIvfBucketed(spark: SparkSession, dir: String)
       : (String, String, DataFrame) = {
     import graft.sources.IndexCatalog
     val base = IndexCatalog.cacheBase(dir)
     val name = "emb-ivf-bucketed"
-    val cent = KnnSearch.withNorm(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
-      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val cent = seedCentroids(spark, dir)
     if (!IndexCatalog.exists(base, name)) {
       val data = IvfIndex.assign(index(spark, dir), cent)
         .withColumnRenamed("cent_id", "bucket")
@@ -248,6 +242,17 @@ object VectorOps {
     (base, name, cent)
   }
 
+  /** Q-ann-ivf-persisted: the SAME IVF search as q_ann_ivf, but against a
+    * PERSISTED index with the centroid bucket as a physical partition
+    * column (`partitionBy("label", "bucket")`). Probe selection scores the
+    * 16-row centroid table against the query and collects the nprobe=4
+    * winning centroid ids — METADATA, not data: nprobe integers cross the
+    * driver, the way any IVF system's query planner holds its (tiny,
+    * cached) centroid codebook. Those literal ids become a PartitionFilter
+    * on the index scan, which reads only the 4 probed `bucket=` directories
+    * — the executable form of SCALE.md's "bucket id becomes a partition
+    * column → partition pruning". Same oracle as q_ann_ivf: identical
+    * results, different access path. */
   def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, cent) = ensureIvfBucketed(spark, dir)
@@ -524,10 +529,7 @@ object VectorOps {
     * reads |∪ probes|/k of the data). */
   def annBatch(spark: SparkSession, dir: String): DataFrame = {
     val emb = index(spark, dir)
-    val cent = KnnSearch.withNorm(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
-      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val cent = seedCentroids(spark, dir)
     val queries = KnnSearch.withNorm(
       Tables.embeddings(spark, dir)
         .filter(col("vec_id").isin(0L, 7L, 13L))

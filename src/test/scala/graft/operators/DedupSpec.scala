@@ -180,11 +180,18 @@ class DedupSpec extends SparkSpecBase with Matchers {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
+    // mirror the documented kernel contract exactly: SQL space-only trim
+    // (not Java's trim, which also strips control chars) and split with
+    // limit -1 (trailing empty tokens kept, as DuckDB's RE2 split keeps
+    // them) — see WordNGramShingles.sqlTrim
+    def sqlTrim(s: String): String =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
     val vocab = docs.groupBy(_._1).map { case (src, rows) =>
       src -> rows.flatMap { case (_, text) =>
-        val t = text.trim.split("\\s+").toSeq
+        val tt = sqlTrim(text)
+        val t = tt.split("\\s+", -1).toSeq
         if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
-        else Seq(text.trim)
+        else Seq(tt)
       }.toSet
     }
     val expected = (for {

@@ -72,6 +72,7 @@ class ReconcileOpsSpec extends SparkSpecBase with Matchers {
         Option(r.getDate(4)).map(_.toString).orNull,
         r.getInt(5)))
     val byKey = out.groupBy(_._1)
+    val maxKey = cust.map(_._1).max + 1 // 0-based keys: offset must clear the domain
 
     // global SCD2 invariants: at most one current row per key; a closed
     // row's valid_to equals the successor's valid_from when one exists
@@ -100,12 +101,12 @@ class ReconcileOpsSpec extends SparkSpecBase with Matchers {
           rows.toSeq shouldBe Seq((key, seg, bal, "1995-01-01", null, 1))
       }
       if (key % 97 == 0) // insert path: re-keyed row appears as new-current
-        byKey(key + 1000000L).toSeq shouldBe Seq(
-          (key + 1000000L, "NEW", 0.0, "1996-01-01", null, 1))
+        byKey(key + maxKey).toSeq shouldBe Seq(
+          (key + maxKey, "NEW", 0.0, "1996-01-01", null, 1))
     }
     // no rows beyond the derived keyspace
     val expectedKeys = cust.map(_._1).toSet ++
-      cust.map(_._1).filter(_ % 97 == 0).map(_ + 1000000L)
+      cust.map(_._1).filter(_ % 97 == 0).map(_ + maxKey)
     byKey.keySet shouldBe expectedKeys
   }
 
