@@ -62,12 +62,16 @@ object VectorStream {
     * streaming surface, and the one that exercises the reference's whole
     * ingest loop shape (`upsert/upsert.go:154-190`) under micro-batched
     * delivery: an OFFLINE initial build (version 0, the full corpus),
-    * then two streamed update batches merged via [[maintainIndex]] —
-    * `% 10` keys relabeled at version 1, `% 7` keys relabeled at
-    * version 2 (keys divisible by both get BOTH updates across separate
-    * micro-batches — the replay proves the later version wins across
-    * batch boundaries), and `% 97` keys re-keyed +100000 as inserts. The
-    * final PERSISTED index state must hash-match the oracle's flat
+    * then two SPARSE streamed update batches merged via [[maintainIndex]]
+    * — `% 101` keys relabeled at version 1; then `% 202` keys relabeled
+    * AGAIN at version 2 (a subset of the v1 batch — the replay proves the
+    * later version wins across micro-batch boundaries), `% 103` keys
+    * relabeled at version 2, and `% 97` keys re-keyed +100000 as inserts.
+    * The batches are deliberately a TRICKLE (tens of keys against a
+    * 256-bucket layout) so the declared query demonstrates the
+    * partition-scoped-rewrite claim — dense batches touching every bucket
+    * would silently degenerate to full-index rewrites. The final
+    * PERSISTED index state must hash-match the oracle's flat
     * ROW_NUMBER-over-version semantics — the declared-query form of
     * VectorStreamSpec's incremental-maintenance assertions.
     *
@@ -86,14 +90,24 @@ object VectorStream {
       partitionCols = Seq("bucket"))
     val staged = java.nio.file.Files
       .createTempDirectory("graft-streamupsert-in").toString
-    val b1 = emb.filter(col("vec_id") % 10 === 0)
+    // key 0 divides everything: the %103 branch must exclude %202 keys or
+    // key 0 carries two DIFFERENT v2 rows and the oracle's version
+    // tie-break is nondeterministic; insert re-key offset = max+1 (the
+    // q_scd2 lesson — a fixed constant collides once the id domain grows)
+    val maxId = emb.agg((max(col("vec_id")) + 1L).as("mi"))
+    val b1 = emb.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id"), col("embedding"),
         (col("label") + 100).as("label"), lit(1L).as("version"))
-    val b2 = emb.filter(col("vec_id") % 7 === 0)
+    val b2 = emb.filter(col("vec_id") % 202 === 0)
       .select(col("vec_id"), col("embedding"),
         (col("label") + 200).as("label"), lit(2L).as("version"))
+      .unionByName(emb
+        .filter(col("vec_id") % 103 === 0 && col("vec_id") % 202 =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          (col("label") + 150).as("label"), lit(2L).as("version")))
       .unionByName(emb.filter(col("vec_id") % 97 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        .crossJoin(broadcast(maxId))
+        .select((col("vec_id") + col("mi")).as("vec_id"), col("embedding"),
           col("label"), lit(2L).as("version")))
     b1.coalesce(1).write.mode("overwrite").parquet(staged)
     DocStream.stampAscendingMtimes(staged)
@@ -112,12 +126,16 @@ object VectorStream {
       |  SELECT vec_id, label, 0 AS version FROM embeddings
       |  UNION ALL
       |  SELECT vec_id, label + 100 AS label, 1 AS version
-      |  FROM embeddings WHERE vec_id % 10 = 0
+      |  FROM embeddings WHERE vec_id % 101 = 0
       |  UNION ALL
       |  SELECT vec_id, label + 200 AS label, 2 AS version
-      |  FROM embeddings WHERE vec_id % 7 = 0
+      |  FROM embeddings WHERE vec_id % 202 = 0
       |  UNION ALL
-      |  SELECT vec_id + 100000 AS vec_id, label, 2 AS version
+      |  SELECT vec_id, label + 150 AS label, 2 AS version
+      |  FROM embeddings WHERE vec_id % 103 = 0 AND vec_id % 202 != 0
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id,
+      |    label, 2 AS version
       |  FROM embeddings WHERE vec_id % 97 = 0),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn
       |      FROM all_b)
