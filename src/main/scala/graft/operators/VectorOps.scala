@@ -209,6 +209,37 @@ object VectorOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Q-knn-filtered: METADATA-FILTERED vector search — the query-time
+    * filter the reference's platform exposes (Pinecone queries accept a
+    * metadata filter; the wire schema carries metadata the Go client
+    * declares but never populates, `upsert/upsert.go:32`, `main.go:49`).
+    * Semantics are PRE-filter: the predicate restricts the candidate set
+    * BEFORE ranking, so the result is the exact top-K of the filtered
+    * subset — k results whenever k candidates exist. (Post-filtering a
+    * top-K of the full corpus returns fewer than k when matches are
+    * sparse — the classic filtered-search pitfall; the filter-then-rank
+    * order is the contract here and in the oracle.)
+    *
+    * Scale shape: the filter is pushed into the scan (a metadata column
+    * predicate → Parquet PushedFilters / partition pruning when the
+    * filter column is a partition key, e.g. label or namespace), and the
+    * ranking cost drops to the filtered cardinality. Composes with every
+    * ANN family the same way — IVF probes then filter inside buckets. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir).filter(col("label") === 3)
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(emb, q, 10)
+  }
+
+  val knnFilteredSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(${cosSql("e.embedding", "qe")}, 6) AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0 AND e.label = 3
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
   /** The 16 lowest-id vectors as seed centroids (the deterministic
     * stand-in for offline k-means) — THE one construction every IVF-family
     * query and its oracle must agree on bit-for-bit (q_ann_ivf,
@@ -772,6 +803,7 @@ object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_batch" -> (annBatch _),
+    "q_knn_filtered" -> (knnFiltered _),
     "q_ivf_drift" -> (ivfDrift _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
@@ -793,6 +825,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
+    "q_knn_filtered" -> knnFilteredSql,
     "q_ivf_drift" -> ivfDriftSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,

@@ -74,6 +74,31 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("filtered search pre-filters: exact top-k of the label subset, filter pushed to the scan") {
+    val q = VectorOps.knnFiltered(spark, sfDir)
+    val out = q.collect()
+    out.length shouldBe 10
+    all(out.map(_.getInt(1))) shouldBe 3
+    // referee: exact top-10 among label-3 vectors only
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val qv = emb.find(_._1 == 0L).get._2
+    val expected = emb
+      .filter(e => e._3 == 3 && e._1 != 0L)
+      .map { case (id, v, _) =>
+        val r = BigDecimal(cos(v, qv))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, r)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    out.map(r => (r.getLong(0), r.getDouble(2))).toSeq shouldBe expected.toSeq
+    // pre-filter reaches the scan: the label predicate is pushed down
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,3"),
+      s"label filter must reach the parquet scan:\n$plan")
+  }
+
   test("batched ANN equals the single-query IVF search run per query") {
     val out = VectorOps.annBatch(spark, sfDir).collect()
       .groupBy(_.getLong(0))
