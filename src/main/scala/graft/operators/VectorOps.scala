@@ -240,6 +240,55 @@ object VectorOps {
        |ORDER BY score DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Q-ann-filtered: the FILTERED-ANN composition — the metadata
+    * predicate applied INSIDE the probed IVF buckets, proving
+    * [[knnFiltered]]'s composability claim executably: probe selection is
+    * unchanged (the query's 4 nearest centroids), the filter then
+    * restricts candidates within those buckets before exact scoring, so
+    * the plan pays nprobe/k of the corpus AND only the predicate's
+    * fraction of that. Semantics caveat stated honestly: filtered-IVF is
+    * approximate in a way brute filtered search is not — a label-3 vector
+    * whose bucket is not probed is unreachable (same recall trade as
+    * unfiltered IVF, evaluated by q_recall_eval's audit pattern). The
+    * oracle replays assignment + probe + filter + rank exactly. */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val cent = seedCentroids(spark, dir)
+    val q = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    KnnSearch.rankTopK(
+      IvfIndex.assign(emb, cent)
+        .join(broadcast(IvfIndex.probes(cent, q, nprobe = 4)), Seq("cent_id"))
+        .filter(col("label") === 3)
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("cent_id"), col("score")),
+      "vec_id", 10)
+  }
+
+  val annFilteredSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |pr AS (SELECT cent_id FROM cent, q
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id AND a.label = 3)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** The 16 lowest-id vectors as seed centroids (the deterministic
     * stand-in for offline k-means) — THE one construction every IVF-family
     * query and its oracle must agree on bit-for-bit (q_ann_ivf,
@@ -803,6 +852,7 @@ object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_batch" -> (annBatch _),
+    "q_ann_filtered" -> (annFiltered _),
     "q_knn_filtered" -> (knnFiltered _),
     "q_ivf_drift" -> (ivfDrift _),
     "q_mmr_rerank" -> (mmrRerank _),
@@ -825,6 +875,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
+    "q_ann_filtered" -> annFilteredSql,
     "q_knn_filtered" -> knnFilteredSql,
     "q_ivf_drift" -> ivfDriftSql,
     "q_mmr_rerank" -> mmrRerankSql,

@@ -99,6 +99,41 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
       s"label filter must reach the parquet scan:\n$plan")
   }
 
+  test("filtered ANN ranks only label-matching vectors inside the probed buckets") {
+    val out = VectorOps.annFiltered(spark, sfDir).collect()
+    out.length should be > 0
+    all(out.map(_.getInt(1))) shouldBe 3
+    // referee: recompute assignment, probes, filter, rank from scratch
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, sfDir))
+    val cent = KnnSearch.withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val q = KnnSearch.withNorm(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    val probed = IvfIndex.probes(cent, q, nprobe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val assigned = IvfIndex.assign(emb, cent).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
+    out.foreach { r =>
+      withClue(s"vec ${r.getLong(0)}: ") {
+        probed should contain(r.getLong(2)) // bucket was probed
+        assigned(r.getLong(0)) shouldBe r.getLong(2) // true assignment
+      }
+    }
+    // the unfiltered IVF search over the same probes, post-filtered to
+    // label 3, must be a PREFIX-compatible subset: pre-filtering can only
+    // surface MORE label-3 rows, never different ones in the overlap
+    val unfiltered = IvfIndex.search(
+        IvfIndex.assign(emb, cent), cent, q, nprobe = 4, k = 1000)
+      .collect().filter(_.getInt(1) == 3)
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    out.map(r => (r.getLong(0), r.getDouble(3))).toSeq shouldBe
+      unfiltered.take(out.length).toSeq
+  }
+
   test("batched ANN equals the single-query IVF search run per query") {
     val out = VectorOps.annBatch(spark, sfDir).collect()
       .groupBy(_.getLong(0))
