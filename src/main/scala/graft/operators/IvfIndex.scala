@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** IVF-style approximate nearest neighbor: partition the index into
@@ -103,12 +103,18 @@ object IvfIndex {
   }
 
   /** ANN top-K: exact scoring restricted to the probed buckets (shared
-    * kernel: KnnSearch.prenormedScore/rankTopK). */
+    * kernel: KnnSearch.prenormedScore/rankTopK). `candidateFilter`
+    * restricts candidates BEFORE ranking (the KnnSearch.knnJoin
+    * discipline — metadata-filtered search rides the SAME pipeline, so a
+    * kernel/tie-break change can never desynchronize the filtered and
+    * unfiltered families). */
   def search(assigned: DataFrame, centroids: DataFrame, query: DataFrame,
-             nprobe: Int, k: Int): DataFrame =
+             nprobe: Int, k: Int,
+             candidateFilter: Column = lit(true)): DataFrame =
     KnnSearch.rankTopK(
       assigned
         .join(broadcast(probes(centroids, query, nprobe)), Seq("cent_id"))
+        .filter(candidateFilter)
         .crossJoin(broadcast(query))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("score", KnnSearch.prenormedScore)

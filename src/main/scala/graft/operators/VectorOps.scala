@@ -189,7 +189,11 @@ object VectorOps {
     IvfIndex.search(IvfIndex.assign(emb, cent), cent, q, nprobe = 4, k = 10)
   }
 
-  val annIvfSql: String = {
+  /** ONE builder for the IVF oracle — the filtered variant differs by a
+    * single candidate predicate, so both gates always state identical
+    * assignment/probe/rank semantics (a fix to the shared CTEs can never
+    * reach one oracle and miss the other). */
+  private def ivfOracleSql(extraPredicate: String): String = {
     import VectorSql.{cosine => cos}
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -204,10 +208,12 @@ object VectorOps {
        |res AS (SELECT a.vec_id, a.label, a.cent_id,
        |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
        |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
-       |        WHERE a.vec_id <> q.q_id)
+       |        WHERE a.vec_id <> q.q_id$extraPredicate)
        |SELECT vec_id, label, cent_id, score FROM res
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  val annIvfSql: String = ivfOracleSql("")
 
   /** Q-knn-filtered: METADATA-FILTERED vector search — the query-time
     * filter the reference's platform exposes (Pinecone queries accept a
@@ -258,36 +264,11 @@ object VectorOps {
       Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
       "q_embedding").withColumnRenamed("vec_norm", "q_norm")
-    KnnSearch.rankTopK(
-      IvfIndex.assign(emb, cent)
-        .join(broadcast(IvfIndex.probes(cent, q, nprobe = 4)), Seq("cent_id"))
-        .filter(col("label") === 3)
-        .crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("score", KnnSearch.prenormedScore)
-        .select(col("vec_id"), col("label"), col("cent_id"), col("score")),
-      "vec_id", 10)
+    IvfIndex.search(IvfIndex.assign(emb, cent), cent, q, nprobe = 4, k = 10,
+      candidateFilter = col("label") === 3)
   }
 
-  val annFilteredSql: String = {
-    import VectorSql.{cosine => cos}
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
-       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |asg AS (
-       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-       |  FROM embeddings e, cent c),
-       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
-       |pr AS (SELECT cent_id FROM cent, q
-       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
-       |res AS (SELECT a.vec_id, a.label, a.cent_id,
-       |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
-       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
-       |        WHERE a.vec_id <> q.q_id AND a.label = 3)
-       |SELECT vec_id, label, cent_id, score FROM res
-       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-  }
+  val annFilteredSql: String = ivfOracleSql(" AND a.label = 3")
 
   /** The 16 lowest-id vectors as seed centroids (the deterministic
     * stand-in for offline k-means) — THE one construction every IVF-family

@@ -86,11 +86,7 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
     val qv = emb.find(_._1 == 0L).get._2
     val expected = emb
       .filter(e => e._3 == 3 && e._1 != 0L)
-      .map { case (id, v, _) =>
-        val r = BigDecimal(cos(v, qv))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (id, r)
-      }
+      .map { case (id, v, _) => (id, r6(cos(v, qv))) }
       .sortBy { case (id, s) => (-s, id) }.take(10)
     out.map(r => (r.getLong(0), r.getDouble(2))).toSeq shouldBe expected.toSeq
     // pre-filter reaches the scan: the label predicate is pushed down
@@ -115,7 +111,10 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
       "q_embedding").withColumnRenamed("vec_norm", "q_norm")
     val probed = IvfIndex.probes(cent, q, nprobe = 4)
       .collect().map(_.getLong(0)).toSet
-    val assigned = IvfIndex.assign(emb, cent).collect()
+    // bind the (expensive) assignment ONCE; the map referee and the
+    // unfiltered reference search both reuse it
+    val assignedDf = IvfIndex.assign(emb, cent).localCheckpoint(true)
+    val assigned = assignedDf.collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cent_id")).toMap
     out.foreach { r =>
       withClue(s"vec ${r.getLong(0)}: ") {
@@ -125,9 +124,10 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
     }
     // the unfiltered IVF search over the same probes, post-filtered to
     // label 3, must be a PREFIX-compatible subset: pre-filtering can only
-    // surface MORE label-3 rows, never different ones in the overlap
+    // surface MORE label-3 rows, never different ones in the overlap.
+    // k = corpus size, so no magic cap can truncate probed candidates.
     val unfiltered = IvfIndex.search(
-        IvfIndex.assign(emb, cent), cent, q, nprobe = 4, k = 1000)
+        assignedDf, cent, q, nprobe = 4, k = assigned.size)
       .collect().filter(_.getInt(1) == 3)
       .map(r => (r.getLong(0), r.getDouble(3)))
     out.map(r => (r.getLong(0), r.getDouble(3))).toSeq shouldBe
