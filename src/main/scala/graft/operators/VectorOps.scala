@@ -129,6 +129,39 @@ object VectorOps {
        |  ROUND(${normSql("embedding")}, 6) AS norm
        |FROM embeddings WHERE vec_id = 42""".stripMargin
 
+  /** Q-fetch-batch: the reference's query-path FETCH LOOP recast as one
+    * batched lookup — after the top-K search, `main.go:141-180` fetches
+    * every matched id with its own HTTPS GET (and the loop is duplicated,
+    * so topK=1 costs 2×K fetch round-trips); here the K matched ids (tiny
+    * driver-side metadata, the nprobe discipline) become ONE `IN`-filtered
+    * scan, pushed to Parquet as a PushedFilter. The oracle recomputes the
+    * same top-K id set relationally and joins back — proving the
+    * loop→set-operation recast returns exactly the looped fetches' rows.
+    *
+    * Scale shape: K ids cross the driver; the fetch is one pruned scan
+    * (row-group skipping on the id filter) instead of K point queries. */
+  def fetchBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ids = knn(spark, dir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(l2Norm(col("embedding")), 6).as("norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val fetchBatchSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |top AS (SELECT e.vec_id FROM embeddings e, q
+       |        WHERE e.vec_id <> 0
+       |        ORDER BY ROUND(${cosSql("e.embedding", "qe")}, 6) DESC, e.vec_id
+       |        LIMIT 10)
+       |SELECT e.vec_id, e.label, len(e.embedding) AS dim,
+       |  ROUND(${normSql("e.embedding")}, 6) AS norm
+       |FROM embeddings e JOIN top USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
   /** Q-index-stats: per-namespace vector counts — the reference's
     * `describe_index_stats` (`debug-commands.txt:10-12`), with `label`
     * standing in for the namespace partition. */
@@ -848,6 +881,7 @@ object VectorOps {
     "q_knn_join" -> (knnJoin _),
     "q_knn_join_large" -> (knnJoinLarge _),
     "q_fetch" -> (fetch _),
+    "q_fetch_batch" -> (fetchBatch _),
     "q_index_stats" -> (indexStats _),
     "q_upsert" -> (upsert _),
     "q_sparse" -> (sparse _),
@@ -871,6 +905,7 @@ object VectorOps {
     "q_knn_join" -> knnJoinSql,
     "q_knn_join_large" -> knnJoinLargeSql,
     "q_fetch" -> fetchSql,
+    "q_fetch_batch" -> fetchBatchSql,
     "q_index_stats" -> indexStatsSql,
     "q_upsert" -> upsertSql,
     "q_sparse" -> sparseSql,

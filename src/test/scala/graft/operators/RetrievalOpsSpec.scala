@@ -95,6 +95,30 @@ class RetrievalOpsSpec extends SparkSpecBase with Matchers {
       s"label filter must reach the parquet scan:\n$plan")
   }
 
+  test("batched fetch returns exactly the looped per-id fetches, via one pushed IN scan") {
+    val q = VectorOps.fetchBatch(spark, sfDir)
+    val out = q.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val ids = VectorOps.knn(spark, sfDir)
+      .collect().map(_.getLong(0)).sorted
+    out.map(_._1).toSeq shouldBe ids.toSeq
+    // the loop the reference runs: one point fetch per id — same rows
+    val looped = ids.map { id =>
+      val r = KnnSearch.fetch(Tables.embeddings(spark, sfDir), id)
+        .select(col("vec_id"), col("label"),
+          org.apache.spark.sql.functions.size(col("embedding")).as("dim"),
+          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 6)
+            .as("norm"))
+        .head()
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+    }
+    out.toSeq shouldBe looped.toSeq
+    // the id set reaches the scan as a pushed filter
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(vec_id"),
+      s"batched fetch must push the id set to the scan:\n$plan")
+  }
+
   test("filtered ANN ranks only label-matching vectors inside the probed buckets") {
     val out = VectorOps.annFiltered(spark, sfDir).collect()
     out.length should be > 0
