@@ -294,9 +294,20 @@ object CorpusOps {
     * Pure map-side projection — every metric derives from the doc's own
     * token array; rule flags are 0/1 ints so both engines hash the same
     * column class. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherFlags(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_words"), col("mean_wl"), col("dup_frac"),
+        col("n_stop"), col("pass_nwords"), col("pass_mwl"), col("pass_stop"),
+        col("pass_dup"), col("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The rule core of [[gopherRules]] over an arbitrary documents frame
+    * (needs a `text` column; every input column rides through) — so the
+    * gate composes mid-pipeline (q_pipeline_e2e) instead of only over the
+    * raw table. */
+  def gopherFlags(docs: DataFrame): DataFrame = {
     val stops = GopherStops.map(w => array_contains(col("t"), w).cast("int"))
-    Tables.documents(spark, dir)
+    docs
       .withColumn("t", split(trim(col("text")), "\\s+"))
       .withColumn("n_words",
         when(length(trim(col("text"))) === 0, lit(0L))
@@ -319,10 +330,7 @@ object CorpusOps {
       .withColumn("keep",
         (col("pass_nwords") === 1 && col("pass_mwl") === 1 &&
           col("pass_stop") === 1 && col("pass_dup") === 1).cast("int"))
-      .select(col("doc_id"), col("n_words"), col("mean_wl"), col("dup_frac"),
-        col("n_stop"), col("pass_nwords"), col("pass_mwl"), col("pass_stop"),
-        col("pass_dup"), col("keep"))
-      .orderBy(col("doc_id"))
+      .drop("t")
   }
 
   val gopherRulesSql: String = {

@@ -97,11 +97,20 @@ object PipelineOps {
     * the doc end. Pure map-side explode — each doc's chunk list derives
     * from its own token count alone, so the operator scales linearly with
     * corpus size and parallelizes per-file. */
-  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkSpans(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** The window core of [[chunkOverlap]] over an arbitrary documents
+    * frame (needs a `text` column; every other input column rides
+    * through to the exploded chunks) — so chunking composes
+    * mid-pipeline (q_pipeline_e2e). */
+  def chunkSpans(docs: DataFrame): DataFrame =
     docs
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .drop("text")
       .withColumn("n_chunks",
         lit(1L) + greatest(
           ceil((col("n_tokens") - lit(ChunkSize)).cast("double") / ChunkStride),
@@ -109,9 +118,7 @@ object PipelineOps {
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
       .withColumn("start_tok", col("chunk_idx") * ChunkStride)
       .withColumn("chunk_len", least(lit(ChunkSize), col("n_tokens") - col("start_tok")))
-      .select(col("doc_id"), col("chunk_idx"), col("start_tok"), col("chunk_len"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-  }
+      .drop("n_tokens", "n_chunks")
 
   val chunkOverlapSql: String =
     s"""WITH t AS (SELECT doc_id,
@@ -526,7 +533,78 @@ object PipelineOps {
       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / greatest(n_words, 1)), 6) AS flesch
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Q-pipeline-e2e: the whole training-data prep as ONE declarative
+    * plan — exact dedup (lowest-id survivor per normalized-text
+    * fingerprint) → Gopher quality gate → language routing (en) →
+    * sliding-window chunking → per-source yield accounting. This is the
+    * composition the individual queries exist FOR: a user of the
+    * reference preps a corpus by chaining these stages, and declaring
+    * them as one frame lets Catalyst fuse every map-side stage: the
+    * gate, routing, and chunk explode all run inside the dedup
+    * shuffle's output stage, so the whole gauntlet pays exactly four
+    * exchanges regardless of stage count — the fingerprint partition
+    * (with a PARTIAL WindowGroupLimit pruning dedup candidates before
+    * the shuffle), the distinct-agg's two phases, and the presentation
+    * sort. An orchestration of separate jobs would pay a full scan +
+    * materialization per stage.
+    *
+    * Output: per source, documents surviving the full gauntlet, chunks
+    * produced, tokens yielded — the "what did my pipeline keep"
+    * accounting every corpus build ends with. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val survivors = Dedup.exact(docs)
+    val gated = CorpusOps.gopherFlags(survivors)
+      .filter(col("keep") === 1 && col("lang") === "en")
+      .select(col("doc_id"), col("text"), col("source"))
+    chunkSpans(gated)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val pipelineE2eSql: String = {
+    val stopSum = Seq("the", "a", "and", "of")
+      .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+    s"""WITH fps AS (SELECT doc_id, text, lang, source,
+       |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents),
+       |surv AS (SELECT doc_id, text, source FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM fps) WHERE rn = 1 AND lang = 'en'),
+       |toks AS (SELECT doc_id, source,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_words
+       |  FROM surv),
+       |m AS (SELECT doc_id, source, n_words,
+       |    CASE WHEN n_words > 0 THEN ROUND(
+       |      CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+       |        / n_words, 6) END AS mean_wl,
+       |    CASE WHEN n_words > 0 THEN ROUND(
+       |      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / n_words, 6) END AS dup_frac,
+       |    $stopSum AS n_stop
+       |  FROM toks),
+       |gated AS (SELECT doc_id, source, n_words AS n_tokens FROM m
+       |  WHERE n_words >= 10 AND n_words <= 1000
+       |    AND mean_wl IS NOT NULL AND mean_wl >= 2.0 AND mean_wl <= 12.0
+       |    AND n_stop >= 2
+       |    AND dup_frac IS NOT NULL AND dup_frac <= 0.5
+       |    AND n_words > 0),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    1 + greatest(CAST(ceil((n_tokens - $ChunkSize) / $ChunkStride.0) AS BIGINT), 0) AS n_chunks
+       |  FROM gated),
+       |e AS (SELECT doc_id, source, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+       |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       |  CAST(SUM(least($ChunkSize, n_tokens - chunk_idx * $ChunkStride)) AS BIGINT) AS n_tokens
+       |FROM e GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> (pipelineE2e _),
     "q_pack_sequences" -> (packSequences _),
     "q_chunk_overlap" -> (chunkOverlap _),
     "q_dedup_incremental" -> (incrementalDedup _),
@@ -539,6 +617,7 @@ object PipelineOps {
     "q_readability" -> (readability _))
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" -> pipelineE2eSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_dedup_incremental" -> incrementalDedupSql,

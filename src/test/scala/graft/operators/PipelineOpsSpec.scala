@@ -109,6 +109,37 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
     rows.map(_.getLong(2)).sum shouldBe ev.count() - users
   }
 
+  test("pipeline e2e equals the stage-by-stage composition and fuses to two shuffles") {
+    import org.apache.spark.sql.functions._
+    val dir = sfDir
+    // independent derivation: run each stage as its own materialized step
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val survivorIds = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val gateKeep = CorpusOps.gopherFlags(docs).filter(col("keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val en = docs.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = survivorIds & gateKeep & en
+    val staged = PipelineOps.chunkSpans(
+        docs.filter(col("doc_id").isInCollection(kept)).drop("lang"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"), sum(col("chunk_len")).as("n_tokens"))
+      .orderBy("source").collect().map(_.toString)
+    val fused = PipelineOps.pipelineE2e(spark, dir)
+    fused.collect().map(_.toString) shouldBe staged
+    // the composed plan pays exactly 4 exchanges — fingerprint partition,
+    // the distinct-agg's two phases, the presentation sort — independent
+    // of stage count (gate, routing, chunking all fuse map-side); under
+    // AQE the executed plan prints initial + final, so count the final
+    val planStr = fused.queryExecution.executedPlan.toString
+    val half = planStr.linesIterator.count(_.contains("Exchange")) / 2
+    half should be <= 4
+    // and dedup candidates prune BEFORE the shuffle (partial group limit)
+    planStr should include("WindowGroupLimit")
+  }
+
   test("retention matrix: day-0 cell equals cohort size, offsets bounded") {
     val out = EventOps.retention(spark, sfDir).collect()
     out.length should be > 0
