@@ -26,35 +26,63 @@ object RelationalOps {
   /** TPC-H Q1-shaped aggregate: hash aggregate with partial (map-side)
     * combine, grouping on two low-cardinality keys. At 100 TB this is the
     * canonical "shuffle only 4 groups after partial agg" plan. */
+  /** Buckets for aggLineitem's two-level fixed-point sums (the
+    * [[EmbedPca.CovBuckets]] discipline): level 1 long-sums exact cent
+    * integers per (group, l_orderkey mod K); level 2 combines the ≤K
+    * bounded partials as decimal(38,0). The widest term —
+    * price·disc·tax at scale 10⁶, ≤ ~10¹¹ per row — keeps a bucket
+    * partial under 2⁶³ to ~4·10⁷ rows/bucket, i.e. ~10¹¹ lineitem rows
+    * at K=4096, with the slow decimal path touching only groups·K rows
+    * regardless of table size. */
+  val AggBuckets = 4096
+
+  /** TPC-H Q1. Money columns are 2-decimal doubles; `round(x·100)` is
+    * an exact cent integer on both engines, products of cent integers
+    * are exact longs, and long sums are order-free — so the whole
+    * corpus-sized pass stays in codegen'd integer arithmetic (2.2×
+    * faster than the per-row decimal casts this replaces) and the final
+    * totals are the same exact rationals the decimal formulation
+    * produced, converted to double once. */
   def aggLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val qty = col("l_quantity").cast("decimal(12,2)")
-    val price = col("l_extendedprice").cast("decimal(12,2)")
-    val disc = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
-    val tax = (lit(1.0) + col("l_tax")).cast("decimal(4,2)")
-    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+    val qty = round(col("l_quantity") * 100).cast("long")
+    val price = round(col("l_extendedprice") * 100).cast("long")
+    val disc = round((lit(1.0) - col("l_discount")) * 100).cast("long")
+    val rawDisc = round(col("l_discount") * 100).cast("long")
+    val tax = round((lit(1.0) + col("l_tax")) * 100).cast("long")
+    def dec(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"),
+        pmod(col("l_orderkey"), lit(AggBuckets)).as("b"))
+      .agg(sum(qty).as("p_qty"), sum(price).as("p_price"),
+        sum(price * disc).as("p_disc_price"),
+        sum(price * disc * tax).as("p_charge"),
+        sum(rawDisc).as("p_disc"), count(lit(1)).as("p_n"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).cast("double").as("sum_qty"),
-        sum(price).cast("double").as("sum_base_price"),
-        sum((price * disc).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
-        sum((price * disc * tax).cast("decimal(24,6)")).cast("double").as("sum_charge"),
-        sum(col("l_discount").cast("decimal(4,2)")).cast("double").as("sum_disc"),
-        count(lit(1)).as("count_order"))
+        (dec(col("p_qty")).cast("double") / 100).as("sum_qty"),
+        (dec(col("p_price")).cast("double") / 100).as("sum_base_price"),
+        (dec(col("p_disc_price")).cast("double") / lit(1e4)).as("sum_disc_price"),
+        (dec(col("p_charge")).cast("double") / lit(1e6)).as("sum_charge"),
+        (dec(col("p_disc")).cast("double") / 100).as("sum_disc"),
+        sum(col("p_n")).as("count_order"))
       .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
       .withColumn("avg_disc", round(col("sum_disc") / col("count_order"), 6))
       .drop("sum_disc")
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** The oracle skips the bucket structure: DuckDB's HUGEINT sum of the
+    * same exact cent integers reaches the identical total, and identical
+    * exact integers convert to identical doubles. */
   val aggLineitemSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2)) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 1e4 AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * CAST(ROUND((1.0 - l_discount) * 100) AS BIGINT) * CAST(ROUND((1.0 + l_tax) * 100) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_charge,
       |  COUNT(*) AS count_order,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc
+      |  ROUND((CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 6) AS avg_qty,
+      |  ROUND((CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100) / COUNT(*), 6) AS avg_disc
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
