@@ -282,7 +282,13 @@ object CorpusOps {
 
   /** Stopword probe set for the Gopher stop-word rule (the testdata vocab
     * contains 'the' and 'a'; 'and'/'of' exercise the absent case). */
-  private val GopherStops = Seq("the", "a", "and", "of")
+  private[operators] val GopherStops = Seq("the", "a", "and", "of")
+
+  /** The stop-word-count SQL fragment shared by every oracle that embeds
+    * the Gopher gate (gopherRulesSql, pipelineE2eSql) — one list, one
+    * fragment, so the gate can never drift between oracles. */
+  private[operators] def gopherStopSumSql: String = GopherStops
+    .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
 
   /** Q-gopher-rules: Gopher-style composite quality-rule filter — each doc
     * gets a per-rule verdict (word-count bounds, mean-word-length bounds,
@@ -334,8 +340,7 @@ object CorpusOps {
   }
 
   val gopherRulesSql: String = {
-    val stopSum = GopherStops
-      .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+    val stopSum = gopherStopSumSql
     s"""WITH toks AS (SELECT doc_id,
        |    regexp_split_to_array(trim(text), '\\s+') AS t,
        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0

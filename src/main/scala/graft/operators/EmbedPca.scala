@@ -109,13 +109,13 @@ object EmbedPca {
   }
 
   val covarianceSql: String =
-    """WITH ex AS (
+    s"""WITH ex AS (
       |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
       |  FROM (SELECT vec_id,
       |          UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
       |        FROM embeddings)),
       |sums1 AS (
-      |  SELECT i, vec_id % 64 AS b,
+      |  SELECT i, vec_id % $CovBuckets AS b,
       |         SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS psx,
       |         COUNT(*) AS pn
       |  FROM ex GROUP BY i, b),
@@ -124,7 +124,7 @@ object EmbedPca {
       |         SUM(pn) AS n
       |  FROM sums1 GROUP BY i),
       |pairs1 AS (
-      |  SELECT a.i AS i, b.i AS j, a.vec_id % 64 AS bk,
+      |  SELECT a.i AS i, b.i AS j, a.vec_id % $CovBuckets AS bk,
       |    SUM(CAST(FLOOR((a.x * b.x) * 1e12) AS BIGINT)) AS psxy
       |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i
       |  GROUP BY a.i, b.i, bk),

@@ -567,8 +567,7 @@ object PipelineOps {
   }
 
   val pipelineE2eSql: String = {
-    val stopSum = Seq("the", "a", "and", "of")
-      .map(w => s"CAST(list_contains(t, '$w') AS INT)").mkString(" + ")
+    val stopSum = CorpusOps.gopherStopSumSql
     s"""WITH fps AS (SELECT doc_id, text, lang, source,
        |    md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
        |  FROM documents),

@@ -23,9 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
-  /** TPC-H Q1-shaped aggregate: hash aggregate with partial (map-side)
-    * combine, grouping on two low-cardinality keys. At 100 TB this is the
-    * canonical "shuffle only 4 groups after partial agg" plan. */
   /** Buckets for aggLineitem's two-level fixed-point sums (the
     * [[EmbedPca.CovBuckets]] discipline): level 1 long-sums exact cent
     * integers per (group, l_orderkey mod K); level 2 combines the ≤K
@@ -36,13 +33,17 @@ object RelationalOps {
     * regardless of table size. */
   val AggBuckets = 4096
 
-  /** TPC-H Q1. Money columns are 2-decimal doubles; `round(x·100)` is
-    * an exact cent integer on both engines, products of cent integers
-    * are exact longs, and long sums are order-free — so the whole
-    * corpus-sized pass stays in codegen'd integer arithmetic (2.2×
-    * faster than the per-row decimal casts this replaces) and the final
-    * totals are the same exact rationals the decimal formulation
-    * produced, converted to double once. */
+  /** TPC-H Q1-shaped aggregate: hash aggregate with partial (map-side)
+    * combine, grouping on two low-cardinality keys — at 100 TB the
+    * canonical "shuffle only a few groups after partial agg" plan (the
+    * bucket key widens that to groups·[[AggBuckets]], still tiny).
+    * Money columns are 2-decimal doubles; `round(x·100)` is an exact
+    * cent integer on both engines, products of cent integers are exact
+    * longs, and long sums are order-free — so the whole corpus-sized
+    * pass stays in codegen'd integer arithmetic (2.2× faster than the
+    * per-row decimal casts this replaces) and the final totals are the
+    * same exact rationals the decimal formulation produced, converted
+    * to double once. */
   def aggLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val qty = round(col("l_quantity") * 100).cast("long")

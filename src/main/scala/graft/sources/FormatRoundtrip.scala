@@ -64,7 +64,7 @@ object FormatRoundtrip {
     data.toString
   }
 
-  private val DocumentsSchema = StructType(Seq(
+  private[sources] val DocumentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),

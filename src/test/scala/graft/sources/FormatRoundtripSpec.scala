@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 import graft.{SparkSpecBase, Tables}
 import org.apache.spark.SparkException
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 import org.scalatest.matchers.should.Matchers
 
 /** The JSON-lines / ORC sink-source pairs. The full-fidelity hash gate
@@ -49,12 +48,8 @@ class FormatRoundtripSpec extends SparkSpecBase with Matchers {
       """{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}
         |{"doc_id": oops not json
         |""".stripMargin)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val read = spark.read.schema(schema).option("mode", "FAILFAST")
-      .json(dir.toString)
+    val read = spark.read.schema(FormatRoundtrip.DocumentsSchema)
+      .option("mode", "FAILFAST").json(dir.toString)
     intercept[SparkException](read.collect())
   }
 }
