@@ -456,7 +456,61 @@ object CorpusOps {
        |  CAST(SUM(kept) AS BIGINT) AS n_kept
        |FROM d GROUP BY lang, n_docs, rate ORDER BY lang""".stripMargin
 
+  /** Group-size floor for [[kAnonymity]]. */
+  val AnonK = 8
+
+  /** Q-k-anonymity: k-anonymous release of the corpus's quasi-identifier
+    * frame — the structural privacy gate beside q_pii_redact's textual
+    * one (redaction scrubs values; k-anonymity prevents the METADATA
+    * combination itself from isolating fewer than k records). Standard
+    * generalization ladder over the (lang, source) quasi-identifiers:
+    * groups of ≥ k release as-is; smaller groups generalize source → '*'
+    * and release if the lang-level regroup reaches k; the remainder is
+    * fully suppressed under ('*','*'). Emitted as (lang, source, n_docs)
+    * release-table stats.
+    *
+    * Scale shape: ONE corpus-sized count aggregation; the ladder then
+    * operates on the group frame (quasi-identifier-cardinality rows, not
+    * corpus rows) — two more tiny aggs and a three-way union of frames
+    * that never touch the data again. Suppression-branch semantics are
+    * spec-pinned on a planted small-group frame ([[kAnonymize]]);
+    * at gate scale the data exercises release + generalization. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymize(Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n")), AnonK)
+
+  /** The ladder core over a precomputed (lang, source, n) group frame. */
+  def kAnonymize(groups: DataFrame, k: Int): DataFrame = {
+    val rel0 = groups.filter(col("n") >= k)
+      .select(col("lang"), col("source"), col("n"))
+    val rest = groups.filter(col("n") < k)
+      .groupBy(col("lang")).agg(sum(col("n")).as("n"))
+    val rel1 = rest.filter(col("n") >= k)
+      .select(col("lang"), lit("*").as("source"), col("n"))
+    val sup = rest.filter(col("n") < k)
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n").isNotNull)
+      .select(lit("*").as("lang"), lit("*").as("source"), col("n"))
+    rel0.unionByName(rel1).unionByName(sup)
+      .select(col("lang"), col("source"), col("n").as("n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH g AS (SELECT lang, source, COUNT(*) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |rel0 AS (SELECT lang, source, n FROM g WHERE n >= $AnonK),
+       |rest AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n FROM g
+       |  WHERE n < $AnonK GROUP BY lang),
+       |rel1 AS (SELECT lang, '*' AS source, n FROM rest WHERE n >= $AnonK),
+       |sup AS (SELECT '*' AS lang, '*' AS source, CAST(SUM(n) AS BIGINT) AS n
+       |  FROM rest WHERE n < $AnonK HAVING SUM(n) IS NOT NULL)
+       |SELECT lang, source, n AS n_docs FROM
+       |  (SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL SELECT * FROM sup)
+       |ORDER BY lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (kAnonymity _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_repetition" -> (repetition _),
     "q_decontaminate" -> (decontaminate _),
@@ -469,6 +523,7 @@ object CorpusOps {
     "q_quality_gate" -> (qualityGate _))
 
   def oracles: Map[String, String] = Map(
+    "q_k_anonymity" -> kAnonymitySql,
     "q_temperature_mix" -> temperatureMixSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,

@@ -108,9 +108,52 @@ object FormatRoundtrip {
       .orderBy(col("event_id"))
   }
 
+  /** Q-schema-evolution: reading a parquet lake whose files carry
+    * EVOLVING schemas — the steady-state reality of any long-lived
+    * table (a column added in week 30 exists only in files written
+    * since). Two batches land under one path: the early files carry
+    * (doc_id, lang), the later ones also `n_chars`. The declared read
+    * uses an EXPLICIT superset schema — Spark's parquet reader fills
+    * columns absent from a file's footer with null per-file, costing
+    * nothing at any scale — NOT `mergeSchema`, which reconciles by
+    * reading every footer in the path (a listing-plus-IO pass over
+    * every file of a 100 TB table before the first row is scanned;
+    * fine as a one-off migration probe, wrong as the steady-state
+    * read). FormatRoundtripSpec pins both reads equal; the oracle
+    * derives the same frame from the original table. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = evolutionSplit(spark, dir)
+    val path = exportOnce(dir, "evolve", { p =>
+      docs.filter(col("doc_id") < split)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(p)
+      docs.filter(col("doc_id") >= split)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("append").parquet(p)
+    })
+    spark.read.schema(EvolvedSchema).parquet(path)
+      .orderBy(col("doc_id"))
+  }
+
+  /** doc_ids below the split wrote the narrow pre-evolution schema —
+    * half the id domain, derived not fixed (the q_scd2 lesson: a
+    * constant silently empties one batch when the id domain is smaller
+    * than it). One scalar off a parquet-footer-countable aggregate:
+    * bounded driver metadata. */
+  private[sources] def evolutionSplit(spark: SparkSession, dir: String): Long =
+    Tables.documents(spark, dir)
+      .agg(expr("(max(doc_id) + 1) div 2").as("s")).head().getLong(0)
+
+  private[sources] val EvolvedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_roundtrip" -> (jsonRoundtrip _),
-    "q_orc_roundtrip" -> (orcRoundtrip _))
+    "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_schema_evolution" -> (schemaEvolution _))
 
   def oracles: Map[String, String] = Map(
     "q_json_roundtrip" ->
@@ -119,5 +162,10 @@ object FormatRoundtrip {
     "q_orc_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
         |       value, props
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)
+        |       THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

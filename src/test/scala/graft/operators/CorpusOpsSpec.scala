@@ -178,6 +178,29 @@ class CorpusOpsSpec extends SparkSpecBase with Matchers {
     out("s1") shouldBe ((17.5, 3L, 1L))
     out("s2") shouldBe ((5.0, 4L, 0L))
   }
+
+  test("k-anonymity ladder: release, generalize, and suppress branches") {
+    import spark.implicits._
+    val groups = Seq(
+      ("en", "a", 10L),                 // ≥ k → released as-is
+      ("en", "b", 3L), ("en", "c", 6L), // en residual 9 ≥ k → generalized
+      ("fr", "d", 2L), ("fr", "e", 3L), // fr residual 5 < k → suppressed
+      ("de", "f", 1L)                   // de residual 1 < k → suppressed
+    ).toDF("lang", "source", "n")
+    val out = CorpusOps.kAnonymize(groups, 8).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array(("*", "*", 6L), ("en", "*", 9L), ("en", "a", 10L))
+  }
+
+  test("k-anonymity on the corpus: no identifiable group under k, total preserved") {
+    val out = CorpusOps.kAnonymity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every non-suppressed row satisfies the floor
+    out.filter(r => r._1 != "*").foreach(r =>
+      r._3 should be >= CorpusOps.AnonK.toLong)
+    // accounting preserves the corpus: released + generalized + suppressed
+    out.map(_._3).sum shouldBe graft.Tables.documents(spark, sfDir).count()
+  }
 }
 
 /** Exposes the repetition core over an arbitrary docs frame so the

@@ -42,6 +42,25 @@ class FormatRoundtripSpec extends SparkSpecBase with Matchers {
     Files.getLastModifiedTime(ok) shouldBe before
   }
 
+  test("explicit-superset-schema read equals the mergeSchema migration probe") {
+    val declared = FormatRoundtrip.schemaEvolution(spark, sfDir)
+    // the expensive every-footer reconciliation must agree with the O(1)
+    // declared-schema read (modulo column order, which merge derives
+    // from footer encounter order)
+    val path = java.nio.file.Paths.get(
+      IndexCatalog.cacheBase(sfDir), "fmt-evolve-v1", "data").toString
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    declared.exceptAll(merged).count() shouldBe 0L
+    merged.exceptAll(declared).count() shouldBe 0L
+    // pre-evolution rows surface the added column as null
+    val split = FormatRoundtrip.evolutionSplit(spark, sfDir)
+    declared.filter(col("doc_id") < split)
+      .filter(col("n_chars").isNotNull).count() shouldBe 0L
+    declared.filter(col("doc_id") >= split)
+      .filter(col("n_chars").isNull).count() shouldBe 0L
+  }
+
   test("a corrupt json line fails the read loudly (FAILFAST), not as nulls") {
     val dir = Files.createTempDirectory("fmt-corrupt")
     Files.writeString(dir.resolve("part-0.json"),
