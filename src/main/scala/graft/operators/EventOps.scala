@@ -564,7 +564,71 @@ object EventOps {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 3) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Reference/current boundary for [[psiDrift]] — mid-corpus. */
+  val PsiSplit = "2024-01-16"
+
+  /** Fixed-width value bins for [[psiDrift]] (width 50, clamped to 10). */
+  val PsiBins = 10
+
+  /** Q-psi-drift: population-stability-index drift monitor — the
+    * data-quality counterpart of q_ivf_drift's index monitor. Per event
+    * type, the `value` distribution of the CURRENT window (from
+    * [[PsiSplit]]) is compared to the REFERENCE window before it over
+    * fixed-width bins: PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref),
+    * zero-count bins floored at the standard 10⁻⁴ so the log is total;
+    * a bin empty in BOTH windows contributes (ε−ε)·ln 1 = 0, so the
+    * sparse count frame needs no densification. The industry reading:
+    * PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Scale shape: ONE corpus-sized count aggregation (map-side partial
+    * over (type, bin, window)); the windowed totals and the log terms
+    * live on the types·bins frame. The 10-term PSI sum quantizes each
+    * double term to DECIMAL(38,20) — the q_pagerank contribution
+    * discipline — so the partitioned sum is order-free and
+    * hash-matches DuckDB's sequential one. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (col("ts") >= lit(PsiSplit).cast("timestamp")).cast("int").as("cur"),
+        greatest(least(floor(col("value") / 50).cast("int"),
+          lit(PsiBins - 1)), lit(0)).as("bin"))
+    val counts = ev.groupBy(col("event_type"), col("bin"))
+      .agg(sum(lit(1) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
+    val w = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
+      .withColumn("pr", greatest(col("n_ref").cast("double") / col("t_ref"),
+        lit(1e-4)))
+      .withColumn("pc", greatest(col("n_cur").cast("double") / col("t_cur"),
+        lit(1e-4)))
+      .groupBy(col("event_type"))
+      .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
+        round(sum(((col("pc") - col("pr")) * log(col("pc") / col("pr")))
+          .cast("decimal(38,20)")).cast("double"), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  val psiDriftSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(ts >= TIMESTAMP '$PsiSplit' AS INT) AS cur,
+       |    GREATEST(LEAST(CAST(FLOOR(value / 50) AS INT), ${PsiBins - 1}), 0) AS bin
+       |  FROM events),
+       |counts AS (SELECT event_type, bin,
+       |    SUM(1 - cur) AS n_ref, SUM(cur) AS n_cur FROM ev GROUP BY 1, 2),
+       |t AS (SELECT *,
+       |    SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+       |    SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur FROM counts),
+       |terms AS (SELECT event_type, t_ref, t_cur,
+       |    GREATEST(CAST(n_ref AS DOUBLE) / t_ref, 0.0001) AS pr,
+       |    GREATEST(CAST(n_cur AS DOUBLE) / t_cur, 0.0001) AS pc FROM t)
+       |SELECT event_type,
+       |  CAST(MAX(t_ref) AS BIGINT) AS n_ref, CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+       |  ROUND(CAST(SUM(CAST((pc - pr) * LN(pc / pr) AS DECIMAL(38,20))) AS DOUBLE), 6) AS psi
+       |FROM terms GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> (psiDrift _),
     "q_incr_agg" -> (incrAgg _),
     "q_minmax_norm" -> (minmaxNorm _),
     "q_time_decay" -> (timeDecay _),
@@ -587,6 +651,7 @@ object EventOps {
     "q_approx_quantiles" -> (approxQuantiles _))
 
   def oracles: Map[String, String] = Map(
+    "q_psi_drift" -> psiDriftSql,
     "q_incr_agg" -> incrAggSql,
     "q_minmax_norm" -> minmaxNormSql,
     "q_time_decay" -> timeDecaySql,

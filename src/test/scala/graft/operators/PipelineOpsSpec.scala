@@ -141,6 +141,31 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
     finalSection should include("WindowGroupLimit")
   }
 
+  test("psi drift: identical windows read exactly stable, a planted shift crosses 0.25") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+    def nanos(day: Int) = java.time.LocalDate.of(2024, 1, day)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond * 1000000000L
+    // 'stable': the same uniform 10-bin spread in both windows → every
+    // p_cur == p_ref → PSI is exactly 0 (not just small)
+    val stable = (1 to 200).map(i =>
+      (i.toLong, nanos(5), 1L, "stable", (i % 10) * 50.0 + 1, "{}")) ++
+      (1 to 200).map(i =>
+        (200L + i, nanos(20), 1L, "stable", (i % 10) * 50.0 + 1, "{}"))
+    // 'shifted': all mass moves from bin 0 to bin 9 across the split
+    val shifted = (1 to 200).map(i =>
+      (400L + i, nanos(5), 1L, "shifted", 1.0, "{}")) ++
+      (1 to 200).map(i =>
+        (600L + i, nanos(20), 1L, "shifted", 451.0, "{}"))
+    (stable ++ shifted)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(tmp + "/events.parquet")
+    val out = EventOps.psiDrift(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out("stable") shouldBe 0.0
+    out("shifted") should be > 0.25
+  }
+
   test("retention matrix: day-0 cell equals cohort size, offsets bounded") {
     val out = EventOps.retention(spark, sfDir).collect()
     out.length should be > 0
