@@ -602,7 +602,56 @@ object PipelineOps {
        |FROM e GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shards for [[shardChunks]] — the training-export fan-out width. */
+  val NShards = 16L
+
+  /** Q-shard: deterministic sharding of the chunk stream — the LAST step
+    * of training-data prep (after gate/dedup/chunk, the corpus must land
+    * in N reproducible shards a trainer can consume in parallel). Shard
+    * membership is the salted md5-prefix hash of (doc_id, chunk_idx) —
+    * the q_split discipline: a pure function of identity, stable under
+    * corpus growth, re-runs, and repartitioning, and independent of every
+    * other hash-gated decision via the salt literal. Emits per-shard
+    * accounting (docs, chunks, tokens); the near-uniform spread IS the
+    * point — hash sharding load-balances the trainer without a sort.
+    *
+    * At scale the shard column is the `partitionBy` of the export write:
+    * one directory per shard, written by every executor in parallel, no
+    * global shuffle (the hash is map-side; the only exchange here is the
+    * N-row accounting aggregate). */
+  def shardChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkSpans(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    chunks
+      .withColumn("shard", pmod(Dedup.hash48(concat(
+        col("doc_id"), lit(":"), col("chunk_idx"), lit(":shard"))), lit(NShards)))
+      .groupBy(col("shard"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  val shardChunksSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    1 + greatest(CAST(ceil((n_tokens - $ChunkSize) / $ChunkStride.0) AS BIGINT), 0) AS n_chunks
+       |  FROM t WHERE n_tokens > 0),
+       |e AS (SELECT doc_id, n_tokens, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+       |s AS (SELECT doc_id, chunk_idx,
+       |    least($ChunkSize, n_tokens - chunk_idx * $ChunkStride) AS chunk_len,
+       |    CAST('0x' || substr(md5(doc_id || ':' || chunk_idx || ':shard'), 1, 12) AS BIGINT)
+       |      % $NShards AS shard
+       |  FROM e)
+       |SELECT shard, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       |  CAST(SUM(chunk_len) AS BIGINT) AS n_tokens
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard" -> (shardChunks _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_pack_sequences" -> (packSequences _),
     "q_chunk_overlap" -> (chunkOverlap _),
@@ -616,6 +665,7 @@ object PipelineOps {
     "q_readability" -> (readability _))
 
   def oracles: Map[String, String] = Map(
+    "q_shard" -> shardChunksSql,
     "q_pipeline_e2e" -> pipelineE2eSql,
     "q_pack_sequences" -> packSequencesSql,
     "q_chunk_overlap" -> chunkOverlapSql,

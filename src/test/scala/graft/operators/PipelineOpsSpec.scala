@@ -141,6 +141,19 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
     finalSection should include("WindowGroupLimit")
   }
 
+  test("sharding preserves the chunk stream; assignment is a pure function of identity") {
+    val shards = PipelineOps.shardChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // accounting preserves the chunk stream exactly
+    shards.map(_._3).sum shouldBe PipelineOps.chunkOverlap(spark, sfDir).count()
+    all(shards.map(_._1)) should (be >= 0L and be < PipelineOps.NShards)
+    // determinism: a second evaluation of the same data is bit-identical
+    // (hash membership, not RNG) — the property sample()-based sharding lacks
+    val again = PipelineOps.shardChunks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    again shouldBe shards
+  }
+
   test("psi drift: identical windows read exactly stable, a planted shift crosses 0.25") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("psi").toString
