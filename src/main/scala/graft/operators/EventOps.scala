@@ -595,13 +595,18 @@ object EventOps {
     val counts = ev.groupBy(col("event_type"), col("bin"))
       .agg(sum(lit(1) - col("cur")).as("n_ref"), sum(col("cur")).as("n_cur"))
     val w = Window.partitionBy(col("event_type"))
+    // the zero-total guard is load-bearing, not defensive: a type with NO
+    // reference window (it first appears after the split — exactly the
+    // drift this monitor exists to catch) has t_ref = 0, and the division
+    // would throw under ANSI before the ε floor could apply
+    def share(n: String, t: String) = greatest(
+      when(col(t) === 0, lit(0.0))
+        .otherwise(col(n).cast("double") / col(t)), lit(1e-4))
     counts
       .withColumn("t_ref", sum(col("n_ref")).over(w))
       .withColumn("t_cur", sum(col("n_cur")).over(w))
-      .withColumn("pr", greatest(col("n_ref").cast("double") / col("t_ref"),
-        lit(1e-4)))
-      .withColumn("pc", greatest(col("n_cur").cast("double") / col("t_cur"),
-        lit(1e-4)))
+      .withColumn("pr", share("n_ref", "t_ref"))
+      .withColumn("pc", share("n_cur", "t_cur"))
       .groupBy(col("event_type"))
       .agg(max(col("t_ref")).as("n_ref"), max(col("t_cur")).as("n_cur"),
         round(sum(((col("pc") - col("pr")) * log(col("pc") / col("pr")))
@@ -620,8 +625,10 @@ object EventOps {
        |    SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
        |    SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur FROM counts),
        |terms AS (SELECT event_type, t_ref, t_cur,
-       |    GREATEST(CAST(n_ref AS DOUBLE) / t_ref, 0.0001) AS pr,
-       |    GREATEST(CAST(n_cur AS DOUBLE) / t_cur, 0.0001) AS pc FROM t)
+       |    GREATEST(CASE WHEN t_ref = 0 THEN 0.0
+       |             ELSE CAST(n_ref AS DOUBLE) / t_ref END, 0.0001) AS pr,
+       |    GREATEST(CASE WHEN t_cur = 0 THEN 0.0
+       |             ELSE CAST(n_cur AS DOUBLE) / t_cur END, 0.0001) AS pc FROM t)
        |SELECT event_type,
        |  CAST(MAX(t_ref) AS BIGINT) AS n_ref, CAST(MAX(t_cur) AS BIGINT) AS n_cur,
        |  ROUND(CAST(SUM(CAST((pc - pr) * LN(pc / pr) AS DECIMAL(38,20))) AS DOUBLE), 6) AS psi

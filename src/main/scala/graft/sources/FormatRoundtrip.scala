@@ -46,19 +46,40 @@ object FormatRoundtrip {
   /** Bump when the on-disk layout of either sink changes. */
   private val Version = "v1"
 
-  /** Write `df` through `write` once per dataset: the `_ok` marker is
-    * created only after a complete write (the IndexCatalog descriptor
+  /** The on-disk home of a named export under the per-dataset cache —
+    * one definition shared with the specs so the layout is pinned in one
+    * place. */
+  private[sources] def exportPath(dir: String, name: String) =
+    Paths.get(IndexCatalog.cacheBase(dir), s"fmt-$name-$Version")
+
+  /** Write through `write` once per dataset. The closure writes into a
+    * UNIQUE staging directory which is atomically renamed to `data` —
+    * so multi-step writers (schemaEvolution's overwrite-then-append) are
+    * safe under concurrent builders: interleaved steps can never land in
+    * the published directory, only one complete staging dir wins the
+    * rename, and the loser discards its own. The `_ok` marker is
+    * created only after the rename (the IndexCatalog descriptor
     * discipline — a killed export leaves no marker and the next run
-    * rewrites). Deterministic content, so concurrent builders race to
-    * identical bytes. Returns the data path. */
+    * rewrites). Returns the data path. */
   private def exportOnce(dir: String, name: String,
                          write: String => Unit): String = {
-    val base = Paths.get(IndexCatalog.cacheBase(dir), s"fmt-$name-$Version")
+    val base = exportPath(dir, name)
     val data = base.resolve("data")
     val ok = base.resolve("_ok")
     if (!Files.exists(ok)) {
       Files.createDirectories(base)
-      write(data.toString)
+      val stage = Files.createTempDirectory(base, "stage-")
+      write(stage.toString)
+      try
+        Files.move(stage, data, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // a concurrent builder's (identical-bytes) rename won; drop ours
+        case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException =>
+          import scala.jdk.CollectionConverters._
+          Files.walk(stage).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+      }
       Files.writeString(ok, "ok")
     }
     data.toString
@@ -123,8 +144,10 @@ object FormatRoundtrip {
     * derives the same frame from the original table. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val split = evolutionSplit(spark, dir)
     val path = exportOnce(dir, "evolve", { p =>
+      // the split scalar is only needed while WRITING — resolving it here
+      // keeps the warm steady-state read free of the extra max() job
+      val split = evolutionSplit(spark, dir)
       docs.filter(col("doc_id") < split)
         .select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(p)

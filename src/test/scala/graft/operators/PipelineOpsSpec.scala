@@ -170,13 +170,19 @@ class PipelineOpsSpec extends SparkSpecBase with Matchers {
       (400L + i, nanos(5), 1L, "shifted", 1.0, "{}")) ++
       (1 to 200).map(i =>
         (600L + i, nanos(20), 1L, "shifted", 451.0, "{}"))
-    (stable ++ shifted)
+    // 'born': the type has NO reference window at all — it first appears
+    // after the split, the exact drift the monitor exists for; t_ref = 0
+    // must take the ε floor, not divide (ANSI would throw)
+    val born = (1 to 50).map(i =>
+      (800L + i, nanos(20), 1L, "born", 100.0, "{}"))
+    (stable ++ shifted ++ born)
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(tmp + "/events.parquet")
     val out = EventOps.psiDrift(spark, tmp).collect()
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     out("stable") shouldBe 0.0
     out("shifted") should be > 0.25
+    out("born") should be > 0.25
   }
 
   test("retention matrix: day-0 cell equals cohort size, offsets bounded") {

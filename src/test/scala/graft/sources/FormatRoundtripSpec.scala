@@ -36,7 +36,7 @@ class FormatRoundtripSpec extends SparkSpecBase with Matchers {
 
   test("export is create-once: second run reuses the written files") {
     FormatRoundtrip.jsonRoundtrip(spark, sfDir).count()
-    val ok = Paths.get(IndexCatalog.cacheBase(sfDir), "fmt-json-v1", "_ok")
+    val ok = FormatRoundtrip.exportPath(sfDir, "json").resolve("_ok")
     val before = Files.getLastModifiedTime(ok)
     FormatRoundtrip.jsonRoundtrip(spark, sfDir).count()
     Files.getLastModifiedTime(ok) shouldBe before
@@ -47,8 +47,8 @@ class FormatRoundtripSpec extends SparkSpecBase with Matchers {
     // the expensive every-footer reconciliation must agree with the O(1)
     // declared-schema read (modulo column order, which merge derives
     // from footer encounter order)
-    val path = java.nio.file.Paths.get(
-      IndexCatalog.cacheBase(sfDir), "fmt-evolve-v1", "data").toString
+    val path = FormatRoundtrip.exportPath(sfDir, "evolve")
+      .resolve("data").toString
     val merged = spark.read.option("mergeSchema", "true").parquet(path)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     declared.exceptAll(merged).count() shouldBe 0L
