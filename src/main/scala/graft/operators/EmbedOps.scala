@@ -105,7 +105,18 @@ object EmbedOps {
     "q_embed_knn" -> (embedKnn _),
     "q_csv_roundtrip" -> (csvRoundtrip _))
 
-  /** No DuckDB oracles: embedding + %f formatting are engine-local
-    * (SURVEY.md §7.3 decision); driver applies rows-only checks. */
-  def oracles: Map[String, String] = Map.empty
+  /** Embedding VALUES are engine-local by design (FNV-1a has no SQL
+    * twin; SURVEY.md §7.3) — q_embed_knn/q_csv_roundtrip stay rows-only,
+    * spec-gated. q_embed's declared output, though, IS its invariant
+    * (dimension + exactly-unit norm per non-empty doc, the scaladoc's
+    * own claim), so the oracle states that invariant executably: a
+    * regression to the hash, accumulate, or normalize steps that breaks
+    * unit norm — including a cancellation-induced zero vector — turns
+    * the driver gate red, which is precisely what a sanity surface is
+    * for. */
+  def oracles: Map[String, String] = Map(
+    "q_embed" ->
+      s"""SELECT doc_id, $Dim AS dim,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS norm
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }
