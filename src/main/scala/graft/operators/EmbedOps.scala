@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
 /** The reference's end-to-end pipeline (embed → index → query → fetch),
-  * re-expressed as Spark plans over the documents corpus. These queries are
-  * rows-only checked by the driver (no DuckDB oracle: the embedding is
-  * engine-local by design, SURVEY.md §7.3) and exhaustively unit-tested
-  * instead.
+  * re-expressed as Spark plans over the documents corpus. Embedding
+  * VALUES are engine-local by design (SURVEY.md §7.3) and exhaustively
+  * unit-tested; the queries whose declared output is an INVARIANT
+  * (q_embed, q_csv_roundtrip) carry executable-property oracles — see
+  * [[oracles]] — while q_embed_knn stays rows-only.
   */
 object EmbedOps {
   val Dim = 64
@@ -118,5 +119,14 @@ object EmbedOps {
     "q_embed" ->
       s"""SELECT doc_id, $Dim AS dim,
          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS norm
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_csv_roundtrip's declared output is likewise its invariant: EVERY
+    // vector must survive the reference's %f 6-decimal cycle within 1e-6
+    // with its dimension intact, so the oracle states all three counters
+    // at the full corpus count — any row falling out of tolerance (or
+    // dropping an element) turns the gate red
+    "q_csv_roundtrip" ->
+      """SELECT COUNT(*) AS n_vectors, COUNT(*) AS n_within_csv_precision,
+        |       COUNT(*) AS n_dim_preserved
+        |FROM embeddings""".stripMargin)
 }
