@@ -136,6 +136,53 @@ class PropertySpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("property: fixed-point covariance matches a naive double computation") {
+    import org.apache.spark.sql.functions._
+    val dim = 6
+    val vecsGen = Gen.listOfN(30, Gen.listOfN(dim, Gen.chooseNum(-1f, 1f)))
+    samples(vecsGen, 4).foreach { vecs =>
+      val tmp = java.nio.file.Files.createTempDirectory("cov").toString
+      import spark.implicits._
+      vecs.zipWithIndex.map { case (v, i) => (i.toLong, 0L, v) }
+        .toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .write.parquet(tmp + "/embeddings.parquet")
+      val got = graft.operators.EmbedPca.covariance(spark, tmp).collect()
+        .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+      val n = vecs.length
+      for (i <- 0 until dim; j <- i until dim) {
+        val sx = vecs.map(_(i).toDouble).sum
+        val sy = vecs.map(_(j).toDouble).sum
+        val sxy = vecs.map(v => v(i).toDouble * v(j).toDouble).sum
+        val naive = sxy / n - (sx / n) * (sy / n)
+        // 1e-12-scale quantization + round-6 output: half-ulp of the
+        // 6th decimal plus the fixed-point error envelope
+        got((i, j)) shouldBe naive +- 5.1e-7
+      }
+    }
+  }
+
+  test("property: k-anonymity ladder releases no group under k and preserves totals") {
+    import spark.implicits._
+    val groupGen = Gen.listOfN(12, Gen.zip(
+      Gen.oneOf("en", "fr", "de"), Gen.choose(0, 7), Gen.chooseNum(1L, 12L)))
+    samples(Gen.zip(groupGen, Gen.chooseNum(2, 9)), 6).foreach { case (raw, k) =>
+      // distinct (lang, source) keys — collapse duplicates like a real group frame
+      val groups = raw.groupBy(g => (g._1, s"s${g._2}"))
+        .map { case ((l, s), gs) => (l, s, gs.map(_._3).sum) }.toSeq
+      val out = graft.operators.CorpusOps.kAnonymize(
+        groups.toDF("lang", "source", "n"), k).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // totals preserved across release + generalization + suppression
+      out.map(_._3).sum shouldBe groups.map(_._3).sum
+      // every identifiable (non-suppressed) row satisfies the floor
+      out.filter(_._1 != "*").foreach(r => r._3 should be >= k.toLong)
+      // at most one fully-suppressed accounting row
+      out.count(r => r._1 == "*" && r._2 == "*") should be <= 1
+    }
+  }
+
   test("property: pq_encode agrees with an independent per-subspace argmin") {
     val m = 2; val k = 4; val subDim = 3
     val cbGen = Gen.listOfN(m * k * subDim, Gen.chooseNum(-5.0, 5.0))
