@@ -136,6 +136,23 @@ class PropertySpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("property: md5_prefix48 equals the declarative conv(substring(md5)) form") {
+    // the scaladoc's value-identity claim IS the oracle-parity contract
+    // for every hash-gated decision (splits, shards, mixing, MinHash) —
+    // pin it on generated strings including unicode and empties
+    import org.apache.spark.sql.functions._
+    val sGen = Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("naïve → 中文 🙂"),
+      Gen.listOfN(64, Gen.choose(' ', '~')).map(_.mkString))
+    samples(sGen, 24).foreach { s =>
+      val df = spark.range(1).select(lit(s).as("s"))
+      val r = df.select(
+        graft.operators.Dedup.hash48(col("s")),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long")).head()
+      r.getLong(0) shouldBe r.getLong(1)
+    }
+  }
+
   test("property: fixed-point covariance matches a naive double computation") {
     import org.apache.spark.sql.functions._
     val dim = 6
