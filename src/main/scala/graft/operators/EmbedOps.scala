@@ -107,18 +107,25 @@ object EmbedOps {
     "q_csv_roundtrip" -> (csvRoundtrip _))
 
   /** Embedding VALUES are engine-local by design (FNV-1a has no SQL
-    * twin; SURVEY.md §7.3) — q_embed_knn/q_csv_roundtrip stay rows-only,
-    * spec-gated. q_embed's declared output, though, IS its invariant
-    * (dimension + exactly-unit norm per non-empty doc, the scaladoc's
-    * own claim), so the oracle states that invariant executably: a
-    * regression to the hash, accumulate, or normalize steps that breaks
-    * unit norm — including a cancellation-induced zero vector — turns
-    * the driver gate red, which is precisely what a sanity surface is
-    * for. */
+    * twin; SURVEY.md §7.3) — q_embed_knn stays rows-only, spec-gated.
+    * q_embed's and q_csv_roundtrip's declared outputs, though, ARE their
+    * invariants, so their oracles state those properties executably.
+    *
+    * q_embed: dimension + exactly-unit norm per tokenizable doc. The
+    * no-token predicate mirrors the kernel's \s+ tokenization (NOT a
+    * space-only trim — a tab-only doc has no tokens), and NULL text
+    * propagates NULL. A regression to the hash/accumulate/normalize
+    * steps turns the gate red; so would a ±1-cancellation zero vector
+    * (probability ≈ 1/(2·dim) per two-token doc, absent from all three
+    * shipped SFs) — for a sanity surface that alarm is information, not
+    * noise: search quality genuinely degrades for zero vectors. */
   def oracles: Map[String, String] = Map(
     "q_embed" ->
-      s"""SELECT doc_id, $Dim AS dim,
-         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS norm
+      s"""SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL ELSE $Dim END AS dim,
+         |  CAST(CASE WHEN text IS NULL THEN NULL
+         |       WHEN regexp_replace(text, '\\s', '', 'g') = '' THEN 0.0
+         |       ELSE 1.0 END AS DOUBLE) AS norm
          |FROM documents ORDER BY doc_id""".stripMargin,
     // q_csv_roundtrip's declared output is likewise its invariant: EVERY
     // vector must survive the reference's %f 6-decimal cycle within 1e-6

@@ -158,7 +158,8 @@ class PropertySpec extends SparkSpecBase with Matchers {
     val dim = 6
     val vecsGen = Gen.listOfN(30, Gen.listOfN(dim, Gen.chooseNum(-1f, 1f)))
     samples(vecsGen, 4).foreach { vecs =>
-      val tmp = java.nio.file.Files.createTempDirectory("cov").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("cov")
+      val tmp = tmpPath.toString
       import spark.implicits._
       vecs.zipWithIndex.map { case (v, i) => (i.toLong, 0L, v) }
         .toDF("vec_id", "label", "embedding")
@@ -167,6 +168,9 @@ class PropertySpec extends SparkSpecBase with Matchers {
         .write.parquet(tmp + "/embeddings.parquet")
       val got = graft.operators.EmbedPca.covariance(spark, tmp).collect()
         .map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getDouble(2))).toMap
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
       val n = vecs.length
       for (i <- 0 until dim; j <- i until dim) {
         val sx = vecs.map(_(i).toDouble).sum

@@ -80,6 +80,25 @@ class EmbedSpec extends SparkSpecBase with Matchers {
     maxErr should be <= 1e-6
   }
 
+  test("q_embed edge docs: whitespace-only text has no tokens (norm 0), unicode text embeds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pins the exact semantics the q_embed oracle's no-token predicate
+    // states: \s+ tokenization (tab/newline count as blank), not a
+    // space-only trim
+    val tmp = java.nio.file.Files.createTempDirectory("embed-edge").toString
+    Seq((0L, "\t", "en", "s", 1L), (1L, " \n ", "en", "s", 3L),
+        (2L, "naïve 中文", "en", "s", 8L), (3L, "x y", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(tmp + "/documents.parquet")
+    val out = EmbedOps.embed(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    out(0L) shouldBe ((64, 0.0))
+    out(1L) shouldBe ((64, 0.0))
+    out(2L) shouldBe ((64, 1.0))
+    out(3L) shouldBe ((64, 1.0))
+  }
+
   test("malformed CSV floats become NULL elements (intended semantics for ref bug B7)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv-bad").toString
     java.nio.file.Files.writeString(
