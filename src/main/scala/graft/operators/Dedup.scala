@@ -39,6 +39,54 @@ object Dedup {
       graft.functions.Md5Prefix48(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** Window length (tokens) for [[duplicateSpans]]' positional grams. */
+  val SpanGram = 8
+
+  /** Per-doc DUPLICATED-SPAN cut lists — the exact-substring-dedup
+    * output shape (dedup the repeated PASSAGE, keep the document): for
+    * every doc, the merged token ranges covered by [[SpanGram]]-token
+    * windows that occur ≥2 times anywhere in the corpus (intra-doc
+    * repeats included). This is what a cleaner consumes to cut
+    * boilerplate/licenses/quoted chunks out of otherwise-unique docs —
+    * the operation document-level dedup (exact/MinHash/Jaccard) cannot
+    * express, since a doc with one stolen paragraph keeps Jaccard ≈ 0.
+    *
+    * Scale shape — three LINEAR shuffles, never a pair join:
+    * positional grams are a map-side projection (one 48-bit hash per
+    * window); S(gram) partial-counts occurrences; the ≥2 filter joins
+    * back to postings on S(gram) with fanout per POSTING (a boilerplate
+    * gram in 10⁶ docs costs 10⁶ join rows — linear in its postings —
+    * not the 10¹² pairs a doc-pair formulation would); S(doc_id) merges
+    * flagged positions into spans with one gaps-and-islands window.
+    * Span merge rule: windows starting ≤ [[SpanGram]] apart overlap or
+    * touch, so consecutive flagged positions with gap ≤ SpanGram fuse. */
+  def duplicateSpans(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val grams = when(size(t) >= SpanGram,
+      transform(sequence(lit(0), size(t) - SpanGram),
+        i => hash48(concat_ws(" ", slice(t, i + 1, lit(SpanGram))))))
+      .otherwise(array().cast("array<bigint>"))
+    val postings = docs
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+    val dupGrams = postings.groupBy(col("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    postings.join(dupGrams, Seq("g"))
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= SpanGram, 0)
+          .otherwise(1))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SpanGram - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Distinct word 3-gram shingles (whole text as a single shingle for
     * docs shorter than 3 tokens). Backed by the native
     * [[graft.functions.WordNGramShingles]] expression — the equivalent

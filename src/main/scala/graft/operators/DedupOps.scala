@@ -379,7 +379,35 @@ object DedupOps {
       |JOIN n nb ON src_b = nb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Q-dedup-spans: see [[Dedup.duplicateSpans]]. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(spark, dir))
+
+  val dedupSpansSql: String = {
+    val L = Dedup.SpanGram
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(
+       |      list_aggregate(t[i:i+${L - 1}], 'string_agg', ' ')), 1, 12) AS BIGINT) AS g
+       |  FROM t, UNNEST(range(1, len(t) - ${L - 1} + 1)) AS u(i)),
+       |df AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+       |fl AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.c >= 2),
+       |ni AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $L
+       |         THEN 0 ELSE 1 END AS ni FROM fl),
+       |isl AS (SELECT doc_id, pos,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM ni)
+       |SELECT doc_id, MIN(pos) AS span_start,
+       |  MAX(pos) + ${L - 1} AS span_end,
+       |  MAX(pos) + ${L - 1} - MIN(pos) + 1 AS span_tokens,
+       |  COUNT(*) AS n_dup_grams
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> (dedupSpans _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_dup_gram_frac" -> (dupGramFrac _),
     "q_dedup_exact" -> (dedupExact _),
@@ -393,6 +421,7 @@ object DedupOps {
     "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_spans" -> dedupSpansSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_dup_gram_frac" -> dupGramFracSql,
     "q_dedup_exact" -> dedupExactSql,

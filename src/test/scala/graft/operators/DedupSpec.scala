@@ -203,4 +203,28 @@ class DedupSpec extends SparkSpecBase with Matchers {
     out shouldBe expected
     assert(out.nonEmpty, "the shared vocabulary guarantees cross-source gram overlap")
   }
+
+  test("duplicate spans: a stolen passage is cut-listed in both docs, intra-doc repeats split") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"p$i").mkString(" ")     // 12 shared tokens
+    val docs = Seq(
+      (1L, passage),                                            // the source doc
+      (2L, (1 to 5).map(i => s"u$i").mkString(" ") + " " + passage +
+        " " + (1 to 5).map(i => s"v$i").mkString(" ")),         // passage embedded at offset 5
+      (3L, ((1 to 8).map(i => s"w$i") ++ Seq("x") ++
+        (1 to 8).map(i => s"w$i")).mkString(" ")),              // intra-doc repeat, gap 9
+      (4L, (1 to 20).map(i => s"z$i").mkString(" "))            // unique — no rows
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 1: whole doc is the shared passage → span [0,11], 5 grams (12-8+1)
+    // doc 2: passage sits at tokens [5,16] → one merged span, same 5 grams
+    // doc 3: the repeated 8-token run appears at [0,7] and [9,16]; the gap
+    //        (9 > SpanGram) keeps them separate islands, 1 gram each
+    out shouldBe Array(
+      (1L, 0L, 11L, 12L, 5L),
+      (2L, 5L, 16L, 12L, 5L),
+      (3L, 0L, 7L, 8L, 1L),
+      (3L, 9L, 16L, 8L, 1L))
+  }
 }
