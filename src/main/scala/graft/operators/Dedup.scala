@@ -60,7 +60,10 @@ object Dedup {
     * flagged positions into spans with one gaps-and-islands window.
     * Span merge rule: windows starting ≤ [[SpanGram]] apart overlap or
     * touch, so consecutive flagged positions with gap ≤ SpanGram fuse. */
-  def duplicateSpans(docs: DataFrame): DataFrame = {
+  /** Gram starts (doc_id, pos) of [[SpanGram]]-token windows occurring
+    * ≥2 times corpus-wide — the shared core of [[duplicateSpans]] (span
+    * reporting) and [[applyCuts]] (span removal). */
+  private def flaggedPositions(docs: DataFrame): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val grams = when(size(t) >= SpanGram,
       transform(sequence(lit(0), size(t) - SpanGram),
@@ -71,8 +74,12 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
     val dupGrams = postings.groupBy(col("g"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("g"))
+    postings.join(dupGrams, Seq("g")).select(col("doc_id"), col("pos"))
+  }
+
+  def duplicateSpans(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    postings.join(dupGrams, Seq("g"))
+    flaggedPositions(docs)
       .withColumn("ni",
         when(col("pos") - lag(col("pos"), 1).over(w) <= SpanGram, 0)
           .otherwise(1))
@@ -85,6 +92,41 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_dup_grams"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Apply the [[duplicateSpans]] cut lists: every doc comes back with
+    * the corpus-duplicated token ranges REMOVED (the cleaner's side of
+    * the find→cut loop). A token is cut iff some flagged window covers
+    * it; coverage explodes each flagged start into its [[SpanGram]]
+    * indices (flagged-count × SpanGram rows, span-proportional not
+    * corpus-proportional), distincts, and anti-joins the token stream.
+    * The cleaned text reassembles via a deterministic sort_array over
+    * (idx, token) structs — collect_list alone is order-nondeterministic
+    * under partitioned aggregation. Docs with nothing to cut return
+    * unchanged (n_cut = 0). */
+  def applyCuts(docs: DataFrame): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val base = docs.select(col("doc_id"), t.as("t"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("idx", "tok")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("tok"))
+    val covered = flaggedPositions(docs)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + SpanGram - 1)).as("idx"))
+      .distinct()
+    val cleaned = tokens.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("idx"), col("tok")))),
+        s => s.getField("tok"))).as("text_clean"))
+    val cuts = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
+    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(cuts, Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
   }
 
   /** Distinct word 3-gram shingles (whole text as a single shingle for

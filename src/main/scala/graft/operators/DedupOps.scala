@@ -406,7 +406,37 @@ object DedupOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  /** Q-dedup-cut: see [[Dedup.applyCuts]]. */
+  def dedupCut(spark: SparkSession, dir: String): DataFrame =
+    Dedup.applyCuts(Tables.documents(spark, dir))
+
+  val dedupCutSql: String = {
+    val L = Dedup.SpanGram
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(
+       |      list_aggregate(t[i:i+${L - 1}], 'string_agg', ' ')), 1, 12) AS BIGINT) AS g
+       |  FROM t, UNNEST(range(1, len(t) - ${L - 1} + 1)) AS u(i)),
+       |df AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
+       |fl AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.c >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + d AS idx
+       |  FROM fl, UNNEST(range(0, $L)) AS r(d)),
+       |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, t[i] AS tok
+       |  FROM t, UNNEST(range(1, len(t) + 1)) AS u(i)),
+       |kept AS (SELECT toks.* FROM toks ANTI JOIN cov USING (doc_id, idx)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean
+       |  FROM kept GROUP BY doc_id),
+       |cuts AS (SELECT doc_id, COUNT(*) AS n_cut FROM cov GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_tokens,
+       |  COALESCE(c.n_cut, 0) AS n_cut,
+       |  COALESCE(a.text_clean, '') AS text_clean
+       |FROM t b LEFT JOIN cuts c USING (doc_id) LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cut" -> (dedupCut _),
     "q_dedup_spans" -> (dedupSpans _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_dup_gram_frac" -> (dupGramFrac _),
@@ -421,6 +451,7 @@ object DedupOps {
     "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_cut" -> dedupCutSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_dup_gram_frac" -> dupGramFracSql,

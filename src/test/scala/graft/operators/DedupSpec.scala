@@ -226,5 +226,17 @@ class DedupSpec extends SparkSpecBase with Matchers {
       (2L, 5L, 16L, 12L, 5L),
       (3L, 0L, 7L, 8L, 1L),
       (3L, 9L, 16L, 8L, 1L))
+    // and applying the cut lists removes exactly those spans: the fully-
+    // duplicated doc empties, the host doc keeps its unique frame, the
+    // intra-doc repeat leaves only the separator, the unique doc is
+    // untouched
+    val cut = Dedup.applyCuts(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    cut(1L) shouldBe ((12L, 12L, ""))
+    cut(2L) shouldBe ((22L, 12L,
+      (1 to 5).map(i => s"u$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"v$i").mkString(" ")))
+    cut(3L) shouldBe ((17L, 16L, "x"))
+    cut(4L) shouldBe ((20L, 0L, (1 to 20).map(i => s"z$i").mkString(" ")))
   }
 }
