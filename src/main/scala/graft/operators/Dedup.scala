@@ -62,16 +62,24 @@ object Dedup {
     * touch, so consecutive flagged positions with gap ≤ SpanGram fuse. */
   /** Gram starts (doc_id, pos) of [[SpanGram]]-token windows occurring
     * ≥2 times corpus-wide — the shared core of [[duplicateSpans]] (span
-    * reporting) and [[applyCuts]] (span removal). */
+    * reporting) and [[applyCuts]] (span removal).
+    *
+    * The positional gram stream is the NATIVE non-distinct
+    * [[graft.functions.WordNGramShingles]] (every sliding window in
+    * order, empty for sub-n docs), so posexplode indices ARE the window
+    * starts. The first formulation built grams with a higher-order
+    * `transform` whose lambda referenced the un-materialized `split` —
+    * re-tokenizing the doc once PER WINDOW, O(tokens²) per doc and 5.5×
+    * slower at sf0.1 (6.3 s vs 1.15 s); the kernel tokenizes once. */
   private def flaggedPositions(docs: DataFrame): DataFrame = {
-    val t = split(trim(col("text")), "\\s+")
-    val grams = when(size(t) >= SpanGram,
-      transform(sequence(lit(0), size(t) - SpanGram),
-        i => hash48(concat_ws(" ", slice(t, i + 1, lit(SpanGram))))))
-      .otherwise(array().cast("array<bigint>"))
+    val sh = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.WordNGramShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
+        SpanGram, distinct = false))
     val postings = docs
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+      .select(col("doc_id"), posexplode(sh).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash48(col("gram")).as("g"))
     val dupGrams = postings.groupBy(col("g"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("g"))
     postings.join(dupGrams, Seq("g")).select(col("doc_id"), col("pos"))
