@@ -42,24 +42,6 @@ object Dedup {
   /** Window length (tokens) for [[duplicateSpans]]' positional grams. */
   val SpanGram = 8
 
-  /** Per-doc DUPLICATED-SPAN cut lists — the exact-substring-dedup
-    * output shape (dedup the repeated PASSAGE, keep the document): for
-    * every doc, the merged token ranges covered by [[SpanGram]]-token
-    * windows that occur ≥2 times anywhere in the corpus (intra-doc
-    * repeats included). This is what a cleaner consumes to cut
-    * boilerplate/licenses/quoted chunks out of otherwise-unique docs —
-    * the operation document-level dedup (exact/MinHash/Jaccard) cannot
-    * express, since a doc with one stolen paragraph keeps Jaccard ≈ 0.
-    *
-    * Scale shape — three LINEAR shuffles, never a pair join:
-    * positional grams are a map-side projection (one 48-bit hash per
-    * window); S(gram) partial-counts occurrences; the ≥2 filter joins
-    * back to postings on S(gram) with fanout per POSTING (a boilerplate
-    * gram in 10⁶ docs costs 10⁶ join rows — linear in its postings —
-    * not the 10¹² pairs a doc-pair formulation would); S(doc_id) merges
-    * flagged positions into spans with one gaps-and-islands window.
-    * Span merge rule: windows starting ≤ [[SpanGram]] apart overlap or
-    * touch, so consecutive flagged positions with gap ≤ SpanGram fuse. */
   /** Gram starts (doc_id, pos) of [[SpanGram]]-token windows occurring
     * ≥2 times corpus-wide — the shared core of [[duplicateSpans]] (span
     * reporting) and [[applyCuts]] (span removal).
@@ -70,21 +52,53 @@ object Dedup {
     * starts. The first formulation built grams with a higher-order
     * `transform` whose lambda referenced the un-materialized `split` —
     * re-tokenizing the doc once PER WINDOW, O(tokens²) per doc and 5.5×
-    * slower at sf0.1 (6.3 s vs 1.15 s); the kernel tokenizes once. */
+    * slower at sf0.1 (6.3 s vs 1.15 s); the kernel tokenizes once.
+    *
+    * Two deliberate choices, both because the downstream cut is
+    * DESTRUCTIVE:
+    *  - the key is the RAW gram string, not a 48-bit hash: at ~10⁹
+    *    positional grams, birthday collisions at 48 bits would falsely
+    *    flag ~millions of unique windows, and since the oracle would
+    *    hash identically the gate could never catch a false cut. A
+    *    collision is benign for a similarity SIGNAL (MinHash/SimHash);
+    *    for cutting text it is silent data loss. The string key costs
+    *    shuffle bytes (~8 tokens/row), which is the right trade.
+    *  - frequency is a COUNT window over the gram partition, not a
+    *    groupBy + self-join: one scan, one exchange, and a hot
+    *    boilerplate gram costs its posting count linearly (the window
+    *    buffers per-partition and spills; the join formulation would
+    *    re-scan + re-shingle the whole corpus for the probe side —
+    *    PLANS.md showed two independent FileScan+Generate pipelines). */
   private def flaggedPositions(docs: DataFrame): DataFrame = {
     val sh = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.functions.WordNGramShingles(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("text")),
         SpanGram, distinct = false))
-    val postings = docs
+    val w = Window.partitionBy(col("gram"))
+    docs
       .select(col("doc_id"), posexplode(sh).as(Seq("pos", "gram")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        hash48(col("gram")).as("g"))
-    val dupGrams = postings.groupBy(col("g"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("g"))
-    postings.join(dupGrams, Seq("g")).select(col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram"))
+      .withColumn("c", count(lit(1)).over(w))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("pos"))
   }
 
+  /** Per-doc DUPLICATED-SPAN cut lists — the exact-substring-dedup
+    * output shape (dedup the repeated PASSAGE, keep the document): for
+    * every doc, the merged token ranges covered by [[SpanGram]]-token
+    * windows that occur ≥2 times anywhere in the corpus (intra-doc
+    * repeats included). This is what a cleaner consumes to cut
+    * boilerplate/licenses/quoted chunks out of otherwise-unique docs —
+    * the operation document-level dedup (exact/MinHash/Jaccard) cannot
+    * express, since a doc with one stolen paragraph keeps Jaccard ≈ 0.
+    *
+    * Scale shape — two LINEAR shuffles, never a pair join: positional
+    * grams are a map-side kernel projection; S(gram) flags ≥2-occurrence
+    * windows with one count window ([[flaggedPositions]]); S(doc_id)
+    * merges flagged positions into spans with one gaps-and-islands
+    * window. Span merge rule: windows starting ≤ [[SpanGram]] apart
+    * overlap or touch, so consecutive flagged positions with gap ≤
+    * SpanGram fuse. */
   def duplicateSpans(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flaggedPositions(docs)
@@ -110,8 +124,12 @@ object Dedup {
     * corpus-proportional), distincts, and anti-joins the token stream.
     * The cleaned text reassembles via a deterministic sort_array over
     * (idx, token) structs — collect_list alone is order-nondeterministic
-    * under partitioned aggregation. Docs with nothing to cut return
-    * unchanged (n_cut = 0). */
+    * under partitioned aggregation. Output is TOKEN-accurate, not
+    * byte-accurate: text_clean is the kept token stream rejoined with
+    * single spaces, so a doc with nothing to cut returns its full token
+    * sequence (n_cut = 0) with original inter-token whitespace
+    * normalized — the module's tokenization convention, not a lossless
+    * copy of `text`. */
   def applyCuts(docs: DataFrame): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val base = docs.select(col("doc_id"), t.as("t"))

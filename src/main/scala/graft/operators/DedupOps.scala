@@ -379,20 +379,31 @@ object DedupOps {
       |JOIN n nb ON src_b = nb.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** The tokenize → positional-gram → ≥2-occurrence-flag CTE prefix
+    * shared by BOTH span oracles (the [[shinglesCte]] discipline: ONE
+    * definition, so the find side — q_dedup_spans — and the cut side —
+    * q_dedup_cut — can never desynchronize). The flag joins on RAW gram
+    * strings via a count window, mirroring [[Dedup.duplicateSpans]]'
+    * collision-free formulation exactly. */
+  private val spanFlagCte: String = {
+    val L = Dedup.SpanGram
+    s"""t AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    list_aggregate(t[i:i+${L - 1}], 'string_agg', ' ') AS gram
+       |  FROM t, UNNEST(range(1, len(t) - ${L - 1} + 1)) AS u(i)),
+       |fl AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS c FROM g)
+       |  WHERE c >= 2)""".stripMargin
+  }
+
   /** Q-dedup-spans: see [[Dedup.duplicateSpans]]. */
   def dedupSpans(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpans(Tables.documents(spark, dir))
 
   val dedupSpansSql: String = {
     val L = Dedup.SpanGram
-    s"""WITH t AS (SELECT doc_id,
-       |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |    CAST('0x' || substr(md5(
-       |      list_aggregate(t[i:i+${L - 1}], 'string_agg', ' ')), 1, 12) AS BIGINT) AS g
-       |  FROM t, UNNEST(range(1, len(t) - ${L - 1} + 1)) AS u(i)),
-       |df AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
-       |fl AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.c >= 2),
+    s"""WITH $spanFlagCte,
        |ni AS (SELECT doc_id, pos,
        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $L
        |         THEN 0 ELSE 1 END AS ni FROM fl),
@@ -412,14 +423,7 @@ object DedupOps {
 
   val dedupCutSql: String = {
     val L = Dedup.SpanGram
-    s"""WITH t AS (SELECT doc_id,
-       |    regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
-       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |    CAST('0x' || substr(md5(
-       |      list_aggregate(t[i:i+${L - 1}], 'string_agg', ' ')), 1, 12) AS BIGINT) AS g
-       |  FROM t, UNNEST(range(1, len(t) - ${L - 1} + 1)) AS u(i)),
-       |df AS (SELECT g, COUNT(*) AS c FROM g GROUP BY g),
-       |fl AS (SELECT g.doc_id, g.pos FROM g JOIN df USING (g) WHERE df.c >= 2),
+    s"""WITH $spanFlagCte,
        |cov AS (SELECT DISTINCT doc_id, pos + d AS idx
        |  FROM fl, UNNEST(range(0, $L)) AS r(d)),
        |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, t[i] AS tok
