@@ -24,11 +24,16 @@ object DedupOps {
 
   /** Q-dedup-exact: duplicate the corpus with shifted ids, dedup by
     * normalized-text fingerprint keeping the lowest id — every original id
-    * must survive, every +100000 copy must drop. */
+    * must survive, every shifted copy must drop. The shift is
+    * MAX(doc_id)+1 (the q_scd2 lesson: a fixed constant collides with
+    * real ids once the domain grows past it, and a colliding id makes
+    * the ordered-hash gate nondeterministic). */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val shift = docs.agg((max(col("doc_id")) + 1L).as("mi"))
     val corpus = docs.unionByName(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.crossJoin(broadcast(shift))
+        .select((col("doc_id") + col("mi")).as("doc_id"), col("text")))
     Dedup.exact(corpus)
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
@@ -37,7 +42,8 @@ object DedupOps {
   val dedupExactSql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      |  UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |    text FROM documents),
       |fps AS (SELECT doc_id, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
       |        FROM corpus),
       |r AS (SELECT doc_id, fp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn

@@ -182,7 +182,17 @@ object IndexCatalog {
     * MAINTENANCE half of the reference's upsert loop (`upsert/upsert.go:
     * 167-190` re-posts vectors one by one; Pinecone merges by id). Merge
     * semantics are last-write-wins by `keyCol` (batch beats index; within
-    * the batch the caller pre-dedupes via [[graft.operators.Upsert]]).
+    * the batch the caller pre-dedupes via [[graft.operators.Upsert]]) —
+    * UNLESS `versionCol` is set, in which case the index must store that
+    * column and each key resolves by HIGHEST VERSION across the stored
+    * row and the batch row (ties to a content hash, so retries pick the
+    * same winner). Version-aware merge is what makes the maintenance
+    * sink safe under OUT-OF-ORDER redelivery: with plain batch-beats-
+    * index, a source that redelivers an old version in a later batch
+    * silently regresses the key (arrival-order semantics); with the
+    * version stored, the stale redelivery loses the window and the
+    * index state equals the ROW_NUMBER-over-version oracle no matter
+    * the delivery order.
     *
     * Scale shape: only partitions TOUCHED by the batch are rewritten
     * (dynamic partition overwrite) — a partition is touched if the batch
@@ -204,7 +214,8 @@ object IndexCatalog {
     * persisted key→partition sidecar (or batches that carry their prior
     * bucket) to make discovery ∝ batch as well. */
   def upsertInto(spark: SparkSession, basePath: String, name: String,
-                 batch: DataFrame, keyCol: String): Unit = {
+                 batch: DataFrame, keyCol: String,
+                 versionCol: Option[String] = None): Unit = {
     require(exists(basePath, name), s"no such index: $name")
     // the layout is DERIVED from the index, never trusted from the caller
     // (see partitionLayout) — the batch must carry those columns
@@ -242,9 +253,24 @@ object IndexCatalog {
         .map { case (c, v) => col(c) <=> lit(v) }
         .reduce(_ && _)
     }.reduce(_ || _)
-    val survivors = idx.filter(touchedPred)
-      .join(broadcast(keys), Seq(keyCol), "left_anti")
-    val out = survivors.unionByName(newRows)
+    val merged = versionCol match {
+      case None =>
+        // batch beats index: stored rows for batch keys drop, batch lands
+        idx.filter(touchedPred)
+          .join(broadcast(keys), Seq(keyCol), "left_anti")
+          .unionByName(newRows)
+      case Some(v) =>
+        require(idx.columns.contains(v),
+          s"version-aware upsert needs the index to store '$v' " +
+            s"(build the index with that column)")
+        // highest version wins per key across stored + batch rows; the
+        // content-hash tie-break makes a redelivered equal version pick
+        // the same winner on every retry
+        graft.operators.Upsert.lastWriteWins(
+          idx.filter(touchedPred).unionByName(newRows), Seq(keyCol), v,
+          tieBreak = Seq(xxhash64(idx.columns.toIndexedSeq.map(col): _*)))
+    }
+    val out = merged
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(true)
     val written = out.select(partitionCols.map(col): _*).distinct()

@@ -124,8 +124,10 @@ object DocStream {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+    val shift = docs.agg((max(col("doc_id")) + 1L).as("mi"))
     val corpus = docs.unionByName(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.crossJoin(broadcast(shift))
+        .select((col("doc_id") + col("mi")).as("doc_id"), col("text")))
     val staged = java.nio.file.Files
       .createTempDirectory("graft-streamdedup-in").toString
     corpus.repartitionByRange(3, col("doc_id"))
@@ -156,7 +158,8 @@ object DocStream {
   val streamDedupSql: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+      |  UNION ALL SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+      |    text FROM documents),
       |fps AS (SELECT doc_id,
       |          md5(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS fp
       |        FROM corpus),

@@ -20,23 +20,6 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** The events parquet carries TIMESTAMP(NANOS); streaming reads need an
-    * explicit schema, so read `ts` as raw nanos (see Tables.events) and
-    * convert with exact integer division. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
-
   /** Tumbling 10-minute counts per event type, tolerating 1 hour of
     * event-time lateness before state for a window is finalized/evicted. */
   def windowedCounts(events: DataFrame): DataFrame =
@@ -216,7 +199,9 @@ object EventsStream {
       .option("path", outPath).option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally { q.stop() }
     spark.read.parquet(outPath)
-      .filter(col("event_type") =!= "__flush")
+      // null-SAFE exclusion: =!= on a NULL event_type is NULL and the
+      // filter would silently drop the whole NULL group the oracle keeps
+      .filter(!(col("event_type") <=> "__flush"))
       .select(
         date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n_events"),
@@ -384,8 +369,7 @@ object StreamingDemo {
     plans.foreach { case (name, df, mode) =>
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode).start()
-      q.processAllAvailable()
-      q.stop()
+      try { q.processAllAvailable() } finally { q.stop() }
       val n = spark.table(name).count()
       println(s"STREAM $name rows=$n")
       assert(n > 0, s"$name produced no rows")
@@ -416,8 +400,7 @@ object StreamingDemo {
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDocs)
       val q = DocStream.start(stream, corpus)
-      q.processAllAvailable()
-      q.stop()
+      try { q.processAllAvailable() } finally { q.stop() }
       val streamed = spark.read.parquet(corpus).count()
       val batchDeduped = graft.operators.Dedup.exact(docs).count()
       println(s"STREAM consistency doc_corpus=$streamed batch_dedup=$batchDeduped")

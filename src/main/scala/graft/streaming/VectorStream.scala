@@ -29,9 +29,25 @@ object VectorStream {
 
   /** Attach a vector stream (`vec_id, embedding, label, version`) to a
     * persisted LSH-bucketed index as a foreachBatch maintenance sink.
-    * Caller starts/stops the returned query. */
-  def maintainIndex(stream: DataFrame, basePath: String, name: String,
-                    dim: Int): DataStreamWriter[Row] =
+    * Caller starts/stops the returned query.
+    *
+    * The bucket dimension is DERIVED from the index descriptor, never
+    * trusted from the caller (IndexCatalog's partitionLayout/metric
+    * rule): a caller-supplied dim that contradicted the build would
+    * compute bucket ids query-time probing never selects — updated
+    * vectors silently vanishing from search results.
+    *
+    * `version` is KEPT through the merge (the index stores it):
+    * within-batch duplicates resolve here, and CROSS-batch conflicts
+    * resolve inside the version-aware [[IndexCatalog.upsertInto]] — so
+    * an at-least-once source that redelivers an old version in a later
+    * micro-batch cannot regress the key (the stale row loses the
+    * highest-version window regardless of arrival order). */
+  def maintainIndex(stream: DataFrame, basePath: String,
+                    name: String): DataStreamWriter[Row] = {
+    val dim = IndexCatalog.describe(basePath, name)
+      .getOrElse(throw new IllegalArgumentException(s"no such index: $name"))
+      .dimension
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -43,19 +59,18 @@ object VectorStream {
         // payloads, and a retry must pick the SAME winner (idempotency)
         val deduped = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
             tieBreak = Seq(xxhash64(col("embedding"), col("label"))))
-          .drop("version")
           .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
           .localCheckpoint(true)
         if (!deduped.isEmpty)
           IndexCatalog.upsertInto(batch.sparkSession, basePath, name,
-            deduped, "vec_id")
+            deduped, "vec_id", versionCol = Some("version"))
       }
+  }
 
   /** Convenience: start with a trigger of all available data (used by the
     * spec; production callers pick their own trigger). */
-  def start(stream: DataFrame, basePath: String, name: String,
-            dim: Int): StreamingQuery =
-    maintainIndex(stream, basePath, name, dim).start()
+  def start(stream: DataFrame, basePath: String, name: String): StreamingQuery =
+    maintainIndex(stream, basePath, name).start()
 
   /** Q-stream-upsert: STREAMING INDEX MAINTENANCE run to completion and
     * checked against the last-write-wins oracle — the fifth driver-gated
@@ -66,7 +81,8 @@ object VectorStream {
     * — `% 101` keys relabeled at version 1; then `% 202` keys relabeled
     * AGAIN at version 2 (a subset of the v1 batch — the replay proves the
     * later version wins across micro-batch boundaries), `% 103` keys
-    * relabeled at version 2, and `% 97` keys re-keyed +100000 as inserts.
+    * relabeled at version 2, and `% 97` keys re-keyed past MAX(vec_id)
+    * as inserts.
     * The batches are deliberately a TRICKLE (tens of keys against a
     * 256-bucket layout) so the declared query demonstrates the
     * partition-scoped-rewrite claim — dense batches touching every bucket
@@ -86,7 +102,8 @@ object VectorStream {
     val name = "stream-upsert"
     IndexCatalog.createIfAbsent(spark, base,
       IndexCatalog.IndexDescriptor(name, 64, "cosine"),
-      emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64)),
+      emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+        .withColumn("version", lit(0L)), // stored: cross-batch LWW needs it
       partitionCols = Seq("bucket"))
     val staged = java.nio.file.Files
       .createTempDirectory("graft-streamupsert-in").toString
@@ -114,7 +131,7 @@ object VectorStream {
     b2.coalesce(1).write.mode("append").parquet(staged)
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
-    val q = start(stream, base, name, dim = 64)
+    val q = start(stream, base, name)
     try { q.processAllAvailable() } finally { q.stop() }
     IndexCatalog.load(spark, base, name)
       .select(col("vec_id"), col("label"))

@@ -23,6 +23,7 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
     val base = java.nio.file.Files.createTempDirectory("graft-vstream").toString
     val emb = Tables.embeddings(spark, sfDir)
     val data = emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+      .withColumn("version", lit(0L)) // stored: cross-batch LWW needs it
     IndexCatalog.createIfAbsent(spark, base,
       IndexDescriptor("stream-idx", 64, "cosine"), data,
       partitionCols = Seq("bucket")) shouldBe true
@@ -33,7 +34,7 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
     val oldBucket0 = RandomHyperplaneLsh.bucketOf(vec0)
 
     val source = MemoryStream[VecUpdate]
-    val query = VectorStream.start(source.toDF(), base, "stream-idx", dim = 64)
+    val query = VectorStream.start(source.toDF(), base, "stream-idx")
     try {
       // batch 1: move vec 0 (negate) + insert a new key; duplicate key in
       // the same batch resolves by version (the v2 negated vector wins)
@@ -75,7 +76,8 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
     IndexCatalog.createIfAbsent(spark, base,
       IndexDescriptor("tie-idx", 64, "cosine"),
       emb.withColumn("bucket",
-        RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64)),
+          RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64))
+        .withColumn("version", lit(0L)),
       partitionCols = Seq("bucket")) shouldBe true
     val vec = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
 
@@ -84,7 +86,7 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
     // foreachBatch retry relies on
     def applyBatch(name: String): Int = {
       val src = MemoryStream[VecUpdate]
-      val q = VectorStream.start(src.toDF(), base, name, dim = 64)
+      val q = VectorStream.start(src.toDF(), base, name)
       try {
         src.addData(
           VecUpdate(0L, vec, 111, version = 9L),
@@ -97,8 +99,38 @@ class VectorStreamSpec extends SparkSpecBase with Matchers {
     IndexCatalog.createIfAbsent(spark, base,
       IndexCatalog.IndexDescriptor("tie-idx2", 64, "cosine"),
       emb.withColumn("bucket",
-        RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64)),
+          RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64))
+        .withColumn("version", lit(0L)),
       partitionCols = Seq("bucket")) shouldBe true
     applyBatch("tie-idx") shouldBe applyBatch("tie-idx2")
+  }
+
+  test("a stale version redelivered in a LATER micro-batch cannot regress the key") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-vstream-ooo").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("ooo-idx", 64, "cosine"),
+      emb.withColumn("bucket",
+          RandomHyperplaneLsh.bucket(org.apache.spark.sql.functions.col("embedding"), 64))
+        .withColumn("version", lit(0L)),
+      partitionCols = Seq("bucket")) shouldBe true
+    val vec = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+
+    val src = MemoryStream[VecUpdate]
+    val q = VectorStream.start(src.toDF(), base, "ooo-idx")
+    try {
+      // v2 arrives FIRST, then an at-least-once source redelivers v1 in a
+      // LATER micro-batch — out-of-order delivery across batch boundaries.
+      // Arrival-order (batch-beats-index) semantics would regress the key
+      // to the stale payload; version-aware merge must keep v2.
+      src.addData(VecUpdate(0L, vec, 200, version = 2L))
+      q.processAllAvailable()
+      src.addData(VecUpdate(0L, vec, 100, version = 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    IndexCatalog.load(spark, base, "ooo-idx")
+      .filter(col("vec_id") === 0).head().getAs[Int]("label") shouldBe 200
   }
 }
