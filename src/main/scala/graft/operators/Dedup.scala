@@ -146,7 +146,11 @@ object Dedup {
         sort_array(collect_list(struct(col("idx"), col("tok")))),
         s => s.getField("tok"))).as("text_clean"))
     val cuts = covered.groupBy(col("doc_id")).agg(count(lit(1)).as("n_cut"))
-    base.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+    // Null-text guard: legacy size(NULL) = -1 while the oracle's len(t)
+    // is NULL — agree on NULL so a null-text doc can't hash-diverge.
+    base.select(col("doc_id"),
+        when(col("t").isNull, lit(null))
+          .otherwise(size(col("t"))).cast("long").as("n_tokens"))
       .join(cuts, Seq("doc_id"), "left")
       .join(cleaned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),

@@ -544,8 +544,7 @@ object EventOps {
       try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.FileSystemException if Files.exists(mv) =>
-          Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+          graft.sources.Maintenance.deleteRecursively(tmp)
       }
     }
     val stored = spark.read.parquet(mv.toString)

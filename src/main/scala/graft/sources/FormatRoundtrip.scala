@@ -69,16 +69,20 @@ object FormatRoundtrip {
     if (!Files.exists(ok)) {
       Files.createDirectories(base)
       val stage = Files.createTempDirectory(base, "stage-")
-      write(stage.toString)
-      try
-        Files.move(stage, data, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // a concurrent builder's (identical-bytes) rename won; drop ours
-        case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.DirectoryNotEmptyException =>
-          import scala.jdk.CollectionConverters._
-          Files.walk(stage).iterator().asScala.toSeq.reverse
-            .foreach(Files.deleteIfExists(_))
+      try {
+        write(stage.toString)
+        try
+          Files.move(stage, data, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent builder's (identical-bytes) rename won; drop ours
+          case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException =>
+            Maintenance.deleteRecursively(stage)
+        }
+      } catch {
+        // a failed write must not leak its stage- dir under the published
+        // base (the next attempt would still rebuild — no _ok was written)
+        case e: Throwable => Maintenance.deleteRecursively(stage); throw e
       }
       Files.writeString(ok, "ok")
     }

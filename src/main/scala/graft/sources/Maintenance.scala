@@ -142,7 +142,10 @@ object Maintenance {
   private def recoverPartition(dir: Path): Unit =
     if (Files.exists(dir.resolve(ManifestName))) finishCompaction(dir)
 
-  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+  /** Depth-first recursive delete with the walk stream closed (shared by
+    * every loser-cleanup / staging-discard site in graft). deleteIfExists
+    * tolerates a concurrent cleaner racing on the same loser directory. */
+  private[graft] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     val all = try {
       val it = s.iterator()
@@ -150,7 +153,7 @@ object Maintenance {
       while (it.hasNext) buf += it.next()
       buf.toSeq
     } finally s.close()
-    all.reverse.foreach(Files.delete)
+    all.reverse.foreach(Files.deleteIfExists(_))
   }
 
   /** File-count census per partition directory — the health metric that

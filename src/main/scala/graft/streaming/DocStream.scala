@@ -128,14 +128,12 @@ object DocStream {
     val corpus = docs.unionByName(
       docs.crossJoin(broadcast(shift))
         .select((col("doc_id") + col("mi")).as("doc_id"), col("text")))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-streamdedup-in").toString
+    val staged = graft.Scratch.dir("graft-streamdedup-in")
     corpus.repartitionByRange(3, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(staged)
     stampAscendingMtimes(staged)
-    val outPath = java.nio.file.Files
-      .createTempDirectory("graft-streamdedup-out").toString + "/corpus"
+    val outPath = graft.Scratch.dir("graft-streamdedup-out") + "/corpus"
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = start(stream, outPath)

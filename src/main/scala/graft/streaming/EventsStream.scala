@@ -164,8 +164,7 @@ object EventsStream {
     * this query's contract is bit-parity through incremental state). */
   def streamWindowCounts(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-streamwin-in").toString
+    val staged = graft.Scratch.dir("graft-streamwin-in")
     events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
     DocStream.stampAscendingMtimes(staged)
@@ -191,10 +190,8 @@ object EventsStream {
         sum(col("value").cast("decimal(38,18)")).as("sum_dec"))
       .select(col("w.start").as("start"), col("event_type"),
         col("n_events"), col("sum_dec"))
-    val outPath = java.nio.file.Files
-      .createTempDirectory("graft-streamwin-out").toString + "/win"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-streamwin-ck").toString
+    val outPath = graft.Scratch.dir("graft-streamwin-out") + "/win"
+    val ckpt = graft.Scratch.dir("graft-streamwin-ck")
     val q = agg.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -241,8 +238,7 @@ object EventsStream {
     * need one semantic chosen. */
   def streamSessionCounts(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-streamsess-in").toString
+    val staged = graft.Scratch.dir("graft-streamsess-in")
     events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
     DocStream.stampAscendingMtimes(staged)
@@ -260,10 +256,8 @@ object EventsStream {
     }
     val sessions = sessionCounts(spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged))
-    val outPath = java.nio.file.Files
-      .createTempDirectory("graft-streamsess-out").toString + "/sess"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-streamsess-ck").toString
+    val outPath = graft.Scratch.dir("graft-streamsess-out") + "/sess"
+    val ckpt = graft.Scratch.dir("graft-streamsess-ck")
     val q = sessions.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -286,17 +280,14 @@ object EventsStream {
     * which is exactly the buffering the join state exists for. */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-streamjoin-in").toString
+    val staged = graft.Scratch.dir("graft-streamjoin-in")
     events.repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
     DocStream.stampAscendingMtimes(staged)
     val joined = purchaseClickJoin(spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged))
-    val outPath = java.nio.file.Files
-      .createTempDirectory("graft-streamjoin-out").toString + "/join"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-streamjoin-ck").toString
+    val outPath = graft.Scratch.dir("graft-streamjoin-out") + "/join"
+    val ckpt = graft.Scratch.dir("graft-streamjoin-ck")
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -344,7 +335,7 @@ object StreamingDemo {
     // ascending): a time-shuffled replay would make the watermark from the
     // first micro-batch classify most later input as late data and drop it
     // — correct streaming semantics, wrong demo.
-    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val staged = graft.Scratch.dir("graft-stream")
     val batchEvents = Tables.events(spark, sfDir)
     batchEvents.repartitionByRange(4, col("ts")).sortWithinPartitions(col("ts"))
       .write.mode("overwrite").parquet(staged)
@@ -391,11 +382,11 @@ object StreamingDemo {
     // replay must append nothing (idempotent retries).
     locally {
       val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      val stagedDocs = java.nio.file.Files.createTempDirectory("graft-docstage").toString
+      val stagedDocs = graft.Scratch.dir("graft-docstage")
       docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(stagedDocs)
       docs.filter(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(stagedDocs)
       docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(stagedDocs)
-      val corpus = java.nio.file.Files.createTempDirectory("graft-doccorpus")
+      val corpus = java.nio.file.Paths.get(graft.Scratch.dir("graft-doccorpus"))
         .resolve("corpus").toString
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(stagedDocs)

@@ -97,16 +97,14 @@ object VectorStream {
   def streamUpsert(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val emb = Tables.embeddings(spark, dir)
-    val base = java.nio.file.Files
-      .createTempDirectory("graft-streamupsert-idx").toString
+    val base = graft.Scratch.dir("graft-streamupsert-idx")
     val name = "stream-upsert"
     IndexCatalog.createIfAbsent(spark, base,
       IndexCatalog.IndexDescriptor(name, 64, "cosine"),
       emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
         .withColumn("version", lit(0L)), // stored: cross-batch LWW needs it
       partitionCols = Seq("bucket"))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft-streamupsert-in").toString
+    val staged = graft.Scratch.dir("graft-streamupsert-in")
     // key 0 divides everything: the %103 branch must exclude %202 keys or
     // key 0 carries two DIFFERENT v2 rows and the oracle's version
     // tie-break is nondeterministic; insert re-key offset = max+1 (the
