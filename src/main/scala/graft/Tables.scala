@@ -24,23 +24,34 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet, which Spark 4 refuses
-    * to read as a timestamp. Read it as raw nanos (legacy conf) and convert
-    * with integer division — nanos (~1.7e18) exceed double's 2^53 exact
-    * range, so this must never go through a float. The testdata carries only
-    * microsecond precision, so the truncation is lossless and matches
-    * DuckDB's native TIMESTAMP_NS handling.
+  /** `events.ts` has shipped in two physical forms, so the reader adapts to
+    * whatever the file actually carries instead of assuming one:
     *
-    * NOTE: `nanosAsLong` is a SESSION-wide conf (no per-read option
-    * exists) — setting it here also affects any other TIMESTAMP(NANOS)
-    * parquet read in the same session, which would then surface as LONG
-    * nanos instead of failing. The graft sessions (Sessions.local,
-    * Verify, Bench) set it once at construction; this set is kept so
-    * user-supplied sessions work, and is idempotent. */
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp, so the
+    *    session-wide `spark.sql.legacy.parquet.nanosAsLong` conf (no
+    *    per-read option exists) surfaces it as raw LONG nanos, converted
+    *    here with integer division — nanos (~1.7e18) exceed double's 2^53
+    *    exact range, so this must never go through a float. The testdata
+    *    carries only microsecond precision, so the truncation is lossless.
+    *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ; cast to
+    *    TIMESTAMP_LTZ for parity with the nanos path (every downstream
+    *    operator was written against TimestampType). The graft sessions pin
+    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
+    *    naive value as the same epoch instant — identical micros either way.
+    *  - already TIMESTAMP_LTZ: pass through.
+    *
+    * The conf set here is idempotent and kept so user-supplied sessions
+    * work; Sessions.local/Verify/Bench also set it at construction. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
