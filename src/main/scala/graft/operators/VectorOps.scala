@@ -333,6 +333,11 @@ object VectorOps {
         IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
         partitionCols = Seq("label", "bucket"))
     }
+    // centroid sidecar for plan-time probe selection (AnnRouting); written
+    // separately so indexes persisted before the sidecar existed get one
+    if (!IndexCatalog.hasCentroids(base, name))
+      IndexCatalog.writeCentroids(spark, base, name,
+        cent.select(col("cent_id"), col("c_embedding")))
     (base, name, cent)
   }
 
@@ -364,6 +369,43 @@ object VectorOps {
         .withColumn("score", KnnSearch.prenormedScore)
         .select(col("vec_id"), col("label"), col("cent_id"), col("score")),
       "vec_id", 10)
+  }
+
+  /** Q-knn-auto: OPTIMIZER-ROUTED ANN — the user writes the naive plan (a
+    * plain `ORDER BY cosine DESC LIMIT 10` over the full persisted index
+    * table, no probes, no bucket predicate, the exact SQL a BI tool or a
+    * q_sql_knn-style user would emit) and [[graft.plans.AnnRouting]]'s
+    * `Rule[LogicalPlan]` rewrites it into the probed IVF scan: plan-time
+    * centroid scoring on the driver picks the nprobe=4 buckets, a
+    * `bucket IN (...)` filter lands on the scan as PartitionFilters, and
+    * the Sort+Limit collapses to TakeOrderedAndProject over 4 of 16
+    * partition directories. Same oracle as q_ann_ivf — the routed plan
+    * must produce exactly the programmatic IVF API's results (registering
+    * the index is the opt-in to approximate top-K, as a probes setting is
+    * in published IVF systems). Negative path (rule must NOT fire on
+    * unregistered scans / ascending sorts) is spec-gated in
+    * AnnRoutingSpec. */
+  def knnAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    // the query vector as a SQL literal: Float.toString round-trips the
+    // exact float, so CAST(... AS ARRAY<FLOAT>) rebuilds bit-identical
+    // values and the scores equal q_ann_ivf's to the last ulp
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = s"CAST(array(${qVec.mkString(", ")}) AS ARRAY<FLOAT>)"
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(CASE WHEN vec_l2norm(embedding) * vec_l2norm($qLit) = 0.0 THEN 0.0
+         |          ELSE vec_dot(embedding, $qLit)
+         |               / (vec_l2norm(embedding) * vec_l2norm($qLit)) END, 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
   }
 
   /** Q-hybrid: sparse–dense HYBRID retrieval with reciprocal-rank fusion —
@@ -886,7 +928,8 @@ object VectorOps {
     "q_upsert" -> (upsert _),
     "q_sparse" -> (sparse _),
     "q_ann_ivf" -> (annIvf _),
-    "q_ann_ivf_persisted" -> (annIvfPersisted _))
+    "q_ann_ivf_persisted" -> (annIvfPersisted _),
+    "q_knn_auto" -> (knnAuto _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
@@ -912,5 +955,8 @@ object VectorOps {
     "q_ann_ivf" -> annIvfSql,
     // same oracle as q_ann_ivf: the persisted bucket-partitioned layout
     // changes the access path (partition pruning), never the result
-    "q_ann_ivf_persisted" -> annIvfSql)
+    "q_ann_ivf_persisted" -> annIvfSql,
+    // and the optimizer-routed form must land on the identical result —
+    // naive SQL in, probed-IVF plan out (AnnRouting)
+    "q_knn_auto" -> annIvfSql)
 }

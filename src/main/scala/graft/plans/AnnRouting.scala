@@ -1,0 +1,255 @@
+package graft.plans
+
+import java.nio.file.Paths
+
+import scala.collection.concurrent.TrieMap
+
+import graft.functions.DotProduct
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, ExprId, In, IntegerLiteral, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** Optimizer-level ANN routing (SURVEY.md §4.2's one deferred row): a
+  * `Rule[LogicalPlan]` that rewrites a plain top-K similarity sort —
+  * `ORDER BY <cosine/dot score> DESC LIMIT k` — over a REGISTERED persisted
+  * IVF index into the probed-bucket scan, so a pure-SQL user gets the same
+  * partition-pruned access path as the programmatic
+  * [[graft.operators.IvfIndex.search]] API without asking for it.
+  *
+  * This is the engine-side counterpart of what the reference outsources to
+  * Pinecone's query planner (`main.go:89-139` sends a topK request; the
+  * service decides how to search its index). Registering an index here is
+  * the explicit opt-in to approximate semantics — exactly as setting a
+  * probe count is in published IVF systems: the rewrite returns the exact
+  * top-K *of the probed buckets* (nprobe of the centroid partitions), not
+  * of the full corpus, with recall tunable via the registered nprobe.
+  *
+  * Mechanics of one rewrite:
+  *  1. match `GlobalLimit(k, LocalLimit(k, Sort(key DESC, ...)))`;
+  *  2. resolve `key` through Project aliases below the sort, and require it
+  *     to contain `vec_dot(<vector column>, <foldable query literal>)` —
+  *     the shared kernel of the cosine and dotproduct rankings (euclidean
+  *     ranks ASC and never matches). The foldable side IS the query vector;
+  *  3. the scan below must be a `LogicalRelation` whose root path is a
+  *     registered index's `data/` directory (nothing fires on unregistered
+  *     tables — negative-tested);
+  *  4. score the index's persisted centroid sidecar against the query
+  *     vector ON THE DRIVER (the centroid table is nprobe-discipline
+  *     metadata: 16 rows here, a cached codebook in any real IVF serving
+  *     tier) with bit-identical arithmetic to [[graft.operators.IvfIndex
+  *     .probes]] — sequential double dot/norm accumulation, NaN-greatest
+  *     descending order, centroid id tiebreak;
+  *  5. inject `Filter(bucket IN (<probe ids>), relation)` directly above
+  *     the relation. `bucket` is a partition column of the persisted
+  *     layout, so the filter surfaces as `PartitionFilters` on the Parquet
+  *     scan — the plan reads nprobe of the bucket directories and the
+  *     Sort+Limit on top becomes TakeOrderedAndProject over the pruned
+  *     scan.
+  *
+  * The rule runs in the session's user-provided-optimizer batch (a
+  * fixpoint), so it must be idempotent: a relation already guarded by a
+  * bucket filter is left alone (also the conservative answer when the USER
+  * wrote their own bucket predicate — routing on top would silently
+  * intersect probe sets).
+  */
+object AnnRouting {
+
+  /** A registered route: the persisted index rooted at `base`/`name` whose
+    * `data/` scan may be rewritten, probing `nprobe` buckets per query.
+    * `vecCol` names the indexed vector column inside the scan. */
+  case class Route(base: String, name: String, nprobe: Int, vecCol: String)
+
+  /** Registered routes keyed by the canonical `data/` directory path. */
+  private val routes = TrieMap.empty[String, Route]
+
+  /** Driver-side caches: per-index centroid codebooks (id, vector, norm)
+    * and per-(index, query-vector) probe sets — the fixpoint optimizer
+    * batch may visit a plan several times, and repeated queries against
+    * the same index should not re-read the sidecar. */
+  private val centroidCache = TrieMap.empty[String, Array[(Long, Array[Double], Double)]]
+  private val probeCache = TrieMap.empty[(String, Seq[Double]), Seq[Long]]
+
+  private def canonical(p: String): String =
+    new java.io.File(p).getCanonicalPath
+
+  def dataPath(base: String, name: String): String =
+    canonical(Paths.get(base, name, "data").toString)
+
+  /** Register an index for routing and install the rewrite rule on the
+    * session (idempotent on both counts). The caller opts this session's
+    * plain top-K sorts over the index scan into probed-IVF semantics. */
+  def register(spark: SparkSession, base: String, name: String, nprobe: Int,
+               vecCol: String = "embedding"): Unit = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    routes.put(dataPath(base, name), Route(base, name, nprobe, vecCol))
+    // the sidecar may have been rewritten since a previous registration
+    centroidCache.remove(dataPath(base, name))
+    probeCache.filterInPlace { case ((p, _), _) => p != dataPath(base, name) }
+    install(spark)
+  }
+
+  /** Drop a route (tests; also the sane response to dropping the index). */
+  def unregister(base: String, name: String): Unit = {
+    routes.remove(dataPath(base, name))
+    ()
+  }
+
+  /** Install the rule into a LIVE session via experimental
+    * extraOptimizations — sessions built with
+    * `spark.sql.extensions=graft.plans.GraftExtensions` get it at build
+    * time instead (see [[GraftExtensions]]). */
+  def install(spark: SparkSession): Unit = synchronized {
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[AnnRewriteRule]))
+      spark.experimental.extraOptimizations = existing :+ new AnnRewriteRule(spark)
+  }
+
+  private[plans] def routeFor(path: String): Option[Route] = routes.get(path)
+
+  /** The registered root path of a file-source relation, if any. */
+  private[plans] def registeredPath(rel: HadoopFsRelation): Option[String] = {
+    val roots = rel.location.rootPaths
+    if (roots.size != 1) return None // an index data dir is one root
+    val p = canonical(roots.head.toUri.getPath)
+    if (routes.contains(p)) Some(p) else None
+  }
+
+  /** Centroid codebook from the index's persisted sidecar (written at
+    * build by [[graft.sources.IndexCatalog.writeCentroids]]), cached per
+    * JVM. Columns: cent_id, c_embedding; the norm is recomputed here with
+    * the engine's arithmetic. */
+  private[plans] def centroids(spark: SparkSession, route: Route)
+      : Array[(Long, Array[Double], Double)] =
+    centroidCache.getOrElseUpdate(dataPath(route.base, route.name), {
+      val path = Paths.get(route.base, route.name, "centroids").toString
+      spark.read.parquet(path).select("cent_id", "c_embedding").collect().map { row =>
+        val id = row.getLong(0)
+        val vec = row.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toArray
+        (id, vec, math.sqrt(vec.map(x => x * x).sum))
+      }.sortBy(_._1)
+    })
+
+  /** Probe selection with the exact [[graft.operators.IvfIndex.probes]]
+    * semantics, computed on the driver: cosine via sequential double
+    * accumulation, zero-norm guard to 0, DESC with NaN greatest (Spark's
+    * sort order for doubles), cent_id ascending tiebreak. */
+  private[plans] def probeBuckets(spark: SparkSession, route: Route,
+                                  query: Array[Double]): Seq[Long] =
+    probeCache.getOrElseUpdate(
+      (dataPath(route.base, route.name), query.toIndexedSeq), {
+        val qNorm = math.sqrt(query.map(x => x * x).sum)
+        val scored = centroids(spark, route).map { case (id, vec, cNorm) =>
+          require(vec.length == query.length,
+            s"ann routing: query dim ${query.length} != centroid dim ${vec.length}")
+          var dot = 0.0
+          var i = 0
+          while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
+          val denom = cNorm * qNorm
+          val cos = if (denom == 0.0) 0.0 else dot / denom
+          (id, cos)
+        }
+        scored.sortWith { case ((idA, sA), (idB, sB)) =>
+          // Spark Descending: NaN sorts greatest, then cent_id asc tiebreak
+          val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
+          if (c != 0) c < 0 else idA < idB
+        }.take(route.nprobe).map(_._1).toSeq
+      })
+}
+
+/** The rewrite rule itself — see [[AnnRouting]] for the full contract. */
+class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import AnnRouting._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case limit @ GlobalLimit(IntegerLiteral(k),
+        ll @ LocalLimit(_, sort @ Sort(orders, true, child, _))) if k > 0 =>
+      route(orders, child) match {
+        case Some(routed) =>
+          limit.copy(child = ll.copy(child = sort.copy(child = routed)))
+        case None => limit
+      }
+  }
+
+  /** Attempt the rewrite; None leaves the plan untouched. */
+  private def route(orders: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+                    child: LogicalPlan): Option[LogicalPlan] = {
+    val head = orders.headOption.getOrElse(return None)
+    if (head.direction != Descending) return None
+
+    // the one registered index scan below (exactly one — ambiguity = no-op),
+    // not already guarded by a bucket predicate
+    val candidates = child.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        registeredPath(lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
+    }.flatten
+    val (relation, path) = candidates match {
+      case Seq(one) => one
+      case _ => return None
+    }
+    val r = routeFor(path).getOrElse(return None)
+    val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
+    val alreadyRouted = child.exists {
+      case Filter(cond, grandchild) =>
+        grandchild.exists(_ eq relation) && cond.references.contains(bucketAttr)
+      case _ => false
+    }
+    if (alreadyRouted) return None
+
+    // resolve the sort key through Project aliases, then find the scoring
+    // kernel vec_dot(<indexed vector column>, <foldable query vector>)
+    val aliases: Map[ExprId, Expression] = child.collect {
+      case p: Project => p.projectList.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+    def resolve(e: Expression, depth: Int): Expression =
+      if (depth <= 0) e
+      else e.transformUp {
+        case ar: AttributeReference if aliases.contains(ar.exprId) =>
+          resolve(aliases(ar.exprId), depth - 1)
+      }
+    val key = resolve(head.child, 4)
+    val vecAttrOk = (a: Expression) => a match {
+      case ar: AttributeReference => ar.name == r.vecCol && relation.outputSet.contains(ar)
+      case _ => false
+    }
+    val queryLit = key.collectFirst {
+      case DotProduct(a, q) if vecAttrOk(a) && q.foldable => q
+      case DotProduct(q, a) if vecAttrOk(a) && q.foldable => q
+    }.getOrElse(return None)
+
+    val query = evalVector(queryLit).getOrElse(return None)
+    val probes = probeBuckets(spark, r, query)
+    if (probes.isEmpty) return None
+    val lits = probes.map(b => bucketLiteral(b, bucketAttr.dataType))
+    logInfo(s"ann routing: rewriting top-K sort over ${r.name} to " +
+      s"probed buckets [${probes.mkString(", ")}]")
+    Some(child.transformUp {
+      case lr: LogicalRelation if lr eq relation => Filter(In(bucketAttr, lits), lr)
+    })
+  }
+
+  /** Evaluate a foldable array expression to doubles (the query vector). */
+  private def evalVector(e: Expression): Option[Array[Double]] = e.dataType match {
+    case ArrayType(et, _) if et == FloatType || et == org.apache.spark.sql.types.DoubleType =>
+      Option(e.eval()).map { v =>
+        val a = v.asInstanceOf[ArrayData]
+        if (et == FloatType) a.toFloatArray().map(_.toDouble) else a.toDoubleArray()
+      }
+    case _ => None
+  }
+
+  /** A literal of the PARTITION column's own type — a casted attribute
+    * would not prune (the loadBuckets rule). Partition-value inference
+    * reads small integer buckets back as int. */
+  private def bucketLiteral(b: Long, dt: DataType): Literal = dt match {
+    case IntegerType => Literal(b.toInt)
+    case LongType => Literal(b)
+    case other => Literal.create(b, other)
+  }
+}

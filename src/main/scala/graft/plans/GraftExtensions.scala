@@ -18,8 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `.withExtensions(new GraftExtensions)` on the session builder.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach(ext.injectFunction)
+    // ANN routing (see AnnRouting): rewrites registered top-K similarity
+    // sorts into probed-IVF scans. Live sessions get the same rule via
+    // AnnRouting.install (experimental.extraOptimizations).
+    ext.injectOptimizerRule(new AnnRewriteRule(_))
+  }
 }
 
 object GraftExtensions {

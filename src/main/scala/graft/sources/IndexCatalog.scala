@@ -77,6 +77,20 @@ object IndexCatalog {
   def cacheBase(sfDir: String): String =
     "/tmp/graft-index-cache/v2/" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Persist an ANN index's centroid codebook as a sidecar table under the
+    * index directory (`<base>/<name>/centroids`) — the metadata a real IVF
+    * serving tier keeps cached next to the index; [[graft.plans.AnnRouting]]
+    * reads it to pick probe buckets at plan time. Columns: at least
+    * (cent_id, c_embedding). Coalesced to one file: the codebook is
+    * nprobe-discipline metadata, never corpus-sized. */
+  def writeCentroids(spark: SparkSession, basePath: String, name: String,
+                     centroids: DataFrame): Unit =
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(Paths.get(basePath, name, "centroids").toString)
+
+  def hasCentroids(basePath: String, name: String): Boolean =
+    Files.exists(Paths.get(basePath, name, "centroids"))
+
   /** Descriptor read-back (the GET half of the reference's DDL,
     * `upsert/upsert.go:40-58`). */
   def describe(basePath: String, name: String): Option[IndexDescriptor] = {

@@ -1,0 +1,96 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import graft.operators.VectorOps
+import graft.sources.IndexCatalog
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the optimizer-level ANN routing (AnnRouting): the rule must
+  * fire on a registered naive top-K similarity sort (and surface as
+  * PartitionFilters on the scan), must NOT fire on unregistered scans or
+  * non-matching sorts, and the routed result must equal the programmatic
+  * IVF API's output exactly. */
+class AnnRoutingSpec extends SparkSpecBase with Matchers {
+
+  private val base = IndexCatalog.cacheBase(sfDir)
+  private val name = "emb-ivf-bucketed"
+
+  private def queryVec: Seq[Float] =
+    graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  /** The naive top-K cosine plan over the index table, built with the
+    * DataFrame API (same logical shape as q_knn_auto's SQL). */
+  private def naiveTopK(descending: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    val score = round(cosineSim(col("embedding"), q), 6).as("score")
+    val scored = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        col("bucket").cast("long").as("cent_id"), score)
+    scored.orderBy(if (descending) col("score").desc else col("score").asc,
+      col("vec_id")).limit(10)
+  }
+
+  private def hasBucketInFilter(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case Filter(cond, _) => cond.exists {
+        case In(a: AttributeReference, _) => a.name == "bucket"
+        case _ => false
+      }
+      case _ => false
+    }
+
+  test("installed but unregistered: the rule does not fire") {
+    // build the persisted index + sidecar without registering a route
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.unregister(base, name)
+    AnnRouting.install(spark)
+    val df = naiveTopK(descending = true)
+    assert(!hasBucketInFilter(df),
+      "rule fired on an unregistered index scan")
+    df.count() shouldBe 10
+  }
+
+  test("q_knn_auto: naive SQL routes to probed buckets == programmatic IVF") {
+    val auto = VectorOps.knnAuto(spark, sfDir)
+    assert(hasBucketInFilter(auto), "rule did not fire on a registered scan")
+    val plan = auto.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    // the partition filter must carry the bucket probe set
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
+    pf.toLowerCase should include("bucket")
+    // label is a partition column on the persisted side (read back as int)
+    // and a plain long on the programmatic side — compare as longs
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    val expected = VectorOps.annIvf(spark, sfDir).collect().map(norm)
+    val got = auto.collect().map(norm)
+    got should contain theSameElementsInOrderAs expected
+  }
+
+  test("ascending (euclidean-style) sort over a registered index: no rewrite") {
+    val df = naiveTopK(descending = false)
+    assert(!hasBucketInFilter(df),
+      "rule fired on an ascending sort (would corrupt a distance ranking)")
+  }
+
+  test("descending sort without a query-vector kernel: no rewrite") {
+    val idx = IndexCatalog.load(spark, base, name)
+    val df = idx.orderBy(col("vec_id").desc).limit(10)
+    assert(!hasBucketInFilter(df), "rule fired without a vec_dot sort key")
+  }
+
+  test("routing is deterministic across repeated optimization") {
+    val a = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
+    val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
+    a should contain theSameElementsInOrderAs b
+  }
+}
