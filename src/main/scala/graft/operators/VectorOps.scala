@@ -408,6 +408,68 @@ object VectorOps {
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
   }
 
+  /** The persisted MAP-METADATA index (q_knn_meta): the faithful
+    * generalization of the reference's declared-but-never-populated
+    * per-vector metadata (`upsert/upsert.go:32` carries a
+    * `map[string]string` TODO on the wire schema; Pinecone stores it and
+    * filters on it at query time). Every vector gains a
+    * `meta map<string,string>` with two keys, derived deterministically so
+    * the oracle can replay the derivation inline:
+    * `lang` = en/de/fr by vec_id mod 3, `tier` = gold/bronze by label
+    * parity. The HOT key (`lang` — the one every query filters on) is
+    * ALSO materialized as a plain column at build time and used as the
+    * partition column: map lookups cannot push into a Parquet scan, so
+    * materialization is what turns the common predicate into directory
+    * pruning, while rare keys stay map-only and filter post-scan. This
+    * build-time hot-key/cold-key split is the standard store design the
+    * reference's TODO would need at scale. */
+  private def ensureMetaIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-meta"
+    if (!IndexCatalog.exists(base, name)) {
+      val lang = when(col("vec_id") % 3 === 0, "en")
+        .when(col("vec_id") % 3 === 1, "de").otherwise("fr")
+      val tier = when(col("label") % 2 === 0, "gold").otherwise("bronze")
+      val data = Tables.embeddings(spark, dir)
+        .withColumn("lang", lang)
+        .withColumn("meta", map(
+          lit("lang"), lang, lit("tier"), tier))
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("lang"))
+    }
+    (base, name)
+  }
+
+  /** Q-knn-meta: metadata-filtered search over the map-typed index —
+    * top-10 cosine neighbors of vector 0 where `meta['lang']='en'` AND
+    * `meta['tier']='gold'`. PRE-filter semantics (the q_knn_filtered
+    * contract): both predicates restrict candidates before ranking. The
+    * hot key routes through its materialized partition column
+    * (PartitionFilters: lang=en — the scan lists one directory), the cold
+    * key stays a genuine `element_at(meta, 'tier')` lookup on the stored
+    * map (post-scan filter, before scoring). Exact within the filtered
+    * subset, so the oracle replays the derivations inline. */
+  def knnMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name) = ensureMetaIndex(spark, dir)
+    val idx = IndexCatalog.load(spark, base, name)
+      .filter(col("lang") === "en" &&
+        element_at(col("meta"), "tier") === "gold")
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    KnnSearch.topK(idx, q, 10)
+  }
+
+  val knnMetaSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, ROUND(${cosSql("e.embedding", "qe")}, 6) AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0 AND e.label % 2 = 0
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
   /** Q-hybrid: sparse–dense HYBRID retrieval with reciprocal-rank fusion —
     * the Pinecone-style hybrid query the reference's platform offers
     * (sparse lexical signal + dense semantic signal, `main.go:45-48`
@@ -929,7 +991,8 @@ object VectorOps {
     "q_sparse" -> (sparse _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
-    "q_knn_auto" -> (knnAuto _))
+    "q_knn_auto" -> (knnAuto _),
+    "q_knn_meta" -> (knnMeta _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
@@ -958,5 +1021,6 @@ object VectorOps {
     "q_ann_ivf_persisted" -> annIvfSql,
     // and the optimizer-routed form must land on the identical result —
     // naive SQL in, probed-IVF plan out (AnnRouting)
-    "q_knn_auto" -> annIvfSql)
+    "q_knn_auto" -> annIvfSql,
+    "q_knn_meta" -> knnMetaSql)
 }
