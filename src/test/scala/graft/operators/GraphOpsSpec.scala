@@ -39,6 +39,31 @@ class GraphOpsSpec extends SparkSpecBase with Matchers {
     r.tail.map(_.getAs[Double]("pagerank")).toSet.size shouldBe 1
   }
 
+  test("directed pagerank: planted dangling node — mass conserved, hand-computed ranks") {
+    import spark.implicits._
+    // chain 1 → 2 → 3 with 3 dangling (no out-edges). N=3. Hand-compute
+    // one iteration from uniform pr=1/3:
+    //   dm = pr(3) = 1/3
+    //   pr'(1) = 0.15/3 + 0.85*(0 + (1/3)/3)        = 0.05 + 0.85/9
+    //   pr'(2) = 0.15/3 + 0.85*((1/3)/1 + (1/3)/3)  (in from 1, deg 1)
+    //   pr'(3) = same as pr'(2)                      (in from 2, deg 1)
+    // A dangling-UNAWARE iteration would give pr'(1) = 0.05 and total
+    // mass 1 - 0.85*dm ≈ 0.717 — the leak this operator closes.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r1 = GraphOps.pagerankDirectedIterations(edges, 1)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("pr")).toMap
+    r1(1L) shouldBe (0.05 + 0.85 / 9.0) +- 1e-12
+    r1(2L) shouldBe (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9)) +- 1e-12
+    r1(3L) shouldBe (0.05 + 0.85 * (1.0 / 3 + 1.0 / 9)) +- 1e-12
+    r1.values.sum shouldBe 1.0 +- 1e-12
+
+    // mass stays conserved across further iterations (the dangling node's
+    // rank is redistributed, never dropped)
+    val r3 = GraphOps.pagerankDirectedIterations(edges, 3)
+      .collect().map(_.getAs[Double]("pr"))
+    r3.sum shouldBe 1.0 +- 1e-12
+  }
+
   test("affinity support equals the true co-order count; Jaccard is consistent") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
