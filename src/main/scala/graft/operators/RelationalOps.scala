@@ -350,6 +350,46 @@ object RelationalOps {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Q-min-cost-supplier: the TPC-H Q2 shape — a CORRELATED scalar-min
+    * subquery ("the supplier whose price equals the minimum for THIS
+    * part among this region's suppliers"), issued as genuine correlated
+    * SQL so the gate proves Catalyst DECORRELATES it: the optimizer
+    * rewrites the per-part scalar subquery into one aggregate over the
+    * region-restricted lineitems joined back on the part key — no
+    * Subquery node survives into the physical plan (spec-asserted), so
+    * the cost is two passes over the filtered fact table instead of one
+    * subquery execution per outer row (the difference between O(parts ×
+    * lineitems) and two shuffles at 100 TB). The testdata has no
+    * partsupp table, so lineitem's extended price stands in for the
+    * supply cost — same query class, same decorrelation obligation.
+    *
+    * The SAME SQL text runs on Spark (over temp views of the parquet
+    * tables) and DuckDB (the oracle) — engine parity by construction. */
+  val minCostSupplierSql: String =
+    """SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+      |  l.l_extendedprice AS cost
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY cost, p_partkey, s_name
+      |LIMIT 100""".stripMargin
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "nation", "region", "lineitem")
+      .foreach(t => Tables.load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(minCostSupplierSql)
+  }
+
   /** Q-salted-join: nation revenue computed THROUGH [[Salting.saltedJoin]]
     * — the manual skew mitigation (hot key spread over 8 synthetic
     * sub-keys, small side replicated per salt) declared as a driver-gated
@@ -635,6 +675,7 @@ object RelationalOps {
     "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_local_supplier" -> (localSupplier _),
+    "q_min_cost_supplier" -> (minCostSupplier _),
     "q_salted_join" -> (saltedJoinQuery _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
     "q_agg_lineitem" -> (aggLineitem _),
@@ -657,6 +698,7 @@ object RelationalOps {
     "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_supplier" -> localSupplierSql,
+    "q_min_cost_supplier" -> minCostSupplierSql,
     "q_salted_join" -> saltedJoinSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
     "q_agg_lineitem" -> aggLineitemSql,

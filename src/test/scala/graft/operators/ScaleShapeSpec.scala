@@ -39,6 +39,29 @@ class ScaleShapeSpec extends SparkSpecBase with Matchers {
     binned.queryExecution.executedPlan.toString should not include "NestedLoop"
   }
 
+  test("correlated min subquery decorrelates: no Subquery node, values match recompute") {
+    val df = RelationalOps.minCostSupplier(spark, sfDir)
+    val rows = df.collect()
+    // decorrelation evidence: the per-part scalar subquery must be gone
+    // from the physical plan (rewritten into an aggregate + join) — a
+    // surviving Subquery would mean per-outer-row execution
+    df.queryExecution.executedPlan.toString should not include "Subquery"
+    // semantic check against an explicit aggregate recompute
+    val mins = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("mc"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getDouble(1)).toMap
+    rows should not be empty
+    rows.foreach { r =>
+      r.getDouble(4) shouldBe mins(r.getAs[Number](0).longValue)
+    }
+  }
+
   test("AQE skew-join fires on a planted hot key (one key = 50% of the big side)") {
     // plant the skew the verdict of a 100 TB run would show: half of all
     // rows share one join key. Thresholds are scaled down so the 4-core
