@@ -101,14 +101,35 @@ object VectorStream {
     val name = "stream-upsert"
     IndexCatalog.createIfAbsent(spark, base,
       IndexCatalog.IndexDescriptor(name, 64, "cosine"),
-      emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
-        .withColumn("version", lit(0L)), // stored: cross-batch LWW needs it
-      partitionCols = Seq("bucket"))
+      initialState(emb), partitionCols = Seq("bucket"))
+    val (staged, schema) = stageBatches(spark, dir)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = start(stream, base, name)
+    try { q.processAllAvailable() } finally { q.stop() }
+    IndexCatalog.load(spark, base, name)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The offline initial index state (version 0, full corpus). */
+  private def initialState(emb: DataFrame): DataFrame =
+    emb.withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+      .withColumn("version", lit(0L)) // stored: cross-batch LWW needs it
+
+  /** Stage the two maintenance micro-batches as ordered stream files
+    * (shared by the lifecycle and steady-state queries — one definition,
+    * one oracle).
+    *
+    * Key 0 divides everything: the %103 branch must exclude %202 keys or
+    * key 0 carries two DIFFERENT v2 rows and the oracle's version
+    * tie-break is nondeterministic; insert re-key offset = max+1 (the
+    * q_scd2 lesson — a fixed constant collides once the id domain grows). */
+  private def stageBatches(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): (String, org.apache.spark.sql.types.StructType) = {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, dir)
     val staged = graft.Scratch.dir("graft-streamupsert-in")
-    // key 0 divides everything: the %103 branch must exclude %202 keys or
-    // key 0 carries two DIFFERENT v2 rows and the oracle's version
-    // tie-break is nondeterministic; insert re-key offset = max+1 (the
-    // q_scd2 lesson — a fixed constant collides once the id domain grows)
     val maxId = emb.agg((max(col("vec_id")) + 1L).as("mi"))
     val b1 = emb.filter(col("vec_id") % 101 === 0)
       .select(col("vec_id"), col("embedding"),
@@ -127,13 +148,56 @@ object VectorStream {
     b1.coalesce(1).write.mode("overwrite").parquet(staged)
     DocStream.stampAscendingMtimes(staged)
     b2.coalesce(1).write.mode("append").parquet(staged)
-    val stream = spark.readStream.schema(b1.schema)
+    (staged, b1.schema)
+  }
+
+  /** Q-stream-upsert-steady: the SAME maintenance micro-batches as
+    * q_stream_upsert, timed against a WARM index — the steady-state half
+    * of the bench split the full-lifecycle query cannot provide (its
+    * number is dominated by the one-time 256-bucket offline build, which
+    * a production maintenance loop pays once, not per trigger).
+    *
+    * Protocol: the initial index state builds ONCE into the shared
+    * persisted cache (createIfAbsent — amortized across runs exactly like
+    * q_ann_ivf_persisted's index); each run then FILE-COPIES the warm
+    * index into a fresh scratch root (a directory clone is plain I/O,
+    * ~10× cheaper than the Spark build, and keeps the query idempotent —
+    * maintenance mutates the index in place, so running against the cache
+    * itself would accumulate state across runs) and replays the two
+    * micro-batches against the clone. The bench line is copy + N
+    * maintenance triggers; BASELINE.md records it next to the lifecycle
+    * number as the build-vs-steady split. Same oracle as q_stream_upsert:
+    * identical final LWW state through a different lifecycle. */
+  def streamUpsertSteady(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    import graft.Tables
+    val warmBase = IndexCatalog.cacheBase(dir)
+    val name = "stream-upsert-warm"
+    IndexCatalog.createIfAbsent(spark, warmBase,
+      IndexCatalog.IndexDescriptor(name, 64, "cosine"),
+      initialState(Tables.embeddings(spark, dir)), partitionCols = Seq("bucket"))
+    val base = graft.Scratch.dir("graft-streamsteady-idx")
+    copyTree(java.nio.file.Paths.get(warmBase, name),
+      java.nio.file.Paths.get(base, name))
+    val (staged, schema) = stageBatches(spark, dir)
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = start(stream, base, name)
     try { q.processAllAvailable() } finally { q.stop() }
     IndexCatalog.load(spark, base, name)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
+  }
+
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    scala.util.Using.resource(Files.walk(from)) { s =>
+      s.forEach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest)
+      }
+    }
   }
 
   val streamUpsertSql: String =
@@ -157,8 +221,11 @@ object VectorStream {
       |SELECT vec_id, label FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
-    Map("q_stream_upsert" -> (streamUpsert _))
+    Map("q_stream_upsert" -> (streamUpsert _),
+      "q_stream_upsert_steady" -> (streamUpsertSteady _))
 
   def oracles: Map[String, String] =
-    Map("q_stream_upsert" -> streamUpsertSql)
+    Map("q_stream_upsert" -> streamUpsertSql,
+      // identical final LWW state through the warm-index lifecycle
+      "q_stream_upsert_steady" -> streamUpsertSql)
 }
