@@ -154,7 +154,7 @@ object RandomHyperplaneLsh {
     * by the label cardinality for zero pruning benefit — partition-count
     * budget spent where the queries prune. (The IVF twin keeps
     * label+bucket as the namespace-scoped layout.) */
-  def annLshPersisted(spark: SparkSession, dir: String): DataFrame = {
+  private def ensureLshBucketed(spark: SparkSession, dir: String): (String, String) = {
     import graft.sources.IndexCatalog
     val base = IndexCatalog.cacheBase(dir)
     val name = "emb-lsh-bucketed"
@@ -165,10 +165,44 @@ object RandomHyperplaneLsh {
         IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
         partitionCols = Seq("bucket"))
     }
+    (base, name)
+  }
+
+  def annLshPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name) = ensureLshBucketed(spark, dir)
     val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     val qVec = q.head().getSeq[Float](1).toArray
     IndexCatalog.search(spark, base, name, q, k = 5, buckets = Seq(bucketOf(qVec)))
+  }
+
+  /** Q-lsh-auto: [[graft.plans.AnnRouting]] generalized to the SECOND
+    * index family — the same naive `ORDER BY cosine DESC LIMIT k` SQL as
+    * q_knn_auto, over the LSH-bucket-partitioned persisted index. The
+    * rule's probe model here needs NO sidecar: the query's bucket and its
+    * hamming-1 neighbors derive from the deterministic plane constants at
+    * plan time (nprobe=9, the multi-probe set), and the injected
+    * `bucket IN (...)` filter prunes to 9/256 partition directories.
+    * Shares q_ann_lsh_mp's oracle: the routed naive plan must equal the
+    * programmatic multi-probe API exactly. */
+  def lshAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name) = ensureLshBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name,
+      nprobe = 1 + Planes, kind = "lsh")
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_lsh_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = s"CAST(array(${qVec.mkString(", ")}) AS ARRAY<FLOAT>)"
+    spark.sql(
+      s"""SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket,
+         |  ROUND(CASE WHEN vec_l2norm(embedding) * vec_l2norm($qLit) = 0.0 THEN 0.0
+         |        ELSE vec_dot(embedding, $qLit)
+         |             / (vec_l2norm(embedding) * vec_l2norm($qLit)) END, 6) AS score
+         |FROM emb_lsh_indexed WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
   }
 
   /** Q-ann-lsh-mp: the multi-probe variant of q_ann_lsh — same query
@@ -199,12 +233,15 @@ object RandomHyperplaneLsh {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_lsh" -> (annLsh _),
     "q_ann_lsh_persisted" -> (annLshPersisted _),
-    "q_ann_lsh_mp" -> (annLshMultiProbe _))
+    "q_ann_lsh_mp" -> (annLshMultiProbe _),
+    "q_lsh_auto" -> (lshAuto _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_lsh" -> annLshSql,
     // same oracle as q_ann_lsh: the persisted bucket-partitioned layout
     // changes the access path (partition pruning), never the result
     "q_ann_lsh_persisted" -> annLshSql,
-    "q_ann_lsh_mp" -> annLshMultiProbeSql)
+    "q_ann_lsh_mp" -> annLshMultiProbeSql,
+    // the optimizer-routed naive SQL must equal the multi-probe API
+    "q_lsh_auto" -> annLshMultiProbeSql)
 }

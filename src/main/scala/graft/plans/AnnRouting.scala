@@ -60,8 +60,17 @@ object AnnRouting {
 
   /** A registered route: the persisted index rooted at `base`/`name` whose
     * `data/` scan may be rewritten, probing `nprobe` buckets per query.
-    * `vecCol` names the indexed vector column inside the scan. */
-  case class Route(base: String, name: String, nprobe: Int, vecCol: String)
+    * `vecCol` names the indexed vector column inside the scan. `kind`
+    * selects the probe model:
+    *  - `"ivf"`: score the persisted centroid sidecar, take the nprobe
+    *    nearest centroid ids;
+    *  - `"lsh"`: the query's own random-hyperplane bucket plus its
+    *    hamming-1 neighbors (own bucket first, then plane order), capped
+    *    at nprobe — nprobe=1 is single-probe, 1+Planes is the full
+    *    multi-probe set. No sidecar needed: the planes are deterministic
+    *    constants shared with [[graft.operators.RandomHyperplaneLsh]]. */
+  case class Route(base: String, name: String, nprobe: Int, vecCol: String,
+                   kind: String)
 
   /** Registered routes keyed by the canonical `data/` directory path. */
   private val routes = TrieMap.empty[String, Route]
@@ -83,9 +92,10 @@ object AnnRouting {
     * session (idempotent on both counts). The caller opts this session's
     * plain top-K sorts over the index scan into probed-IVF semantics. */
   def register(spark: SparkSession, base: String, name: String, nprobe: Int,
-               vecCol: String = "embedding"): Unit = {
+               vecCol: String = "embedding", kind: String = "ivf"): Unit = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    routes.put(dataPath(base, name), Route(base, name, nprobe, vecCol))
+    require(kind == "ivf" || kind == "lsh", s"unknown route kind '$kind'")
+    routes.put(dataPath(base, name), Route(base, name, nprobe, vecCol, kind))
     // the sidecar may have been rewritten since a previous registration
     centroidCache.remove(dataPath(base, name))
     probeCache.filterInPlace { case ((p, _), _) => p != dataPath(base, name) }
@@ -136,31 +146,58 @@ object AnnRouting {
       }.sortBy(_._1)
     })
 
-  /** Probe selection with the exact [[graft.operators.IvfIndex.probes]]
-    * semantics, computed on the driver: cosine via sequential double
-    * accumulation, zero-norm guard to 0, DESC with NaN greatest (Spark's
-    * sort order for doubles), cent_id ascending tiebreak. */
+  /** Probe selection per route kind, computed on the driver and cached.
+    *
+    * IVF: the exact [[graft.operators.IvfIndex.probes]] semantics —
+    * cosine via sequential double accumulation, zero-norm guard to 0,
+    * DESC with NaN greatest (Spark's sort order for doubles), cent_id
+    * ascending tiebreak.
+    *
+    * LSH: the [[graft.operators.RandomHyperplaneLsh]] multi-probe set —
+    * the query's own bucket (sign of the projection onto each
+    * deterministic ±1 plane) followed by its hamming-1 neighbors in plane
+    * order, capped at nprobe. The projection replays `bucketOf`'s
+    * arithmetic exactly (sequential double accumulation over the same
+    * plane constants). */
   private[plans] def probeBuckets(spark: SparkSession, route: Route,
                                   query: Array[Double]): Seq[Long] =
     probeCache.getOrElseUpdate(
       (dataPath(route.base, route.name), query.toIndexedSeq), {
-        val qNorm = math.sqrt(query.map(x => x * x).sum)
-        val scored = centroids(spark, route).map { case (id, vec, cNorm) =>
-          require(vec.length == query.length,
-            s"ann routing: query dim ${query.length} != centroid dim ${vec.length}")
-          var dot = 0.0
-          var i = 0
-          while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
-          val denom = cNorm * qNorm
-          val cos = if (denom == 0.0) 0.0 else dot / denom
-          (id, cos)
-        }
-        scored.sortWith { case ((idA, sA), (idB, sB)) =>
-          // Spark Descending: NaN sorts greatest, then cent_id asc tiebreak
-          val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
-          if (c != 0) c < 0 else idA < idB
-        }.take(route.nprobe).map(_._1).toSeq
+        if (route.kind == "lsh") lshProbes(route, query)
+        else ivfProbes(spark, route, query)
       })
+
+  private def ivfProbes(spark: SparkSession, route: Route,
+                        query: Array[Double]): Seq[Long] = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    val scored = centroids(spark, route).map { case (id, vec, cNorm) =>
+      require(vec.length == query.length,
+        s"ann routing: query dim ${query.length} != centroid dim ${vec.length}")
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
+      val denom = cNorm * qNorm
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      (id, cos)
+    }
+    scored.sortWith { case ((idA, sA), (idB, sB)) =>
+      // Spark Descending: NaN sorts greatest, then cent_id asc tiebreak
+      val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
+      if (c != 0) c < 0 else idA < idB
+    }.take(route.nprobe).map(_._1).toSeq
+  }
+
+  private def lshProbes(route: Route, query: Array[Double]): Seq[Long] = {
+    import graft.operators.RandomHyperplaneLsh.{planeSigns, Planes}
+    val own = (0 until Planes).map { p =>
+      val signs = planeSigns(p, query.length)
+      var s = 0.0
+      var d = 0
+      while (d < query.length) { s += query(d) * signs(d); d += 1 }
+      if (s > 0) 1L << p else 0L
+    }.sum
+    (own +: (0 until Planes).map(p => own ^ (1L << p))).take(route.nprobe)
+  }
 }
 
 /** The rewrite rule itself — see [[AnnRouting]] for the full contract. */

@@ -88,6 +88,21 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     assert(!hasBucketInFilter(df), "rule fired without a vec_dot sort key")
   }
 
+  test("q_lsh_auto: the LSH route needs no sidecar and equals the multi-probe API") {
+    val auto = graft.operators.RandomHyperplaneLsh.lshAuto(spark, sfDir)
+    assert(hasBucketInFilter(auto), "LSH route did not fire")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(auto.queryExecution.executedPlan.toString)
+      .map(_.group(1)).mkString(" | ")
+    pf.toLowerCase should include("bucket")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    val expected = graft.operators.RandomHyperplaneLsh
+      .annLshMultiProbe(spark, sfDir).collect().map(norm)
+    auto.collect().map(norm) should contain theSameElementsInOrderAs expected
+  }
+
   test("routing is deterministic across repeated optimization") {
     val a = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
     val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
