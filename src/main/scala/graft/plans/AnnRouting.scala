@@ -207,9 +207,20 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ GlobalLimit(IntegerLiteral(k),
         ll @ LocalLimit(_, sort @ Sort(orders, true, child, _))) if k > 0 =>
-      route(orders, child) match {
-        case Some(routed) =>
-          limit.copy(child = ll.copy(child = sort.copy(child = routed)))
+      // Any failure inside routing (unreadable sidecar, malformed query
+      // literal, dimension mismatch) must DECLINE the rewrite — the naive
+      // plan is always still correct — never fail the user's query at
+      // plan time.
+      val routed =
+        try route(orders, child)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"ann routing declined (falling back to the unrouted plan): $e")
+            None
+        }
+      routed match {
+        case Some(r) =>
+          limit.copy(child = ll.copy(child = sort.copy(child = r)))
         case None => limit
       }
   }

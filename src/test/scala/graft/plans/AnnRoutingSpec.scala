@@ -103,6 +103,33 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     auto.collect().map(norm) should contain theSameElementsInOrderAs expected
   }
 
+  test("missing centroid sidecar: routing declines, the query still answers brute") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    import graft.operators.KnnSearch
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val tmpBase = java.nio.file.Files.createTempDirectory("annrt").toString
+    val tiny = "tiny-ivf"
+    val data = Seq(
+        (1L, 0L, vec(1, 0, 0, 0), 0L), (2L, 0L, vec(0.9, 0.1, 0, 0), 0L),
+        (3L, 1L, vec(0, 1, 0, 0), 1L), (4L, 1L, vec(0.1, 0.9, 0, 0), 1L))
+      .toDF("vec_id", "label", "embedding", "bucket")
+    IndexCatalog.createIfAbsent(spark, tmpBase,
+      IndexCatalog.IndexDescriptor(tiny, 4, "cosine"), data, Seq("bucket"))
+    // registered as IVF but the centroids sidecar was never written: the
+    // rule's probe read throws at plan time, which must DECLINE the
+    // rewrite (brute plan is still correct), never fail the query
+    AnnRouting.register(spark, tmpBase, tiny, nprobe = 1)
+    val idx = IndexCatalog.load(spark, tmpBase, tiny)
+    val df = idx
+      .withColumn("score",
+        round(cosineSim(col("embedding"), typedlit[Seq[Float]](vec(1, 0, 0, 0).toSeq)), 6))
+      .orderBy(col("score").desc, col("vec_id")).limit(2)
+    assert(!hasBucketInFilter(df), "declined route must not inject a filter")
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
+    AnnRouting.unregister(tmpBase, tiny)
+  }
+
   test("routing is deterministic across repeated optimization") {
     val a = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
     val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
