@@ -33,11 +33,19 @@ object Tables {
     *    here with integer division — nanos (~1.7e18) exceed double's 2^53
     *    exact range, so this must never go through a float. The testdata
     *    carries only microsecond precision, so the truncation is lossless.
-    *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ; cast to
-    *    TIMESTAMP_LTZ for parity with the nanos path (every downstream
-    *    operator was written against TimestampType). The graft sessions pin
-    *    `spark.sql.session.timeZone=UTC`, so the cast reinterprets the
-    *    naive value as the same epoch instant — identical micros either way.
+    *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ; converted
+    *    to TIMESTAMP_LTZ for parity with the nanos path (every downstream
+    *    operator was written against TimestampType). The naive value is
+    *    interpreted as UTC wall clock via PURE WALL-CLOCK ARITHMETIC —
+    *    `timestampdiff(MICROSECOND, TIMESTAMP_NTZ epoch, ts)` →
+    *    `timestamp_micros` — because every cast-shaped conversion is
+    *    session-zone-dependent: a plain `cast(timestamp)` reinterprets
+    *    NTZ in the session zone, and even `to_utc_timestamp(ts, 'UTC')`
+    *    implicit-casts NTZ through the session zone first (measured: a
+    *    +5h shift under America/New_York). A non-UTC user session would
+    *    silently shift every event by its zone offset while the other two
+    *    branches stayed on true epoch instants (regression-pinned in
+    *    EventsReaderSpec under America/New_York).
     *  - already TIMESTAMP_LTZ: pass through.
     *
     * The conf set here is idempotent and kept so user-supplied sessions
@@ -49,7 +57,8 @@ object Tables {
     val df = load(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => df.withColumn("ts", expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
       case _                => df
     }
   }

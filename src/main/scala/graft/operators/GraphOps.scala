@@ -121,9 +121,12 @@ object GraphOps {
     *
     * Scale shape: one iteration = a BROADCAST join of the edge list with
     * the rank and degree vectors (node-sized — the part catalog, tiny
-    * next to the edge list; when the node set outgrows broadcast the same
-    * code degrades to a shuffle join on `u`, the standard distributed
-    * step) + one grouped aggregation on the destination, so the edge list
+    * next to the edge list). The broadcast is an EXPLICIT hint sized to
+    * this node domain: hints do not auto-degrade, so a deployment whose
+    * node vectors outgrow broadcast limits must DROP the hints and let
+    * size-based planning pick the shuffle join on `u` (the standard
+    * distributed step) — the surrounding plan is unchanged either way.
+    * Plus one grouped aggregation on the destination, so the edge list
     * moves only through the dst-keyed shuffle. Edges and degrees are
     * materialized ONCE (`localCheckpoint`, the [[triangles]]/
     * resolveClusters discipline) so the basket pipeline is not re-run per
@@ -198,8 +201,10 @@ object GraphOps {
     * dst-grouped aggregation alone sufficed).
     *
     * Scale shape per iteration: the rank/degree vectors are node-sized
-    * (broadcast; degrades to a shuffle join on `u` past broadcast size —
-    * the standard distributed step), the edge list moves only through the
+    * (broadcast via explicit hints sized to this node domain — hints do
+    * not auto-degrade, so past broadcast limits a deployment drops them
+    * and size-based planning picks the shuffle join on `u`, the standard
+    * distributed step), the edge list moves only through the
     * dst-keyed aggregation, the dangling sum is a broadcast anti-join +
     * one scalar, and each sum is exact-DECIMAL (order-free, map-side
     * partials, bit-parity with the oracle under any partitioning). Rank

@@ -195,12 +195,10 @@ object RandomHyperplaneLsh {
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_lsh_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qLit = s"CAST(array(${qVec.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val qLit = VectorOps.floatArraySqlLiteral(qVec)
     spark.sql(
       s"""SELECT vec_id, label, CAST(bucket AS BIGINT) AS bucket,
-         |  ROUND(CASE WHEN vec_l2norm(embedding) * vec_l2norm($qLit) = 0.0 THEN 0.0
-         |        ELSE vec_dot(embedding, $qLit)
-         |             / (vec_l2norm(embedding) * vec_l2norm($qLit)) END, 6) AS score
+         |  ROUND(${VectorOps.sparkCosineSql("embedding", qLit)}, 6) AS score
          |FROM emb_lsh_indexed WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
   }

@@ -16,6 +16,23 @@ object VectorOps {
   private def index(spark: SparkSession, dir: String): DataFrame =
     KnnSearch.withNorm(Tables.embeddings(spark, dir))
 
+  /** ONE Spark-SQL cosine fragment (zero-norm-guarded, over the
+    * registered native vec_dot/vec_l2norm) shared by every SQL-surface
+    * query (q_sql_knn, q_knn_auto, q_lsh_auto) — oracle hash-parity
+    * depends on these staying bit-identical, so a guard or rounding fix
+    * must reach all of them through this one definition. */
+  private[operators] def sparkCosineSql(emb: String, q: String): String =
+    s"""CASE WHEN vec_l2norm($emb) * vec_l2norm($q) = 0.0 THEN 0.0
+       |        ELSE vec_dot($emb, $q)
+       |             / (vec_l2norm($emb) * vec_l2norm($q)) END""".stripMargin
+
+  /** A query vector as a SQL literal: Float.toString round-trips the
+    * exact float, so CAST back to ARRAY<FLOAT> rebuilds bit-identical
+    * values and literal-based scores equal the column-based ones to the
+    * last ulp. */
+  private[operators] def floatArraySqlLiteral(v: Seq[Float]): String =
+    s"CAST(array(${v.mkString(", ")}) AS ARRAY<FLOAT>)"
+
   /** Q-knn: top-10 cosine neighbors of vector 0 (reference: topK query,
     * `main.go:101-106`, with K=1 generalized). */
   def knn(spark: SparkSession, dir: String): DataFrame = {
@@ -391,18 +408,13 @@ object VectorOps {
     graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
-    // the query vector as a SQL literal: Float.toString round-trips the
-    // exact float, so CAST(... AS ARRAY<FLOAT>) rebuilds bit-identical
-    // values and the scores equal q_ann_ivf's to the last ulp
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qLit = s"CAST(array(${qVec.mkString(", ")}) AS ARRAY<FLOAT>)"
+    val qLit = floatArraySqlLiteral(qVec)
     spark.sql(
       s"""WITH scored AS (
          |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
-         |    ROUND(CASE WHEN vec_l2norm(embedding) * vec_l2norm($qLit) = 0.0 THEN 0.0
-         |          ELSE vec_dot(embedding, $qLit)
-         |               / (vec_l2norm(embedding) * vec_l2norm($qLit)) END, 6) AS score
+         |    ROUND(${sparkCosineSql("embedding", qLit)}, 6) AS score
          |  FROM emb_indexed WHERE vec_id <> 0)
          |SELECT vec_id, label, cent_id, score FROM scored
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
@@ -554,15 +566,13 @@ object VectorOps {
     graft.plans.GraftExtensions.register(spark)
     Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings_sql")
     spark.sql(
-      """WITH q AS (SELECT embedding AS qe FROM embeddings_sql WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label,
-        |  ROUND(CASE WHEN vec_l2norm(e.embedding) * vec_l2norm(q.qe) = 0.0 THEN 0.0
-        |        ELSE vec_dot(e.embedding, q.qe)
-        |             / (vec_l2norm(e.embedding) * vec_l2norm(q.qe)) END, 6) AS score
-        |FROM embeddings_sql e CROSS JOIN q
-        |WHERE e.vec_id <> 0
-        |ORDER BY score DESC, e.vec_id
-        |LIMIT 10""".stripMargin)
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings_sql WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label,
+         |  ROUND(${sparkCosineSql("e.embedding", "q.qe")}, 6) AS score
+         |FROM embeddings_sql e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin)
   }
 
   /** Same oracle as q_knn — the SQL surface must produce identical values. */

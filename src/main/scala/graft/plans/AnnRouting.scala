@@ -72,7 +72,12 @@ object AnnRouting {
   case class Route(base: String, name: String, nprobe: Int, vecCol: String,
                    kind: String)
 
-  /** Registered routes keyed by the canonical `data/` directory path. */
+  /** Registered routes keyed by the canonical `data/` directory path.
+    * JVM-GLOBAL by design, like the on-disk index catalog itself: a route
+    * belongs to the INDEX (any session scanning the registered data path
+    * gets routed once the rule is installed in it), not to the session
+    * that happened to call register. Callers that need per-session
+    * isolation should register distinct index paths. */
   private val routes = TrieMap.empty[String, Route]
 
   /** Driver-side caches: per-index centroid codebooks (id, vector, norm)
@@ -82,6 +87,14 @@ object AnnRouting {
   private val centroidCache = TrieMap.empty[String, Array[(Long, Array[Double], Double)]]
   private val probeCache = TrieMap.empty[(String, Seq[Double]), Seq[Long]]
 
+  /** Bound on probeCache: a serving session sees a distinct query vector
+    * per user query, and exact-vector repeats are what the cache exists
+    * for (the optimizer's own fixpoint passes, retried plans) — those
+    * repeat within moments, so a wholesale clear at the cap loses
+    * nothing that matters while making unbounded driver growth
+    * impossible. */
+  private val ProbeCacheMax = 4096
+
   private def canonical(p: String): String =
     new java.io.File(p).getCanonicalPath
 
@@ -89,8 +102,10 @@ object AnnRouting {
     canonical(Paths.get(base, name, "data").toString)
 
   /** Register an index for routing and install the rewrite rule on the
-    * session (idempotent on both counts). The caller opts this session's
-    * plain top-K sorts over the index scan into probed-IVF semantics. */
+    * session (idempotent on both counts). Registration is JVM-global
+    * (see [[routes]]): every session with the rule installed routes its
+    * plain top-K sorts over this index's data path into probed
+    * semantics from this point on. */
   def register(spark: SparkSession, base: String, name: String, nprobe: Int,
                vecCol: String = "embedding", kind: String = "ivf"): Unit = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
@@ -119,6 +134,8 @@ object AnnRouting {
   }
 
   private[plans] def routeFor(path: String): Option[Route] = routes.get(path)
+
+  private[plans] def hasRoutes: Boolean = routes.nonEmpty
 
   /** The registered root path of a file-source relation, if any. */
   private[plans] def registeredPath(rel: HadoopFsRelation): Option[String] = {
@@ -160,12 +177,14 @@ object AnnRouting {
     * arithmetic exactly (sequential double accumulation over the same
     * plane constants). */
   private[plans] def probeBuckets(spark: SparkSession, route: Route,
-                                  query: Array[Double]): Seq[Long] =
+                                  query: Array[Double]): Seq[Long] = {
+    if (probeCache.size >= ProbeCacheMax) probeCache.clear()
     probeCache.getOrElseUpdate(
       (dataPath(route.base, route.name), query.toIndexedSeq), {
         if (route.kind == "lsh") lshProbes(route, query)
         else ivfProbes(spark, route, query)
       })
+  }
 
   private def ivfProbes(spark: SparkSession, route: Route,
                         query: Array[Double]): Seq[Long] = {
@@ -204,7 +223,15 @@ object AnnRouting {
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import AnnRouting._
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // the rule is installed on every extensions-built session; with no
+    // registered route there is nothing to do — skip the tree walk (and
+    // registeredPath's canonicalization syscalls) entirely
+    if (!AnnRouting.hasRoutes) return plan
+    applyRouting(plan)
+  }
+
+  private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case limit @ GlobalLimit(IntegerLiteral(k),
         ll @ LocalLimit(_, sort @ Sort(orders, true, child, _))) if k > 0 =>
       // Any failure inside routing (unreadable sidecar, malformed query
@@ -266,10 +293,31 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ar: AttributeReference => ar.name == r.vecCol && relation.outputSet.contains(ar)
       case _ => false
     }
-    val queryLit = key.collectFirst {
-      case DotProduct(a, q) if vecAttrOk(a) && q.foldable => q
-      case DotProduct(q, a) if vecAttrOk(a) && q.foldable => q
-    }.getOrElse(return None)
+    // The kernel must be reachable through MONOTONE-increasing wrappers
+    // only — a DESC sort on ANY expression containing vec_dot is not
+    // enough: `ORDER BY 1 - cosine DESC` (farthest-first) or
+    // `ORDER BY -score DESC` contains the kernel but ranks the OPPOSITE
+    // way, and routing it to the nearest buckets would silently return
+    // near-zero-recall garbage. Accepted wrappers: alias, numeric cast,
+    // round, the zero-norm CASE guard (literal branch results, kernel in
+    // the else), and division with the kernel in the NUMERATOR and a
+    // kernel-free denominator (the norm product — positive by
+    // construction). Anything else — subtraction, negation, arbitrary
+    // arithmetic — declines.
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, RoundBase}
+    def monotoneKernel(e: Expression): Option[Expression] = e match {
+      case DotProduct(a, q) if vecAttrOk(a) && q.foldable => Some(q)
+      case DotProduct(q, a) if vecAttrOk(a) && q.foldable => Some(q)
+      case al: Alias => monotoneKernel(al.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => monotoneKernel(c.child)
+      case rn: RoundBase => monotoneKernel(rn.children.head)
+      case CaseWhen(branches, Some(els)) if branches.forall(_._2.foldable) =>
+        monotoneKernel(els)
+      case Divide(num, den, _) if !den.exists(_.isInstanceOf[DotProduct]) =>
+        monotoneKernel(num)
+      case _ => None
+    }
+    val queryLit = monotoneKernel(key).getOrElse(return None)
 
     val query = evalVector(queryLit).getOrElse(return None)
     val probes = probeBuckets(spark, r, query)

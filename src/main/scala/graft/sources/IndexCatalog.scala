@@ -88,8 +88,13 @@ object IndexCatalog {
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(Paths.get(basePath, name, "centroids").toString)
 
+  /** The sidecar exists only if its write COMMITTED: a JVM killed mid-
+    * write leaves the directory without Spark's _SUCCESS marker, and a
+    * bare-directory check would then skip the rewrite forever while every
+    * routed read fails (the createIfAbsent killed-build discipline,
+    * applied to the sidecar). */
   def hasCentroids(basePath: String, name: String): Boolean =
-    Files.exists(Paths.get(basePath, name, "centroids"))
+    Files.exists(Paths.get(basePath, name, "centroids", "_SUCCESS"))
 
   /** Descriptor read-back (the GET half of the reference's DDL,
     * `upsert/upsert.go:40-58`). */

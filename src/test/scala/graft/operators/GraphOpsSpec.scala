@@ -9,7 +9,7 @@ class GraphOpsSpec extends SparkSpecBase with Matchers {
 
   test("triangles counts a planted triangle exactly once") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graph").toString
+    val tmp = graft.Scratch.dir("graph") // self-deleting scratch root
     // orders 1 and 2 both hold parts {10, 20, 30} → edges 10-20, 10-30,
     // 20-30 each at support 2 → exactly one triangle. Order 3 adds a
     // support-1 pair (10, 40) that must be thresholded away.
@@ -25,7 +25,7 @@ class GraphOpsSpec extends SparkSpecBase with Matchers {
 
   test("pagerank: mass sums to 1 and the star hub ranks first") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graph").toString
+    val tmp = graft.Scratch.dir("graph")
     // star: hub part 1 co-ordered (twice each, to clear the support
     // threshold) with leaves 10..14 → hub degree 5, leaves degree 1.
     val rows = (10L to 14L).flatMap(leaf =>

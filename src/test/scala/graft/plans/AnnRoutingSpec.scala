@@ -82,6 +82,27 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       "rule fired on an ascending sort (would corrupt a distance ranking)")
   }
 
+  test("farthest-first (1 - cosine DESC) over a registered index: no rewrite") {
+    // contains the vec_dot kernel under a DESC sort, but through a
+    // NON-monotone wrapper — routing to the NEAREST buckets would return
+    // "farthest within the nearest buckets", near-zero recall, silently
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    val dist = (lit(1.0) - cosineSim(col("embedding"), q)).as("dist")
+    val df = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), dist)
+      .orderBy(col("dist").desc, col("vec_id")).limit(10)
+    assert(!hasBucketInFilter(df),
+      "rule fired on a distance (anti-similarity) ranking")
+    // and negation too
+    val neg = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (-round(cosineSim(col("embedding"), q), 6)).as("nscore"))
+      .orderBy(col("nscore").desc, col("vec_id")).limit(10)
+    assert(!hasBucketInFilter(neg), "rule fired on a negated score")
+  }
+
   test("descending sort without a query-vector kernel: no rewrite") {
     val idx = IndexCatalog.load(spark, base, name)
     val df = idx.orderBy(col("vec_id").desc).limit(10)
@@ -108,7 +129,7 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     import graft.functions.VectorFunctions._
     import graft.operators.KnnSearch
     def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
-    val tmpBase = java.nio.file.Files.createTempDirectory("annrt").toString
+    val tmpBase = graft.Scratch.dir("annrt") // self-deleting scratch root
     val tiny = "tiny-ivf"
     val data = Seq(
         (1L, 0L, vec(1, 0, 0, 0), 0L), (2L, 0L, vec(0.9, 0.1, 0, 0), 0L),

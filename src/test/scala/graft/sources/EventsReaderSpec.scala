@@ -25,7 +25,8 @@ class EventsReaderSpec extends SparkSpecBase with Matchers {
       .toDF("event_id", "us", "user_id", "event_type", "value", "props")
 
     def writeVariant(ts: org.apache.spark.sql.Column): String = {
-      val dir = java.nio.file.Files.createTempDirectory("ev").toString
+      // under the self-deleting scratch root — specs must not leak /tmp
+      val dir = graft.Scratch.dir("ev")
       base.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .write.parquet(dir + "/events.parquet")
@@ -45,5 +46,16 @@ class EventsReaderSpec extends SparkSpecBase with Matchers {
     readUs(longDir) shouldBe micros
     readUs(ntzDir) shouldBe micros
     readUs(ltzDir) shouldBe micros
+
+    // branch equivalence must NOT depend on the session timezone: a
+    // session-zone cast of the NTZ form would shift every instant by the
+    // zone offset while the other branches stayed on true epoch micros
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      readUs(longDir) shouldBe micros
+      readUs(ntzDir) shouldBe micros
+      readUs(ltzDir) shouldBe micros
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 }
