@@ -21,8 +21,24 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  /** Width-normalizing readers for the id-carrying tables — the events
+    * lesson generalized to integer widths and vector element types:
+    * driver-side hops (probe-id collects, fetch-batch ids, query-vector
+    * literals) and index/sidecar builds assume 64-bit ids and float
+    * vectors, so a regenerated testdata file with int32 ids or double
+    * embeddings would ClassCastException every such hop. The casts are
+    * NO-OPS against the current files (SimplifyCasts erases a
+    * same-type cast, so plans, pushdown, and oracle parity are
+    * byte-identical today); they only bite the day the physical schema
+    * drifts — absorbing the change instead of breaking on it. */
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "documents")
+      .withColumn("doc_id", org.apache.spark.sql.functions.col("doc_id").cast("long"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "embeddings")
+      .withColumn("vec_id", org.apache.spark.sql.functions.col("vec_id").cast("long"))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
 
   /** `events.ts` has shipped in two physical forms, so the reader adapts to
     * whatever the file actually carries instead of assuming one:
