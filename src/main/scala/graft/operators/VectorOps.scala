@@ -482,6 +482,65 @@ object VectorOps {
        |ORDER BY score DESC, e.vec_id
        |LIMIT 10""".stripMargin
 
+  /** Q-cluster-mix: temperature-flattened sampling over UNSUPERVISED
+    * embedding clusters — [[CorpusOps.temperatureMix]]'s rebalancing
+    * applied to semantic domains instead of a labeled column: every
+    * vector is assigned to its nearest seed centroid (the shared
+    * [[IvfIndex.assign]] argmax, replayed exactly by the oracle's asg
+    * CTE), per-cluster keep-rate is `min(1, sqrt(n_min/n_c))` (α = 0.5 —
+    * sqrt is correctly-rounded IEEE on both engines where pow(x, 0.5) is
+    * not), and membership is the same salted portable-hash gate. This is
+    * the cluster-balanced curation step of embedding-driven data
+    * pipelines: dominant semantic domains downsample toward the
+    * flattened share without any label column existing.
+    *
+    * Scale shape: assignment is the broadcast map-side argmax (partial
+    * aggregation, no window); sizes/rates are k-row broadcasts; the gate
+    * is map-side — one corpus scan end to end. */
+  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
+    val asg = IvfIndex.assign(index(spark, dir), seedCentroids(spark, dir))
+      .select(col("vec_id"), col("cent_id"))
+    val sizes = asg.groupBy(col("cent_id")).agg(count(lit(1)).as("n_vecs"))
+    val minN = sizes.agg(min(col("n_vecs")).as("n_min"))
+    val rates = sizes.crossJoin(broadcast(minN))
+      .withColumn("rate", least(lit(1.0),
+        sqrt(col("n_min").cast("double") / col("n_vecs"))))
+      .withColumn("gate", floor(col("rate") * lit(1000000.0)).cast("long"))
+    asg.join(broadcast(rates), Seq("cent_id"))
+      .withColumn("kept",
+        (pmod(Dedup.hash48(concat(col("vec_id"), lit(":cmix"))),
+          lit(1000000L)) < col("gate")).cast("int"))
+      .groupBy(col("cent_id"), col("n_vecs"), col("rate"))
+      .agg(sum(col("kept")).as("n_kept"))
+      .select(col("cent_id"), col("n_vecs"), round(col("rate"), 6).as("rate"),
+        col("n_kept"))
+      .orderBy(col("cent_id"))
+  }
+
+  val clusterMixSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+       |sizes AS (SELECT cent_id, COUNT(*) AS n_vecs FROM a1 GROUP BY cent_id),
+       |mn AS (SELECT MIN(n_vecs) AS n_min FROM sizes),
+       |rates AS (SELECT cent_id, n_vecs,
+       |    LEAST(1.0, sqrt(CAST(n_min AS DOUBLE) / n_vecs)) AS rate
+       |  FROM sizes, mn),
+       |d AS (SELECT a1.cent_id, n_vecs, rate,
+       |    CASE WHEN CAST('0x' || substr(md5(a1.vec_id || ':cmix'), 1, 12) AS BIGINT)
+       |              % 1000000 < CAST(FLOOR(rate * 1000000.0) AS BIGINT)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM a1 JOIN rates USING (cent_id))
+       |SELECT cent_id, n_vecs, ROUND(rate, 6) AS rate,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept
+       |FROM d GROUP BY cent_id, n_vecs, rate ORDER BY cent_id""".stripMargin
+  }
+
   /** Q-hybrid: sparse–dense HYBRID retrieval with reciprocal-rank fusion —
     * the Pinecone-style hybrid query the reference's platform offers
     * (sparse lexical signal + dense semantic signal, `main.go:45-48`
@@ -1002,7 +1061,8 @@ object VectorOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_knn_auto" -> (knnAuto _),
-    "q_knn_meta" -> (knnMeta _))
+    "q_knn_meta" -> (knnMeta _),
+    "q_cluster_mix" -> (clusterMix _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
@@ -1032,5 +1092,6 @@ object VectorOps {
     // and the optimizer-routed form must land on the identical result —
     // naive SQL in, probed-IVF plan out (AnnRouting)
     "q_knn_auto" -> annIvfSql,
-    "q_knn_meta" -> knnMetaSql)
+    "q_knn_meta" -> knnMetaSql,
+    "q_cluster_mix" -> clusterMixSql)
 }
