@@ -17,9 +17,21 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Register all tables as temp views named after themselves. */
+  /** Register all tables as temp views named after themselves — through
+    * the ADAPTED readers, not raw load(): a raw `events` view would
+    * expose the physical ts form (nanos longs / NTZ) no downstream
+    * operator can consume, and raw `documents`/`embeddings` views would
+    * bypass the width normalization below. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = n match {
+        case "events" => events(spark, sfDir)
+        case "documents" => documents(spark, sfDir)
+        case "embeddings" => embeddings(spark, sfDir)
+        case other => load(spark, sfDir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
 
   /** Width-normalizing readers for the id-carrying tables — the events
     * lesson generalized to integer widths and vector element types:

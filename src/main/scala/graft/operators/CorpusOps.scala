@@ -420,41 +420,61 @@ object CorpusOps {
     * determinism as [[trainValTestSplit]]): stable under re-runs,
     * repartitioning, and corpus appends. The rates frame is one row per
     * language — broadcast; the whole gate is map-side. */
-  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val sizes = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val minN = sizes.agg(min(col("n_docs")).as("n_min"))
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureRebalance(Tables.documents(spark, dir),
+      keyCol = "lang", idCol = "doc_id", salt = ":temp", countName = "n_docs")
+
+  /** THE temperature-rebalancing gate, shared by every mixing surface
+    * (q_temperature_mix over the labeled `lang` column; q_cluster_mix
+    * over unsupervised centroid assignments): per-key keep-rate
+    * `min(1, sqrt(n_min/n_key))`, `floor(rate·10⁶)` gate literal, salted
+    * portable-hash membership. ONE definition (and one SQL twin below)
+    * because oracle hash-parity depends on this arithmetic staying
+    * bit-identical everywhere it appears — a guard or rounding fix must
+    * reach all mixing queries through here. */
+  private[operators] def temperatureRebalance(assigned: DataFrame, keyCol: String,
+      idCol: String, salt: String, countName: String): DataFrame = {
+    val sizes = assigned.groupBy(col(keyCol)).agg(count(lit(1)).as(countName))
+    val minN = sizes.agg(min(col(countName)).as("n_min"))
     val rates = sizes.crossJoin(broadcast(minN))
       // α = 0.5 → the exponent is exactly 1/2: use sqrt, which IEEE
       // guarantees correctly rounded on both engines — pow(x, 0.5) is not
       .withColumn("rate", least(lit(1.0),
-        sqrt(col("n_min").cast("double") / col("n_docs"))))
+        sqrt(col("n_min").cast("double") / col(countName))))
       .withColumn("gate", floor(col("rate") * lit(1000000.0)).cast("long"))
-    docs.join(broadcast(rates), Seq("lang"))
+    assigned.join(broadcast(rates), Seq(keyCol))
       .withColumn("kept",
-        (pmod(Dedup.hash48(concat(col("doc_id"), lit(":temp"))),
+        (pmod(Dedup.hash48(concat(col(idCol), lit(salt))),
           lit(1000000L)) < col("gate")).cast("int"))
-      .groupBy(col("lang"), col("n_docs"), col("rate"))
+      .groupBy(col(keyCol), col(countName), col("rate"))
       .agg(sum(col("kept")).as("n_kept"))
-      .select(col("lang"), col("n_docs"), round(col("rate"), 6).as("rate"),
+      .select(col(keyCol), col(countName), round(col("rate"), 6).as("rate"),
         col("n_kept"))
-      .orderBy(col("lang"))
+      .orderBy(col(keyCol))
   }
 
-  val temperatureMixSql: String =
-    s"""WITH sizes AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-       |mn AS (SELECT MIN(n_docs) AS n_min FROM sizes),
-       |rates AS (SELECT lang, n_docs,
-       |    LEAST(1.0, sqrt(CAST(n_min AS DOUBLE) / n_docs)) AS rate
+  /** SQL twin of [[temperatureRebalance]]: `prefixCte` supplies any CTEs
+    * the source frame needs (ending with a trailing comma) and `from`
+    * names the frame carrying (idCol, keyCol). */
+  private[operators] def temperatureRebalanceSql(prefixCte: String, from: String,
+      key: String, id: String, salt: String, countName: String): String =
+    s"""WITH ${prefixCte}sizes AS (SELECT $key, COUNT(*) AS $countName FROM $from GROUP BY $key),
+       |mn AS (SELECT MIN($countName) AS n_min FROM sizes),
+       |rates AS (SELECT $key, $countName,
+       |    LEAST(1.0, sqrt(CAST(n_min AS DOUBLE) / $countName)) AS rate
        |  FROM sizes, mn),
-       |d AS (SELECT documents.lang, n_docs, rate,
-       |    CASE WHEN CAST('0x' || substr(md5(doc_id || ':temp'), 1, 12) AS BIGINT)
+       |d AS (SELECT $from.$key, $countName, rate,
+       |    CASE WHEN CAST('0x' || substr(md5($from.$id || '$salt'), 1, 12) AS BIGINT)
        |              % 1000000 < CAST(FLOOR(rate * 1000000.0) AS BIGINT)
        |         THEN 1 ELSE 0 END AS kept
-       |  FROM documents JOIN rates USING (lang))
-       |SELECT lang, n_docs, ROUND(rate, 6) AS rate,
+       |  FROM $from JOIN rates USING ($key))
+       |SELECT $key, $countName, ROUND(rate, 6) AS rate,
        |  CAST(SUM(kept) AS BIGINT) AS n_kept
-       |FROM d GROUP BY lang, n_docs, rate ORDER BY lang""".stripMargin
+       |FROM d GROUP BY $key, $countName, rate ORDER BY $key""".stripMargin
+
+  val temperatureMixSql: String = temperatureRebalanceSql(
+    prefixCte = "", from = "documents",
+    key = "lang", id = "doc_id", salt = ":temp", countName = "n_docs")
 
   /** Group-size floor for [[kAnonymity]]. */
   val AnonK = 8

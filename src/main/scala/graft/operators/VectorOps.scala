@@ -497,48 +497,25 @@ object VectorOps {
     * Scale shape: assignment is the broadcast map-side argmax (partial
     * aggregation, no window); sizes/rates are k-row broadcasts; the gate
     * is map-side — one corpus scan end to end. */
-  def clusterMix(spark: SparkSession, dir: String): DataFrame = {
-    val asg = IvfIndex.assign(index(spark, dir), seedCentroids(spark, dir))
-      .select(col("vec_id"), col("cent_id"))
-    val sizes = asg.groupBy(col("cent_id")).agg(count(lit(1)).as("n_vecs"))
-    val minN = sizes.agg(min(col("n_vecs")).as("n_min"))
-    val rates = sizes.crossJoin(broadcast(minN))
-      .withColumn("rate", least(lit(1.0),
-        sqrt(col("n_min").cast("double") / col("n_vecs"))))
-      .withColumn("gate", floor(col("rate") * lit(1000000.0)).cast("long"))
-    asg.join(broadcast(rates), Seq("cent_id"))
-      .withColumn("kept",
-        (pmod(Dedup.hash48(concat(col("vec_id"), lit(":cmix"))),
-          lit(1000000L)) < col("gate")).cast("int"))
-      .groupBy(col("cent_id"), col("n_vecs"), col("rate"))
-      .agg(sum(col("kept")).as("n_kept"))
-      .select(col("cent_id"), col("n_vecs"), round(col("rate"), 6).as("rate"),
-        col("n_kept"))
-      .orderBy(col("cent_id"))
-  }
+  def clusterMix(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.temperatureRebalance(
+      IvfIndex.assign(index(spark, dir), seedCentroids(spark, dir))
+        .select(col("vec_id"), col("cent_id")),
+      keyCol = "cent_id", idCol = "vec_id", salt = ":cmix", countName = "n_vecs")
 
   val clusterMixSql: String = {
     import VectorSql.{cosine => cos}
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
-       |asg AS (
-       |  SELECT e.vec_id, c.cent_id,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
-       |  FROM embeddings e, cent c),
-       |a1 AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
-       |sizes AS (SELECT cent_id, COUNT(*) AS n_vecs FROM a1 GROUP BY cent_id),
-       |mn AS (SELECT MIN(n_vecs) AS n_min FROM sizes),
-       |rates AS (SELECT cent_id, n_vecs,
-       |    LEAST(1.0, sqrt(CAST(n_min AS DOUBLE) / n_vecs)) AS rate
-       |  FROM sizes, mn),
-       |d AS (SELECT a1.cent_id, n_vecs, rate,
-       |    CASE WHEN CAST('0x' || substr(md5(a1.vec_id || ':cmix'), 1, 12) AS BIGINT)
-       |              % 1000000 < CAST(FLOOR(rate * 1000000.0) AS BIGINT)
-       |         THEN 1 ELSE 0 END AS kept
-       |  FROM a1 JOIN rates USING (cent_id))
-       |SELECT cent_id, n_vecs, ROUND(rate, 6) AS rate,
-       |  CAST(SUM(kept) AS BIGINT) AS n_kept
-       |FROM d GROUP BY cent_id, n_vecs, rate ORDER BY cent_id""".stripMargin
+    val assignCtes =
+      s"""cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |asg AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+         |  FROM embeddings e, cent c),
+         |a1 AS (SELECT vec_id, cent_id FROM asg WHERE rn = 1),
+         |""".stripMargin
+    CorpusOps.temperatureRebalanceSql(prefixCte = assignCtes, from = "a1",
+      key = "cent_id", id = "vec_id", salt = ":cmix", countName = "n_vecs")
   }
 
   /** Q-hybrid: sparse–dense HYBRID retrieval with reciprocal-rank fusion —

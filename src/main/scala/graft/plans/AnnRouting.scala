@@ -295,25 +295,49 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     // The kernel must be reachable through MONOTONE-increasing wrappers
     // only — a DESC sort on ANY expression containing vec_dot is not
-    // enough: `ORDER BY 1 - cosine DESC` (farthest-first) or
-    // `ORDER BY -score DESC` contains the kernel but ranks the OPPOSITE
-    // way, and routing it to the nearest buckets would silently return
-    // near-zero-recall garbage. Accepted wrappers: alias, numeric cast,
-    // round, the zero-norm CASE guard (literal branch results, kernel in
-    // the else), and division with the kernel in the NUMERATOR and a
-    // kernel-free denominator (the norm product — positive by
-    // construction). Anything else — subtraction, negation, arbitrary
-    // arithmetic — declines.
-    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, RoundBase}
+    // enough: `ORDER BY 1 - cosine DESC` (farthest-first),
+    // `ORDER BY -score DESC`, or `ORDER BY score / -1.0 DESC` contains
+    // the kernel but ranks the OPPOSITE way, and routing it to the
+    // nearest buckets would silently return near-zero-recall garbage.
+    // Accepted wrappers, each with its monotonicity condition enforced,
+    // not assumed:
+    //  - alias; cast to a NUMERIC type (a string cast sorts
+    //    lexicographically — '-0.2' > '-0.1' — and must decline); round;
+    //  - the zero-norm CASE guard and ONLY it: a single branch whose
+    //    value is the literal 0 and whose predicate is kernel-free (a
+    //    general CASE with a constant arm, e.g. WHEN label=3 THEN 2.0,
+    //    re-ranks rows independently of the kernel and must decline);
+    //  - division with the kernel in the NUMERATOR and a denominator
+    //    PROVABLY non-negative: a product of vec_l2norm terms and/or
+    //    positive numeric literals. A negative or sign-unknown
+    //    denominator flips the order.
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, Literal, Multiply, RoundBase}
+    import org.apache.spark.sql.types.NumericType
+    def numericValue(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    def provablyNonNegative(e: Expression): Boolean = e match {
+      case _: graft.functions.L2Norm => true
+      case Multiply(a, b, _) => provablyNonNegative(a) && provablyNonNegative(b)
+      case l: Literal if l.dataType.isInstanceOf[NumericType] =>
+        Option(l.eval()).flatMap(numericValue).exists(_ >= 0.0)
+      case _ => false
+    }
+    def isLiteralZero(e: Expression): Boolean =
+      e.foldable && Option(e.eval()).flatMap(numericValue).contains(0.0)
     def monotoneKernel(e: Expression): Option[Expression] = e match {
       case DotProduct(a, q) if vecAttrOk(a) && q.foldable => Some(q)
       case DotProduct(q, a) if vecAttrOk(a) && q.foldable => Some(q)
       case al: Alias => monotoneKernel(al.child)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast => monotoneKernel(c.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType.isInstanceOf[NumericType] => monotoneKernel(c.child)
       case rn: RoundBase => monotoneKernel(rn.children.head)
-      case CaseWhen(branches, Some(els)) if branches.forall(_._2.foldable) =>
+      case CaseWhen(Seq((cond, value)), Some(els))
+          if isLiteralZero(value) && !cond.exists(_.isInstanceOf[DotProduct]) =>
         monotoneKernel(els)
-      case Divide(num, den, _) if !den.exists(_.isInstanceOf[DotProduct]) =>
+      case Divide(num, den, _) if provablyNonNegative(den) =>
         monotoneKernel(num)
       case _ => None
     }

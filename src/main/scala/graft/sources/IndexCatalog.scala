@@ -89,12 +89,24 @@ object IndexCatalog {
       .parquet(Paths.get(basePath, name, "centroids").toString)
 
   /** The sidecar exists only if its write COMMITTED: a JVM killed mid-
-    * write leaves the directory without Spark's _SUCCESS marker, and a
-    * bare-directory check would then skip the rewrite forever while every
-    * routed read fails (the createIfAbsent killed-build discipline,
-    * applied to the sidecar). */
-  def hasCentroids(basePath: String, name: String): Boolean =
-    Files.exists(Paths.get(basePath, name, "centroids", "_SUCCESS"))
+    * write leaves a directory with no _SUCCESS marker and (usually) a
+    * dangling `_temporary` child, and a bare-directory check would then
+    * skip the rewrite forever while every routed read fails (the
+    * createIfAbsent killed-build discipline, applied to the sidecar).
+    * Deployments that disable the success-marker option still commit by
+    * moving part files out of `_temporary`, so the fallback accepts a
+    * directory with committed part files and no `_temporary` residue —
+    * without it, such sessions would rebuild the sidecar on every call. */
+  def hasCentroids(basePath: String, name: String): Boolean = {
+    val dir = Paths.get(basePath, name, "centroids")
+    if (!Files.exists(dir)) return false
+    if (Files.exists(dir.resolve("_SUCCESS"))) return true
+    if (Files.exists(dir.resolve("_temporary"))) return false
+    val s = Files.list(dir)
+    try s.iterator().asScala.exists(p =>
+      p.getFileName.toString.startsWith("part-") && Files.size(p) > 0)
+    finally s.close()
+  }
 
   /** Descriptor read-back (the GET half of the reference's DDL,
     * `upsert/upsert.go:40-58`). */

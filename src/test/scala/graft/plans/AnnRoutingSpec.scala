@@ -103,6 +103,31 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     assert(!hasBucketInFilter(neg), "rule fired on a negated score")
   }
 
+  test("non-monotone wrappers the guard must decline: negative divisor, constant CASE arm, string cast") {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    def topBy(score: org.apache.spark.sql.Column) =
+      idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), score.as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+
+    // kernel / negative literal: DESC on it is farthest-first
+    assert(!hasBucketInFilter(topBy(
+      dotProduct(col("embedding"), q) / lit(-1.0))),
+      "rule fired on a negative-divisor ranking")
+    // general CASE with a non-zero constant arm: the constant re-ranks
+    // rows independently of the kernel (label-3 rows beat every cosine)
+    assert(!hasBucketInFilter(topBy(
+      when(col("label") === 3, lit(2.0))
+        .otherwise(cosineSim(col("embedding"), q)))),
+      "rule fired on a constant-dominated CASE ranking")
+    // string cast: lexicographic order is not numeric order
+    assert(!hasBucketInFilter(topBy(
+      round(cosineSim(col("embedding"), q), 6).cast("string"))),
+      "rule fired on a string-cast ranking")
+  }
+
   test("descending sort without a query-vector kernel: no rewrite") {
     val idx = IndexCatalog.load(spark, base, name)
     val df = idx.orderBy(col("vec_id").desc).limit(10)
