@@ -29,9 +29,15 @@ object VectorOps {
   /** A query vector as a SQL literal: Float.toString round-trips the
     * exact float, so CAST back to ARRAY<FLOAT> rebuilds bit-identical
     * values and literal-based scores equal the column-based ones to the
-    * last ulp. */
-  private[operators] def floatArraySqlLiteral(v: Seq[Float]): String =
+    * last ulp. Non-finite components are rejected up front — a bare
+    * `NaN`/`Infinity` token does not parse as SQL, so without the guard a
+    * corrupt query vector would surface as an opaque parse error at query
+    * build instead of this actionable message. */
+  private[operators] def floatArraySqlLiteral(v: Seq[Float]): String = {
+    require(v.forall(f => !f.isNaN && !f.isInfinite),
+      s"query vector contains a non-finite component: ${v.find(f => f.isNaN || f.isInfinite).get}")
     s"CAST(array(${v.mkString(", ")}) AS ARRAY<FLOAT>)"
+  }
 
   /** Q-knn: top-10 cosine neighbors of vector 0 (reference: topK query,
     * `main.go:101-106`, with K=1 generalized). */
@@ -416,6 +422,90 @@ object VectorOps {
          |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
          |    ROUND(${sparkCosineSql("embedding", qLit)}, 6) AS score
          |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  /** Q-l2-auto: OPTIMIZER-ROUTED EUCLIDEAN ANN — the q_knn_auto contract
+    * under the reference's other first-class metric (`upsert/upsert.go:27`
+    * documents euclidean alongside cosine/dotproduct). The user writes the
+    * naive nearest-first DISTANCE sort — `ORDER BY vec_l2dist(...) ASC
+    * LIMIT 10` over the full persisted index table — and the extended
+    * [[graft.plans.AnnRouting]] rule (which previously matched only DESC
+    * similarity sorts, leaving exactly this query to silently full-scan)
+    * rewrites it into the probed scan: probe selection picks the nprobe=4
+    * centroids NEAREST BY L2 (not cosine — the probe geometry must match
+    * the ranking geometry), the `bucket IN (...)` PartitionFilter prunes
+    * the scan, and the ASC Sort+Limit collapses to TakeOrderedAndProject.
+    * The oracle replays the routed semantics exactly: cosine assignment
+    * (how the index was BUILT), L2 probe selection, L2 ranking within the
+    * probed buckets. Negative forms (DESC distance = farthest-first,
+    * `-l2 ASC`) are spec-gated to decline. */
+  def l2Auto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(vec_l2dist(embedding, $qLit), 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  val l2AutoSql: String = {
+    import VectorSql.{cosine => cos, l2dist}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |pr AS (SELECT cent_id FROM cent, q
+       |       ORDER BY ${l2dist("cent.ce", "q.qe")} ASC, cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${l2dist("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Q-knn-auto-filtered: the ROUTED + FILTERED composition — q_knn_auto's
+    * naive SQL with a user metadata predicate (`label = 3`) added, proving
+    * at the optimizer level what q_ann_filtered proves programmatically:
+    * the AnnRouting rewrite composes with user predicates instead of being
+    * displaced by them. One plan carries BOTH filter classes — the user's
+    * `label = 3` (a partition filter on this label/bucket-partitioned
+    * layout, directory pruning) AND the injected `bucket IN (...)` probe
+    * set (PartitionFilters from the rewrite), with `vec_id <> 0` pushed to
+    * the Parquet scan as a data filter — so the scan reads only the
+    * label-3 slices of the 4 probed bucket directories. Probe selection is
+    * UNCHANGED by the filter (the q_ann_filtered semantics: probes are
+    * chosen by the query alone, the predicate restricts candidates inside
+    * them), which is why the oracle is exactly annFilteredSql. */
+  def knnAutoFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(${sparkCosineSql("embedding", qLit)}, 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0 AND label = 3)
          |SELECT vec_id, label, cent_id, score FROM scored
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
   }
@@ -858,7 +948,15 @@ object VectorOps {
   def ivfDrift(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    val counts = IndexCatalog.load(spark, base, name)
+    balanceTable(IndexCatalog.load(spark, base, name))
+  }
+
+  /** ONE per-bucket balance computation shared by the monitor
+    * (q_ivf_drift) and the rebuild verifier (q_ivf_rebuild) — a threshold
+    * or rounding change must reach both ends of the monitor/actuator pair
+    * through this definition. */
+  private[graft] def balanceTable(idx: DataFrame): DataFrame = {
+    val counts = idx
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_vectors"))
     val tot = counts.agg(
@@ -875,9 +973,13 @@ object VectorOps {
       .orderBy(col("bucket"))
   }
 
-  val ivfDriftSql: String = {
+  /** The balance-table oracle, parametrized by the centroid set the
+    * persisted layout is expected to realize (q_ivf_drift: the 16 seed
+    * centroids; q_ivf_rebuild: the 16 stride centroids the rebuild
+    * re-trains onto). */
+  private def balanceOracleSql(centWhere: String): String = {
     import VectorSql.{cosine => cos}
-    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE $centWhere),
        |asg AS (
        |  SELECT e.vec_id, c.cent_id,
        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -894,6 +996,65 @@ object VectorOps {
        |       THEN 1 ELSE 0 END AS overloaded
        |FROM c, t ORDER BY bucket""".stripMargin
   }
+
+  val ivfDriftSql: String = balanceOracleSql("vec_id < 16")
+
+  /** The PLANTED-DRIFT index for q_ivf_rebuild: a deliberately degenerate
+    * bucketing (vectors 0..2 each alone in a bucket, EVERYTHING else in
+    * bucket 3 — the extreme form of what data drift does to a
+    * trained-once layout) with a stale 4-centroid sidecar. Its own index
+    * name, never shared with the q_knn_auto/q_ann_ivf_persisted family:
+    * the rebuild REWRITES the data tree, and rewriting the shared index
+    * would desynchronize every oracle that replays its seed-centroid
+    * assignment. */
+  private def ensureDriftedIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-ivf-rebuild"
+    if (!IndexCatalog.exists(base, name)) {
+      val data = Tables.embeddings(spark, dir)
+        .withColumn("bucket", least(col("vec_id"), lit(3L)))
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("bucket"))
+    }
+    if (!IndexCatalog.hasCentroids(base, name))
+      IndexCatalog.writeCentroids(spark, base, name,
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")))
+    (base, name)
+  }
+
+  /** The deterministic re-training target for q_ivf_rebuild: 16 stride
+    * centroids (vec_id 0, 5, …, 75) — a stand-in for k-means output that
+    * the oracle can replay exactly (Lloyd means are not bit-replayable
+    * across engines; [[graft.sources.Maintenance.rebuildIvfTrained]] is
+    * the production k-means path, spec-gated instead). */
+  private def strideCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0 && col("vec_id") < 80)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding"))
+
+  /** Q-ivf-rebuild: the REBUILD/REBALANCE operator closing q_ivf_drift's
+    * monitor loop (r9 verdict gap #2). Starting from the planted-drift
+    * layout (one bucket holding ~all vectors — the monitor would flag it
+    * at balance ≈ n_buckets), [[graft.sources.Maintenance.rebuildIvf]]
+    * re-assigns every vector to 16 new centroids, swaps in the rewritten
+    * partition tree, refreshes the centroid sidecar, and invalidates the
+    * routing caches. The declared result is the post-rebuild balance
+    * table read from the PERSISTED layout, so a green row proves the
+    * rewritten tree equals its definition (the q_ivf_drift consistency
+    * discipline applied to the rebuild output); the planted-drift
+    * before/after and the routed-search-after-rebuild behavior are
+    * spec-gated in IvfRebuildSpec. */
+  def ivfRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IndexCatalog, Maintenance}
+    val (base, name) = ensureDriftedIndex(spark, dir)
+    Maintenance.rebuildIvf(spark, base, name, strideCentroids(spark, dir))
+    balanceTable(IndexCatalog.load(spark, base, name))
+  }
+
+  val ivfRebuildSql: String = balanceOracleSql("vec_id % 5 = 0 AND vec_id < 80")
 
   /** MMR trade-off weights. The complement is a LITERAL, not `1 - lambda`
     * (whose IEEE value 0.30000000000000004 would diverge from the oracle's
@@ -1019,6 +1180,7 @@ object VectorOps {
     "q_ann_filtered" -> (annFiltered _),
     "q_knn_filtered" -> (knnFiltered _),
     "q_ivf_drift" -> (ivfDrift _),
+    "q_ivf_rebuild" -> (ivfRebuild _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
     "q_recall_eval" -> (recallEval _),
@@ -1038,6 +1200,8 @@ object VectorOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_knn_auto" -> (knnAuto _),
+    "q_l2_auto" -> (l2Auto _),
+    "q_knn_auto_filtered" -> (knnAutoFiltered _),
     "q_knn_meta" -> (knnMeta _),
     "q_cluster_mix" -> (clusterMix _))
 
@@ -1046,6 +1210,7 @@ object VectorOps {
     "q_ann_filtered" -> annFilteredSql,
     "q_knn_filtered" -> knnFilteredSql,
     "q_ivf_drift" -> ivfDriftSql,
+    "q_ivf_rebuild" -> ivfRebuildSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_recall_eval" -> recallEvalSql,
@@ -1069,6 +1234,12 @@ object VectorOps {
     // and the optimizer-routed form must land on the identical result —
     // naive SQL in, probed-IVF plan out (AnnRouting)
     "q_knn_auto" -> annIvfSql,
+    // the euclidean route replays its own probe geometry (L2 probes, L2
+    // ranking) over the same cosine-built layout
+    "q_l2_auto" -> l2AutoSql,
+    // routed + filtered must equal the programmatic filtered-IVF search:
+    // same probes, the predicate restricts candidates inside them
+    "q_knn_auto_filtered" -> annFilteredSql,
     "q_knn_meta" -> knnMetaSql,
     "q_cluster_mix" -> clusterMixSql)
 }

@@ -4,9 +4,9 @@ import java.nio.file.Paths
 
 import scala.collection.concurrent.TrieMap
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, L2Distance}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, ExprId, In, IntegerLiteral, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, ExprId, In, IntegerLiteral, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -31,9 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   * Mechanics of one rewrite:
   *  1. match `GlobalLimit(k, LocalLimit(k, Sort(key DESC, ...)))`;
   *  2. resolve `key` through Project aliases below the sort, and require it
-  *     to contain `vec_dot(<vector column>, <foldable query literal>)` —
-  *     the shared kernel of the cosine and dotproduct rankings (euclidean
-  *     ranks ASC and never matches). The foldable side IS the query vector;
+  *     to contain a scoring kernel over a foldable query literal: DESC
+  *     sorts must reach `vec_dot(<vector column>, <query>)` — the shared
+  *     kernel of the cosine and dotproduct rankings — through
+  *     monotone-INCREASING wrappers (or an antitone wrapper around the
+  *     euclidean kernel, e.g. `1 - vec_l2dist(...)`); ASC sorts must reach
+  *     `vec_l2dist(<vector column>, <query>)` — the euclidean DISTANCE
+  *     ranks nearest-first ascending (`upsert/upsert.go:27` documents
+  *     euclidean as a first-class index metric). The foldable side IS the
+  *     query vector;
   *  3. the scan below must be a `LogicalRelation` whose root path is a
   *     registered index's `data/` directory (nothing fires on unregistered
   *     tables — negative-tested);
@@ -85,7 +91,7 @@ object AnnRouting {
     * batch may visit a plan several times, and repeated queries against
     * the same index should not re-read the sidecar. */
   private val centroidCache = TrieMap.empty[String, Array[(Long, Array[Double], Double)]]
-  private val probeCache = TrieMap.empty[(String, Seq[Double]), Seq[Long]]
+  private val probeCache = TrieMap.empty[(String, String, Seq[Double]), Seq[Long]]
 
   /** Bound on probeCache: a serving session sees a distinct query vector
     * per user query, and exact-vector repeats are what the cache exists
@@ -112,9 +118,19 @@ object AnnRouting {
     require(kind == "ivf" || kind == "lsh", s"unknown route kind '$kind'")
     routes.put(dataPath(base, name), Route(base, name, nprobe, vecCol, kind))
     // the sidecar may have been rewritten since a previous registration
-    centroidCache.remove(dataPath(base, name))
-    probeCache.filterInPlace { case ((p, _), _) => p != dataPath(base, name) }
+    invalidate(base, name)
     install(spark)
+  }
+
+  /** Drop the driver-side centroid/probe caches for one index — REQUIRED
+    * after any rewrite of the persisted sidecar (the rebuild path,
+    * [[graft.sources.Maintenance.rebuildIvf]]): a route planned against
+    * stale cached centroids would probe buckets that no longer match the
+    * on-disk layout. Registration calls this too. */
+  def invalidate(base: String, name: String): Unit = {
+    val p = dataPath(base, name)
+    centroidCache.remove(p)
+    probeCache.filterInPlace { case ((path, _, _), _) => path != p }
   }
 
   /** Drop a route (tests; also the sane response to dropping the index). */
@@ -163,47 +179,74 @@ object AnnRouting {
       }.sortBy(_._1)
     })
 
-  /** Probe selection per route kind, computed on the driver and cached.
+  /** Probe selection per route kind and METRIC, computed on the driver
+    * and cached.
     *
-    * IVF: the exact [[graft.operators.IvfIndex.probes]] semantics —
+    * IVF cosine: the exact [[graft.operators.IvfIndex.probes]] semantics —
     * cosine via sequential double accumulation, zero-norm guard to 0,
     * DESC with NaN greatest (Spark's sort order for doubles), cent_id
     * ascending tiebreak.
     *
-    * LSH: the [[graft.operators.RandomHyperplaneLsh]] multi-probe set —
-    * the query's own bucket (sign of the projection onto each
-    * deterministic ±1 plane) followed by its hamming-1 neighbors in plane
-    * order, capped at nprobe. The projection replays `bucketOf`'s
-    * arithmetic exactly (sequential double accumulation over the same
-    * plane constants). */
+    * IVF euclidean: nearest centroids by L2 DISTANCE ascending (sequential
+    * double accumulation of squared diffs, same as [[graft.functions
+    * .L2Distance]]), NaN greatest = last, cent_id ascending tiebreak — the
+    * probe model for an `ORDER BY l2 ASC LIMIT k` route.
+    *
+    * LSH (cosine only — the random-hyperplane family approximates ANGULAR
+    * similarity; an euclidean route over it is declined upstream): the
+    * [[graft.operators.RandomHyperplaneLsh]] multi-probe set — the query's
+    * own bucket (sign of the projection onto each deterministic ±1 plane)
+    * followed by its hamming-1 neighbors in plane order, capped at nprobe.
+    * The projection replays `bucketOf`'s arithmetic exactly (sequential
+    * double accumulation over the same plane constants). */
   private[plans] def probeBuckets(spark: SparkSession, route: Route,
-                                  query: Array[Double]): Seq[Long] = {
-    if (probeCache.size >= ProbeCacheMax) probeCache.clear()
+                                  query: Array[Double],
+                                  metric: String = "cosine"): Seq[Long] = {
+    // bound check-then-clear under a lock: concurrent planners racing the
+    // wholesale clear only ever cost a re-plan, but the lock makes the
+    // bound exact instead of approximately enforced
+    if (probeCache.size >= ProbeCacheMax)
+      synchronized { if (probeCache.size >= ProbeCacheMax) probeCache.clear() }
     probeCache.getOrElseUpdate(
-      (dataPath(route.base, route.name), query.toIndexedSeq), {
+      (dataPath(route.base, route.name), metric, query.toIndexedSeq), {
         if (route.kind == "lsh") lshProbes(route, query)
-        else ivfProbes(spark, route, query)
+        else ivfProbes(spark, route, query, metric)
       })
   }
 
   private def ivfProbes(spark: SparkSession, route: Route,
-                        query: Array[Double]): Seq[Long] = {
+                        query: Array[Double], metric: String): Seq[Long] = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
     val scored = centroids(spark, route).map { case (id, vec, cNorm) =>
       require(vec.length == query.length,
         s"ann routing: query dim ${query.length} != centroid dim ${vec.length}")
-      var dot = 0.0
-      var i = 0
-      while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
-      val denom = cNorm * qNorm
-      val cos = if (denom == 0.0) 0.0 else dot / denom
-      (id, cos)
+      metric match {
+        case "euclidean" =>
+          var ss = 0.0
+          var i = 0
+          while (i < vec.length) {
+            val d = vec(i) - query(i); ss += d * d; i += 1
+          }
+          (id, math.sqrt(ss))
+        case _ =>
+          var dot = 0.0
+          var i = 0
+          while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
+          val denom = cNorm * qNorm
+          (id, if (denom == 0.0) 0.0 else dot / denom)
+      }
     }
-    scored.sortWith { case ((idA, sA), (idB, sB)) =>
-      // Spark Descending: NaN sorts greatest, then cent_id asc tiebreak
-      val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
-      if (c != 0) c < 0 else idA < idB
-    }.take(route.nprobe).map(_._1).toSeq
+    val best: ((Long, Double), (Long, Double)) => Boolean =
+      if (metric == "euclidean") { case ((idA, sA), (idB, sB)) =>
+        // ascending distance: NaN (total-order largest) sorts last
+        val c = java.lang.Double.compare(sA, sB)
+        if (c != 0) c < 0 else idA < idB
+      } else { case ((idA, sA), (idB, sB)) =>
+        // Spark Descending: NaN sorts greatest, then cent_id asc tiebreak
+        val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
+        if (c != 0) c < 0 else idA < idB
+      }
+    scored.sortWith(best).take(route.nprobe).map(_._1).toSeq
   }
 
   private def lshProbes(route: Route, query: Array[Double]): Seq[Long] = {
@@ -256,7 +299,6 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def route(orders: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
                     child: LogicalPlan): Option[LogicalPlan] = {
     val head = orders.headOption.getOrElse(return None)
-    if (head.direction != Descending) return None
 
     // the one registered index scan below (exactly one — ambiguity = no-op),
     // not already guarded by a bucket predicate
@@ -270,9 +312,37 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val r = routeFor(path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
+    // A user bucket predicate anywhere between the sort and the relation
+    // means the buckets were already chosen — routing on top would
+    // silently INTERSECT probe sets and shrink recall below what the user
+    // asked for. `bucket` may be re-exposed under new ExprIds by aliasing
+    // Projects (`SELECT bucket AS b …`), so the guard chases aliases of
+    // the relation's bucket attribute transitively before checking the
+    // Filter conditions.
+    val bucketIds: Set[ExprId] = {
+      var ids = Set(bucketAttr.exprId)
+      var changed = true
+      while (changed) {
+        changed = false
+        child.foreach {
+          case p: Project => p.projectList.foreach {
+            case a: Alias => a.child match {
+              case ar: AttributeReference
+                  if ids.contains(ar.exprId) && !ids.contains(a.exprId) =>
+                ids += a.exprId; changed = true
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+      ids
+    }
     val alreadyRouted = child.exists {
       case Filter(cond, grandchild) =>
-        grandchild.exists(_ eq relation) && cond.references.contains(bucketAttr)
+        grandchild.exists(_ eq relation) &&
+          cond.references.exists(ref => bucketIds.contains(ref.exprId))
       case _ => false
     }
     if (alreadyRouted) return None
@@ -311,7 +381,18 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //    PROVABLY non-negative: a product of vec_l2norm terms and/or
     //    positive numeric literals. A negative or sign-unknown
     //    denominator flips the order.
-    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, Literal, Multiply, RoundBase}
+    //
+    // The EUCLIDEAN metric ranks nearest-first ASCENDING on the
+    // vec_l2dist kernel, so direction selects the kernel family:
+    //  - ASC sorts must reach vec_l2dist through the same
+    //    monotone-increasing wrappers (ASC on cosine would be
+    //    farthest-first — decline);
+    //  - DESC sorts may ALSO reach vec_l2dist through one antitone
+    //    wrapper — `<numeric literal> - l2` or `-l2` — which flips a
+    //    descending sort back to nearest-first (the `ORDER BY 1 -
+    //    distance DESC` form a similarity-shaped API emits). A second
+    //    negation is declined (conservative: decline-by-default).
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, Literal, Multiply, RoundBase, Subtract, UnaryMinus}
     import org.apache.spark.sql.types.NumericType
     def numericValue(v: Any): Option[Double] = v match {
       case n: Number => Some(n.doubleValue)
@@ -327,6 +408,9 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     def isLiteralZero(e: Expression): Boolean =
       e.foldable && Option(e.eval()).flatMap(numericValue).contains(0.0)
+    def isNumericLiteral(e: Expression): Boolean =
+      e.foldable && e.dataType.isInstanceOf[NumericType] &&
+        Option(e.eval()).flatMap(numericValue).isDefined
     def monotoneKernel(e: Expression): Option[Expression] = e match {
       case DotProduct(a, q) if vecAttrOk(a) && q.foldable => Some(q)
       case DotProduct(q, a) if vecAttrOk(a) && q.foldable => Some(q)
@@ -341,10 +425,45 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         monotoneKernel(num)
       case _ => None
     }
-    val queryLit = monotoneKernel(key).getOrElse(return None)
+    // vec_l2dist reached through monotone-increasing wrappers only (no
+    // CASE guard: the distance kernel has no zero-norm branch to guard)
+    def monotoneL2(e: Expression): Option[Expression] = e match {
+      case L2Distance(a, q) if vecAttrOk(a) && q.foldable => Some(q)
+      case L2Distance(q, a) if vecAttrOk(a) && q.foldable => Some(q)
+      case al: Alias => monotoneL2(al.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType.isInstanceOf[NumericType] => monotoneL2(c.child)
+      case rn: RoundBase => monotoneL2(rn.children.head)
+      case Divide(num, den, _) if provablyNonNegative(den) =>
+        monotoneL2(num)
+      case _ => None
+    }
+    // exactly ONE antitone wrapper (lit - l2, or -l2) around the monotone
+    // l2 form — DESC on it is nearest-first
+    def antitoneL2(e: Expression): Option[Expression] = e match {
+      case al: Alias => antitoneL2(al.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType.isInstanceOf[NumericType] => antitoneL2(c.child)
+      case rn: RoundBase => antitoneL2(rn.children.head)
+      case UnaryMinus(inner, _) => monotoneL2(inner)
+      case Subtract(l, inner, _) if isNumericLiteral(l) => monotoneL2(inner)
+      case _ => None
+    }
+    val (queryLit, metric) = head.direction match {
+      case Descending =>
+        monotoneKernel(key).map((_, "cosine"))
+          .orElse(antitoneL2(key).map((_, "euclidean")))
+          .getOrElse(return None)
+      case Ascending =>
+        monotoneL2(key).map((_, "euclidean")).getOrElse(return None)
+    }
+    // the random-hyperplane LSH family buckets by ANGLE: routing an
+    // euclidean ranking through it would probe buckets chosen under the
+    // wrong geometry — decline, the brute plan stays correct
+    if (metric == "euclidean" && r.kind != "ivf") return None
 
     val query = evalVector(queryLit).getOrElse(return None)
-    val probes = probeBuckets(spark, r, query)
+    val probes = probeBuckets(spark, r, query, metric)
     if (probes.isEmpty) return None
     val lits = probes.map(b => bucketLiteral(b, bucketAttr.dataType))
     logInfo(s"ann routing: rewriting top-K sort over ${r.name} to " +

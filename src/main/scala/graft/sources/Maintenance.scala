@@ -2,8 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, xxhash64}
 
 /** Table maintenance — the small-file problem. A long-running ingest
   * (streaming micro-batches, repeated upserts) accretes many small part
@@ -154,6 +154,87 @@ object Maintenance {
       buf.toSeq
     } finally s.close()
     all.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** IVF index REBUILD — the actuator that closes the q_ivf_drift
+    * monitor's loop (the monitor flags overloaded buckets; until now
+    * nothing acted on them, so a drifted index kept degrading probe
+    * recall). Re-assigns EVERY stored vector to the caller-provided new
+    * centroids (the shared [[graft.operators.IvfIndex.assign]] broadcast
+    * argmax — map-side, no window), rewrites the data tree under the
+    * index's own derived partition layout, refreshes the centroid
+    * sidecar, and invalidates [[graft.plans.AnnRouting]]'s driver-side
+    * caches so a live route plans its next query against the NEW layout
+    * (a stale cached codebook would probe buckets that no longer exist —
+    * exactly the hazard the r9 verdict flagged at AnnRouting.scala:87).
+    *
+    * Scale shape: a rebuild is inherently O(index) — one broadcast-argmax
+    * assignment pass + one shuffle on the partition columns + a full
+    * rewrite; that is the cost the q_ivf_drift monitor exists to GATE
+    * (run it when balance degrades, not on a schedule). The rewrite goes
+    * through a staging directory and a directory swap, never a
+    * read-and-overwrite of the live tree (Spark refuses self-overwrite;
+    * a localCheckpoint would materialize the whole index in executor
+    * memory — fine at test SF, not at 100 TB). Crash honesty: the swap
+    * (retire `data`, promote staging) is two renames and is NOT atomic —
+    * a crash between them leaves `data-old` holding the intact previous
+    * tree for manual rollback; a real deployment runs the swap under a
+    * table-format transaction, which is exactly what the compaction
+    * manifest above simulates for the in-place case. */
+  def rebuildIvf(spark: SparkSession, basePath: String, name: String,
+                 newCentroids: DataFrame): Unit = {
+    import graft.operators.{IvfIndex, KnnSearch}
+    require(IndexCatalog.exists(basePath, name), s"no such index: $name")
+    val layout = IndexCatalog.partitionLayout(basePath, name)
+    require(layout.contains("bucket"),
+      s"rebuildIvf targets bucket-partitioned indexes; $name has layout " +
+        layout.mkString("/"))
+    val idx = IndexCatalog.load(spark, basePath, name)
+    val cent = KnnSearch.withNorm(
+      newCentroids.select(col("cent_id"), col("c_embedding")), "c_embedding")
+      .withColumnRenamed("vec_norm", "c_norm")
+    // re-bucket: drop the stale bucket, argmax-assign against the new
+    // centroids; every other stored column (vec_norm included — norms are
+    // invariant under re-bucketing) rides the assign payload
+    val reassigned = IvfIndex.assign(idx.drop("bucket"), cent)
+      .withColumnRenamed("cent_id", "bucket")
+      .select(idx.columns.toIndexedSeq.map(col): _*)
+    val dataDir = Paths.get(basePath, name, "data")
+    val staging = Paths.get(basePath, name, "data-rebuild")
+    val retired = Paths.get(basePath, name, "data-old")
+    deleteRecursively(staging)
+    reassigned
+      .repartition(layout.map(col): _*) // one file per partition directory
+      .write.mode("overwrite").partitionBy(layout: _*).parquet(staging.toString)
+    deleteRecursively(retired)
+    Files.move(dataDir, retired)
+    Files.move(staging, dataDir)
+    deleteRecursively(retired)
+    IndexCatalog.writeCentroids(spark, basePath, name,
+      newCentroids.select(col("cent_id"), col("c_embedding")))
+    graft.plans.AnnRouting.invalidate(basePath, name)
+  }
+
+  /** Rebuild-with-RETRAINING: Lloyd k-means on a bounded deterministic
+    * sample (the [[graft.operators.PqIndex.TrainCap]] discipline —
+    * training cost constant in corpus size, hash-ordered top-N sample so
+    * retries train on identical points), then [[rebuildIvf]] with the
+    * learned centroids. The declared q_ivf_rebuild query uses fixed
+    * centroids instead (k-means means are not oracle-replayable across
+    * engines); this path is the production form, gated by IvfRebuildSpec
+    * (balance restored, routed search correct post-rebuild). */
+  def rebuildIvfTrained(spark: SparkSession, basePath: String, name: String,
+                        k: Int, iterations: Int = 3): Unit = {
+    import graft.operators.{IvfIndex, PqIndex}
+    val desc = IndexCatalog.describe(basePath, name).getOrElse(
+      throw new IllegalArgumentException(s"no such index: $name"))
+    val sample = IndexCatalog.load(spark, basePath, name)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(PqIndex.TrainCap)
+      .localCheckpoint(true)
+    val cent = IvfIndex.trainCentroids(sample, k, desc.dimension, iterations)
+    rebuildIvf(spark, basePath, name,
+      cent.select(col("cent_id"), col("c_embedding")))
   }
 
   /** File-count census per partition directory — the health metric that

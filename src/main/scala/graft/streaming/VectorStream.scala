@@ -190,12 +190,16 @@ object VectorStream {
   }
 
   private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, StandardCopyOption}
     scala.util.Using.resource(Files.walk(from)) { s =>
       s.forEach { p =>
         val dest = to.resolve(from.relativize(p))
         if (Files.isDirectory(p)) Files.createDirectories(dest)
-        else Files.copy(p, dest)
+        // REPLACE_EXISTING makes the clone idempotent: today the
+        // destination is always a fresh Scratch.dir, but a retry after a
+        // partial copy (or any future destination reuse) must overwrite,
+        // not throw FileAlreadyExistsException
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
       }
     }
   }

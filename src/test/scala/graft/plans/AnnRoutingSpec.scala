@@ -176,6 +176,106 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     AnnRouting.unregister(tmpBase, tiny)
   }
 
+  test("q_l2_auto: ascending vec_l2dist routes with L2 probe geometry") {
+    import graft.functions.VectorFunctions._
+    val auto = VectorOps.l2Auto(spark, sfDir)
+    assert(hasBucketInFilter(auto), "euclidean route did not fire")
+    // programmatic twin: probe the 4 centroids nearest BY L2, then exact
+    // L2 ranking within the probed buckets of the persisted layout
+    val q = typedlit[Seq[Float]](queryVec)
+    val probeIds = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      .withColumn("d", l2Dist(col("ce"), q))
+      .orderBy(col("d").asc, col("cent_id")).limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    val expected = IndexCatalog.loadBuckets(spark, base, name, probeIds)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        col("bucket").cast("long").as("cent_id"),
+        round(l2Dist(col("embedding"), q), 6).as("score"))
+      .orderBy(col("score").asc, col("vec_id")).limit(10)
+    // the twin carries its OWN bucket predicate (loadBuckets), so the
+    // alreadyRouted guard must leave it unrouted — double routing would
+    // intersect probe sets
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    auto.collect().map(norm) should contain theSameElementsInOrderAs
+      expected.collect().map(norm)
+  }
+
+  test("farthest-first euclidean forms decline: l2 DESC and -l2 ASC") {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    val farthest = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), round(l2Dist(col("embedding"), q), 6).as("d"))
+      .orderBy(col("d").desc, col("vec_id")).limit(10)
+    assert(!hasBucketInFilter(farthest),
+      "rule fired on a DESC distance sort (farthest-first)")
+    val negAsc = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), (-l2Dist(col("embedding"), q)).as("nd"))
+      .orderBy(col("nd").asc, col("vec_id")).limit(10)
+    assert(!hasBucketInFilter(negAsc),
+      "rule fired on an ASC negated distance (farthest-first)")
+  }
+
+  test("1 - l2 DESC (one antitone wrapper) routes nearest-first") {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    val df = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), (lit(1.0) - l2Dist(col("embedding"), q)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+    assert(hasBucketInFilter(df),
+      "similarity-shaped euclidean form (1 - l2 DESC) did not route")
+    // same ids as the direct ASC routed form
+    val asc = VectorOps.l2Auto(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe asc
+  }
+
+  test("q_knn_auto_filtered: one plan carries the user partition filter AND the probe set") {
+    val df = VectorOps.knnAutoFiltered(spark, sfDir)
+    assert(hasBucketInFilter(df), "routed+filtered composition did not route")
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
+    pf.toLowerCase should include("bucket")
+    pf.toLowerCase should include("label")
+    plan should include("PushedFilters")
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    val expected = VectorOps.annFiltered(spark, sfDir).collect().map(norm)
+    df.collect().map(norm) should contain theSameElementsInOrderAs expected
+  }
+
+  test("bucket predicate hidden behind a re-aliasing Project still blocks routing") {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    // the user chose their own buckets, then re-aliased the column: the
+    // alreadyRouted guard must chase the alias and DECLINE, not inject a
+    // second probe set that intersects the user's choice
+    val df = idx.select(col("vec_id"), col("embedding"),
+        col("bucket").as("b"))
+      .filter(col("b").cast("long").isin(0L, 1L))
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), q), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+    // the user's own pushed-down `bucket IN (0,1)` is one In-filter; a
+    // double-route would inject a SECOND one carrying the probe set
+    val bucketInSets = df.queryExecution.optimizedPlan.collect {
+      case Filter(cond, _) => cond.collect {
+        case In(a: AttributeReference, vs) if a.name == "bucket" =>
+          vs.map(_.toString).toSet
+      }
+    }.flatten
+    bucketInSets should have size 1
+    bucketInSets.head shouldBe Set("0", "1")
+  }
+
   test("routing is deterministic across repeated optimization") {
     val a = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
     val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
