@@ -122,9 +122,13 @@ object VectorOps {
     KnnSearch.knnJoinLarge(Tables.embeddings(spark, dir), dim = 64, k = 3)
       .orderBy(col("query_id"), col("rank"))
 
-  val knnJoinLargeSql: String = {
+  /** The LSH-bucketed corpus-vs-corpus ranked-edges CTEs (b → scored →
+    * ranked), shared verbatim by q_knn_join_large and the k-NN-graph
+    * oracle (GraphOps.knnGraphSql) — the two must replay identical bucket
+    * arithmetic, scoring, and tiebreaks or their edge sets drift apart. */
+  private[operators] val lshRankedEdgesCtes: String = {
     import VectorSql.{cosine => cos}
-    s"""WITH b AS (SELECT vec_id, label, embedding,
+    s"""b AS (SELECT vec_id, label, embedding,
        |             ${RandomHyperplaneLsh.bucketSqlPublic("embedding")} AS bucket
        |           FROM embeddings),
        |scored AS (
@@ -134,10 +138,13 @@ object VectorOps {
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                               ORDER BY score DESC, vec_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val knnJoinLargeSql: String =
+    s"""WITH $lshRankedEdgesCtes
        |SELECT query_id, vec_id, label, score, rank FROM ranked
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Q-fetch: point lookup by id (reference `vectors/fetch?ids=`,
     * `main.go:143`); the predicate reaches the Parquet scan. */
@@ -924,6 +931,47 @@ object VectorOps {
        |FROM rk WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Q-ann-batch-auto: the BATCHED form of optimizer routing — the same
+    * naive SQL a user writes for multi-query serving (an inline VALUES
+    * query table, per-query ROW_NUMBER rank, `WHERE rank <= 10`; the
+    * q_ann_batch shape, which has no global Sort+Limit and so never
+    * matched the single-query rewrite) routed by [[graft.plans
+    * .AnnRouting]]'s window-rank pattern: per-query probe sets are
+    * computed at plan time from the literal query table (capped at
+    * [[graft.plans.AnnRouting.BatchRouteCap]] queries — above it the
+    * exact plan stands), a per-(q_id, bucket) predicate above the join
+    * enforces that each query ranks only its OWN probed buckets, and the
+    * probe-set UNION lands on the scan as the partition filter. Pinned to
+    * q_ann_batch's oracle: routed batch serving must equal the
+    * programmatic batched IVF search row for row. */
+  def annBatchAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val rows = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(0L, 7L, 13L))
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => s"(${r.getLong(0)}L, ${floatArraySqlLiteral(r.getSeq[Float](1))})")
+      .mkString(",\n         ")
+    spark.sql(
+      s"""WITH q AS (SELECT * FROM VALUES
+         |         $rows AS t(q_id, qe)),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, e.label, CAST(e.bucket AS BIGINT) AS cent_id,
+         |    ROUND(${sparkCosineSql("e.embedding", "q.qe")}, 6) AS score
+         |  FROM emb_indexed e CROSS JOIN q
+         |  WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |                               ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, label, cent_id, score FROM ranked
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  }
+
   /** Overload threshold for [[ivfDrift]]: a bucket holding > 1.5× its
     * fair share is flagged for split/rebalance. */
   val IvfBalanceThreshold = 1.5
@@ -1177,6 +1225,7 @@ object VectorOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_batch" -> (annBatch _),
+    "q_ann_batch_auto" -> (annBatchAuto _),
     "q_ann_filtered" -> (annFiltered _),
     "q_knn_filtered" -> (knnFiltered _),
     "q_ivf_drift" -> (ivfDrift _),
@@ -1207,6 +1256,9 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,
+    // the routed batch must land on the programmatic batched search's
+    // exact rows — naive window-rank SQL in, per-query probed plan out
+    "q_ann_batch_auto" -> annBatchSql,
     "q_ann_filtered" -> annFilteredSql,
     "q_knn_filtered" -> knnFilteredSql,
     "q_ivf_drift" -> ivfDriftSql,

@@ -101,6 +101,15 @@ object AnnRouting {
     * impossible. */
   private val ProbeCacheMax = 4096
 
+  /** Bound on the BATCHED rewrite's query-table size: M queries inject an
+    * M-term OR predicate and M driver-side probe computations at PLAN
+    * time — fine for a serving batch (tens of queries), wrong for a
+    * million-row query table (that is the knnJoinLarge shape, not a
+    * literal VALUES list, and it never reaches this rule anyway because a
+    * corpus-sized query side is not a LocalRelation). Above the cap the
+    * rewrite declines and the exact plan stands. */
+  val BatchRouteCap = 64
+
   private def canonical(p: String): String =
     new java.io.File(p).getCanonicalPath
 
@@ -262,7 +271,13 @@ object AnnRouting {
   }
 }
 
-/** The rewrite rule itself — see [[AnnRouting]] for the full contract. */
+/** The rewrite rule itself — see [[AnnRouting]] for the full contract.
+  * Two shapes are matched: the single-query `GlobalLimit(Sort)` top-K
+  * (cosine/dot DESC or euclidean ASC over a foldable query literal), and
+  * the BATCHED window-rank form (`Filter(rank <= k, Window(row_number
+  * PARTITION BY q_id ORDER BY score DESC)))` over a literal M-row query
+  * table — the q_ann_batch shape, which never passes through a global
+  * Sort+Limit and so never matched the first pattern. */
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import AnnRouting._
 
@@ -271,7 +286,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // registered route there is nothing to do — skip the tree walk (and
     // registeredPath's canonicalization syscalls) entirely
     if (!AnnRouting.hasRoutes) return plan
-    applyRouting(plan)
+    applyBatchRouting(applyRouting(plan))
   }
 
   private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -300,64 +315,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                     child: LogicalPlan): Option[LogicalPlan] = {
     val head = orders.headOption.getOrElse(return None)
 
-    // the one registered index scan below (exactly one — ambiguity = no-op),
-    // not already guarded by a bucket predicate
-    val candidates = child.collect {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        registeredPath(lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
-    }.flatten
-    val (relation, path) = candidates match {
-      case Seq(one) => one
-      case _ => return None
-    }
+    val (relation, path) = registeredScan(child).getOrElse(return None)
     val r = routeFor(path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
-    // A user bucket predicate anywhere between the sort and the relation
-    // means the buckets were already chosen — routing on top would
-    // silently INTERSECT probe sets and shrink recall below what the user
-    // asked for. `bucket` may be re-exposed under new ExprIds by aliasing
-    // Projects (`SELECT bucket AS b …`), so the guard chases aliases of
-    // the relation's bucket attribute transitively before checking the
-    // Filter conditions.
-    val bucketIds: Set[ExprId] = {
-      var ids = Set(bucketAttr.exprId)
-      var changed = true
-      while (changed) {
-        changed = false
-        child.foreach {
-          case p: Project => p.projectList.foreach {
-            case a: Alias => a.child match {
-              case ar: AttributeReference
-                  if ids.contains(ar.exprId) && !ids.contains(a.exprId) =>
-                ids += a.exprId; changed = true
-              case _ => ()
-            }
-            case _ => ()
-          }
-          case _ => ()
-        }
-      }
-      ids
-    }
-    val alreadyRouted = child.exists {
-      case Filter(cond, grandchild) =>
-        grandchild.exists(_ eq relation) &&
-          cond.references.exists(ref => bucketIds.contains(ref.exprId))
-      case _ => false
-    }
-    if (alreadyRouted) return None
+    if (hasUserBucketFilter(child, relation, bucketAttr)) return None
 
     // resolve the sort key through Project aliases, then find the scoring
     // kernel vec_dot(<indexed vector column>, <foldable query vector>)
-    val aliases: Map[ExprId, Expression] = child.collect {
-      case p: Project => p.projectList.collect { case a: Alias => a.exprId -> a.child }
-    }.flatten.toMap
-    def resolve(e: Expression, depth: Int): Expression =
-      if (depth <= 0) e
-      else e.transformUp {
-        case ar: AttributeReference if aliases.contains(ar.exprId) =>
-          resolve(aliases(ar.exprId), depth - 1)
-      }
+    val resolve = aliasResolver(child)
     val key = resolve(head.child, 4)
     val vecAttrOk = (a: Expression) => a match {
       case ar: AttributeReference => ar.name == r.vecCol && relation.outputSet.contains(ar)
@@ -392,39 +357,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //    descending sort back to nearest-first (the `ORDER BY 1 -
     //    distance DESC` form a similarity-shaped API emits). A second
     //    negation is declined (conservative: decline-by-default).
-    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, Literal, Multiply, RoundBase, Subtract, UnaryMinus}
+    import org.apache.spark.sql.catalyst.expressions.{Divide, RoundBase, Subtract, UnaryMinus}
     import org.apache.spark.sql.types.NumericType
-    def numericValue(v: Any): Option[Double] = v match {
-      case n: Number => Some(n.doubleValue)
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-      case _ => None
-    }
-    def provablyNonNegative(e: Expression): Boolean = e match {
-      case _: graft.functions.L2Norm => true
-      case Multiply(a, b, _) => provablyNonNegative(a) && provablyNonNegative(b)
-      case l: Literal if l.dataType.isInstanceOf[NumericType] =>
-        Option(l.eval()).flatMap(numericValue).exists(_ >= 0.0)
-      case _ => false
-    }
-    def isLiteralZero(e: Expression): Boolean =
-      e.foldable && Option(e.eval()).flatMap(numericValue).contains(0.0)
-    def isNumericLiteral(e: Expression): Boolean =
-      e.foldable && e.dataType.isInstanceOf[NumericType] &&
-        Option(e.eval()).flatMap(numericValue).isDefined
-    def monotoneKernel(e: Expression): Option[Expression] = e match {
-      case DotProduct(a, q) if vecAttrOk(a) && q.foldable => Some(q)
-      case DotProduct(q, a) if vecAttrOk(a) && q.foldable => Some(q)
-      case al: Alias => monotoneKernel(al.child)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if c.dataType.isInstanceOf[NumericType] => monotoneKernel(c.child)
-      case rn: RoundBase => monotoneKernel(rn.children.head)
-      case CaseWhen(Seq((cond, value)), Some(els))
-          if isLiteralZero(value) && !cond.exists(_.isInstanceOf[DotProduct]) =>
-        monotoneKernel(els)
-      case Divide(num, den, _) if provablyNonNegative(den) =>
-        monotoneKernel(num)
-      case _ => None
-    }
+    def monotoneKernel(e: Expression): Option[Expression] =
+      monotoneDotKernel(vecAttrOk, _.foldable)(e)
     // vec_l2dist reached through monotone-increasing wrappers only (no
     // CASE guard: the distance kernel has no zero-norm branch to guard)
     def monotoneL2(e: Expression): Option[Expression] = e match {
@@ -471,6 +407,282 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(child.transformUp {
       case lr: LogicalRelation if lr eq relation => Filter(In(bucketAttr, lits), lr)
     })
+  }
+
+  // ---- shared plan-inspection helpers (single-query + batched shapes) --
+
+  /** The one registered index scan below `child` (exactly one — ambiguity
+    * = no-op). */
+  private def registeredScan(child: LogicalPlan)
+      : Option[(LogicalRelation, String)] = {
+    val candidates = child.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        registeredPath(lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
+    }.flatten
+    candidates match {
+      case Seq(one) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** A user bucket predicate anywhere between the matched operator and the
+    * relation means the buckets were already chosen — routing on top would
+    * silently INTERSECT probe sets and shrink recall below what the user
+    * asked for. `bucket` may be re-exposed under new ExprIds by aliasing
+    * Projects (`SELECT bucket AS b …`), so the guard chases aliases of the
+    * relation's bucket attribute transitively before checking the Filter
+    * conditions. Also what makes the rewrites idempotent under the
+    * fixpoint batch: an injected probe filter is itself a bucket
+    * predicate. */
+  private def hasUserBucketFilter(child: LogicalPlan,
+                                  relation: LogicalRelation,
+                                  bucketAttr: AttributeReference): Boolean = {
+    val bucketIds: Set[ExprId] = {
+      var ids = Set(bucketAttr.exprId)
+      var changed = true
+      while (changed) {
+        changed = false
+        child.foreach {
+          case p: Project => p.projectList.foreach {
+            case a: Alias => a.child match {
+              case ar: AttributeReference
+                  if ids.contains(ar.exprId) && !ids.contains(a.exprId) =>
+                ids += a.exprId; changed = true
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+      }
+      ids
+    }
+    child.exists {
+      case Filter(cond, grandchild) =>
+        grandchild.exists(_ eq relation) &&
+          cond.references.exists(ref => bucketIds.contains(ref.exprId))
+      case _ => false
+    }
+  }
+
+  /** Bounded-depth resolution of attributes through the Project aliases
+    * below `child` (the sort key / window order key is usually an alias of
+    * an alias of the kernel expression). */
+  private def aliasResolver(child: LogicalPlan): (Expression, Int) => Expression = {
+    val aliases: Map[ExprId, Expression] = child.collect {
+      case p: Project => p.projectList.collect { case a: Alias => a.exprId -> a.child }
+    }.flatten.toMap
+    def resolve(e: Expression, depth: Int): Expression =
+      if (depth <= 0) e
+      else e.transformUp {
+        case ar: AttributeReference if aliases.contains(ar.exprId) =>
+          resolve(aliases(ar.exprId), depth - 1)
+      }
+    resolve
+  }
+
+  private def numericValue(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def provablyNonNegative(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.Multiply
+    import org.apache.spark.sql.types.NumericType
+    e match {
+      case _: graft.functions.L2Norm => true
+      case Multiply(a, b, _) => provablyNonNegative(a) && provablyNonNegative(b)
+      case l: Literal if l.dataType.isInstanceOf[NumericType] =>
+        Option(l.eval()).flatMap(numericValue).exists(_ >= 0.0)
+      case _ => false
+    }
+  }
+
+  private def isLiteralZero(e: Expression): Boolean =
+    e.foldable && Option(e.eval()).flatMap(numericValue).contains(0.0)
+
+  private def isNumericLiteral(e: Expression): Boolean = {
+    import org.apache.spark.sql.types.NumericType
+    e.foldable && e.dataType.isInstanceOf[NumericType] &&
+      Option(e.eval()).flatMap(numericValue).isDefined
+  }
+
+  /** The monotone-increasing wrapper matcher around the vec_dot kernel
+    * (see the guard discipline comment in [[route]]). `vecOk` accepts the
+    * indexed vector column; `queryOk` decides what may stand as the query
+    * side — a foldable literal in the single-query shape, the query
+    * table's column attribute in the batched shape. Returns the query-side
+    * expression. */
+  private def monotoneDotKernel(vecOk: Expression => Boolean,
+                                queryOk: Expression => Boolean)
+                               (e: Expression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, RoundBase}
+    import org.apache.spark.sql.types.NumericType
+    def go(e: Expression): Option[Expression] = e match {
+      case DotProduct(a, q) if vecOk(a) && queryOk(q) => Some(q)
+      case DotProduct(q, a) if vecOk(a) && queryOk(q) => Some(q)
+      case al: Alias => go(al.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType.isInstanceOf[NumericType] => go(c.child)
+      case rn: RoundBase => go(rn.children.head)
+      case CaseWhen(Seq((cond, value)), Some(els))
+          if isLiteralZero(value) && !cond.exists(_.isInstanceOf[DotProduct]) =>
+        go(els)
+      case Divide(num, den, _) if provablyNonNegative(den) =>
+        go(num)
+      case _ => None
+    }
+    go(e)
+  }
+
+  // ---- the batched window-rank shape ----------------------------------
+
+  /** Match `Filter(rank <= k, Window(row_number() PARTITION BY q_id
+    * ORDER BY score DESC))` — the q_ann_batch plan shape. */
+  private def applyBatchRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, w: org.apache.spark.sql.catalyst.plans.logical.Window) =>
+      val routed =
+        try routeBatch(cond, w)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"ann batch routing declined (falling back to the unrouted plan): $e")
+            None
+        }
+      routed match {
+        case Some(newW) => f.copy(child = newW)
+        case None => f
+      }
+  }
+
+  /** Attempt the batched rewrite; None leaves the plan untouched.
+    *
+    * Semantics (pinned to q_ann_batch by the shared oracle): each query
+    * ranks ONLY candidates from its own nprobe probe buckets, so the
+    * injected predicate is per-(q_id, bucket) — `(q_id = id1 AND bucket
+    * IN probes1) OR …` — placed directly above the index×queries join
+    * (the lowest node where both attributes are in scope). A plain
+    * `bucket IN (∪ probes)` on the relation ALONE would be wrong: query A
+    * would rank candidates from query B's buckets that A's probe set
+    * never admitted. The union filter IS also injected on the relation,
+    * but only as the partition-pruning guard (the scan lists |∪ probes|
+    * directories); the per-query predicate above the join enforces the
+    * semantics. */
+  private def routeBatch(cond: Expression,
+                         w: org.apache.spark.sql.catalyst.plans.logical.Window)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, GreaterThanOrEqual, LessThan, LessThanOrEqual, Or, RowNumber, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType => IntT, LongType => LongT}
+
+    // 1. the filter is a rank bound `rank <= k` on w's row_number output
+    val (rankAttr, k) = cond match {
+      case LessThanOrEqual(a: AttributeReference, IntegerLiteral(n)) => (a, n)
+      case LessThan(a: AttributeReference, IntegerLiteral(n)) => (a, n - 1)
+      case GreaterThanOrEqual(IntegerLiteral(n), a: AttributeReference) => (a, n)
+      case _ => return None
+    }
+    if (k <= 0) return None
+    val rankIsRowNumber = w.windowExpressions.exists {
+      case a: Alias if a.exprId == rankAttr.exprId => a.child match {
+        case WindowExpression(_: RowNumber, _) => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!rankIsRowNumber) return None
+
+    // 2. single-attribute partition key; best-first DESC head order
+    val partAttr = w.partitionSpec match {
+      case Seq(a: AttributeReference) => a
+      case _ => return None
+    }
+    val orderHead = w.orderSpec.headOption.getOrElse(return None)
+    if (orderHead.direction != Descending) return None
+
+    val child = w.child
+    val (relation, path) = registeredScan(child).getOrElse(return None)
+    val r = routeFor(path).getOrElse(return None)
+    val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
+    if (hasUserBucketFilter(child, relation, bucketAttr)) return None
+
+    // 3. the query block must be ONE literal table (LocalRelation — what
+    // an inline VALUES list resolves to), bounded by BatchRouteCap
+    val local = child.collect { case l: LocalRelation => l } match {
+      case Seq(one) => one
+      case _ => return None
+    }
+    if (local.data.isEmpty || local.data.size > BatchRouteCap) return None
+
+    // 4. the window order key reaches the vec_dot kernel whose query side
+    // is a COLUMN of the literal query table
+    val resolve = aliasResolver(child)
+    val key = resolve(orderHead.child, 4)
+    val vecAttrOk = (a: Expression) => a match {
+      case ar: AttributeReference => ar.name == r.vecCol && relation.outputSet.contains(ar)
+      case _ => false
+    }
+    val inLocal = (e: Expression) => e match {
+      case ar: AttributeReference => local.outputSet.contains(ar)
+      case _ => false
+    }
+    val qAttr = monotoneDotKernel(vecAttrOk, inLocal)(key) match {
+      case Some(ar: AttributeReference) => ar
+      case _ => return None
+    }
+
+    // 5. the partition key resolves to an INTEGRAL column of the same
+    // literal table (its values become EqualTo literals; integral internal
+    // and external representations coincide, so no conversion hazard)
+    val partSrc = resolve(partAttr, 4) match {
+      case ar: AttributeReference if local.outputSet.contains(ar) => ar
+      case _ => return None
+    }
+    val qIdx = local.output.indexWhere(_.exprId == partSrc.exprId)
+    val vIdx = local.output.indexWhere(_.exprId == qAttr.exprId)
+    if (qIdx < 0 || vIdx < 0) return None
+    val idType = local.output(qIdx).dataType
+    if (idType != IntT && idType != LongT) return None
+
+    // 6. per-query probes computed on the driver (M × the single-query
+    // cost, cached as usual); any unreadable row declines
+    val queries: Seq[(Any, Array[Double])] = local.data.map { row =>
+      if (row.isNullAt(qIdx) || row.isNullAt(vIdx)) return None
+      val vec = qAttr.dataType match {
+        case ArrayType(FloatType, _) => row.getArray(vIdx).toFloatArray().map(_.toDouble)
+        case ArrayType(DoubleType, _) => row.getArray(vIdx).toDoubleArray()
+        case _ => return None
+      }
+      (row.get(qIdx, idType), vec)
+    }
+    val perQuery = queries.map { case (id, vec) =>
+      (id, probeBuckets(spark, r, vec, "cosine"))
+    }
+    if (perQuery.exists(_._2.isEmpty)) return None
+    val union = perQuery.flatMap(_._2).distinct
+    def lits(bs: Seq[Long]) = bs.map(b => bucketLiteral(b, bucketAttr.dataType))
+
+    // 7. inject: per-(q_id, bucket) semantics above the join; bucket-union
+    // partition pruning on the relation
+    val semanticPred = perQuery.map { case (id, bs) =>
+      And(EqualTo(partSrc, Literal.create(id, idType)), In(bucketAttr, lits(bs)))
+    }.reduce[Expression](Or(_, _))
+    var injected = false
+    val withSemantics = child.transformUp {
+      case j: Join
+          if !injected && j.outputSet.contains(bucketAttr) &&
+            j.outputSet.contains(partSrc) =>
+        injected = true
+        Filter(semanticPred, j)
+    }
+    if (!injected) return None
+    val pruned = withSemantics.transformUp {
+      case lr: LogicalRelation if lr eq relation =>
+        Filter(In(bucketAttr, lits(union)), lr)
+    }
+    logInfo(s"ann routing: batched rewrite over ${r.name} — " +
+      s"${perQuery.size} queries, probe union [${union.mkString(", ")}]")
+    Some(w.withNewChildren(Seq(pruned)))
   }
 
   /** Evaluate a foldable array expression to doubles (the query vector). */

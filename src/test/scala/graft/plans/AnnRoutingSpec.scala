@@ -276,6 +276,69 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     bucketInSets.head shouldBe Set("0", "1")
   }
 
+  test("q_ann_batch_auto: the window-rank batch shape routes per query") {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    val df = VectorOps.annBatchAuto(spark, sfDir)
+    // partition pruning: the probe UNION reaches the scan
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
+    pf.toLowerCase should include("bucket")
+    // semantics: a per-(q_id, bucket) predicate exists — each query ranks
+    // only its OWN probe buckets, not the union
+    val hasPerQuery = df.queryExecution.optimizedPlan.exists {
+      case Filter(cond, _) =>
+        cond.exists {
+          case In(a: AttributeReference, _) => a.name == "bucket"
+          case _ => false
+        } && cond.exists {
+          case EqualTo(a: AttributeReference, _) => a.name == "q_id"
+          case EqualTo(_, a: AttributeReference) => a.name == "q_id"
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(hasPerQuery, "no per-(q_id, bucket) semantic predicate in the routed plan")
+    // pinned: routed batch == programmatic batched IVF search
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue,
+        r.getAs[Number](4).longValue, r.getDouble(5))
+    val expected = VectorOps.annBatch(spark, sfDir).collect().map(norm)
+    df.collect().map(norm) should contain theSameElementsInOrderAs expected
+  }
+
+  test("batched routing declines above BatchRouteCap") {
+    graft.operators.VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    graft.sources.IndexCatalog.load(spark, base, name)
+      .createOrReplaceTempView("emb_indexed_cap")
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val vecs = emb.filter(col("vec_id") < (AnnRouting.BatchRouteCap + 1))
+      .select(col("vec_id"), col("embedding")).collect()
+    vecs.length should be > AnnRouting.BatchRouteCap
+    val rows = vecs.map { r =>
+      val lit = r.getSeq[Float](1).mkString(", ")
+      s"(${r.getLong(0)}L, CAST(array($lit) AS ARRAY<FLOAT>))"
+    }.mkString(", ")
+    val df = spark.sql(
+      s"""WITH q AS (SELECT * FROM VALUES $rows AS t(q_id, qe)),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    ROUND(vec_dot(e.embedding, q.qe), 6) AS score
+         |  FROM emb_indexed_cap e CROSS JOIN q
+         |  WHERE e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |                               ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, score FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+    assert(!hasBucketInFilter(df),
+      s"batched rewrite fired above the ${AnnRouting.BatchRouteCap}-query cap")
+  }
+
   test("routing is deterministic across repeated optimization") {
     val a = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
     val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
