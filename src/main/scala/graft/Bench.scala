@@ -54,7 +54,18 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    // Per-trigger stats for the streaming replays (recorded by the
+    // queries themselves — graft.streaming.TriggerStats): the five
+    // q_stream_* totals swing 2-4x with host load because wall clock is
+    // trigger count x scheduler latency; the per-trigger MEDIAN is the
+    // machinery number that survives a loaded host, so round-over-round
+    // comparison reads it instead of the total.
+    val st = graft.streaming.TriggerStats.snapshot.toSeq.sortBy(_._1)
+      .map { case (name, s) =>
+        s"\"$name\":{\"n_triggers\":${s.nTriggers},\"median_ms\":${s.medianMs}," +
+          s"\"max_ms\":${s.maxMs},\"total_ms\":${s.totalMs}}"
+      }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"stream_triggers":$st,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {

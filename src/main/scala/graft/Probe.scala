@@ -12,7 +12,7 @@ object Probe {
       println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     run("q_knn") // warm
-    for (q <- Seq("q_bm25", "q_hybrid", "q_dedup_clusters"); _ <- 1 to 2) run(q)
+    for (q <- Seq("q_dedup_clusters", "q_knn_graph_clusters"); _ <- 1 to 2) run(q)
     spark.stop()
   }
 }

@@ -55,12 +55,19 @@ object Tables {
   /** `events.ts` has shipped in two physical forms, so the reader adapts to
     * whatever the file actually carries instead of assuming one:
     *
-    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp, so the
-    *    session-wide `spark.sql.legacy.parquet.nanosAsLong` conf (no
-    *    per-read option exists) surfaces it as raw LONG nanos, converted
-    *    here with integer division — nanos (~1.7e18) exceed double's 2^53
-    *    exact range, so this must never go through a float. The testdata
-    *    carries only microsecond precision, so the truncation is lossless.
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp; with
+    *    the session-wide `spark.sql.legacy.parquet.nanosAsLong` conf set
+    *    (no per-read option exists) it surfaces as raw LONG nanos,
+    *    converted here with integer division — nanos (~1.7e18) exceed
+    *    double's 2^53 exact range, so this must never go through a float.
+    *    The testdata carries only microsecond precision, so the
+    *    truncation is lossless. SESSION REQUIREMENT: the conf must be set
+    *    AT SESSION CONSTRUCTION (Sessions.local, Verify, Bench, and the
+    *    test harness all do) — the reader itself no longer mutates the
+    *    session (an observable side effect on user sessions, flagged in
+    *    round 9); a user-supplied session without the conf fails loudly
+    *    on a nanos-typed file with Spark's own illegal-type error, which
+    *    names the conf to set.
     *  - timestamp[us] without timezone: reads as TIMESTAMP_NTZ; converted
     *    to TIMESTAMP_LTZ for parity with the nanos path (every downstream
     *    operator was written against TimestampType). The naive value is
@@ -76,12 +83,11 @@ object Tables {
     *    EventsReaderSpec under America/New_York).
     *  - already TIMESTAMP_LTZ: pass through.
     *
-    * The conf set here is idempotent and kept so user-supplied sessions
-    * work; Sessions.local/Verify/Bench also set it at construction. */
+    * The reader is PURE — no session conf is touched here (see the
+    * session requirement above). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))

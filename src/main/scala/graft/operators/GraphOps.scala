@@ -310,7 +310,7 @@ object GraphOps {
     * reversed key, hinted merge so no N-proportional side is ever
     * broadcast. At 100 TB: two shuffles of the k·N edge frame on
     * composite keys — edge-frame-linear, vector-payload-free. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
     val edges = KnnSearch.knnJoinLarge(Tables.embeddings(spark, dir), dim = 64, k = 3)
       .select(col("query_id").as("src"), col("vec_id").as("dst"), col("score"))
       .localCheckpoint(eager = true) // k·N (id, id, score) tuples — don't
@@ -322,8 +322,10 @@ object GraphOps {
         col("src") === col("r_dst") && col("dst") === col("r_src"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"), col("score"))
-      .orderBy(col("src"), col("dst"))
   }
+
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    mutualKnnEdges(spark, dir).orderBy(col("src"), col("dst"))
 
   val knnGraphSql: String =
     s"""WITH ${VectorOps.lshRankedEdgesCtes},
@@ -333,17 +335,78 @@ object GraphOps {
        |WHERE a.src < a.dst
        |ORDER BY a.src, a.dst""".stripMargin
 
+  /** Edge gate for [[knnGraphClusters]]: a mutual top-k relationship is a
+    * NEIGHBORHOOD fact, not a SAMENESS fact — on this corpus mutual
+    * scores run from −0.23 to 0.49 (median 0.23 at sf0.01, 0.30 at
+    * sf0.1), and clustering over weak edges transitively chains
+    * dissimilar vectors into 20–30-hop components (measured: 21
+    * propagation rounds at sf0.1 even at a 0.3 gate) — the exact
+    * over-merge hazard resolveClusters' contract warns about. The gate is
+    * q_dedup_embed's NEAR-DUP threshold — the one bar this engine already
+    * defines for "these embeddings are the same content" — which keeps
+    * only genuine near-dup edges (8/8/80 at the three SFs), so components
+    * are the near-cliques the O(diameter)-round propagation was designed
+    * for (2–3 rounds, like the rest of the dedup family). */
+  val SemanticEdgeThreshold = 0.4
+
+  /** Q-knn-graph-clusters: GRAPH-BASED SEMANTIC CLUSTERING — the
+    * application the k-NN-graph substrate exists for: connected components
+    * over the STRONG mutual subgraph (mutual top-3 edges with score ≥
+    * [[SemanticEdgeThreshold]]), one representative per component (lowest
+    * vec_id, the keep-lowest rule of the whole dedup family). On a corpus
+    * with true near-duplicates this IS graph-based semantic dedup (the
+    * mutual-edge pruning drops hub-pointing one-way similarities, the
+    * threshold keeps transitivity from chaining merely-adjacent
+    * neighborhoods). The component machinery is the SHARED
+    * [[Dedup.resolveClusters]] min-label propagation — the
+    * q_dedup_clusters discipline (iterative propagation on the engine,
+    * recursive-CTE transitive closure in the oracle: two different
+    * algorithms agreeing on the same components).
+    *
+    * Scale shape: edges are ≤ the k·N mutual frame (vector-payload-free);
+    * each propagation round is two id-sized joins + one groupBy,
+    * converging in O(log diameter) rounds (pointer jumping) with
+    * per-round localCheckpoint — the q_dedup_clusters bounds, inherited,
+    * not re-derived. */
+  def knnGraphClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.resolveClusters(
+      mutualKnnEdges(spark, dir)
+        .filter(col("score") >= SemanticEdgeThreshold)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("rep"),
+        (col("doc_id") === col("rep")).as("keep"))
+      .orderBy(col("vec_id"))
+
+  val knnGraphClustersSql: String =
+    s"""WITH RECURSIVE
+       |${VectorOps.lshRankedEdgesCtes},
+       |e0 AS (SELECT query_id AS src, vec_id AS dst, score FROM ranked WHERE rank <= 3),
+       |mut AS (SELECT a.src, a.dst FROM e0 a JOIN e0 r
+       |        ON a.src = r.dst AND a.dst = r.src
+       |        WHERE a.src < a.dst AND a.score >= $SemanticEdgeThreshold),
+       |edges AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |rep AS (SELECT src AS vec_id, least(src, MIN(dst)) AS rep
+       |        FROM reach GROUP BY src)
+       |SELECT vec_id, rep, (vec_id = rep) AS keep FROM rep
+       |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_affinity" -> (affinity _),
     "q_triangles" -> (triangles _),
     "q_pagerank" -> (pagerank _),
     "q_pagerank_directed" -> (pagerankDirected _),
-    "q_knn_graph" -> (knnGraph _))
+    "q_knn_graph" -> (knnGraph _),
+    "q_knn_graph_clusters" -> (knnGraphClusters _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
     "q_triangles" -> trianglesSql,
     "q_pagerank" -> pagerankSql,
     "q_pagerank_directed" -> pagerankDirectedSql,
-    "q_knn_graph" -> knnGraphSql)
+    "q_knn_graph" -> knnGraphSql,
+    "q_knn_graph_clusters" -> knnGraphClustersSql)
 }

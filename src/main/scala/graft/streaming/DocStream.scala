@@ -137,7 +137,10 @@ object DocStream {
     val stream = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = start(stream, outPath)
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_dedup", q)
+    } finally { q.stop() }
     spark.read.parquet(outPath)
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))

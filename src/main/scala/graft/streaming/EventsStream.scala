@@ -194,7 +194,10 @@ object EventsStream {
     val ckpt = graft.Scratch.dir("graft-streamwin-ck")
     val q = agg.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_window", q)
+    } finally { q.stop() }
     spark.read.parquet(outPath)
       // null-SAFE exclusion: =!= on a NULL event_type is NULL and the
       // filter would silently drop the whole NULL group the oracle keeps
@@ -260,7 +263,10 @@ object EventsStream {
     val ckpt = graft.Scratch.dir("graft-streamsess-ck")
     val q = sessions.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_session", q)
+    } finally { q.stop() }
     spark.read.parquet(outPath)
       .filter(col("user_id") >= 0L)
       .groupBy(col("user_id"))
@@ -290,7 +296,10 @@ object EventsStream {
     val ckpt = graft.Scratch.dir("graft-streamjoin-ck")
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", outPath).option("checkpointLocation", ckpt).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_join", q)
+    } finally { q.stop() }
     spark.read.parquet(outPath)
       .select(col("p_id"), col("p_user"), col("c_id"),
         date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),

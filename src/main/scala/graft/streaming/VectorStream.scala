@@ -106,7 +106,10 @@ object VectorStream {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = start(stream, base, name)
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_upsert", q)
+    } finally { q.stop() }
     IndexCatalog.load(spark, base, name)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
@@ -183,7 +186,10 @@ object VectorStream {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = start(stream, base, name)
-    try { q.processAllAvailable() } finally { q.stop() }
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_upsert_steady", q)
+    } finally { q.stop() }
     IndexCatalog.load(spark, base, name)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
@@ -224,12 +230,89 @@ object VectorStream {
       |      FROM all_b)
       |SELECT vec_id, label FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** The q_stream_knn query workload: two micro-batches of three query
+    * ids each — the ids are shared between the replay and the oracle. */
+  private val StreamKnnBatch1 = Seq(0L, 7L, 13L)
+  private val StreamKnnBatch2 = Seq(21L, 34L, 55L)
+
+  /** Q-stream-knn: STREAMING VECTOR SEARCH SERVING — the reference's
+    * query REPL (`main.go:190-213`: read a query, search, loop) as a
+    * stream: query vectors ARRIVE as an unbounded stream and each
+    * micro-batch is served against the static index with the SAME
+    * [[graft.operators.KnnSearch.knnJoin]] operator every batch API uses
+    * (per-query top-3, WindowGroupLimit). The serving loop is
+    * `foreachBatch` — the production shape for micro-batched model/index
+    * serving: full batch semantics inside the hook (ranking windows are
+    * not otherwise available to an append-mode stream), append-only
+    * result log out. Each query id arrives exactly once, so per-batch
+    * ranking is complete per query and the final log equals the one-shot
+    * batch kNN join over all queries — which is exactly what the oracle
+    * states.
+    *
+    * Scale shape: the stream side is tiny per trigger (a serving batch);
+    * the static side re-plans per micro-batch against the CURRENT index
+    * files — compose with the persisted probed layout
+    * (IndexCatalog.loadBuckets per query, the q_ann_batch shape) when the
+    * corpus outgrows brute scoring; brute here keeps the oracle exact. */
+  def streamKnn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.KnnSearch
+    import graft.Tables
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val staged = graft.Scratch.dir("graft-streamknn-in")
+    def queryBatch(ids: Seq[Long]) = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    queryBatch(StreamKnnBatch1).coalesce(1).write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    queryBatch(StreamKnnBatch2).coalesce(1).write.mode("append").parquet(staged)
+    val outPath = graft.Scratch.dir("graft-streamknn-out") + "/hits"
+    val ckpt = graft.Scratch.dir("graft-streamknn-ck")
+    val stream = spark.readStream.schema(queryBatch(StreamKnnBatch1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // deterministic under retries: the per-batch result depends only
+        // on (batch queries, static index), so a replayed micro-batch
+        // appends identical rows and the overwrite-by-rerun Verify/Bench
+        // lifecycle stays idempotent (fresh scratch out dir per run)
+        KnnSearch.knnJoin(emb, batch, k = 3)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_knn", q)
+    } finally { q.stop() }
+    spark.read.parquet(outPath)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val streamKnnSql: String = {
+    import graft.operators.VectorSql.{cosine => cos}
+    val ids = (StreamKnnBatch1 ++ StreamKnnBatch2).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id IN ($ids)),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |         ROUND(${cos("e.embedding", "qe")}, 6) AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, label, score, rank FROM ranked
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_stream_upsert" -> (streamUpsert _),
-      "q_stream_upsert_steady" -> (streamUpsertSteady _))
+      "q_stream_upsert_steady" -> (streamUpsertSteady _),
+      "q_stream_knn" -> (streamKnn _))
 
   def oracles: Map[String, String] =
     Map("q_stream_upsert" -> streamUpsertSql,
       // identical final LWW state through the warm-index lifecycle
-      "q_stream_upsert_steady" -> streamUpsertSql)
+      "q_stream_upsert_steady" -> streamUpsertSql,
+      "q_stream_knn" -> streamKnnSql)
 }

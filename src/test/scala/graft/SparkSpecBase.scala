@@ -12,6 +12,10 @@ object SharedSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // at construction, like every runnable session (Sessions/Verify/
+      // Bench): Tables.events is pure and relies on the session carrying
+      // this — see the session requirement in Tables.scala
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

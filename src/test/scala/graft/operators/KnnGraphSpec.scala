@@ -35,4 +35,23 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
       }
     }
   }
+
+  test("q_knn_graph_clusters: components cover exactly the strong-edge nodes, reps are component minima") {
+    val edges = GraphOps.knnGraph(spark, sfDir).collect()
+      .filter(_.getDouble(2) >= GraphOps.SemanticEdgeThreshold)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = GraphOps.knnGraphClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strongNodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    clusters.keySet shouldBe strongNodes
+    edges.foreach { case (a, b) =>
+      withClue(s"strong edge ($a,$b):") {
+        clusters(a) shouldBe clusters(b) // same component
+      }
+    }
+    clusters.foreach { case (id, rep) =>
+      rep should be <= id // keep-lowest representative rule
+      clusters(rep) shouldBe rep // reps are their own reps
+    }
+  }
 }
