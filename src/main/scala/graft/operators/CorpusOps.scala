@@ -529,7 +529,92 @@ object CorpusOps {
        |  (SELECT * FROM rel0 UNION ALL SELECT * FROM rel1 UNION ALL SELECT * FROM sup)
        |ORDER BY lang, source""".stripMargin
 
+  /** Restricted feature vocabulary for [[dsir]] — the hashed-feature-space
+    * bound of the published method, realized as the top-V corpus words
+    * (deterministic: global count desc, word asc) so the oracle can
+    * replay vocabulary selection exactly (an engine-specific string hash
+    * would diverge between Spark and DuckDB). V is metadata-sized:
+    * the vocabulary and its two probability rows broadcast. */
+  val DsirVocabSize = 256
+  /** Docs kept by the importance resample. */
+  val DsirKeep = 20
+
+  /** Q-dsir: IMPORTANCE-WEIGHTED DATA SELECTION — the DSIR recipe (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how much more likely its
+    * bag of features is under a TARGET distribution than under the raw
+    * corpus, then keep the top-weighted docs. Here the target is the
+    * English slice (the "domain corpus" stand-in), features are
+    * [[DsirVocabSize]]-vocab unigrams with add-one smoothing, and the
+    * per-doc log-importance weight is
+    *
+    *   w(d) = Σ_{t ∈ vocab} c(t, d) · ln( p̂_target(t) / p̂_raw(t) )
+    *
+    * Per-doc sums are EXACT-DECIMAL (each term cast to DECIMAL(38,20) —
+    * the q_pagerank order-free-sum discipline), so partial aggregation is
+    * map-side and the oracle matches bit-for-bit under any partitioning.
+    * Docs with zero vocabulary overlap weight 0 exactly (left join +
+    * coalesce on BOTH sides, not absence).
+    *
+    * Scale shape: one tokenize-explode + one (doc, term) count shuffle —
+    * shared cost with every other bag-of-words query; the vocabulary and
+    * both smoothed distributions are V-row metadata (broadcast); the
+    * weight is one doc-keyed aggregation. Nothing grows past corpus-linear
+    * at 100 TB, and the selection threshold (here top-[[DsirKeep]])
+    * becomes a per-shard quantile gate in a production run. */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cwd = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val byWord = cwd.groupBy(col("w")).agg(
+      sum(col("cnt")).as("cr"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    val vocab = byWord.orderBy(col("cr").desc, col("w")).limit(DsirVocabSize)
+      .localCheckpoint(eager = true) // feeds totals AND the contribution join
+    val totals = vocab.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val weights = cwd
+      .join(broadcast(vocab), "w")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (col("cnt") * log(
+          ((col("ct") + 1.0) / (col("tt") + DsirVocabSize)) /
+            ((col("cr") + 1.0) / (col("tr") + DsirVocabSize))))
+          .cast("decimal(38,20)").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("double").as("s"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        round(coalesce(col("s"), lit(0.0)), 6).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(DsirKeep)
+  }
+
+  val dsirSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |cwd AS (SELECT doc_id, lang, w, COUNT(*) AS cnt FROM toks GROUP BY 1, 2, 3),
+       |byword AS (SELECT w, SUM(cnt) AS cr,
+       |    SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS ct
+       |  FROM cwd GROUP BY w),
+       |vocab AS (SELECT * FROM byword ORDER BY cr DESC, w LIMIT $DsirVocabSize),
+       |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM vocab),
+       |contrib AS (SELECT cwd.doc_id,
+       |    CAST(cwd.cnt * ln(((v.ct + 1.0) / (tot.tt + $DsirVocabSize))
+       |                      / ((v.cr + 1.0) / (tot.tr + $DsirVocabSize)))
+       |         AS DECIMAL(38,20)) AS c
+       |  FROM cwd JOIN vocab v USING (w) CROSS JOIN tot),
+       |wsum AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS s FROM contrib GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang, ROUND(COALESCE(w.s, 0.0), 6) AS weight
+       |FROM documents d LEFT JOIN wsum w ON w.doc_id = d.doc_id
+       |ORDER BY weight DESC, d.doc_id LIMIT $DsirKeep""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> (dsir _),
     "q_k_anonymity" -> (kAnonymity _),
     "q_temperature_mix" -> (temperatureMix _),
     "q_repetition" -> (repetition _),
@@ -543,6 +628,7 @@ object CorpusOps {
     "q_quality_gate" -> (qualityGate _))
 
   def oracles: Map[String, String] = Map(
+    "q_dsir" -> dsirSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_temperature_mix" -> temperatureMixSql,
     "q_repetition" -> repetitionSql,

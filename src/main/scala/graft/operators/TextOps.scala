@@ -353,7 +353,7 @@ object TextOps {
   /** BM25 parameters (Robertson/Spärck Jones defaults) and the fixed demo
     * query. (k1+1) and (1−b) are pre-folded into literals so the Spark and
     * DuckDB expression trees are identical symbol-for-symbol. */
-  private val Bm25Terms = Seq("vector", "hash", "join")
+  private[graft] val Bm25Terms = Seq("vector", "hash", "join")
 
   /** Q-bm25: keyword retrieval — BM25-ranked top-10 documents for a fixed
     * 3-term query, the lexical complement of the embedding search path

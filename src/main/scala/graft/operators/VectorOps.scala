@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -339,7 +339,7 @@ object VectorOps {
     * q_ann_ivf_persisted, q_ivf_drift, q_ann_batch all share it; a change
     * here desynchronizes the persisted index from the in-memory paths
     * unless they all move together). */
-  private def seedCentroids(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
     KnnSearch.withNorm(
       Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
@@ -827,6 +827,83 @@ object VectorOps {
        |ORDER BY approx_cos DESC, b.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Per-vector BINARY signature: sign bit per dimension, packed into two
+    * 32-bit words held as BIGINTs. Two words, not one 64-bit pack, by
+    * arithmetic necessity: bit 63 is 2⁶³, which overflows a signed-long
+    * SUM in either engine — 32 bits per word keeps every partial sum
+    * exact and the packing portable (and generalizes to any dim as
+    * ⌈dim/32⌉ words). The pack is one map-side higher-order-function pass
+    * per word — no shuffle, no UDF. */
+  private def bqSigWords(vecCol: String): Seq[(String, Column)] = {
+    def word(bitBase: Int): Column = expr(
+      s"aggregate(sequence(0, 31), 0L, (acc, i) -> " +
+        s"acc + IF(element_at($vecCol, i + ${bitBase + 1}) > 0.0D, shiftleft(1L, i), 0L))")
+    Seq("sig_lo" -> word(0), "sig_hi" -> word(32))
+  }
+
+  /** Hamming-shortlist size handed to exact rerank — the [[PqIndex]]
+    * Shortlist discipline: a constant, not a corpus fraction (BQ's role is
+    * to cut candidates to something rerank-able regardless of N). */
+  val BqShortlist = 100
+
+  /** Q-bq-knn: BINARY-QUANTIZED search — the 1-bit extreme of the
+    * quantization family (SQ8 = 8 bits/dim, PQ = 1 byte/subspace, BQ =
+    * 1 bit/dim): a 64-dim float vector (256 B) compresses to 8 B of sign
+    * bits, so the approximate pass over a 100 TB float index touches
+    * ~3 TB of signatures and scores them with XOR + POPCOUNT — integer
+    * ALU ops, no FP at all (the RaBitQ/binary-hashing serving layout).
+    * Hamming distance on sign bits estimates angle (each agreeing bit is
+    * a hyperoctant agreement — the sign pattern IS a 64-plane axis-wise
+    * LSH signature), so the [[BqShortlist]] nearest-by-Hamming candidates
+    * are exact-cosine reranked and the top-10 emitted: the same
+    * two-stage retrieval as [[PqIndex]], with a fully relational,
+    * oracle-replayable first stage (unlike PQ's trained codebook).
+    * Everything is codegen'd built-ins — pack (aggregate HOF), distance
+    * (xor/bit_count), rerank (the shared cosine kernel); both stages'
+    * tiebreaks are total (hamming asc, vec_id asc → score desc, vec_id
+    * asc), so the oracle replays the exact pipeline. */
+  def bqKnn(spark: SparkSession, dir: String): DataFrame = {
+    def signed(emb: DataFrame): DataFrame =
+      bqSigWords("embedding").foldLeft(emb) { case (d, (n, c)) => d.withColumn(n, c) }
+    val base = signed(Tables.embeddings(spark, dir))
+    val q = signed(Tables.embeddings(spark, dir).filter(col("vec_id") === 0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi"))))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(BqShortlist)
+      .withColumn("score", round(cosineSim(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("hamming"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val bqKnnSql: String = {
+    // CAST to BIGINT: DuckDB's list_sum promotes to HUGEINT, and the
+    // driver's type compare treats int128 as a distinct class
+    def word(base: Int): String =
+      s"CAST(list_sum(list_transform(range(32), i -> CASE WHEN embedding[i + ${base + 1}] > 0.0 " +
+        s"THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)"
+    s"""WITH s AS (SELECT vec_id, label, embedding,
+       |    ${word(0)} AS sig_lo,
+       |    ${word(32)} AS sig_hi
+       |  FROM embeddings),
+       |q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, embedding AS qe
+       |      FROM s WHERE vec_id = 0),
+       |short AS (SELECT b.vec_id, b.label, b.embedding,
+       |    bit_count(xor(b.sig_lo, q.q_lo)) + bit_count(xor(b.sig_hi, q.q_hi)) AS hamming,
+       |    q.qe
+       |  FROM s b, q WHERE b.vec_id <> 0
+       |  ORDER BY hamming ASC, b.vec_id LIMIT $BqShortlist)
+       |SELECT vec_id, label, hamming,
+       |  ROUND(${cosSql("embedding", "qe")}, 6) AS score
+       |FROM short ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Q-recall-eval: recall@5 of the multi-probe LSH search against exact
     * brute-force top-5 — the index-quality monitoring metric a production
     * vector store tracks per index build (the reference trusts Pinecone's
@@ -1232,6 +1309,7 @@ object VectorOps {
     "q_ivf_rebuild" -> (ivfRebuild _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
+    "q_bq_knn" -> (bqKnn _),
     "q_recall_eval" -> (recallEval _),
     "q_stratified_sample" -> (stratifiedSample _),
     "q_knn" -> (knn _),
@@ -1265,6 +1343,7 @@ object VectorOps {
     "q_ivf_rebuild" -> ivfRebuildSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
+    "q_bq_knn" -> bqKnnSql,
     "q_recall_eval" -> recallEvalSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_knn" -> knnSql,

@@ -145,6 +145,21 @@ object Maintenance {
   /** Depth-first recursive delete with the walk stream closed (shared by
     * every loser-cleanup / staging-discard site in graft). deleteIfExists
     * tolerates a concurrent cleaner racing on the same loser directory. */
+  /** Recursive file-tree copy (REPLACE_EXISTING, so a retry after a
+    * partial copy overwrites instead of throwing) — the index-clone
+    * primitive the lifecycle queries use to work on a private copy of a
+    * shared cached index. */
+  private[graft] def copyTree(from: Path, to: Path): Unit = {
+    import java.nio.file.StandardCopyOption
+    scala.util.Using.resource(Files.walk(from)) { s =>
+      s.forEach { p =>
+        val dest = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dest)
+        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
   private[graft] def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
     val s = Files.walk(p)
     val all = try {

@@ -195,20 +195,8 @@ object VectorStream {
       .orderBy(col("vec_id"))
   }
 
-  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
-    import java.nio.file.{Files, StandardCopyOption}
-    scala.util.Using.resource(Files.walk(from)) { s =>
-      s.forEach { p =>
-        val dest = to.resolve(from.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(dest)
-        // REPLACE_EXISTING makes the clone idempotent: today the
-        // destination is always a fresh Scratch.dir, but a retry after a
-        // partial copy (or any future destination reuse) must overwrite,
-        // not throw FileAlreadyExistsException
-        else Files.copy(p, dest, StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
-  }
+  private def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit =
+    graft.sources.Maintenance.copyTree(from, to)
 
   val streamUpsertSql: String =
     """WITH all_b AS (

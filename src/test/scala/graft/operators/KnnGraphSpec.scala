@@ -36,6 +36,30 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("q_graph_ann: recall gate, cross-bucket edges exist, degree bound, query node never visited") {
+    import org.apache.spark.sql.functions.col
+    val emb = KnnSearch.withNorm(graft.Tables.embeddings(spark, sfDir))
+    val q = graft.Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val exact = KnnSearch.topK(emb, q, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = GraphOps.graphAnn(spark, sfDir).collect()
+    got.map(_.getLong(0)) should not contain 0L // out-of-graph query contract
+    val recall = got.map(_.getLong(0)).count(exact) / 10.0
+    withClue(s"recall@10 vs exact brute force ($recall):") {
+      recall should be >= 0.6 // measured 0.7 at sf0.001; route+refine floor
+    }
+
+    val asg = GraphOps.ivfTop2Assignments(spark, sfDir)
+    val edges = GraphOps.graphAnnEdges(asg).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degree = edges.groupBy(_._1).map(_._2.length)
+    all(degree) should be <= GraphOps.GraphAnnDegree
+    // the navigability property: top-2 query-side assignment puts edges
+    // ACROSS storage buckets (a single-assignment join cannot)
+    val bucketOf = asg.filter(col("rn") === 1).select("vec_id", "cent_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.count { case (s, d) => bucketOf(s) != bucketOf(d) } should be > 0
+  }
+
   test("q_knn_graph_clusters: components cover exactly the strong-edge nodes, reps are component minima") {
     val edges = GraphOps.knnGraph(spark, sfDir).collect()
       .filter(_.getDouble(2) >= GraphOps.SemanticEdgeThreshold)

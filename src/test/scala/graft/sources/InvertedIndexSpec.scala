@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+import graft.operators.TextOps
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the persisted inverted index (InvertedIndex): the indexed
+  * BM25 must equal the query-time q_bm25 row-for-row (same oracle, same
+  * results — the q_ann_ivf_persisted contract applied to text), the
+  * query plan must actually prune to the query terms' bucket
+  * directories, and the build must be idempotent (second ensure() never
+  * rewrites). */
+class InvertedIndexSpec extends SparkSpecBase with Matchers {
+
+  test("q_bm25_indexed equals q_bm25 row-for-row") {
+    val indexed = InvertedIndex.bm25Indexed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val direct = TextOps.bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    indexed.toSeq shouldBe direct.toSeq
+  }
+
+  test("query plan prunes to the terms' bucket directories and pushes the term filter") {
+    val df = InvertedIndex.bm25Indexed(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
+    // the term equality reaches the Parquet scan as a data filter
+    plan should include regex "PushedFilters: \\[In\\(w,"
+  }
+
+  test("ensure() is idempotent: the second call leaves the index untouched") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val marker = Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName, "_text_index.json")
+    val before = Files.getLastModifiedTime(marker)
+    val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
+    InvertedIndex.ensure(spark, sfDir)
+    Files.getLastModifiedTime(marker) shouldBe before
+    Files.getLastModifiedTime(Paths.get(layout.dataPath)) shouldBe dataBefore
+  }
+
+  test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
+    val rows = InvertedIndex.bm25Upsert(spark, sfDir).collect()
+    rows should have length 10
+    // lifecycle queries clone into Scratch — the shared cache is untouched
+    Files.getLastModifiedTime(Paths.get(layout.dataPath)) shouldBe dataBefore
+    // incremental result == full-rebuild semantics: the upserted corpus
+    // contains twin docs of 0..9, so at least the term stats shifted —
+    // scores must differ from the base index's for at least one rank
+    val base = InvertedIndex.bm25Indexed(spark, sfDir).collect()
+    rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq should not be
+      base.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+}
