@@ -192,15 +192,130 @@ object EmbedAnalytics {
        |FROM pred WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin
   }
 
+  /** DCG position discounts 1/ln(rank+1) as SHARED DOUBLE LITERALS: the
+    * Scala doubles land verbatim in both the Spark expressions and the
+    * oracle SQL (Double.toString round-trips), so neither engine's log()
+    * implementation participates in the hash — the one FP hazard a
+    * NDCG-across-engines comparison has. ln instead of log2 is fine: the
+    * base cancels in the DCG/IDCG ratio. */
+  private val LnDiscount: IndexedSeq[Double] =
+    (1 to 10).map(k => math.log(k + 1.0))
+
+  /** Q-retrieval-eval: RETRIEVAL QUALITY METRICS — recall@10, MRR@10 and
+    * NDCG@10 per query, with same-label membership as the relevance
+    * oracle (the standard label-as-relevance protocol for embedding
+    * benchmarks when no judgment set exists). This is the evaluation
+    * harness every retrieval/ANN deployment runs before trusting an
+    * index: q_recall_eval audits an ANN layout against brute-force truth,
+    * this audits the EMBEDDING SPACE itself against the labels.
+    *
+    * Rank metrics are FP-treacherous across engines; three disciplines
+    * make them hash-stable: ranking compares ROUNDED scores (the knnJoin
+    * contract), the DCG/IDCG sums are fixed-order pivot chains over the
+    * 10 rank positions (the q_bm25 discipline — never an orderless SUM
+    * of doubles), and the position discounts are shared double literals
+    * ([[LnDiscount]]) rather than each engine's log().
+    *
+    * Scale shape: one broadcast of the M-query block over the corpus scan
+    * (the knnJoin WindowGroupLimit pipeline), then the metric arithmetic
+    * on M×10 rows — evaluation cost is one search batch, and the label
+    * totals reuse the corpus's label histogram (#labels rows). */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val qLabels = Tables.embeddings(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val top = KnnSearch.knnJoin(emb, q, 10)
+      .join(broadcast(qLabels), Seq("query_id"))
+      .withColumn("rel", when(col("label") === col("q_label"), 1).otherwise(0))
+    val positions = (1 to 10).map(k =>
+      coalesce(max(when(col("rank") === k, col("rel"))), lit(0)).as(s"r$k"))
+    val perQuery = top.groupBy(col("query_id"), col("q_label"))
+      .agg(positions.head, positions.tail :+
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"): _*)
+    val labelCounts = Tables.embeddings(spark, dir)
+      .groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val withTotals = perQuery.join(broadcast(labelCounts), Seq("q_label"))
+      .withColumn("n_rel", col("n_label") - 1)
+      .withColumn("m", least(lit(10), col("n_rel")))
+    val hits = (1 to 10).map(k => col(s"r$k")).reduce(_ + _)
+    val dcg = (1 to 10).map(k =>
+      col(s"r$k") / lit(LnDiscount(k - 1))).reduce(_ + _)
+    val idcg = (1 to 10).map(k =>
+      when(col("m") >= k, lit(1.0) / lit(LnDiscount(k - 1))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    withTotals
+      .withColumn("hits", hits)
+      .select(
+        col("query_id").as("q_id"),
+        col("n_rel"),
+        col("hits").cast("long").as("hits"),
+        when(col("m") <= 0, 0.0)
+          .otherwise(round(col("hits").cast("double") / col("m"), 6)).as("recall_10"),
+        when(col("first_rel").isNull, 0.0)
+          .otherwise(round(lit(1.0) / col("first_rel"), 6)).as("mrr"),
+        when(idcg <= 0.0, 0.0)
+          .otherwise(round(dcg / idcg, 6)).as("ndcg_10"))
+      .orderBy(col("q_id"))
+  }
+
+  val retrievalEvalSql: String = {
+    import graft.operators.{VectorSql => V}
+    val dcgChain = (1 to 10).map(k => s"r$k / ${LnDiscount(k - 1)}").mkString(" + ")
+    val idcgChain = (1 to 10)
+      .map(k => s"CASE WHEN m >= $k THEN 1.0 / ${LnDiscount(k - 1)} ELSE 0.0 END")
+      .mkString(" + ")
+    val hitsChain = (1 to 10).map(k => s"r$k").mkString(" + ")
+    val pivots = (1 to 10)
+      .map(k => s"COALESCE(MAX(CASE WHEN rank = $k THEN rel END), 0) AS r$k")
+      .mkString(",\n       |    ")
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, q.q_label, e.label,
+       |    ROUND(${V.cosine("e.embedding", "q.qe")}, 6) AS score, e.vec_id
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored),
+       |top AS (SELECT query_id, q_label,
+       |               CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel, rank
+       |        FROM ranked WHERE rank <= 10),
+       |pq AS (
+       |  SELECT query_id, q_label,
+       |    $pivots,
+       |    MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel
+       |  FROM top GROUP BY query_id, q_label),
+       |cnt AS (SELECT label AS q_label, COUNT(*) AS n_label FROM embeddings GROUP BY label),
+       |tot AS (
+       |  SELECT pq.*, cnt.n_label - 1 AS n_rel,
+       |    LEAST(10, cnt.n_label - 1) AS m
+       |  FROM pq JOIN cnt USING (q_label))
+       |SELECT query_id AS q_id, n_rel,
+       |  CAST($hitsChain AS BIGINT) AS hits,
+       |  CASE WHEN m <= 0 THEN 0.0
+       |       ELSE ROUND(CAST($hitsChain AS DOUBLE) / m, 6) END AS recall_10,
+       |  CASE WHEN first_rel IS NULL THEN 0.0
+       |       ELSE ROUND(1.0 / first_rel, 6) END AS mrr,
+       |  CASE WHEN ($idcgChain) <= 0.0 THEN 0.0
+       |       ELSE ROUND(($dcgChain) / ($idcgChain), 6) END AS ndcg_10
+       |FROM tot ORDER BY q_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_centroids" -> (labelCentroidsFlat _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_retrieval_eval" -> (retrievalEval _),
     "q_ncm_eval" -> (ncmEval _))
 
   def oracles: Map[String, String] = Map(
     "q_label_centroids" -> labelCentroidsSql,
     "q_embed_outliers" -> embedOutliersSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_retrieval_eval" -> retrievalEvalSql,
     "q_ncm_eval" -> ncmEvalSql)
 }

@@ -1181,6 +1181,109 @@ object VectorOps {
 
   val ivfRebuildSql: String = balanceOracleSql("vec_id % 5 = 0 AND vec_id < 80")
 
+  /** Persisted seed-assigned index for the DELETE lifecycle — its own
+    * name so the delete never mutates the layouts the search queries
+    * share. Partitioned by bucket only (the layout delete discovery
+    * prunes on). */
+  private def ensureDeleteIndex(spark: SparkSession, dir: String): (String, String) = {
+    import graft.sources.IndexCatalog
+    val base = IndexCatalog.cacheBase(dir)
+    val name = "emb-ivf-delete"
+    if (!IndexCatalog.exists(base, name)) {
+      val data = IvfIndex.assign(index(spark, dir), seedCentroids(spark, dir))
+        .withColumnRenamed("cent_id", "bucket")
+        .drop("vec_norm")
+      IndexCatalog.createIfAbsent(spark, base,
+        IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
+        partitionCols = Seq("bucket"))
+    }
+    (base, name)
+  }
+
+  /** Q-index-delete: DELETE-BY-ID over the persisted index — the API
+    * sibling of the reference's upsert (Pinecone `vectors/delete`; the
+    * reference's loop only ever posts upserts, `upsert/upsert.go:154-190`,
+    * but writes into an index whose API deletes by the same ids). Two
+    * phases, split the way any 100 TB delete must be:
+    * [[graft.sources.IndexCatalog.tombstone]] appends the key set as a
+    * tombstone file — O(|keys|) I/O, no partition rewrite, and every
+    * search stops seeing the keys immediately via one broadcast anti-join
+    * in `load` — then [[graft.sources.IndexCatalog.vacuumTombstones]]
+    * folds the tombstones into the physical layout, rewriting ONLY the
+    * partitions that hold a deleted key (upsertInto's touched-partition
+    * discipline) and clearing the anti-join overhead. The declared result
+    * is the full post-vacuum stored state, so a green row proves the
+    * rewritten tree equals its definition (assignment replay minus the
+    * deleted keys); the pre-vacuum visibility, untouched-partition
+    * mtimes, emptied-directory cleanup, and delete-then-reupsert revival
+    * are spec-gated in IndexDeleteSpec. Idempotent across runs: deleting
+    * already-absent keys folds to a no-op. */
+  def indexDelete(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name) = ensureDeleteIndex(spark, dir)
+    val keys = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 97 === 0).select(col("vec_id"))
+    IndexCatalog.tombstone(spark, base, name, keys)
+    IndexCatalog.vacuumTombstones(spark, base, name)
+    IndexCatalog.load(spark, base, name)
+      .select(col("vec_id"), col("label"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  val indexDeleteSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c)
+       |SELECT vec_id, label, cent_id AS bucket FROM asg
+       |WHERE rn = 1 AND vec_id % 97 <> 0
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Radius threshold for q_radius — compared on the ROUNDED score, so
+    * both engines admit the identical row set (a raw-double boundary
+    * comparison would let a last-ulp difference flip membership). */
+  val RadiusTau = 0.2
+
+  /** Q-radius: RANGE SEARCH — every vector within a similarity radius of
+    * the query (cosine ≥ τ), not a fixed top-K. The query type Milvus/
+    * pgvector expose alongside kNN and the right primitive for "all
+    * near-duplicates of this document" (a duplicate set's size is
+    * data-dependent; a top-K would truncate or pad it). Same scored scan
+    * as q_knn, but the K-row TakeOrderedAndProject becomes a selective
+    * filter on the rounded score: no global sort bound, result size ∝
+    * matches. At 100 TB this compiles to scan + filter (embarrassingly
+    * parallel, no shuffle until the final output order), and composes
+    * with any ANN layout exactly as top-K does (probe, then filter by τ
+    * instead of ranking). */
+  def radius(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir)
+    val q = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", KnnSearch.prenormedScore)
+      .filter(col("score") >= RadiusTau)
+      .select(col("vec_id"), col("label"), col("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  val radiusSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, ROUND(${cos("e.embedding", "q.qe")}, 6) AS score
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+       |SELECT vec_id, label, score FROM scored
+       |WHERE score >= $RadiusTau
+       |ORDER BY score DESC, vec_id""".stripMargin
+  }
+
   /** MMR trade-off weights. The complement is a LITERAL, not `1 - lambda`
     * (whose IEEE value 0.30000000000000004 would diverge from the oracle's
     * 0.3), so both engines compute bit-identical scores. */
@@ -1307,6 +1410,8 @@ object VectorOps {
     "q_knn_filtered" -> (knnFiltered _),
     "q_ivf_drift" -> (ivfDrift _),
     "q_ivf_rebuild" -> (ivfRebuild _),
+    "q_index_delete" -> (indexDelete _),
+    "q_radius" -> (radius _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
     "q_bq_knn" -> (bqKnn _),
@@ -1341,6 +1446,8 @@ object VectorOps {
     "q_knn_filtered" -> knnFilteredSql,
     "q_ivf_drift" -> ivfDriftSql,
     "q_ivf_rebuild" -> ivfRebuildSql,
+    "q_index_delete" -> indexDeleteSql,
+    "q_radius" -> radiusSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_bq_knn" -> bqKnnSql,

@@ -159,8 +159,28 @@ object IndexCatalog {
     finally s.close()
   }
 
-  def load(spark: SparkSession, basePath: String, name: String): DataFrame =
+  /** The physical rows on disk, including rows hidden by pending
+    * tombstones — maintenance paths (vacuum, upsert discovery) need the
+    * physical view; every user-facing read goes through [[load]]. */
+  private def loadRaw(spark: SparkSession, basePath: String, name: String): DataFrame =
     spark.read.parquet(Paths.get(basePath, name, "data").toString)
+
+  /** Logical view of the index: physical rows minus pending tombstones.
+    * With no tombstone files (the steady state — [[vacuumTombstones]]
+    * clears them) this is a plain scan with zero overhead; with pending
+    * deletes it is one broadcast anti-join on the key column, so a delete
+    * is VISIBLE to every search immediately while the physical rewrite is
+    * deferred to vacuum (the LSM-style tombstone discipline — at 100 TB a
+    * delete batch must not rewrite partitions synchronously). Partition
+    * and pushed filters still prune: Catalyst pushes predicates on index
+    * columns through the anti-join to the scan side. */
+  def load(spark: SparkSession, basePath: String, name: String): DataFrame = {
+    val data = loadRaw(spark, basePath, name)
+    pendingTombstones(spark, basePath, name) match {
+      case Some(ts) => data.join(broadcast(ts), ts.columns.toIndexedSeq, "left_anti")
+      case None => data
+    }
+  }
 
   /** Load restricted to a probe-bucket set. On a bucket-partitioned index
     * the predicate is a PARTITION FILTER: Spark lists only the matching
@@ -181,6 +201,82 @@ object IndexCatalog {
     val bt = idx.schema("bucket").dataType
     buckets.map(b => col("bucket") === lit(b).cast(bt)).reduce(_ || _)
   }
+
+  private def tombstoneDir(basePath: String, name: String) =
+    Paths.get(basePath, name, "tombstones")
+
+  /** Pending delete keys, if any tombstone files exist. One column — the
+    * key column the deletes were issued against. */
+  def pendingTombstones(spark: SparkSession, basePath: String,
+                        name: String): Option[DataFrame] = {
+    val dir = tombstoneDir(basePath, name)
+    if (!Files.exists(dir)) return None
+    val s = Files.list(dir)
+    val hasFiles =
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    if (hasFiles) Some(spark.read.parquet(dir.toString).distinct()) else None
+  }
+
+  /** Delete-by-id, the write half (Pinecone's `vectors/delete` — the API
+    * sibling of the reference's upsert loop, which the reference never
+    * calls but the index it writes into supports). APPENDS the key set as
+    * a tombstone file: O(|keys|) I/O, no data-partition rewrite, and the
+    * keys vanish from every [[load]]/[[search]] immediately. The physical
+    * rewrite is deferred to [[vacuumTombstones]] — the split any
+    * LSM/lakehouse delete makes (delta tombstones now, compaction later),
+    * and the only shape that survives 100 TB: a synchronous delete of k
+    * keys must never rewrite the partitions holding them on the write
+    * path. */
+  def tombstone(spark: SparkSession, basePath: String, name: String,
+                keys: DataFrame, keyCol: String = "vec_id"): Unit = {
+    require(exists(basePath, name), s"no such index: $name")
+    keys.select(col(keyCol)).distinct()
+      .coalesce(1) // a delete batch's key set is metadata-sized
+      .write.mode("append").parquet(tombstoneDir(basePath, name).toString)
+  }
+
+  /** Fold pending tombstones into the physical layout and clear them —
+    * the compaction half of delete. Only partitions that physically hold
+    * a tombstoned key are rewritten (the upsertInto touched-partition
+    * discipline: discovery is a column-pruned key/partition-column scan,
+    * the survivor scan is statically partition-pruned, untouched
+    * directories keep their files byte-for-byte); a partition emptied by
+    * the delete has its directory removed. Idempotent: tombstones whose
+    * keys are already absent fold to a no-op. After the fold, [[load]]
+    * reads the plain scan again — the anti-join cost was strictly
+    * transient. */
+  def vacuumTombstones(spark: SparkSession, basePath: String, name: String,
+                       keyCol: String = "vec_id"): Unit = {
+    val ts = pendingTombstones(spark, basePath, name).getOrElse(return)
+    val partitionCols = partitionLayout(basePath, name)
+    require(partitionCols.nonEmpty, s"index $name has no partition layout")
+    val idx = loadRaw(spark, basePath, name)
+    val keys = ts.select(col(keyCol))
+    val touchedValues = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(partitionCols.map(col): _*)
+      .distinct()
+      .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
+      .collect().map(_.toSeq)
+    if (touchedValues.nonEmpty) {
+      val touchedPred = touchedValues.map { values =>
+        partitionCols.zip(values)
+          .map { case (c, v) => col(c) <=> lit(v) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val survivors = idx.filter(touchedPred)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      overwritePartitions(basePath, name, partitionCols, touchedValues, survivors)
+    }
+    deleteTree(tombstoneDir(basePath, name))
+  }
+
+  private def deleteTree(dir: java.nio.file.Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
+    }
 
   /** Top-K search against a cataloged index under ITS declared metric —
     * the reference stores the metric in the index descriptor
@@ -259,9 +355,14 @@ object IndexCatalog {
     // this guard the touched-partition reduce below throws an opaque
     // 'empty.reduce' from deep inside the merge.
     if (batch.isEmpty) return
+    val keys = batch.select(col(keyCol)).distinct()
+    // Re-upserting a deleted key REVIVES it: drop the batch keys' pending
+    // tombstones first, or load()'s anti-join would hide the fresh row
+    // (and the key's hidden old row must become visible to discovery so
+    // its partition is rewritten without it).
+    clearTombstonesFor(spark, basePath, name, keys, keyCol)
     val idx = load(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.toIndexedSeq.map(col): _*)
-    val keys = batch.select(col(keyCol)).distinct()
     // Touched-partition values are cast to the INDEX column's type before
     // the semi-join: partition-value inference reads small buckets back as
     // int while callers compute long signatures, and a casted partition
@@ -301,6 +402,16 @@ object IndexCatalog {
           idx.filter(touchedPred).unionByName(newRows), Seq(keyCol), v,
           tieBreak = Seq(xxhash64(idx.columns.toIndexedSeq.map(col): _*)))
     }
+    overwritePartitions(basePath, name, partitionCols, touchedValues, merged)
+  }
+
+  /** Shared rewrite tail of [[upsertInto]] and [[vacuumTombstones]]:
+    * dynamic-overwrite the touched partitions with `merged`, then remove
+    * touched directories the write left empty. */
+  private def overwritePartitions(basePath: String, name: String,
+                                  partitionCols: Seq[String],
+                                  touchedValues: Array[Seq[Any]],
+                                  merged: DataFrame): Unit = {
     val out = merged
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(true)
@@ -312,11 +423,11 @@ object IndexCatalog {
       .parquet(Paths.get(basePath, name, "data").toString)
     // Dynamic overwrite only rewrites partitions PRESENT in `out`. A
     // touched partition whose every row was superseded (all its keys moved
-    // elsewhere, nothing new landed) is absent from `out` and would keep
-    // its stale directory — delete those explicitly. Directory names use
-    // Spark's own Hive-escaping (a string label 'a:b' lives in
-    // 'label=a%3Ab'; null in the default-partition dir), so the cleanup
-    // finds exactly the directories the writer created.
+    // elsewhere, nothing new landed — or every row deleted) is absent from
+    // `out` and would keep its stale directory — delete those explicitly.
+    // Directory names use Spark's own Hive-escaping (a string label 'a:b'
+    // lives in 'label=a%3Ab'; null in the default-partition dir), so the
+    // cleanup finds exactly the directories the writer created.
     val emptied = touchedValues.filterNot(written.contains)
     emptied.foreach { values =>
       val dir = partitionCols.zip(values)
@@ -327,13 +438,29 @@ object IndexCatalog {
             .getPartitionPathString(c, String.valueOf(v))
         }
         .foldLeft(Paths.get(basePath, name, "data"))(_ resolve _)
-      if (Files.exists(dir)) {
-        val s = Files.walk(dir)
-        try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-        finally s.close()
-      }
+      deleteTree(dir)
     }
   }
+
+  /** Remove pending tombstones for `keys` (the upsert revival path). The
+    * tombstone set is metadata-sized, so the fold-and-rewrite is one
+    * broadcast anti-join over a single file. Tombstones must have been
+    * issued against the same key column the upsert merges by. */
+  private def clearTombstonesFor(spark: SparkSession, basePath: String,
+                                 name: String, keys: DataFrame,
+                                 keyCol: String): Unit =
+    pendingTombstones(spark, basePath, name).foreach { ts =>
+      require(ts.columns.sameElements(Array(keyCol)),
+        s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
+          s"but the upsert merges by '$keyCol'")
+      val remaining = ts
+        .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      deleteTree(tombstoneDir(basePath, name))
+      if (!remaining.isEmpty)
+        remaining.coalesce(1).write.mode("overwrite")
+          .parquet(tombstoneDir(basePath, name).toString)
+    }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per
     * namespace — partition pruning makes this a metadata-sized scan; with
