@@ -337,6 +337,90 @@ object GraphOps {
        |WHERE a.src < a.dst
        |ORDER BY a.src, a.dst""".stripMargin
 
+  /** Q-knn-graph-incr: INCREMENTAL k-NN-GRAPH MAINTENANCE — fold an
+    * upserted vector batch into an existing graph without the full
+    * corpus×corpus rebuild. The arriving batch (here the vec_id % 50
+    * slice, standing in for a streamed upsert) costs:
+    *
+    *  1. new→corpus: score each new vector against its LSH bucket —
+    *     the batch side BROADCASTS (it is batch-sized; contrast
+    *     [[graft.operators.KnnSearch.knnJoinLarge]], whose merge hint
+    *     exists because neither corpus side fits), so this is one scan
+    *     of the bucketed corpus with map-side scoring, |B|-proportional.
+    *  2. old-node repair: an old node's top-3 can only change by
+    *     admitting a NEW vector, so its candidate set is its STORED
+    *     top-3 edges ∪ its scores against the batch (direction 2 of the
+    *     same broadcast join) — re-ranking touches k+|B∩bucket|
+    *     candidates per node, never the old corpus.
+    *  3. new↔new same-bucket pairs (batch-sized self-join).
+    *
+    * The union re-ranks under the exact knnJoinLarge ordering (rounded
+    * score DESC, id), so the merged candidate set provably contains the
+    * true bucket-restricted top-3 of the UNION corpus — the incremental
+    * result is BIT-IDENTICAL to the full rebuild, which is exactly what
+    * the oracle asserts: q_knn_graph_incr is gated on [[knnGraphSql]],
+    * the FULL-build oracle. The stored-graph reuse (step 2 reads
+    * [[KnnSearch.knnJoinLarge]]'s output for the OLD corpus only, the
+    * graph a deployment has persisted) is what makes maintenance
+    * |B|-proportional instead of N². */
+  /** The |B|-proportional maintenance scan of [[knnGraphIncr]]: score
+    * `left` against the BROADCAST batch side within LSH buckets. Exposed
+    * un-checkpointed so KnnGraphSpec can assert the broadcast shape on
+    * its plan (the checkpointed caller hides it behind the lineage
+    * cut). */
+  private[operators] def incrMaintenanceScan(left: DataFrame,
+                                             nb: DataFrame): DataFrame =
+    left.join(broadcast(nb), Seq("bucket"))
+      .withColumn("score", KnnSearch.prenormedScore)
+
+  private[operators] def incrBucketed(df: DataFrame): DataFrame =
+    KnnSearch.withNorm(df)
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+
+  def knnGraphIncr(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+    val isNew = col("vec_id") % 50 === 0
+    val old = all.filter(!isNew)
+    val batch = all.filter(isNew)
+    // the graph a deployment would have on disk: directed top-3 over the
+    // OLD corpus (same construction as q_knn_graph)
+    val storedEdges = KnnSearch.knnJoinLarge(old, dim = 64, k = 3)
+      .select(col("query_id"), col("vec_id"), col("score"))
+      .localCheckpoint(eager = true)
+    val ob = incrBucketed(old)
+    val nb = incrBucketed(batch).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+      col("vec_norm").as("q_norm"), col("bucket"))
+    // one broadcast bucket join yields BOTH directions of old↔new scores
+    val crossScores = incrMaintenanceScan(ob, nb)
+      .select(col("vec_id").as("o_id"), col("q_id").as("n_id"), col("score"))
+      .localCheckpoint(eager = true)
+    // new↔new same-bucket pairs (self-join of the batch)
+    val nnPairs = incrMaintenanceScan(incrBucketed(batch), nb)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id").as("query_id"), col("vec_id"), col("score"))
+    val newCand = crossScores
+      .select(col("n_id").as("query_id"), col("o_id").as("vec_id"), col("score"))
+      .unionByName(nnPairs)
+    val oldCand = storedEdges.unionByName(crossScores
+      .select(col("o_id").as("query_id"), col("n_id").as("vec_id"), col("score")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val edges = newCand.unionByName(oldCand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"), col("score"))
+      .localCheckpoint(eager = true)
+    val reversed = edges.select(col("src").as("r_src"), col("dst").as("r_dst"))
+    edges
+      .hint("merge")
+      .join(reversed,
+        col("src") === col("r_dst") && col("dst") === col("r_src"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("score"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Edge gate for [[knnGraphClusters]]: a mutual top-k relationship is a
     * NEIGHBORHOOD fact, not a SAMENESS fact — on this corpus mutual
     * scores run from −0.23 to 0.49 (median 0.23 at sf0.01, 0.30 at
@@ -560,21 +644,94 @@ object GraphOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Fixed label-propagation round count — constant so the oracle can
+    * unroll the rounds as chained CTEs (the [[PagerankIters]] rule). */
+  val LabelPropIters = 3
+
+  /** Q-communities: LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan 2007)
+    * over the thresholded co-purchase graph — the coarse content-community
+    * map (which item/topic cluster does this belong to?) that corpus
+    * curation uses for mixing and dedup scoping, where PageRank gives
+    * importance and connected components give only reachability.
+    *
+    * Synchronous rounds, made DETERMINISTIC (the published algorithm is
+    * tie-unstable): every node starts as its own label; each round every
+    * node adopts the most frequent label among its neighbors, ties to the
+    * LOWEST label. The argmax is the min-struct aggregation
+    * ([[IvfIndex.assign]]'s discipline: `min(struct(-count, label))`
+    * partial-aggregates map-side — no window, no per-node row sort), and
+    * every quantity is integer — the whole run is exact, so the oracle
+    * unrolls the identical rounds with ROW_NUMBER tie-breaks.
+    *
+    * Scale shape per round: join edges against the node-sized label
+    * vector (broadcast-hinted here, same degrade-to-shuffle note as
+    * [[pagerank]]), then one grouped aggregation keyed by node — the edge
+    * list moves through one shuffle per round, O(rounds · |E|) total.
+    * Output is the community census (size, representative), #communities
+    * rows. */
+  def communities(spark: SparkSession, dir: String): DataFrame = {
+    val und = copurchasePairs(baskets(spark, dir))
+      .filter(col("n_orders") >= TriangleMinSupport)
+      .select(col("pa"), col("pb"))
+    val edges = und.select(col("pa").as("u"), col("pb").as("v"))
+      .unionByName(und.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint(true)
+    var lab = edges.select(col("u")).distinct().select(col("u"), col("u").as("lbl"))
+    for (_ <- 1 to LabelPropIters) {
+      lab = edges
+        .join(broadcast(lab.select(col("u").as("v"), col("lbl"))), Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("best"))
+        .select(col("u"), col("best.lbl").as("lbl"))
+    }
+    lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("u")).as("rep"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  val communitiesSql: String = {
+    def round_(i: Int): String =
+      s"""s$i AS (SELECT e.u, l.lbl, COUNT(*) AS c
+         |  FROM e JOIN l${i - 1} l ON l.u = e.v GROUP BY e.u, l.lbl),
+         |l$i AS (SELECT u, lbl FROM (
+         |    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u
+         |                                      ORDER BY c DESC, lbl) AS rn
+         |    FROM s$i) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS (SELECT a.pk AS u, b.pk AS v FROM li a JOIN li b
+       |       ON a.ok = b.ok AND a.pk < b.pk
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $TriangleMinSupport),
+       |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |l0 AS (SELECT DISTINCT u, u AS lbl FROM e),
+       |${round_(1)},
+       |${round_(2)},
+       |${round_(3)}
+       |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members, MIN(u) AS rep
+       |FROM l3 GROUP BY lbl ORDER BY n_members DESC, community""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_affinity" -> (affinity _),
     "q_triangles" -> (triangles _),
+    "q_communities" -> (communities _),
     "q_pagerank" -> (pagerank _),
     "q_pagerank_directed" -> (pagerankDirected _),
     "q_knn_graph" -> (knnGraph _),
+    "q_knn_graph_incr" -> (knnGraphIncr _),
     "q_knn_graph_clusters" -> (knnGraphClusters _),
     "q_graph_ann" -> (graphAnn _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
     "q_triangles" -> trianglesSql,
+    "q_communities" -> communitiesSql,
     "q_pagerank" -> pagerankSql,
     "q_pagerank_directed" -> pagerankDirectedSql,
     "q_knn_graph" -> knnGraphSql,
+    // the incremental fold must land on the FULL rebuild's exact rows
+    "q_knn_graph_incr" -> knnGraphSql,
     "q_knn_graph_clusters" -> knnGraphClustersSql,
     "q_graph_ann" -> graphAnnSql)
 }

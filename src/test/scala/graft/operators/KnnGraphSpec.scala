@@ -78,4 +78,26 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
       clusters(rep) shouldBe rep // reps are their own reps
     }
   }
+
+  test("q_knn_graph_incr: incremental fold is bit-identical to the full rebuild; batch side broadcasts") {
+    import org.apache.spark.sql.functions.col
+    // the maintenance scan broadcasts the BATCH side (it is batch-sized;
+    // the full rebuild's merge hint exists because neither side fits) —
+    // asserted on the un-checkpointed scan, where the join is visible
+    val all = graft.Tables.embeddings(spark, sfDir)
+    val nb = GraphOps.incrBucketed(all.filter(col("vec_id") % 50 === 0)).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+      col("vec_norm").as("q_norm"), col("bucket"))
+    val scanPlan = GraphOps.incrMaintenanceScan(
+      GraphOps.incrBucketed(all.filter(!(col("vec_id") % 50 === 0))), nb)
+      .queryExecution.executedPlan.toString
+    scanPlan should include("BroadcastHashJoin")
+    scanPlan should not include "SortMergeJoin"
+
+    val full = GraphOps.knnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val folded = GraphOps.knnGraphIncr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    folded shouldBe full
+  }
 }
