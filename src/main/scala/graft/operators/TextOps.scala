@@ -759,7 +759,77 @@ object TextOps {
        |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Misra–Gries summary size for q_heavy_hitters: any term with global
+    * frequency above N/(k+1) is GUARANTEED to survive as a candidate in at
+    * least one partition (pigeonhole over the per-partition bound), which
+    * is what licenses gating the 2-pass result on the exact oracle. On the
+    * testdata's bounded vocabulary (31 words < k) the summary holds
+    * everything — the eviction path and the containment guarantee under a
+    * 5000-term Zipf stream are exercised in HeavyHittersSpec instead. */
+  val HeavyHittersK = 64
+
+  /** Per-partition Misra–Gries pass: at most k counters per partition; a
+    * term arriving at a full summary decrements every counter (zeros
+    * evict). The ONE deliberate `mapPartitions` in the text suite — the
+    * summary is genuinely imperative per-partition state that no
+    * aggregate expression expresses, and its output is candidate TERMS
+    * only (≤ partitions·k strings, metadata-sized). */
+  private[operators] def misraGriesCandidates(
+      terms: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
+    import terms.sparkSession.implicits._
+    terms.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts(t) = c + 1
+          case None if counts.size < k => counts(t) = 1L
+          case None =>
+            for (key <- counts.keys.toArray) {
+              val c = counts(key) - 1
+              if (c == 0) counts.remove(key) else counts(key) = c
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("w").distinct()
+  }
+
+  /** Q-heavy-hitters: EXACT top-10 terms via the 2-PASS HEAVY-HITTERS
+    * pattern — pass 1 is a per-partition Misra–Gries summary (bounded
+    * memory, NO shuffle of the full term frequency table), pass 2 exactly
+    * recounts ONLY the broadcast candidate set and takes the true top-10.
+    * The result is exact (hence the plain exact-top-10 oracle): the MG
+    * guarantee puts every term with frequency > N/(k+1) in the candidate
+    * set, and the recount replaces approximate counts with true ones.
+    *
+    * Why this beats the naive `groupBy(term)` at 100 TB: the naive plan
+    * shuffles the ENTIRE term histogram — Heaps-law vocabulary on a web
+    * corpus is billions of distinct grams — while this plan shuffles only
+    * candidate-term rows (pass 2's groupBy is over ≤ partitions·k terms'
+    * occurrences) plus the candidate strings themselves. The same 2-pass
+    * shape is how every production frequent-items job (stopword
+    * induction, hot-key detection before salting) actually runs. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .as[String]
+    val cand = misraGriesCandidates(terms, HeavyHittersK)
+    terms.toDF.join(broadcast(cand), Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(10)
+  }
+
+  val heavyHittersSql: String =
+    """WITH terms AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |               FROM documents)
+      |SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM terms
+      |GROUP BY w ORDER BY n DESC, w LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (heavyHitters _),
     "q_oov_rate" -> (oovRate _),
     "q_compress_ratio" -> (compressRatio _),
     "q_perplexity" -> (perplexity _),
@@ -788,6 +858,7 @@ object TextOps {
     "q_collocations" -> collocationsSql,
     "q_entropy" -> entropySql,
     "q_token_bpe" -> tokenBpeSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_winnow" -> winnowSql,

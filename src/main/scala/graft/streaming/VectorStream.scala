@@ -293,14 +293,111 @@ object VectorStream {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Q-stream-cdc: CHANGELOG APPLY — a CDC stream (`op` ∈ {U, D} with a
+    * per-key version, the Debezium/lakehouse merge shape) maintained
+    * against the persisted index. Each micro-batch resolves per-key to
+    * its HIGHEST-version operation ([[Upsert.lastWriteWins]] — a key's
+    * stale op inside the batch never applies), then splits: upserts merge
+    * via the version-aware [[IndexCatalog.upsertInto]], deletes append
+    * via [[IndexCatalog.tombstone]] — so a delete costs O(|keys|) on the
+    * hot path and searches stop seeing the keys at the NEXT trigger,
+    * while the physical fold waits for the epilogue's
+    * [[IndexCatalog.vacuumTombstones]].
+    *
+    * The staged lifecycle exercises every CDC transition: update (v1
+    * relabel), delete (v1), update-then-delete across batches (v1 upsert,
+    * v2 delete — the later op wins), and DELETE-THEN-REUPSERT (v1 delete,
+    * v2 upsert — upsertInto's tombstone-clearing revival path, the
+    * IndexDeleteSpec semantics under streamed delivery). Cross-batch
+    * delete ordering note: upserts are version-safe under redelivery (the
+    * stored version wins the merge window), deletes are not versioned on
+    * disk — the staged batches arrive in version order, the contract a
+    * log-offset CDC source provides.
+    *
+    * The oracle states the flat end-state per key class — no replay of
+    * the machinery, just what the index must contain. */
+  def streamCdc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, dir)
+    // warm initial state shared with q_stream_upsert_steady (same layout)
+    val warmBase = IndexCatalog.cacheBase(dir)
+    val warmName = "stream-upsert-warm"
+    IndexCatalog.createIfAbsent(spark, warmBase,
+      IndexCatalog.IndexDescriptor(warmName, 64, "cosine"),
+      initialState(emb), partitionCols = Seq("bucket"))
+    val base = graft.Scratch.dir("graft-streamcdc-idx")
+    val name = warmName
+    copyTree(java.nio.file.Paths.get(warmBase, warmName),
+      java.nio.file.Paths.get(base, name))
+    // batch 1 (v1): relabel %101 keys (minus the %97 overlap — one op per
+    // (key, version)); delete %97 keys. batch 2 (v2): delete %202 keys,
+    // minus %194 — those REVIVE instead with a fresh payload.
+    val staged = graft.Scratch.dir("graft-streamcdc-in")
+    val b1 = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") + 100).as("label"), lit(1L).as("version"), lit("U").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("embedding"),
+          col("label"), lit(1L).as("version"), lit("D").as("op")))
+    val b2 = emb.filter(col("vec_id") % 202 === 0 && col("vec_id") % 194 =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        col("label"), lit(2L).as("version"), lit("D").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 194 === 0)
+        .select(col("vec_id"), col("embedding"),
+          (col("label") + 500).as("label"), lit(2L).as("version"), lit("U").as("op")))
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    val dim = IndexCatalog.describe(base, name).get.dimension
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val resolved = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
+            tieBreak = Seq(xxhash64(col("embedding"), col("label"), col("op"))))
+          .localCheckpoint(true)
+        val ups = resolved.filter(col("op") =!= "D").drop("op")
+          .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
+          .localCheckpoint(true)
+        val dels = resolved.filter(col("op") === "D").select(col("vec_id"))
+        if (!ups.isEmpty)
+          IndexCatalog.upsertInto(batch.sparkSession, base, name,
+            ups, "vec_id", versionCol = Some("version"))
+        if (!dels.isEmpty)
+          IndexCatalog.tombstone(batch.sparkSession, base, name, dels)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_cdc", q)
+    } finally { q.stop() }
+    IndexCatalog.vacuumTombstones(spark, base, name)
+    IndexCatalog.load(spark, base, name)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  val streamCdcSql: String =
+    """SELECT vec_id,
+      |  CASE WHEN vec_id % 194 = 0 THEN label + 500
+      |       WHEN vec_id % 101 = 0 THEN label + 100
+      |       ELSE label END AS label
+      |FROM embeddings
+      |WHERE NOT ((vec_id % 97 = 0 AND vec_id % 194 <> 0)
+      |        OR (vec_id % 202 = 0 AND vec_id % 194 <> 0))
+      |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_stream_upsert" -> (streamUpsert _),
       "q_stream_upsert_steady" -> (streamUpsertSteady _),
+      "q_stream_cdc" -> (streamCdc _),
       "q_stream_knn" -> (streamKnn _))
 
   def oracles: Map[String, String] =
     Map("q_stream_upsert" -> streamUpsertSql,
       // identical final LWW state through the warm-index lifecycle
       "q_stream_upsert_steady" -> streamUpsertSql,
+      "q_stream_cdc" -> streamCdcSql,
       "q_stream_knn" -> streamKnnSql)
 }
