@@ -1284,6 +1284,120 @@ object VectorOps {
        |ORDER BY score DESC, vec_id""".stripMargin
   }
 
+  /** Q-radius-auto: OPTIMIZER-ROUTED RANGE SEARCH — the q_knn_auto
+    * contract applied to q_radius's query type: the user writes the naive
+    * similarity-range SQL (`WHERE score >= τ ORDER BY score DESC` over
+    * the full registered index, no probes, no bucket predicate) and
+    * [[graft.plans.AnnRouting]]'s RADIUS arm rewrites the FILTER into the
+    * probed scan: the τ lower bound names the query vector through the
+    * same monotone-wrapper discipline as the sort-based arm, plan-time
+    * probe selection picks the nprobe=4 buckets, and `bucket IN (...)`
+    * lands as PartitionFilters. Registering the index opts range queries
+    * into the IVF recall trade exactly as it does top-K — matches in
+    * unprobed buckets are unreachable, which the oracle states by
+    * replaying probe selection and applying τ INSIDE the probed buckets.
+    * Opposite-sense bounds (`score <= τ`, "far from the query") are
+    * negative-tested to decline in AnnRoutingSpec. */
+  def radiusAuto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(${sparkCosineSql("embedding", qLit)}, 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |WHERE score >= $RadiusTau
+         |ORDER BY score DESC, vec_id""".stripMargin)
+  }
+
+  val radiusAutoSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |pr AS (SELECT cent_id FROM cent, q
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |WHERE score >= $RadiusTau
+       |ORDER BY score DESC, vec_id""".stripMargin
+  }
+
+  /** Q-maxsim: LATE-INTERACTION MULTI-VECTOR RETRIEVAL (the ColBERT
+    * MaxSim operator) — documents and queries are SETS of vectors, and a
+    * document scores `Σ_{q ∈ Q} max_{d ∈ D} cos(q, d)`: each query vector
+    * independently finds its best-matching document vector, and the sum
+    * rewards documents that cover ALL the query's aspects. The retrieval
+    * model between single-vector search (q_knn — one global embedding
+    * loses aspect structure) and full cross-attention (not expressible as
+    * precomputed vectors at all). Multi-vector groups here are the
+    * vec_id DIV 4 slices — a deterministic stand-in for "one embedding
+    * per passage chunk".
+    *
+    * FP disciplines: the inner max compares ROUNDED per-pair scores
+    * (orderless max over identical doubles is engine-stable), and the
+    * outer sum is a fixed-order pivot chain over the 4 query-vector slots
+    * (the q_bm25 rule — never an orderless double SUM).
+    *
+    * Scale shape: the query's vector set broadcasts (it is query-sized);
+    * one corpus scan scores all pairs map-side, then ONE partial-
+    * aggregated groupBy(doc) computes all per-slot maxima — the per-pair
+    * frame never shuffles, only |docs| × 4 maxima do. Composes with any
+    * ANN layout by restricting the scan to probed candidates first. */
+  def maxSim(spark: SparkSession, dir: String): DataFrame = {
+    val emb = index(spark, dir).withColumn("g", expr("vec_id DIV 4"))
+    val qv = KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+    val slots = (0 to 3).map(k =>
+      max(when(col("q_id") === k, col("s"))).as(s"m$k"))
+    val perDoc = emb.filter(col("g") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("s", KnnSearch.prenormedScore)
+      .groupBy(col("g"))
+      .agg(slots.head, slots.tail: _*)
+    val chain = (0 to 3).map(k => coalesce(col(s"m$k"), lit(0.0))).reduce(_ + _)
+    perDoc
+      .select(col("g").as("doc"), round(chain, 6).as("score"))
+      .orderBy(col("score").desc, col("doc"))
+      .limit(10)
+  }
+
+  val maxSimSql: String = {
+    import VectorSql.{cosine => cos}
+    val slots = (0 to 3)
+      .map(k => s"MAX(CASE WHEN q_id = $k THEN s END) AS m$k")
+      .mkString(",\n       |    ")
+    val chain = (0 to 3).map(k => s"COALESCE(m$k, 0.0)").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |pairs AS (
+       |  SELECT e.vec_id // 4 AS g, q.q_id,
+       |    ROUND(${cos("e.embedding", "q.qe")}, 6) AS s
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id // 4 <> 0),
+       |per_doc AS (
+       |  SELECT g,
+       |    $slots
+       |  FROM pairs GROUP BY g)
+       |SELECT g AS doc, ROUND($chain, 6) AS score FROM per_doc
+       |ORDER BY score DESC, doc LIMIT 10""".stripMargin
+  }
+
   /** MMR trade-off weights. The complement is a LITERAL, not `1 - lambda`
     * (whose IEEE value 0.30000000000000004 would diverge from the oracle's
     * 0.3), so both engines compute bit-identical scores. */
@@ -1412,6 +1526,8 @@ object VectorOps {
     "q_ivf_rebuild" -> (ivfRebuild _),
     "q_index_delete" -> (indexDelete _),
     "q_radius" -> (radius _),
+    "q_maxsim" -> (maxSim _),
+    "q_radius_auto" -> (radiusAuto _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
     "q_bq_knn" -> (bqKnn _),
@@ -1448,6 +1564,8 @@ object VectorOps {
     "q_ivf_rebuild" -> ivfRebuildSql,
     "q_index_delete" -> indexDeleteSql,
     "q_radius" -> radiusSql,
+    "q_maxsim" -> maxSimSql,
+    "q_radius_auto" -> radiusAutoSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_bq_knn" -> bqKnnSql,

@@ -286,7 +286,102 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // registered route there is nothing to do — skip the tree walk (and
     // registeredPath's canonicalization syscalls) entirely
     if (!AnnRouting.hasRoutes) return plan
-    applyBatchRouting(applyRouting(plan))
+    applyBatchRouting(applyRadiusRouting(applyRouting(plan)))
+  }
+
+  /** RADIUS (similarity-range) routing: a Filter whose condition carries
+    * a similarity LOWER bound against a registered index — `cosine ≥ τ`
+    * through the monotone wrappers, or `l2dist ≤ τ` (both meaning "near
+    * the query") — routes to the probed buckets exactly like a top-K
+    * sort does. The same opt-in approximation contract: registering the
+    * index declares that range queries may miss matches in unprobed
+    * buckets (the IVF recall trade), in exchange for reading nprobe/k of
+    * the data. UPPER bounds (`cosine ≤ τ`, `l2dist ≥ τ` — "far from the
+    * query") must DECLINE: the nearest buckets are exactly the wrong
+    * ones. Idempotent across optimizer passes via the user-bucket-filter
+    * guard (the injected probe filter reads as one on the next visit). */
+  private def applyRadiusRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, child) =>
+      val routed =
+        try routeRadius(f, cond, child)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            logWarning(s"ann radius routing declined (falling back to the unrouted plan): $e")
+            None
+        }
+      routed match {
+        case Some(r) => f.copy(child = r)
+        case None => f
+      }
+  }
+
+  private def routeRadius(whole: Filter, cond: Expression,
+                          child: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val (relation, path) = registeredScan(child).getOrElse(return None)
+    val r = routeFor(path).getOrElse(return None)
+    val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
+    // the whole filter (cond included) — a user bucket predicate, or this
+    // rule's own injected probe filter on a previous pass, declines
+    if (hasUserBucketFilter(whole, relation, bucketAttr)) return None
+    val resolve = aliasResolver(child)
+    val vecAttrOk = (a: Expression) => a match {
+      case ar: AttributeReference => ar.name == r.vecCol && relation.outputSet.contains(ar)
+      case _ => false
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+      case x => Seq(x)
+    }
+    def cosineLowerBound(k: Expression): Option[Expression] =
+      monotoneDotKernel(vecAttrOk, _.foldable)(resolve(k, 4))
+    def l2UpperBound(k: Expression): Option[Expression] =
+      monotoneL2Kernel(vecAttrOk)(resolve(k, 4))
+    // The optimizer pushes the comparison INSIDE the zero-norm CASE guard
+    // (`CASE WHEN norm=0 THEN 0.0 ELSE cos END >= τ` becomes `CASE WHEN
+    // norm=0 THEN false ELSE cos >= τ END`) — unwrap exactly that form: a
+    // single kernel-free branch whose value is the literal FALSE (the
+    // guarded row is excluded either way for a positive τ; a TRUE branch
+    // would admit rows independently of the kernel and must decline).
+    import org.apache.spark.sql.catalyst.expressions.CaseWhen
+    def unwrapGuard(e: Expression): Expression = e match {
+      case CaseWhen(Seq((c, Literal(false, org.apache.spark.sql.types.BooleanType))), Some(els))
+          if !c.exists(x => x.isInstanceOf[DotProduct] || x.isInstanceOf[L2Distance]) =>
+        els
+      case other => other
+    }
+    // first conjunct that is a near-the-query bound; the opposite-sense
+    // forms fall through to None (decline)
+    val hit: Option[(Expression, String)] = conjuncts(cond).iterator.map(unwrapGuard).map {
+      case GreaterThanOrEqual(l, t) if isNumericLiteral(t) =>
+        cosineLowerBound(l).map((_, "cosine"))
+      case GreaterThan(l, t) if isNumericLiteral(t) =>
+        cosineLowerBound(l).map((_, "cosine"))
+      case LessThanOrEqual(t, rr) if isNumericLiteral(t) =>
+        cosineLowerBound(rr).map((_, "cosine"))
+      case LessThan(t, rr) if isNumericLiteral(t) =>
+        cosineLowerBound(rr).map((_, "cosine"))
+      case LessThanOrEqual(l, t) if isNumericLiteral(t) =>
+        l2UpperBound(l).map((_, "euclidean"))
+      case LessThan(l, t) if isNumericLiteral(t) =>
+        l2UpperBound(l).map((_, "euclidean"))
+      case GreaterThanOrEqual(t, rr) if isNumericLiteral(t) =>
+        l2UpperBound(rr).map((_, "euclidean"))
+      case GreaterThan(t, rr) if isNumericLiteral(t) =>
+        l2UpperBound(rr).map((_, "euclidean"))
+      case _ => None
+    }.collectFirst { case Some(x) => x }
+    val (queryLit, metric) = hit.getOrElse(return None)
+    if (metric == "euclidean" && r.kind != "ivf") return None
+    val query = evalVector(queryLit).getOrElse(return None)
+    val probes = probeBuckets(spark, r, query, metric)
+    if (probes.isEmpty) return None
+    val lits = probes.map(b => bucketLiteral(b, bucketAttr.dataType))
+    logInfo(s"ann routing: rewriting radius filter over ${r.name} to " +
+      s"probed buckets [${probes.mkString(", ")}]")
+    Some(child.transformUp {
+      case lr: LogicalRelation if lr eq relation => Filter(In(bucketAttr, lits), lr)
+    })
   }
 
   private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -357,23 +452,12 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //    descending sort back to nearest-first (the `ORDER BY 1 -
     //    distance DESC` form a similarity-shaped API emits). A second
     //    negation is declined (conservative: decline-by-default).
-    import org.apache.spark.sql.catalyst.expressions.{Divide, RoundBase, Subtract, UnaryMinus}
+    import org.apache.spark.sql.catalyst.expressions.{RoundBase, Subtract, UnaryMinus}
     import org.apache.spark.sql.types.NumericType
     def monotoneKernel(e: Expression): Option[Expression] =
       monotoneDotKernel(vecAttrOk, _.foldable)(e)
-    // vec_l2dist reached through monotone-increasing wrappers only (no
-    // CASE guard: the distance kernel has no zero-norm branch to guard)
-    def monotoneL2(e: Expression): Option[Expression] = e match {
-      case L2Distance(a, q) if vecAttrOk(a) && q.foldable => Some(q)
-      case L2Distance(q, a) if vecAttrOk(a) && q.foldable => Some(q)
-      case al: Alias => monotoneL2(al.child)
-      case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if c.dataType.isInstanceOf[NumericType] => monotoneL2(c.child)
-      case rn: RoundBase => monotoneL2(rn.children.head)
-      case Divide(num, den, _) if provablyNonNegative(den) =>
-        monotoneL2(num)
-      case _ => None
-    }
+    def monotoneL2(e: Expression): Option[Expression] =
+      monotoneL2Kernel(vecAttrOk)(e)
     // exactly ONE antitone wrapper (lit - l2, or -l2) around the monotone
     // l2 form — DESC on it is nearest-first
     def antitoneL2(e: Expression): Option[Expression] = e match {
@@ -514,6 +598,27 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * side — a foldable literal in the single-query shape, the query
     * table's column attribute in the batched shape. Returns the query-side
     * expression. */
+  /** vec_l2dist reached through MONOTONE-increasing wrappers only (no
+    * CASE guard: the distance kernel has no zero-norm branch to guard) —
+    * the euclidean twin of [[monotoneDotKernel]], shared by the top-K and
+    * radius arms. */
+  private def monotoneL2Kernel(vecOk: Expression => Boolean)
+                              (e: Expression): Option[Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, RoundBase}
+    import org.apache.spark.sql.types.NumericType
+    def go(e: Expression): Option[Expression] = e match {
+      case L2Distance(a, q) if vecOk(a) && q.foldable => Some(q)
+      case L2Distance(q, a) if vecOk(a) && q.foldable => Some(q)
+      case al: Alias => go(al.child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType.isInstanceOf[NumericType] => go(c.child)
+      case rn: RoundBase => go(rn.children.head)
+      case Divide(num, den, _) if provablyNonNegative(den) => go(num)
+      case _ => None
+    }
+    go(e)
+  }
+
   private def monotoneDotKernel(vecOk: Expression => Boolean,
                                 queryOk: Expression => Boolean)
                                (e: Expression): Option[Expression] = {

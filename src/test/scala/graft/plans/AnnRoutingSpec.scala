@@ -344,4 +344,45 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     val b = VectorOps.knnAuto(spark, sfDir).collect().map(_.toSeq)
     a should contain theSameElementsInOrderAs b
   }
+
+  /** The naive RADIUS plan (no limit) with a configurable bound sense. */
+  private def naiveRadius(lowerBound: Boolean): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val idx = IndexCatalog.load(spark, base, name)
+    val q = typedlit[Seq[Float]](queryVec)
+    val score = round(cosineSim(col("embedding"), q), 6).as("score")
+    val scored = idx.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), score)
+    scored
+      .filter(if (lowerBound) col("score") >= 0.2 else col("score") <= 0.2)
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  test("q_radius_auto: a similarity lower bound routes; the routed rows are within the probed buckets") {
+    VectorOps.annIvfPersisted(spark, sfDir).collect() // ensure index
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val df = naiveRadius(lowerBound = true)
+    assert(hasBucketInFilter(df), "radius arm did not fire on a lower bound")
+    // every routed-result row exists in the exact radius result (the
+    // routing only PRUNES — it can never invent rows or change scores)
+    val routed = df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    AnnRouting.unregister(base, name)
+    val exact = naiveRadius(lowerBound = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSet
+    routed.subsetOf(exact) shouldBe true
+    routed should not be empty
+    AnnRouting.register(spark, base, name, nprobe = 4)
+  }
+
+  test("radius routing declines an UPPER bound (far-from-query) and kernel-free filters") {
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    // score <= τ means "far from the query" — probing the nearest buckets
+    // would be exactly wrong
+    assert(!hasBucketInFilter(naiveRadius(lowerBound = false)),
+      "radius arm fired on an upper (far-from-query) bound")
+    // a plain metadata filter carries no query vector — nothing to probe
+    val idx = IndexCatalog.load(spark, base, name)
+    assert(!hasBucketInFilter(idx.filter(col("label") >= 3)),
+      "radius arm fired on a kernel-free filter")
+  }
 }
