@@ -71,7 +71,16 @@ object PlanDump {
     // probe predicate + union PartitionFilter), the rebuilt-index balance
     // scan, and the mutual k-NN-graph merge join
     "q_l2_auto", "q_knn_auto_filtered", "q_ann_batch_auto", "q_ivf_rebuild",
-    "q_knn_graph")
+    "q_knn_graph",
+    // round-10 second wave: the radius-routed FILTER plan (τ bound in,
+    // probed PartitionFilters out), the tombstone-folded delete state,
+    // the MaxSim per-doc max aggregation, the 2-pass heavy-hitter
+    // candidate semi-join, label propagation, the perceptron epoch scan,
+    // the incremental graph fold's broadcast maintenance scan, and the
+    // rank-metric pivot chains
+    "q_radius", "q_radius_auto", "q_index_delete", "q_maxsim",
+    "q_heavy_hitters", "q_communities", "q_quality_train",
+    "q_knn_graph_incr", "q_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
