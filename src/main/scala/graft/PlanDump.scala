@@ -78,8 +78,11 @@ object PlanDump {
     // candidate semi-join, label propagation, the perceptron epoch scan,
     // the incremental graph fold's broadcast maintenance scan, and the
     // rank-metric pivot chains
+    // q_quality_apply (not _train): the train query returns a driver-
+    // assembled epoch table (LocalTableScan — nothing to read), while
+    // apply's plan shows the broadcast-literal-weights inference scan
     "q_radius", "q_radius_auto", "q_index_delete", "q_maxsim",
-    "q_heavy_hitters", "q_communities", "q_quality_train",
+    "q_heavy_hitters", "q_communities", "q_quality_apply",
     "q_knn_graph_incr", "q_retrieval_eval")
 
   def main(args: Array[String]): Unit = {
