@@ -563,6 +563,63 @@ object EventOps {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,18))) AS DOUBLE), 3) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Q-incr-distinct: INCREMENTAL DISTINCT-COUNT maintenance — the
+    * non-distributive aggregate [[incrAgg]] cannot carry: COUNT(DISTINCT)
+    * over partial states needs the states to be MERGEABLE, which exact
+    * counts are not (distinct users of day A ∪ day B ≠ sum of per-day
+    * distincts) — the textbook case for sketches. Per day the stored MV
+    * keeps a Datasketches HLL sketch of the user ids (a few KB,
+    * order-independent register state); a refresh computes ONLY the new
+    * days' sketches and appends; any window's distinct estimate is one
+    * `hll_union_agg` over the stored sketches — never a rescan of
+    * history. Declared result: per-day estimates + a TOTAL row (the
+    * all-days union).
+    *
+    * Rows-only BY DESIGN: sketch estimates are engine-specific (DuckDB's
+    * approx_count_distinct is a different sketch family — the
+    * q_approx_distinct precedent). The gates live in IncrDistinctSpec:
+    * estimates within the HLL error envelope of exact counts, and the
+    * INCREMENTAL result row-identical to a from-scratch rebuild (HLL
+    * register state is update-order-independent, so merge(MV, delta)
+    * must equal rebuild exactly — the sketch analog of incrAgg's
+    * distributive-merge proof).
+    *
+    * Scale shape: the delta aggregate scans new partitions only
+    * (partition pruning on a date-partitioned table); the MV is
+    * #days × sketch-size. Union cost is #sketches, independent of row
+    * count — the whole point at 100 TB. */
+  def incrDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val ev = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val base = Paths.get(graft.sources.IndexCatalog.cacheBase(dir))
+    val mv = base.resolve("hlldistinct-mv-v1")
+    if (!Files.exists(mv)) {
+      Files.createDirectories(base)
+      val tmp = Files.createTempDirectory(base, "hlldistinct-mv-build")
+      ev.filter(col("day") < IncrAggCutoff)
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, mv, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException if Files.exists(mv) =>
+          graft.sources.Maintenance.deleteRecursively(tmp)
+      }
+    }
+    val stored = spark.read.parquet(mv.toString)
+    val delta = ev.filter(col("day") >= IncrAggCutoff)
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val all = stored.unionByName(delta).localCheckpoint(true) // #days rows
+    val daily = all.select(col("day"), hll_sketch_estimate(col("sk")).as("n_users_est"))
+    val total = all
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_users_est"))
+      .select(lit("TOTAL").as("day"), col("n_users_est"))
+    daily.unionByName(total).orderBy(col("day"))
+  }
+
   /** Reference/current boundary for [[psiDrift]] — mid-corpus. */
   val PsiSplit = "2024-01-16"
 
@@ -636,6 +693,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_psi_drift" -> (psiDrift _),
     "q_incr_agg" -> (incrAgg _),
+    "q_incr_distinct" -> (incrDistinct _),
     "q_minmax_norm" -> (minmaxNorm _),
     "q_time_decay" -> (timeDecay _),
     "q_transition" -> (transitions _),
