@@ -298,6 +298,69 @@ object RelationalOps {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  /** Q-volume-shipping: the TPC-H Q7 shape — bilateral trade volume
+    * between two nations by ship year: lineitem joined through supplier
+    * AND customer to TWO nation dimension roles (the same dimension
+    * aliased twice with opposite filters — the self-role join Q5's
+    * single-nation snowflake does not exercise), symmetric nation-pair
+    * predicate, per-(pair, year) decimal-exact revenue.
+    *
+    * Scale shape: the two nation roles broadcast PRE-FILTERED to the one
+    * pair each (one row per role — the inner joins then restrict
+    * supplier/customer before the fact-table shuffles); lineitem carries
+    * the date range as a pushed filter and shuffles once per equi-join
+    * key. The revenue sum is the q_shipping_priority cents discipline
+    * (decimal products, order-free). */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_timestamp(lit("1995-01-01 00:00:00"))
+    val hi = to_timestamp(lit("1996-12-31 23:59:59"))
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(lo, hi))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = (lit(1.0) - col("l_discount")).cast("decimal(4,2)")
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((price * disc).cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val volumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(vol) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    EXTRACT(year FROM l_shipdate) AS l_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |         CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS vol
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                       AND TIMESTAMP '1996-12-31 23:59:59')
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Q-local-supplier: the six-table snowflake join (TPC-H Q5 shape) —
     * revenue from orders where the supplier and customer share a nation,
     * per nation of one region and one year. The dimensional chain
@@ -675,6 +738,7 @@ object RelationalOps {
     "q_top_names" -> (topNamesPerNation _),
     "q_shipping_priority" -> (shippingPriority _),
     "q_local_supplier" -> (localSupplier _),
+    "q_volume_shipping" -> (volumeShipping _),
     "q_min_cost_supplier" -> (minCostSupplier _),
     "q_salted_join" -> (saltedJoinQuery _),
     "q_above_avg_orders" -> (aboveAvgOrders _),
@@ -698,6 +762,7 @@ object RelationalOps {
     "q_top_names" -> topNamesPerNationSql,
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_supplier" -> localSupplierSql,
+    "q_volume_shipping" -> volumeShippingSql,
     "q_min_cost_supplier" -> minCostSupplierSql,
     "q_salted_join" -> saltedJoinSql,
     "q_above_avg_orders" -> aboveAvgOrdersSql,
