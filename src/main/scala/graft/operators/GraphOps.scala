@@ -387,8 +387,11 @@ object GraphOps {
     val storedEdges = KnnSearch.knnJoinLarge(old, dim = 64, k = 3)
       .select(col("query_id"), col("vec_id"), col("score"))
       .localCheckpoint(eager = true)
+    // bucket the batch ONCE (norms + 64 plane dots per vector) — both
+    // the query side and the nn self-join left side project from it
+    val bb = incrBucketed(batch).localCheckpoint(eager = true)
     val ob = incrBucketed(old)
-    val nb = incrBucketed(batch).select(
+    val nb = bb.select(
       col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
       col("vec_norm").as("q_norm"), col("bucket"))
     // one broadcast bucket join yields BOTH directions of old↔new scores
@@ -396,7 +399,7 @@ object GraphOps {
       .select(col("vec_id").as("o_id"), col("q_id").as("n_id"), col("score"))
       .localCheckpoint(eager = true)
     // new↔new same-bucket pairs (self-join of the batch)
-    val nnPairs = incrMaintenanceScan(incrBucketed(batch), nb)
+    val nnPairs = incrMaintenanceScan(bb, nb)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id").as("query_id"), col("vec_id"), col("score"))
     val newCand = crossScores

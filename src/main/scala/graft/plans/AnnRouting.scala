@@ -300,8 +300,21 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * query") must DECLINE: the nearest buckets are exactly the wrong
     * ones. Idempotent across optimizer passes via the user-bucket-filter
     * guard (the injected probe filter reads as one on the next visit). */
+  /** Pure in-memory pre-screen: the bare `Filter(_, _)` pattern matches
+    * the most common operator in every plan, and routeRadius's first
+    * steps (subtree collect + path canonicalization syscalls) are too
+    * expensive to run per Filter per fixpoint pass. A filter can only be
+    * a similarity-radius gate if its condition CONTAINS a scoring
+    * kernel, so non-vector plans skip in one expression walk. (By the
+    * time extraOptimizations run, predicate pushdown has substituted
+    * Project aliases into the condition — the probed SQL/DataFrame forms
+    * carry the kernel inline; a condition still hiding it behind an
+    * unpushable alias is skipped, a conservative decline.) */
+  private def condHasKernel(cond: Expression): Boolean =
+    cond.exists(e => e.isInstanceOf[DotProduct] || e.isInstanceOf[L2Distance])
+
   private def applyRadiusRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case f @ Filter(cond, child) =>
+    case f @ Filter(cond, child) if condHasKernel(cond) =>
       val routed =
         try routeRadius(f, cond, child)
         catch {

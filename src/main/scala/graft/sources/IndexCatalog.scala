@@ -249,6 +249,9 @@ object IndexCatalog {
   def vacuumTombstones(spark: SparkSession, basePath: String, name: String,
                        keyCol: String = "vec_id"): Unit = {
     val ts = pendingTombstones(spark, basePath, name).getOrElse(return)
+    require(ts.columns.sameElements(Array(keyCol)),
+      s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
+        s"but the vacuum folds by '$keyCol'")
     val partitionCols = partitionLayout(basePath, name)
     require(partitionCols.nonEmpty, s"index $name has no partition layout")
     val idx = loadRaw(spark, basePath, name)
@@ -445,7 +448,16 @@ object IndexCatalog {
   /** Remove pending tombstones for `keys` (the upsert revival path). The
     * tombstone set is metadata-sized, so the fold-and-rewrite is one
     * broadcast anti-join over a single file. Tombstones must have been
-    * issued against the same key column the upsert merges by. */
+    * issued against the same key column the upsert merges by.
+    *
+    * Crash discipline (the createIfAbsent rule applied here): the
+    * REMAINING keys are written as a NEW file into the tombstone dir
+    * BEFORE the old files are deleted — at every instant the pending set
+    * on disk is a superset of `remaining`, so a kill at any point can
+    * only leave a batch key still tombstoned (and the upsert it was
+    * cleared for has not run either — the retry re-clears), never
+    * resurrect an unrelated pending delete. A delete-then-rewrite order
+    * would open exactly that window. */
   private def clearTombstonesFor(spark: SparkSession, basePath: String,
                                  name: String, keys: DataFrame,
                                  keyCol: String): Unit =
@@ -453,13 +465,20 @@ object IndexCatalog {
       require(ts.columns.sameElements(Array(keyCol)),
         s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
           s"but the upsert merges by '$keyCol'")
+      val dir = tombstoneDir(basePath, name)
+      val oldFiles = {
+        val s = Files.list(dir)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toList
+        finally s.close()
+      }
+      // materialize BEFORE touching the files the plan reads from
       val remaining = ts
         .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")
         .localCheckpoint(true)
-      deleteTree(tombstoneDir(basePath, name))
       if (!remaining.isEmpty)
-        remaining.coalesce(1).write.mode("overwrite")
-          .parquet(tombstoneDir(basePath, name).toString)
+        remaining.coalesce(1).write.mode("append").parquet(dir.toString)
+      oldFiles.foreach(Files.deleteIfExists(_))
     }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per

@@ -171,17 +171,30 @@ object VectorStream {
     * maintenance triggers; BASELINE.md records it next to the lifecycle
     * number as the build-vs-steady split. Same oracle as q_stream_upsert:
     * identical final LWW state through a different lifecycle. */
-  def streamUpsertSteady(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): DataFrame = {
+  /** Ensure the SHARED warm initial index exists (full corpus at version
+    * 0 — built once into the persisted cache) and file-clone it into a
+    * fresh scratch root. ONE definition of the warm layout, shared by
+    * every warm-lifecycle stream query (q_stream_upsert_steady,
+    * q_stream_cdc) — a layout change applied to one copy and not the
+    * other would silently desynchronize queries that claim "same
+    * layout". */
+  private def cloneWarmIndex(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, scratchLabel: String): (String, String) = {
     import graft.Tables
     val warmBase = IndexCatalog.cacheBase(dir)
     val name = "stream-upsert-warm"
     IndexCatalog.createIfAbsent(spark, warmBase,
       IndexCatalog.IndexDescriptor(name, 64, "cosine"),
       initialState(Tables.embeddings(spark, dir)), partitionCols = Seq("bucket"))
-    val base = graft.Scratch.dir("graft-streamsteady-idx")
+    val base = graft.Scratch.dir(scratchLabel)
     copyTree(java.nio.file.Paths.get(warmBase, name),
       java.nio.file.Paths.get(base, name))
+    (base, name)
+  }
+
+  def streamUpsertSteady(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame = {
+    val (base, name) = cloneWarmIndex(spark, dir, "graft-streamsteady-idx")
     val (staged, schema) = stageBatches(spark, dir)
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -319,16 +332,9 @@ object VectorStream {
   def streamCdc(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val emb = Tables.embeddings(spark, dir)
-    // warm initial state shared with q_stream_upsert_steady (same layout)
-    val warmBase = IndexCatalog.cacheBase(dir)
-    val warmName = "stream-upsert-warm"
-    IndexCatalog.createIfAbsent(spark, warmBase,
-      IndexCatalog.IndexDescriptor(warmName, 64, "cosine"),
-      initialState(emb), partitionCols = Seq("bucket"))
-    val base = graft.Scratch.dir("graft-streamcdc-idx")
-    val name = warmName
-    copyTree(java.nio.file.Paths.get(warmBase, warmName),
-      java.nio.file.Paths.get(base, name))
+    // warm initial state shared with q_stream_upsert_steady (one layout
+    // definition — cloneWarmIndex)
+    val (base, name) = cloneWarmIndex(spark, dir, "graft-streamcdc-idx")
     // batch 1 (v1): relabel %101 keys (minus the %97 overlap — one op per
     // (key, version)); delete %97 keys. batch 2 (v2): delete %202 keys,
     // minus %194 — those REVIVE instead with a fresh payload.
