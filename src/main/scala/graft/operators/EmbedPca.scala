@@ -338,11 +338,136 @@ object EmbedPca {
         round(col("n_hits").cast("double") / 5.0, 6).as("recall"))
   }
 
+  /** The planted "new model" drift for q_embed_align: dimension j of the
+    * target space is `sign(j) · a[perm(j)]` — a signed coordinate
+    * permutation (an exactly orthogonal map, so the planted drift is a
+    * genuine rotation/reflection). perm is a fixed bijection mod the
+    * dimension (gcd(7, 64) = 1). */
+  private[operators] def alignPerm(j: Int): Int = (7 * j + 3) % 64
+  private[operators] def alignSign(j: Int): Double = if (j % 2 == 0) 1.0 else -1.0
+
+  /** Q-embed-align: EMBEDDING-SPACE ALIGNMENT for model migration — when
+    * a corpus is re-embedded by a new model whose space differs from the
+    * stored one by an orthogonal drift, solve for the mapping from ONE
+    * corpus pass and re-base queries/vectors map-side instead of
+    * rebuilding every index. Here the drift is the planted signed
+    * permutation ([[alignPerm]]/[[alignSign]]); the solver computes the
+    * CROSS-covariance matrix between target and source dimensions (the
+    * q_embed_covariance fixed-point discipline — quantized long sums,
+    * order-free, one scan) and recovers, per target dimension, the
+    * source dimension with the largest |covariance| and its sign. The
+    * declared result is the recovered (b_dim → a_dim, sign) mapping —
+    * green means the oracle's relational replay lands on the identical
+    * argmax, and AlignSpec pins recovered == planted and that applying
+    * the mapping reproduces the source space exactly.
+    *
+    * Scope note: a GENERAL rotation needs the SVD of this same
+    * cross-covariance (orthogonal Procrustes), solved driver-side on the
+    * dim×dim frame exactly as [[jacobiEigen]] solves the PCA model — the
+    * corpus-sized pass is identical, only the dim×dim driver step
+    * changes. The signed-permutation subfamily recovers exactly and is
+    * fully oracle-replayable, which is why it is the declared form.
+    *
+    * Scale: one map-side 64×64 pair-product aggregation over the corpus
+    * (the covariance shape, full matrix instead of upper triangle);
+    * everything after is dim²-sized metadata. Re-basing at query time is
+    * a map-side projection — no index rebuild. */
+  def embedAlign(spark: SparkSession, dir: String): DataFrame = {
+    val K = CovBuckets
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    val bArr = array((0 until dim).map(j =>
+      lit(alignSign(j)) * col("embedding").getItem(alignPerm(j)).cast("double")): _*)
+    val withB = emb.select(col("vec_id"), col("embedding"), bArr.as("b"))
+    def dimSums(arrCol: String, idx: String, sx: String) = withB
+      .select(col("vec_id"), posexplode(col(arrCol)).as(Seq(idx, "x")))
+      .groupBy(col(idx), pmod(col("vec_id"), lit(K)).as("bk"))
+      .agg(sum(floor(col("x").cast("double") * lit(1e12))).as("psx"),
+        count(lit(1)).as("pn"))
+      .groupBy(col(idx))
+      .agg((sum(col("psx").cast("decimal(38,0)")).cast("double") / lit(1e12))
+        .as(sx), sum(col("pn")).as("n"))
+    val aSums = dimSums("embedding", "i", "sxa")
+    val bSums = dimSums("b", "j", "sxb").drop("n")
+    val pairSums = withB
+      .select(col("vec_id"), posexplode(col("b")).as(Seq("j", "bj")), col("embedding"))
+      .select(col("vec_id"), col("j"), col("bj").cast("double").as("bj"),
+        posexplode(col("embedding")).as(Seq("i", "ai")))
+      .groupBy(col("j"), col("i"), pmod(col("vec_id"), lit(K)).as("bk"))
+      .agg(sum(floor((col("bj") * col("ai").cast("double")) * lit(1e12))).as("psxy"))
+      .groupBy(col("j"), col("i"))
+      .agg(sum(col("psxy").cast("decimal(38,0)")).cast("double").as("sxy_s"))
+    val cov = pairSums
+      .join(broadcast(aSums), Seq("i"))
+      .join(broadcast(bSums), Seq("j"))
+      .select(col("j"), col("i"),
+        (round(col("sxy_s") / lit(1e12) / col("n") -
+          (col("sxb") / col("n")) * (col("sxa") / col("n")), 6) + lit(0.0))
+          .as("cov"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("j")).orderBy(abs(col("cov")).desc, col("i"))
+    cov.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("j").cast("long").as("b_dim"), col("i").cast("long").as("a_dim"),
+        when(col("cov") >= 0, 1).otherwise(-1).as("sign"),
+        abs(col("cov")).as("strength"))
+      .orderBy(col("b_dim"))
+  }
+
+  val embedAlignSql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
+       |  FROM (SELECT vec_id,
+       |          UNNEST(list_transform(embedding, (x,i) -> {'i': i, 'x': x})) AS u
+       |        FROM embeddings)),
+       |exb AS (
+       |  SELECT vec_id, r.j AS j,
+       |    CAST(CASE WHEN r.j % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE) *
+       |      CAST(embedding[((7 * r.j + 3) % 64) + 1] AS DOUBLE) AS y
+       |  FROM embeddings, unnest(range(0, 64)) r(j)),
+       |asums1 AS (
+       |  SELECT i, vec_id % $CovBuckets AS bk,
+       |         SUM(CAST(FLOOR(x * 1e12) AS BIGINT)) AS psx, COUNT(*) AS pn
+       |  FROM ex GROUP BY i, bk),
+       |asums AS (
+       |  SELECT i, CAST(SUM(CAST(psx AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxa,
+       |         SUM(pn) AS n
+       |  FROM asums1 GROUP BY i),
+       |bsums1 AS (
+       |  SELECT j, vec_id % $CovBuckets AS bk,
+       |         SUM(CAST(FLOOR(y * 1e12) AS BIGINT)) AS psx
+       |  FROM exb GROUP BY j, bk),
+       |bsums AS (
+       |  SELECT j, CAST(SUM(CAST(psx AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sxb
+       |  FROM bsums1 GROUP BY j),
+       |pairs1 AS (
+       |  SELECT b.j AS j, a.i AS i, a.vec_id % $CovBuckets AS bk,
+       |    SUM(CAST(FLOOR((b.y * a.x) * 1e12) AS BIGINT)) AS psxy
+       |  FROM exb b JOIN ex a ON a.vec_id = b.vec_id
+       |  GROUP BY b.j, a.i, bk),
+       |pairs AS (
+       |  SELECT j, i, CAST(SUM(CAST(psxy AS DECIMAL(38,0))) AS DOUBLE) AS sxy_s
+       |  FROM pairs1 GROUP BY j, i),
+       |cov AS (
+       |  SELECT p.j, p.i,
+       |    ROUND(p.sxy_s / 1e12 / a.n - (b.sxb / a.n) * (a.sxa / a.n), 6) + 0.0 AS cov
+       |  FROM pairs p JOIN asums a ON p.i = a.i JOIN bsums b ON p.j = b.j),
+       |ranked AS (
+       |  SELECT j, i, cov, ROW_NUMBER() OVER (PARTITION BY j
+       |                                       ORDER BY ABS(cov) DESC, i) AS rn
+       |  FROM cov)
+       |SELECT CAST(j AS BIGINT) AS b_dim, CAST(i AS BIGINT) AS a_dim,
+       |  CASE WHEN cov >= 0 THEN 1 ELSE -1 END AS sign,
+       |  ABS(cov) AS strength
+       |FROM ranked WHERE rn = 1 ORDER BY b_dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_covariance" -> (covariance _),
+    "q_embed_align" -> (embedAlign _),
     "q_embed_pca" -> (pcaProject _),
     "q_pca_recall" -> (pcaRecall _))
 
   def oracles: Map[String, String] = Map(
-    "q_embed_covariance" -> covarianceSql)
+    "q_embed_covariance" -> covarianceSql,
+    "q_embed_align" -> embedAlignSql)
 }

@@ -349,7 +349,7 @@ object VectorOps {
     * centroids = [[seedCentroids]]) and return its (base, name, centroid
     * table). Shared by the persisted search (q_ann_ivf_persisted) and the
     * balance monitor (q_ivf_drift) so both see the identical layout. */
-  private def ensureIvfBucketed(spark: SparkSession, dir: String)
+  private[graft] def ensureIvfBucketed(spark: SparkSession, dir: String)
       : (String, String, DataFrame) = {
     import graft.sources.IndexCatalog
     val base = IndexCatalog.cacheBase(dir)

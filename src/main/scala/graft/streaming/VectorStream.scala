@@ -394,10 +394,81 @@ object VectorStream {
       |        OR (vec_id % 202 = 0 AND vec_id % 194 <> 0))
       |ORDER BY vec_id""".stripMargin
 
+  /** Q-stream-ann: STREAMING PROBED-ANN SERVING — the q_stream_knn
+    * serving loop upgraded from brute scoring to the PERSISTED
+    * bucket-partitioned index: per micro-batch, each arriving query's
+    * nprobe=4 probe set is selected against the cached centroid table
+    * (nprobe integers through the driver per query — the IVF serving
+    * discipline), the probe UNION prunes the index scan to its bucket
+    * directories (`loadBuckets` → PartitionFilters), and the broadcast
+    * per-(query, bucket) probe table restricts each query to ITS probes
+    * before the WindowGroupLimit rank — the q_ann_batch amortization
+    * shape, re-planned per trigger against the CURRENT index files.
+    * Every query id arrives exactly once, so the appended result log
+    * equals the one-shot batched probed search — which is what the
+    * oracle states (q_ann_batch's replay). This is the shape SCALE.md's
+    * q_stream_knn row names as the corpus-scale path: stream side tiny
+    * per trigger, static side partition-pruned, nothing corpus-sized
+    * broadcast. */
+  def streamAnn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.operators.{IvfIndex, KnnSearch, VectorOps}
+    import graft.Tables
+    import org.apache.spark.sql.expressions.Window
+    val (base, name, cent) = VectorOps.ensureIvfBucketed(spark, dir)
+    val centCk = cent.localCheckpoint(true) // 16 rows, reused per trigger
+    val staged = graft.Scratch.dir("graft-streamann-in")
+    def queryBatch(ids: Seq[Long]) = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    queryBatch(Seq(0L, 7L)).coalesce(1).write.mode("overwrite").parquet(staged)
+    DocStream.stampAscendingMtimes(staged)
+    queryBatch(Seq(13L)).coalesce(1).write.mode("append").parquet(staged)
+    val outPath = graft.Scratch.dir("graft-streamann-out") + "/hits"
+    val ckpt = graft.Scratch.dir("graft-streamann-ck")
+    val stream = spark.readStream.schema(queryBatch(Seq(0L)).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val qs = KnnSearch.withNorm(batch, "q_embedding")
+          .withColumnRenamed("vec_norm", "q_norm").localCheckpoint(true)
+        val ids = qs.select(col("q_id")).collect().map(_.getLong(0)).sorted
+        val probePairs = ids.flatMap { id =>
+          IvfIndex.probes(centCk, qs.filter(col("q_id") === id), nprobe = 4)
+            .collect().map(r => (id, r.getLong(0)))
+        }.toSeq
+        if (probePairs.nonEmpty) {
+          val probeDf = probePairs.toDF("q_id", "cent_id")
+          val rw = Window.partitionBy(col("q_id"))
+            .orderBy(col("score").desc, col("vec_id"))
+          IndexCatalog.loadBuckets(ss, base, name, probePairs.map(_._2).distinct)
+            .withColumn("cent_id", col("bucket").cast("long"))
+            .join(broadcast(probeDf), Seq("cent_id"))
+            .join(broadcast(qs), Seq("q_id"))
+            .filter(col("vec_id") =!= col("q_id"))
+            .withColumn("score", KnnSearch.prenormedScore)
+            .withColumn("rank", row_number().over(rw))
+            .filter(col("rank") <= 10)
+            .select(col("q_id"), col("rank"), col("vec_id"), col("label"),
+              col("cent_id"), col("score"))
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_ann", q)
+    } finally { q.stop() }
+    spark.read.parquet(outPath).orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("q_stream_upsert" -> (streamUpsert _),
       "q_stream_upsert_steady" -> (streamUpsertSteady _),
       "q_stream_cdc" -> (streamCdc _),
+      "q_stream_ann" -> (streamAnn _),
       "q_stream_knn" -> (streamKnn _))
 
   def oracles: Map[String, String] =
@@ -405,5 +476,8 @@ object VectorStream {
       // identical final LWW state through the warm-index lifecycle
       "q_stream_upsert_steady" -> streamUpsertSql,
       "q_stream_cdc" -> streamCdcSql,
+      // the streamed probed serving log must equal the one-shot batched
+      // probed search — same probes, same ranks, different delivery
+      "q_stream_ann" -> graft.operators.VectorOps.annBatchSql,
       "q_stream_knn" -> streamKnnSql)
 }
