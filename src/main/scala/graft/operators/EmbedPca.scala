@@ -372,12 +372,15 @@ object EmbedPca {
     * (the covariance shape, full matrix instead of upper triangle);
     * everything after is dim²-sized metadata. Re-basing at query time is
     * a map-side projection — no index rebuild. */
-  def embedAlign(spark: SparkSession, dir: String): DataFrame = {
+  /** The SHARED corpus pass of both alignment solvers: the full
+    * cross-covariance frame (j = target dim, i = source dim, cov) between
+    * the stored embeddings and a derived target-space array column —
+    * the q_embed_covariance fixed-point discipline (quantized long sums
+    * per [[CovBuckets]] bucket, order-free, one scan). */
+  private def crossCov(spark: SparkSession, dir: String,
+                       bArr: org.apache.spark.sql.Column): DataFrame = {
     val K = CovBuckets
-    val dim = 64
     val emb = Tables.embeddings(spark, dir)
-    val bArr = array((0 until dim).map(j =>
-      lit(alignSign(j)) * col("embedding").getItem(alignPerm(j)).cast("double")): _*)
     val withB = emb.select(col("vec_id"), col("embedding"), bArr.as("b"))
     def dimSums(arrCol: String, idx: String, sx: String) = withB
       .select(col("vec_id"), posexplode(col(arrCol)).as(Seq(idx, "x")))
@@ -397,13 +400,19 @@ object EmbedPca {
       .agg(sum(floor((col("bj") * col("ai").cast("double")) * lit(1e12))).as("psxy"))
       .groupBy(col("j"), col("i"))
       .agg(sum(col("psxy").cast("decimal(38,0)")).cast("double").as("sxy_s"))
-    val cov = pairSums
+    pairSums
       .join(broadcast(aSums), Seq("i"))
       .join(broadcast(bSums), Seq("j"))
       .select(col("j"), col("i"),
         (round(col("sxy_s") / lit(1e12) / col("n") -
           (col("sxb") / col("n")) * (col("sxa") / col("n")), 6) + lit(0.0))
           .as("cov"))
+  }
+
+  def embedAlign(spark: SparkSession, dir: String): DataFrame = {
+    val bArr = array((0 until 64).map(j =>
+      lit(alignSign(j)) * col("embedding").getItem(alignPerm(j)).cast("double")): _*)
+    val cov = crossCov(spark, dir, bArr)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("j")).orderBy(abs(col("cov")).desc, col("i"))
     cov.withColumn("rn", row_number().over(w))
@@ -412,6 +421,74 @@ object EmbedPca {
         when(col("cov") >= 0, 1).otherwise(-1).as("sign"),
         abs(col("cov")).as("strength"))
       .orderBy(col("b_dim"))
+  }
+
+  /** The planted GENERAL-rotation drift for q_embed_procrustes: paired
+    * Givens rotations — dims (2k, 2k+1) rotated by θ_k = (k+1)·π/40, a
+    * dense-in-each-block orthogonal map no permutation matching can
+    * recover (each target dim mixes two source dims). */
+  private[operators] def procrustesAngle(k: Int): Double = (k + 1) * math.Pi / 40
+  private[operators] def plantedRotation: Array[Array[Double]] = {
+    val r = Array.tabulate(64, 64)((_, _) => 0.0)
+    for (k <- 0 until 32) {
+      val (c, s) = (math.cos(procrustesAngle(k)), math.sin(procrustesAngle(k)))
+      r(2 * k)(2 * k) = c; r(2 * k)(2 * k + 1) = s
+      r(2 * k + 1)(2 * k) = -s; r(2 * k + 1)(2 * k + 1) = c
+    }
+    r
+  }
+
+  /** Q-embed-procrustes: GENERAL orthogonal Procrustes alignment — the
+    * rotation form [[embedAlign]]'s scope note names, now solved: the
+    * planted drift is a composition of Givens rotations (every target
+    * dimension MIXES two source dimensions, so the signed-permutation
+    * argmax cannot express the answer), and the solver is the textbook
+    * orthogonal Procrustes: R = U·Vᵀ from the SVD of the cross-covariance
+    * M — computed on the driver from the SAME one-scan corpus pass
+    * ([[crossCov]]), with the SVD via [[jacobiEigen]] of MᵀM (σ = √λ,
+    * U = M·V·Σ⁻¹ — the PCA-model driver-solve discipline on a dim×dim
+    * matrix). Because the source covariance is SPD, the polar factor of
+    * M = C·R₀ is exactly R₀ — the solve provably recovers the planted
+    * rotation up to FP.
+    *
+    * Declared rows-only (no SQL SVD exists to replay — the q_embed_pca
+    * precedent); AlignSpec gates orthogonality, the residual, and
+    * recovery of the planted blocks. Output: the non-negligible entries
+    * of the recovered R, rounded — the 2×2 block structure is visible in
+    * the declared rows. */
+  def embedProcrustes(spark: SparkSession, dir: String): DataFrame = {
+    val r0 = plantedRotation
+    val bArr = array((0 until 64).map { j =>
+      // b[j] = Σ_i a[i]·R₀[i][j] — two nonzero terms per column
+      val terms = (0 until 64).filter(i => r0(i)(j) != 0.0)
+        .map(i => lit(r0(i)(j)) * col("embedding").getItem(i).cast("double"))
+      terms.reduce(_ + _)
+    }: _*)
+    val m = Array.ofDim[Double](64, 64)
+    crossCov(spark, dir, bArr).collect().foreach { r =>
+      m(r.getInt(1))(r.getInt(0)) = r.getDouble(2) // (j, i, cov) → M[i][j]
+    }
+    // SVD via the symmetric eigensolve: MᵀM = V Σ² Vᵀ, U = M V Σ⁻¹
+    val mtm = Array.tabulate(64, 64)((p, q) =>
+      (0 until 64).map(k => m(k)(p) * m(k)(q)).sum)
+    val (lams, v) = jacobiEigen(mtm)
+    val sigma = lams.map(l => math.sqrt(math.max(l, 0.0)))
+    val rot = Array.tabulate(64, 64) { (i, j) =>
+      // R[i][j] = Σ_k u_k[i]·v_k[j], u_k = M v_k / σ_k
+      (0 until 64).map { k =>
+        if (sigma(k) <= 1e-12) 0.0
+        else {
+          val uki = (0 until 64).map(t => m(i)(t) * v(t)(k)).sum / sigma(k)
+          uki * v(j)(k)
+        }
+      }.sum
+    }
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until 64; j <- 0 until 64
+      r = math.rint(rot(i)(j) * 1e6) / 1e6 if math.abs(r) >= 0.001
+    } yield (i.toLong, j.toLong, r)
+    rows.toDF("i", "j", "r").orderBy(col("i"), col("j"))
   }
 
   val embedAlignSql: String =
@@ -464,6 +541,7 @@ object EmbedPca {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_covariance" -> (covariance _),
     "q_embed_align" -> (embedAlign _),
+    "q_embed_procrustes" -> (embedProcrustes _),
     "q_embed_pca" -> (pcaProject _),
     "q_pca_recall" -> (pcaRecall _))
 

@@ -32,4 +32,26 @@ class AlignSpec extends SparkSpecBase with Matchers {
     mapping.foreach { case (b, (a, s)) => restored(a) = s * drifted(b) }
     restored.toSeq shouldBe src
   }
+
+  test("q_embed_procrustes: recovered rotation is orthogonal and matches the planted Givens blocks") {
+    val r0 = EmbedPca.plantedRotation
+    val rows = EmbedPca.embedProcrustes(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    // every significant planted entry recovered within FP-solve tolerance
+    for (i <- 0 until 64; j <- 0 until 64 if math.abs(r0(i)(j)) >= 0.01) {
+      withClue(s"R[$i][$j]:") {
+        math.abs(rows.getOrElse((i, j), 0.0) - r0(i)(j)) should be < 1e-3
+      }
+    }
+    // orthogonality: reconstruct the dense matrix and check RᵀR ≈ I on
+    // a few columns (the declared rows carry every entry ≥ 0.001, which
+    // is the whole 2x2 block structure)
+    val rec = Array.tabulate(64, 64)((i, j) => rows.getOrElse((i, j), 0.0))
+    for (c <- Seq(0, 7, 31, 63)) {
+      val norm = (0 until 64).map(i => rec(i)(c) * rec(i)(c)).sum
+      norm shouldBe 1.0 +- 1e-3
+      val dot = (0 until 64).map(i => rec(i)(c) * rec(i)((c + 2) % 64)).sum
+      math.abs(dot) should be < 1e-3
+    }
+  }
 }
