@@ -791,7 +791,48 @@ object CorpusOps {
        |ORDER BY epoch""".stripMargin
   }
 
+  /** Sample size for q_weighted_sample. */
+  val WeightedSampleN = 100
+
+  /** Q-weighted-sample: WEIGHTED SAMPLING WITHOUT REPLACEMENT
+    * (Efraimidis–Spirakis 2006) — the sampling-family member the suite
+    * was missing: q_stratified_sample is per-class systematic, q_split
+    * and q_mix_sources are hash gates, DSIR reweights; this DRAWS a
+    * fixed-size sample where inclusion probability follows a per-doc
+    * quality weight. Each doc gets an exponential key `-ln(u)/w` from a
+    * deterministic uniform u and its weight w (here chars+1, standing in
+    * for any quality score); the N smallest keys ARE a weighted sample
+    * without replacement — the one-pass, shuffle-light formulation every
+    * distributed system uses (A-ES), and the N-smallest plan is
+    * TakeOrderedAndProject, never a corpus sort.
+    *
+    * Determinism across engines: u comes from an ARITHMETIC LCG step on
+    * doc_id (integer multiply/mod both engines compute identically —
+    * never an engine hash, which has no cross-engine twin), and ln
+    * parity is the established q_perplexity precedent; the declared key
+    * is rounded with doc_id as tie-break, so the oracle replays the
+    * exact draw. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L) + lit(1L))
+      .cast("double") / lit(2147483648.0)
+    val w = (col("n_chars") + lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log(u) / w * lit(1e6), 6).as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(WeightedSampleN)
+  }
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, n_chars,
+       |  ROUND(-ln(CAST((doc_id * 1103515245 + 12345) % 2147483647 + 1 AS DOUBLE)
+       |            / 2147483648.0)
+       |        / CAST(n_chars + 1 AS DOUBLE) * 1e6, 6) AS skey
+       |FROM documents
+       |ORDER BY skey, doc_id LIMIT $WeightedSampleN""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (weightedSample _),
     "q_quality_train" -> (qualityTrain _),
     "q_quality_apply" -> (qualityApply _),
     "q_dsir" -> (dsir _),
@@ -808,6 +849,7 @@ object CorpusOps {
     "q_quality_gate" -> (qualityGate _))
 
   def oracles: Map[String, String] = Map(
+    "q_weighted_sample" -> weightedSampleSql,
     "q_quality_train" -> qualityTrainSql,
     "q_quality_apply" -> qualityApplySql,
     "q_dsir" -> dsirSql,

@@ -201,6 +201,21 @@ class CorpusOpsSpec extends SparkSpecBase with Matchers {
     // accounting preserves the corpus: released + generalized + suppressed
     out.map(_._3).sum shouldBe graft.Tables.documents(spark, sfDir).count()
   }
+
+  test("weighted sample: no replacement, deterministic, and weight-skewed toward heavy docs") {
+    import org.apache.spark.sql.functions._
+    val a = CorpusOps.weightedSample(spark, sfDir).collect()
+    val b = CorpusOps.weightedSample(spark, sfDir).collect()
+    a.map(_.getLong(0)) shouldBe b.map(_.getLong(0)) // deterministic draw
+    a.map(_.getLong(0)).distinct.length shouldBe a.length // without replacement
+    a.length shouldBe CorpusOps.WeightedSampleN
+    // inclusion ∝ weight (chars): the weighted sample's mean doc length
+    // must exceed the corpus mean by a clear margin
+    val sampleMean = a.map(_.getLong(1)).sum.toDouble / a.length
+    val corpusMean = graft.Tables.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    sampleMean should be > corpusMean * 1.1
+  }
 }
 
 /** Exposes the repetition core over an arbitrary docs frame so the
