@@ -620,6 +620,65 @@ object EventOps {
     daily.unionByName(total).orderBy(col("day"))
   }
 
+  /** Q-anomaly-mad: ROBUST outlier detection — q_anomaly's z-score uses
+    * mean/σ, which the outliers themselves inflate (one 1000× spike
+    * raises σ enough to hide the 10× spikes — the classic masking
+    * failure); the median/MAD pair is the standard robust replacement
+    * (50% breakdown point). Per event type: median, the median absolute
+    * deviation, and the count of values beyond 3 scaled MADs (1.4826 ·
+    * MAD ≈ σ under normality, so the threshold is comparable to 3σ).
+    *
+    * Cross-engine exactness: `percentile` and DuckDB's `quantile_cont`
+    * compute the same exact interpolation (the q_percentiles precedent),
+    * both medians come from identical inputs, and the outlier comparison
+    * multiplies the same literals in the same order — no rounding enters
+    * until the declared output columns.
+    *
+    * Scale shape: two grouped exact-percentile passes (each one shuffle
+    * keyed by type) + one counting pass with the #types frame broadcast
+    * back; at true scale the exact percentile swaps for the GK sketch
+    * (q_approx_quantiles) with the same downstream shape. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val madF = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    withDev.join(broadcast(madF), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med_raw"),
+        max(col("mad")).as("mad_raw"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        round(col("med_raw"), 6).as("med"),
+        round(col("mad_raw"), 6).as("mad"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomalyMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |madf AS (
+      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(MAX(d.med), 6) AS med,
+      |  ROUND(MAX(f.mad), 6) AS mad,
+      |  CAST(COALESCE(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * f.mad
+      |                         THEN 1 END), 0) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN madf f ON d.event_type = f.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   /** Reference/current boundary for [[psiDrift]] — mid-corpus. */
   val PsiSplit = "2024-01-16"
 
@@ -698,6 +757,7 @@ object EventOps {
     "q_time_decay" -> (timeDecay _),
     "q_transition" -> (transitions _),
     "q_anomaly" -> (anomaly _),
+    "q_anomaly_mad" -> (anomalyMad _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
     "q_map_props" -> (mapProps _),
@@ -721,6 +781,7 @@ object EventOps {
     "q_time_decay" -> timeDecaySql,
     "q_transition" -> transitionsSql,
     "q_anomaly" -> anomalySql,
+    "q_anomaly_mad" -> anomalyMadSql,
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
     "q_map_props" -> mapPropsSql,
