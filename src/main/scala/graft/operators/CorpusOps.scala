@@ -813,10 +813,20 @@ object CorpusOps {
     * is rounded with doc_id as tie-break, so the oracle replays the
     * exact draw. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val u = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L) + lit(1L))
+    // reduce doc_id mod the Mersenne prime BEFORE the multiply: the
+    // product then tops out at ~2.4e18 < 2^63 for ANY long id, so the
+    // arithmetic never reaches the domain where Spark wraps silently and
+    // DuckDB raises — overflow would break the oracle-replay contract
+    // exactly where it matters (big corpora)
+    val u = (((col("doc_id") % lit(2147483647L)) * lit(1103515245L) + lit(12345L))
+      % lit(2147483647L) + lit(1L))
       .cast("double") / lit(2147483648.0)
     val w = (col("n_chars") + lit(1L)).cast("double")
     Tables.documents(spark, dir)
+      // a NULL weight makes a NULL key, which Spark sorts FIRST (into
+      // the sample) and SQL sorts LAST (out of it) — exclude explicitly
+      // on both sides instead of leaving a silent divergence
+      .filter(col("n_chars").isNotNull)
       .select(col("doc_id"), col("n_chars"),
         round(-log(u) / w * lit(1e6), 6).as("skey"))
       .orderBy(col("skey"), col("doc_id"))
@@ -825,10 +835,12 @@ object CorpusOps {
 
   val weightedSampleSql: String =
     s"""SELECT doc_id, n_chars,
-       |  ROUND(-ln(CAST((doc_id * 1103515245 + 12345) % 2147483647 + 1 AS DOUBLE)
+       |  ROUND(-ln(CAST(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 + 1
+       |                 AS DOUBLE)
        |            / 2147483648.0)
        |        / CAST(n_chars + 1 AS DOUBLE) * 1e6, 6) AS skey
        |FROM documents
+       |WHERE n_chars IS NOT NULL
        |ORDER BY skey, doc_id LIMIT $WeightedSampleN""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,18 +71,25 @@ object EmbedPca {
     * replaces: 0.9 s vs 5.2 s at sf0.1). Quantization error ≤1e-12 per
     * averaged term, invisible at the declared round-6 output and
     * identical on both engines either way. */
+  /** One per-dimension sum frame (idx, sx, n) via the bucketed
+    * fixed-point discipline — THE quantization kernel, defined once and
+    * shared by [[covariance]] and [[crossCov]] so a change to the scale
+    * or combine can never desynchronize their oracles. */
+  private def bucketedDimSums(src: DataFrame, arrCol: String, idx: String,
+                              sx: String): DataFrame = src
+    .select(col("vec_id"), posexplode(col(arrCol)).as(Seq(idx, "x")))
+    .groupBy(col(idx), pmod(col("vec_id"), lit(CovBuckets)).as("bk"))
+    .agg(sum(floor(col("x").cast("double") * lit(1e12))).as("psx"),
+      count(lit(1)).as("pn"))
+    .groupBy(col(idx))
+    .agg((sum(col("psx").cast("decimal(38,0)")).cast("double") / lit(1e12))
+      .as(sx), sum(col("pn")).as("n"))
+
   def covariance(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val K = CovBuckets
     // Σxi per dimension (64 rows) — broadcasts to both sides of the pair
-    val sums = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("i"), pmod(col("vec_id"), lit(K)).as("b"))
-      .agg(sum(floor(col("x").cast("double") * lit(1e12))).as("psx"),
-        count(lit(1)).as("pn"))
-      .groupBy(col("i"))
-      .agg((sum(col("psx").cast("decimal(38,0)")).cast("double") / lit(1e12))
-        .as("sx"), sum(col("pn")).as("n"))
+    val sums = bucketedDimSums(emb, "embedding", "i", "sx")
     // upper-triangle pair products, map-side exploded then hash-combined
     val pairSums = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")),
@@ -382,16 +389,8 @@ object EmbedPca {
     val K = CovBuckets
     val emb = Tables.embeddings(spark, dir)
     val withB = emb.select(col("vec_id"), col("embedding"), bArr.as("b"))
-    def dimSums(arrCol: String, idx: String, sx: String) = withB
-      .select(col("vec_id"), posexplode(col(arrCol)).as(Seq(idx, "x")))
-      .groupBy(col(idx), pmod(col("vec_id"), lit(K)).as("bk"))
-      .agg(sum(floor(col("x").cast("double") * lit(1e12))).as("psx"),
-        count(lit(1)).as("pn"))
-      .groupBy(col(idx))
-      .agg((sum(col("psx").cast("decimal(38,0)")).cast("double") / lit(1e12))
-        .as(sx), sum(col("pn")).as("n"))
-    val aSums = dimSums("embedding", "i", "sxa")
-    val bSums = dimSums("b", "j", "sxb").drop("n")
+    val aSums = bucketedDimSums(withB, "embedding", "i", "sxa")
+    val bSums = bucketedDimSums(withB, "b", "j", "sxb").drop("n")
     val pairSums = withB
       .select(col("vec_id"), posexplode(col("b")).as(Seq("j", "bj")), col("embedding"))
       .select(col("vec_id"), col("j"), col("bj").cast("double").as("bj"),
@@ -473,15 +472,15 @@ object EmbedPca {
       (0 until 64).map(k => m(k)(p) * m(k)(q)).sum)
     val (lams, v) = jacobiEigen(mtm)
     val sigma = lams.map(l => math.sqrt(math.max(l, 0.0)))
+    // U = M·V·Σ⁻¹ materialized ONCE (O(dim³)); folding it into the
+    // R-entry loop would recompute each column per (i, j) — O(dim⁴),
+    // which matters at real embedding dims (1536³ ≈ 3.6e9 vs ⁴ ≈ 5.6e12)
+    val u = Array.tabulate(64, 64) { (i, k) =>
+      if (sigma(k) <= 1e-12) 0.0
+      else (0 until 64).map(t => m(i)(t) * v(t)(k)).sum / sigma(k)
+    }
     val rot = Array.tabulate(64, 64) { (i, j) =>
-      // R[i][j] = Σ_k u_k[i]·v_k[j], u_k = M v_k / σ_k
-      (0 until 64).map { k =>
-        if (sigma(k) <= 1e-12) 0.0
-        else {
-          val uki = (0 until 64).map(t => m(i)(t) * v(t)(k)).sum / sigma(k)
-          uki * v(j)(k)
-        }
-      }.sum
+      (0 until 64).map(k => u(i)(k) * v(j)(k)).sum
     }
     import spark.implicits._
     val rows = for {

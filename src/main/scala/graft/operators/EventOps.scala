@@ -628,11 +628,15 @@ object EventOps {
     * deviation, and the count of values beyond 3 scaled MADs (1.4826 ·
     * MAD ≈ σ under normality, so the threshold is comparable to 3σ).
     *
-    * Cross-engine exactness: `percentile` and DuckDB's `quantile_cont`
-    * compute the same exact interpolation (the q_percentiles precedent),
-    * both medians come from identical inputs, and the outlier comparison
-    * multiplies the same literals in the same order — no rounding enters
-    * until the declared output columns.
+    * Cross-engine discipline: every percentile result is ROUNDED to the
+    * engine-portable 6 places at the boundary where it re-enters
+    * arithmetic (q_percentiles proved `percentile` ↔ `quantile_cont`
+    * parity on this data, but that precedent's inputs were 2-decimal
+    * money — here values are arbitrary doubles, so a last-ulp
+    * interpolation difference must never reach a strict comparison:
+    * deviations derive from the rounded median, the outlier test
+    * compares a rounded deviation against a rounded-MAD threshold, and
+    * both engines therefore compare identical doubles).
     *
     * Scale shape: two grouped exact-percentile passes (each one shuffle
     * keyed by type) + one counting pass with the #types frame broadcast
@@ -641,40 +645,38 @@ object EventOps {
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
     val withDev = ev.join(broadcast(med), Seq("event_type"))
-      .withColumn("adev", abs(col("value") - col("med")))
+      .withColumn("adev", round(abs(col("value") - col("med")), 6))
     val madF = withDev.groupBy(col("event_type"))
-      .agg(expr("percentile(adev, 0.5)").as("mad"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
     withDev.join(broadcast(madF), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        max(col("med")).as("med_raw"),
-        max(col("mad")).as("mad_raw"),
-        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+        max(col("med")).as("med_out"),
+        max(col("mad")).as("mad_out"),
+        sum(when(col("adev") > round(lit(3.0) * lit(1.4826) * col("mad"), 6), 1L)
           .otherwise(0L)).as("n_outliers"))
       .select(col("event_type"), col("n"),
-        round(col("med_raw"), 6).as("med"),
-        round(col("mad_raw"), 6).as("mad"),
-        col("n_outliers"))
+        col("med_out").as("med"), col("mad_out").as("mad"), col("n_outliers"))
       .orderBy(col("event_type"))
   }
 
   val anomalyMadSql: String =
     """WITH med AS (
-      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
       |  FROM events GROUP BY event_type),
       |dev AS (
-      |  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      |  SELECT e.event_type, ROUND(ABS(e.value - m.med), 6) AS adev, m.med
       |  FROM events e JOIN med m ON e.event_type = m.event_type),
       |madf AS (
-      |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      |  SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
       |  FROM dev GROUP BY event_type)
       |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  ROUND(MAX(d.med), 6) AS med,
-      |  ROUND(MAX(f.mad), 6) AS mad,
-      |  CAST(COALESCE(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * f.mad
+      |  MAX(d.med) AS med,
+      |  MAX(f.mad) AS mad,
+      |  CAST(COALESCE(SUM(CASE WHEN d.adev > ROUND(3.0 * 1.4826 * f.mad, 6)
       |                         THEN 1 END), 0) AS BIGINT) AS n_outliers
       |FROM dev d JOIN madf f ON d.event_type = f.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin

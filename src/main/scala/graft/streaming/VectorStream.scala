@@ -411,7 +411,7 @@ object VectorStream {
     * per trigger, static side partition-pruned, nothing corpus-sized
     * broadcast. */
   def streamAnn(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    import graft.operators.{IvfIndex, KnnSearch, VectorOps}
+    import graft.operators.{KnnSearch, VectorOps}
     import graft.Tables
     import org.apache.spark.sql.expressions.Window
     val (base, name, cent) = VectorOps.ensureIvfBucketed(spark, dir)
@@ -434,11 +434,19 @@ object VectorStream {
         import ss.implicits._
         val qs = KnnSearch.withNorm(batch, "q_embedding")
           .withColumnRenamed("vec_norm", "q_norm").localCheckpoint(true)
-        val ids = qs.select(col("q_id")).collect().map(_.getLong(0)).sorted
-        val probePairs = ids.flatMap { id =>
-          IvfIndex.probes(centCk, qs.filter(col("q_id") === id), nprobe = 4)
-            .collect().map(r => (id, r.getLong(0)))
-        }.toSeq
+        // ALL queries' probe sets from ONE windowed plan + one collect
+        // (the annBatch probe shape) — a per-query probes() job would
+        // serialize B driver round-trips on the serving hot path
+        val pw = Window.partitionBy(col("q_id"))
+          .orderBy(col("p_score").desc, col("cent_id"))
+        val probePairs = centCk.crossJoin(broadcast(qs))
+          .withColumn("p_score", graft.functions.VectorFunctions.cosineSimPrenormed(
+            graft.functions.VectorFunctions.dotProduct(col("c_embedding"), col("q_embedding")),
+            col("c_norm"), col("q_norm")))
+          .withColumn("pr", row_number().over(pw))
+          .filter(col("pr") <= 4)
+          .select(col("q_id"), col("cent_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
         if (probePairs.nonEmpty) {
           val probeDf = probePairs.toDF("q_id", "cent_id")
           val rw = Window.partitionBy(col("q_id"))
