@@ -198,11 +198,72 @@ object DataContract {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** The candidate FDs q_fd_discovery profiles — key→attr (holds by
+    * construction), attr→attr both directions (data decides). */
+  private val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"))
+
+  /** Q-fd-discovery: FUNCTIONAL-DEPENDENCY PROFILING — the discovery
+    * sibling of [[dataContract]]'s declared checks and [[tableStats]]'s
+    * column profile: for each candidate determinant→dependent pair,
+    * measure how close the data comes to satisfying the FD (how many
+    * determinant groups map to more than one dependent value, the worst
+    * fan-out, and the g3-style strength 1 − violating/groups). This is
+    * what tells a pipeline which "looks like a key / looks derived"
+    * assumptions actually hold before they get baked into joins or
+    * dedup scoping — a key FD reads strength 1.0, an independent pair
+    * reads near 0.
+    *
+    * Scale shape: each candidate pair is one (determinant-keyed)
+    * count-distinct aggregation — the determinant column is the only
+    * thing shuffled — and the per-pair summaries are one row each. The
+    * candidate list is metadata (real FD miners enumerate lattices; the
+    * operator's unit cost per candidate is what matters at scale). */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def table(name: String): DataFrame = name match {
+      case "documents" => Tables.documents(spark, dir)
+      case "orders" => Tables.orders(spark, dir)
+    }
+    FdCandidates.map { case (t, det, dep) =>
+      table(t)
+        .groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("nd") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_violating"),
+          max(col("nd")).as("max_fanout"))
+        .select(lit(t).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_groups"), col("n_violating"),
+          col("max_fanout"),
+          round(lit(1.0) - col("n_violating").cast("double") / col("n_groups"), 6)
+            .as("fd_strength"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("table_name"), col("determinant"), col("dependent"))
+  }
+
+  val fdDiscoverySql: String = {
+    def one(t: String, det: String, dep: String) =
+      s"""SELECT '$t' AS table_name, '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+         |  CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS BIGINT) AS n_violating,
+         |  MAX(nd) AS max_fanout,
+         |  ROUND(1.0 - CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 END), 0) AS DOUBLE)
+         |        / COUNT(*), 6) AS fd_strength
+         |FROM (SELECT $det, COUNT(DISTINCT $dep) AS nd FROM $t GROUP BY $det)""".stripMargin
+    FdCandidates.map { case (t, det, dep) => one(t, det, dep) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, determinant, dependent")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_contract" -> (dataContract _),
+    "q_fd_discovery" -> (fdDiscovery _),
     "q_table_stats" -> (tableStats _))
 
   def oracles: Map[String, String] = Map(
     "q_data_contract" -> dataContractSql,
+    "q_fd_discovery" -> fdDiscoverySql,
     "q_table_stats" -> tableStatsSql)
 }
