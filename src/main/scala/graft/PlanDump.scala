@@ -98,12 +98,23 @@ object PlanDump {
     sb.append("pruned to used columns, `*(n)` whole-stage-codegen spans,\n")
     sb.append("broadcast vs shuffle join choices, TakeOrderedAndProject for\n")
     sb.append("top-K, WindowGroupLimit for per-group ranks.\n")
+    // The routed (q_*_auto) declared queries eagerly checkpoint inside
+    // AnnRouting.withRoute, which hides their plan behind Scan
+    // ExistingRDD — dump their LAZY route-registered frames instead, and
+    // unregister right after each dump so no other query's plan sees the
+    // route (the per-session scope discipline, applied to the dumper).
+    val overrides = graft.operators.VectorOps.planFrames ++
+      graft.operators.RandomHyperplaneLsh.planFrames
     Headline.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       df.collect() // finalize AQE so the executed plan is the real one
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.executedPlan.toString.take(4000))
       sb.append("\n```\n")
+      if (overrides.contains(name)) {
+        graft.operators.VectorOps.dropPlanRoutes(spark, sfDir)
+        graft.operators.RandomHyperplaneLsh.dropPlanRoutes(spark, sfDir)
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written (${Headline.size} queries)")

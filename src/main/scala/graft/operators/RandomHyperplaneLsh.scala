@@ -186,11 +186,9 @@ object RandomHyperplaneLsh {
     * `bucket IN (...)` filter prunes to 9/256 partition directories.
     * Shares q_ann_lsh_mp's oracle: the routed naive plan must equal the
     * programmatic multi-probe API exactly. */
-  def lshAuto(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshAutoFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name) = ensureLshBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name,
-      nprobe = 1 + Planes, kind = "lsh")
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_lsh_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -201,6 +199,12 @@ object RandomHyperplaneLsh {
          |  ROUND(${VectorOps.sparkCosineSql("embedding", qLit)}, 6) AS score
          |FROM emb_lsh_indexed WHERE vec_id <> 0
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin)
+  }
+
+  def lshAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name) = ensureLshBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name,
+      nprobe = 1 + Planes, kind = "lsh")(lshAutoFrame(spark, dir))
   }
 
   /** Q-ann-lsh-mp: the multi-probe variant of q_ann_lsh — same query
@@ -226,6 +230,19 @@ object RandomHyperplaneLsh {
        |  ROUND(${cos("b.embedding", "p.qe")}, 6) AS score
        |FROM b JOIN probes p ON b.bucket = p.probe AND b.vec_id <> p.q_id
        |ORDER BY score DESC, b.vec_id LIMIT 5""".stripMargin
+  }
+
+  /** PlanDump-only lazy routed frame (see VectorOps.planFrames). */
+  private[graft] def planFrames: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lsh_auto" -> ((s: SparkSession, d: String) => {
+      val (base, name) = ensureLshBucketed(s, d)
+      graft.plans.AnnRouting.register(s, base, name, nprobe = 1 + Planes, kind = "lsh")
+      lshAutoFrame(s, d)
+    }))
+
+  private[graft] def dropPlanRoutes(spark: SparkSession, dir: String): Unit = {
+    val (base, name) = ensureLshBucketed(spark, dir)
+    graft.plans.AnnRouting.unregister(spark, base, name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

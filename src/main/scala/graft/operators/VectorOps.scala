@@ -33,7 +33,7 @@ object VectorOps {
     * `NaN`/`Infinity` token does not parse as SQL, so without the guard a
     * corrupt query vector would surface as an opaque parse error at query
     * build instead of this actionable message. */
-  private[operators] def floatArraySqlLiteral(v: Seq[Float]): String = {
+  private[graft] def floatArraySqlLiteral(v: Seq[Float]): String = {
     require(v.forall(f => !f.isNaN && !f.isInfinite),
       s"query vector contains a non-finite component: ${v.find(f => f.isNaN || f.isInfinite).get}")
     s"CAST(array(${v.mkString(", ")}) AS ARRAY<FLOAT>)"
@@ -415,10 +415,13 @@ object VectorOps {
     * in published IVF systems). Negative path (rule must NOT fire on
     * unregistered scans / ascending sorts) is spec-gated in
     * AnnRoutingSpec. */
-  def knnAuto(spark: SparkSession, dir: String): DataFrame = {
+  /** The naive SQL frame of q_knn_auto — route-agnostic: the caller
+    * decides the registration scope ([[knnAuto]] wraps it in
+    * `AnnRouting.withRoute`; PlanDump registers, dumps the lazily-routed
+    * plan, and unregisters). */
+  private[graft] def knnAutoFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -431,6 +434,12 @@ object VectorOps {
          |  FROM emb_indexed WHERE vec_id <> 0)
          |SELECT vec_id, label, cent_id, score FROM scored
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  def knnAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      knnAutoFrame(spark, dir))
   }
 
   /** Q-l2-auto: OPTIMIZER-ROUTED EUCLIDEAN ANN — the q_knn_auto contract
@@ -448,10 +457,9 @@ object VectorOps {
     * (how the index was BUILT), L2 probe selection, L2 ranking within the
     * probed buckets. Negative forms (DESC distance = farthest-first,
     * `-l2 ASC`) are spec-gated to decline. */
-  def l2Auto(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def l2AutoFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -464,6 +472,12 @@ object VectorOps {
          |  FROM emb_indexed WHERE vec_id <> 0)
          |SELECT vec_id, label, cent_id, score FROM scored
          |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  def l2Auto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      l2AutoFrame(spark, dir))
   }
 
   val l2AutoSql: String = {
@@ -499,10 +513,9 @@ object VectorOps {
     * UNCHANGED by the filter (the q_ann_filtered semantics: probes are
     * chosen by the query alone, the predicate restricts candidates inside
     * them), which is why the oracle is exactly annFilteredSql. */
-  def knnAutoFiltered(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def knnAutoFilteredFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -515,6 +528,12 @@ object VectorOps {
          |  FROM emb_indexed WHERE vec_id <> 0 AND label = 3)
          |SELECT vec_id, label, cent_id, score FROM scored
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  def knnAutoFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      knnAutoFilteredFrame(spark, dir))
   }
 
   /** The persisted MAP-METADATA index (q_knn_meta): the faithful
@@ -1021,10 +1040,9 @@ object VectorOps {
     * probe-set UNION lands on the scan as the partition filter. Pinned to
     * q_ann_batch's oracle: routed batch serving must equal the
     * programmatic batched IVF search row for row. */
-  def annBatchAuto(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def annBatchAutoFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
     val rows = Tables.embeddings(spark, dir)
@@ -1047,6 +1065,12 @@ object VectorOps {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, label, cent_id, score FROM ranked
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  }
+
+  def annBatchAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      annBatchAutoFrame(spark, dir))
   }
 
   /** Overload threshold for [[ivfDrift]]: a bucket holding > 1.5× its
@@ -1298,10 +1322,9 @@ object VectorOps {
     * replaying probe selection and applying τ INSIDE the probed buckets.
     * Opposite-sense bounds (`score <= τ`, "far from the query") are
     * negative-tested to decline in AnnRoutingSpec. */
-  def radiusAuto(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def radiusAutoFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.IndexCatalog
     val (base, name, _) = ensureIvfBucketed(spark, dir)
-    graft.plans.AnnRouting.register(spark, base, name, nprobe = 4)
     graft.plans.GraftExtensions.register(spark)
     IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
     val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
@@ -1315,6 +1338,12 @@ object VectorOps {
          |SELECT vec_id, label, cent_id, score FROM scored
          |WHERE score >= $RadiusTau
          |ORDER BY score DESC, vec_id""".stripMargin)
+  }
+
+  def radiusAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      radiusAutoFrame(spark, dir))
   }
 
   val radiusAutoSql: String = {
@@ -1552,6 +1581,34 @@ object VectorOps {
     "q_knn_auto_filtered" -> (knnAutoFiltered _),
     "q_knn_meta" -> (knnMeta _),
     "q_cluster_mix" -> (clusterMix _))
+
+  /** PlanDump-only views of the routed queries: the declared query
+    * functions eagerly checkpoint inside `AnnRouting.withRoute` (the
+    * per-session epilogue discipline), which collapses their dumped plan
+    * to `Scan ExistingRDD`. These register the route, hand back the LAZY
+    * frame so the dumped plan shows the injected probe PartitionFilters,
+    * and leave unregistration to the dumper. */
+  private[graft] def planFrames: Map[String, (SparkSession, String) => DataFrame] = {
+    def routed(frame: (SparkSession, String) => DataFrame)
+        : (SparkSession, String) => DataFrame = (s, d) => {
+      val (base, name, _) = ensureIvfBucketed(s, d)
+      graft.plans.AnnRouting.register(s, base, name, nprobe = 4)
+      frame(s, d) // route dropped by PlanDump after the dump completes
+    }
+    Map(
+      "q_knn_auto" -> routed(knnAutoFrame),
+      "q_l2_auto" -> routed(l2AutoFrame),
+      "q_knn_auto_filtered" -> routed(knnAutoFilteredFrame),
+      "q_ann_batch_auto" -> routed(annBatchAutoFrame),
+      "q_radius_auto" -> routed(radiusAutoFrame))
+  }
+
+  /** Drop every PlanDump-registered route for `dir`'s shared index (the
+    * dumper's epilogue). */
+  private[graft] def dropPlanRoutes(spark: SparkSession, dir: String): Unit = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.unregister(spark, base, name)
+  }
 
   def oracles: Map[String, String] = Map(
     "q_ann_batch" -> annBatchSql,

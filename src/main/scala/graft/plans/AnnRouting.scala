@@ -78,13 +78,29 @@ object AnnRouting {
   case class Route(base: String, name: String, nprobe: Int, vecCol: String,
                    kind: String)
 
-  /** Registered routes keyed by the canonical `data/` directory path.
-    * JVM-GLOBAL by design, like the on-disk index catalog itself: a route
-    * belongs to the INDEX (any session scanning the registered data path
-    * gets routed once the rule is installed in it), not to the session
-    * that happened to call register. Callers that need per-session
-    * isolation should register distinct index paths. */
-  private val routes = TrieMap.empty[String, Route]
+  /** Registered routes, PER SESSION, keyed by the canonical `data/`
+    * directory path. Registration is the opt-in to approximate semantics,
+    * and an opt-in must not outlive the scope that gave it: a JVM-global
+    * registry (the pre-round-11 design) meant that after any routed query
+    * ran, an unrelated exact `ORDER BY cosine DESC LIMIT k` over the same
+    * index path — in ANY session in the JVM — silently returned probed
+    * results the user never asked for. Scoping by session (weak keys: a
+    * dropped session's routes die with it) plus [[withRoute]]'s epilogue
+    * unregistration makes the approximate window exactly as wide as the
+    * query that declared it. */
+  private val routes =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, Route]]()
+
+  private def sessionRoutes(spark: SparkSession): TrieMap[String, Route] =
+    routes.synchronized {
+      val existing = routes.get(spark)
+      if (existing != null) existing
+      else {
+        val m = TrieMap.empty[String, Route]
+        routes.put(spark, m)
+        m
+      }
+    }
 
   /** Driver-side caches: per-index centroid codebooks (id, vector, norm)
     * and per-(index, query-vector) probe sets — the fixpoint optimizer
@@ -116,19 +132,41 @@ object AnnRouting {
   def dataPath(base: String, name: String): String =
     canonical(Paths.get(base, name, "data").toString)
 
-  /** Register an index for routing and install the rewrite rule on the
-    * session (idempotent on both counts). Registration is JVM-global
-    * (see [[routes]]): every session with the rule installed routes its
-    * plain top-K sorts over this index's data path into probed
-    * semantics from this point on. */
+  /** Register an index for routing IN THIS SESSION and install the
+    * rewrite rule on it (idempotent on both counts). Scope discipline
+    * (see [[routes]]): only this session's plans over this index's data
+    * path route into probed semantics, and only until [[unregister]] —
+    * declared queries use [[withRoute]] so the registration never
+    * outlives the query that made it. */
   def register(spark: SparkSession, base: String, name: String, nprobe: Int,
                vecCol: String = "embedding", kind: String = "ivf"): Unit = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(kind == "ivf" || kind == "lsh", s"unknown route kind '$kind'")
-    routes.put(dataPath(base, name), Route(base, name, nprobe, vecCol, kind))
+    sessionRoutes(spark).put(dataPath(base, name),
+      Route(base, name, nprobe, vecCol, kind))
     // the sidecar may have been rewritten since a previous registration
     invalidate(base, name)
     install(spark)
+  }
+
+  /** Run `body` with the route registered, FORCE the routed plan by
+    * eagerly materializing the result, and unregister in the epilogue —
+    * the declared-query discipline: the approximate-semantics window is
+    * exactly the body, so a later plain exact scan over the same index
+    * path (same session or any other) plans brute-force. The eager
+    * localCheckpoint is load-bearing, not a convenience: `body`'s frame
+    * is lazy, and a lazily-routed plan re-optimized after the epilogue
+    * (e.g. by a DataFrameWriter building its own QueryExecution) would
+    * silently lose the route and return brute results against a probed
+    * oracle. Checkpointing executes the routed plan while the route is
+    * live and pins the computed rows. */
+  def withRoute(spark: SparkSession, base: String, name: String, nprobe: Int,
+                vecCol: String = "embedding", kind: String = "ivf")
+               (body: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    register(spark, base, name, nprobe, vecCol, kind)
+    try body.localCheckpoint(eager = true)
+    finally unregister(spark, base, name)
   }
 
   /** Drop the driver-side centroid/probe caches for one index — REQUIRED
@@ -142,9 +180,13 @@ object AnnRouting {
     probeCache.filterInPlace { case ((path, _, _), _) => path != p }
   }
 
-  /** Drop a route (tests; also the sane response to dropping the index). */
-  def unregister(base: String, name: String): Unit = {
-    routes.remove(dataPath(base, name))
+  /** Drop a route from one session (the [[withRoute]] epilogue; also the
+    * sane response to dropping the index). */
+  def unregister(spark: SparkSession, base: String, name: String): Unit = {
+    routes.synchronized {
+      val m = routes.get(spark)
+      if (m != null) m.remove(dataPath(base, name))
+    }
     ()
   }
 
@@ -158,16 +200,23 @@ object AnnRouting {
       spark.experimental.extraOptimizations = existing :+ new AnnRewriteRule(spark)
   }
 
-  private[plans] def routeFor(path: String): Option[Route] = routes.get(path)
+  private[plans] def routeFor(spark: SparkSession, path: String): Option[Route] =
+    routes.synchronized { Option(routes.get(spark)) }.flatMap(_.get(path))
 
-  private[plans] def hasRoutes: Boolean = routes.nonEmpty
+  private[plans] def hasRoutes(spark: SparkSession): Boolean =
+    routes.synchronized {
+      val m = routes.get(spark)
+      m != null && m.nonEmpty
+    }
 
-  /** The registered root path of a file-source relation, if any. */
-  private[plans] def registeredPath(rel: HadoopFsRelation): Option[String] = {
+  /** The registered root path of a file-source relation, if any — checked
+    * against THIS session's routes only. */
+  private[plans] def registeredPath(spark: SparkSession,
+                                    rel: HadoopFsRelation): Option[String] = {
     val roots = rel.location.rootPaths
     if (roots.size != 1) return None // an index data dir is one root
     val p = canonical(roots.head.toUri.getPath)
-    if (routes.contains(p)) Some(p) else None
+    if (routeFor(spark, p).isDefined) Some(p) else None
   }
 
   /** Centroid codebook from the index's persisted sidecar (written at
@@ -283,9 +332,9 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // the rule is installed on every extensions-built session; with no
-    // registered route there is nothing to do — skip the tree walk (and
-    // registeredPath's canonicalization syscalls) entirely
-    if (!AnnRouting.hasRoutes) return plan
+    // route registered IN THIS SESSION there is nothing to do — skip the
+    // tree walk (and registeredPath's canonicalization syscalls) entirely
+    if (!AnnRouting.hasRoutes(spark)) return plan
     applyBatchRouting(applyRadiusRouting(applyRouting(plan)))
   }
 
@@ -332,7 +381,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                           child: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(path).getOrElse(return None)
+    val r = routeFor(spark, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     // the whole filter (cond included) — a user bucket predicate, or this
     // rule's own injected probe filter on a previous pass, declines
@@ -397,24 +446,41 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** The top-K shape, with an optional column-pruning Project between the
+    * limit and the sort: `SELECT vec_id FROM (... ORDER BY score DESC
+    * LIMIT k)` optimizes to `GlobalLimit(LocalLimit(Project(Sort)))`, and
+    * without this arm the outer projection would silently turn the routed
+    * query back into a full scan. */
   private def applyRouting(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case limit @ GlobalLimit(IntegerLiteral(k),
-        ll @ LocalLimit(_, sort @ Sort(orders, true, child, _))) if k > 0 =>
-      // Any failure inside routing (unreadable sidecar, malformed query
-      // literal, dimension mismatch) must DECLINE the rewrite — the naive
-      // plan is always still correct — never fail the user's query at
-      // plan time.
-      val routed =
-        try route(orders, child)
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            logWarning(s"ann routing declined (falling back to the unrouted plan): $e")
-            None
+    case limit @ GlobalLimit(IntegerLiteral(k), ll: LocalLimit) if k > 0 &&
+        (ll.child.isInstanceOf[Sort] ||
+          (ll.child.isInstanceOf[Project] &&
+            ll.child.asInstanceOf[Project].child.isInstanceOf[Sort])) =>
+      val (proj, sort) = ll.child match {
+        case s: Sort => (None, s)
+        case p @ Project(_, s: Sort) => (Some(p), s)
+        case other => throw new MatchError(other) // unreachable by the guard
+      }
+      if (!sort.global) limit
+      else {
+        // Any failure inside routing (unreadable sidecar, malformed query
+        // literal, dimension mismatch) must DECLINE the rewrite — the
+        // naive plan is always still correct — never fail the user's
+        // query at plan time.
+        val routed =
+          try route(sort.order, sort.child)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              logWarning(s"ann routing declined (falling back to the unrouted plan): $e")
+              None
+          }
+        routed match {
+          case Some(r) =>
+            val newSort = sort.copy(child = r)
+            val newInner = proj.map(p => p.copy(child = newSort)).getOrElse(newSort)
+            limit.copy(child = ll.copy(child = newInner))
+          case None => limit
         }
-      routed match {
-        case Some(r) =>
-          limit.copy(child = ll.copy(child = sort.copy(child = r)))
-        case None => limit
       }
   }
 
@@ -424,7 +490,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val head = orders.headOption.getOrElse(return None)
 
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(path).getOrElse(return None)
+    val r = routeFor(spark, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     if (hasUserBucketFilter(child, relation, bucketAttr)) return None
 
@@ -514,7 +580,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[(LogicalRelation, String)] = {
     val candidates = child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        registeredPath(lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
+        registeredPath(spark, lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
     }.flatten
     candidates match {
       case Seq(one) => Some(one)
@@ -541,12 +607,17 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         changed = false
         child.foreach {
           case p: Project => p.projectList.foreach {
-            case a: Alias => a.child match {
-              case ar: AttributeReference
-                  if ids.contains(ar.exprId) && !ids.contains(a.exprId) =>
-                ids += a.exprId; changed = true
-              case _ => ()
-            }
+            // any alias whose defining expression READS a bucket-derived
+            // attribute taints the new name — not just the bare-rename
+            // `bucket AS b` but `CAST(bucket AS INT) AS b`, `bucket + 0
+            // AS b`, …: a later filter on such a column is still the user
+            // choosing buckets, and routing on top of it would intersect
+            // probe sets. Conservative by construction (a taint can only
+            // DECLINE a rewrite; the exact plan stands).
+            case a: Alias
+                if !ids.contains(a.exprId) &&
+                  a.child.references.exists(r => ids.contains(r.exprId)) =>
+              ids += a.exprId; changed = true
             case _ => ()
           }
           case _ => ()
@@ -720,7 +791,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val child = w.child
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(path).getOrElse(return None)
+    val r = routeFor(spark, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     if (hasUserBucketFilter(child, relation, bucketAttr)) return None
 
@@ -803,13 +874,18 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     Some(w.withNewChildren(Seq(pruned)))
   }
 
-  /** Evaluate a foldable array expression to doubles (the query vector). */
+  /** Evaluate a foldable array expression to doubles (the query vector).
+    * A NON-FINITE component declines (None → the brute plan stands): under
+    * NaN every centroid score is NaN and the NaN-greatest tiebreak would
+    * "select" an arbitrary probe set — routing would silently hand back
+    * the contents of meaningless buckets, where the brute plan at least
+    * applies Spark's documented NaN ordering to the full corpus. */
   private def evalVector(e: Expression): Option[Array[Double]] = e.dataType match {
     case ArrayType(et, _) if et == FloatType || et == org.apache.spark.sql.types.DoubleType =>
       Option(e.eval()).map { v =>
         val a = v.asInstanceOf[ArrayData]
         if (et == FloatType) a.toFloatArray().map(_.toDouble) else a.toDoubleArray()
-      }
+      }.filter(_.forall(java.lang.Double.isFinite))
     case _ => None
   }
 

@@ -46,10 +46,21 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       case _ => false
     }
 
+  /** Ensure the shared persisted index + sidecar exist, register its
+    * route for the body, and ALWAYS unregister after — each test owns its
+    * route window explicitly now that registration is session-scoped and
+    * the declared queries drop theirs in their epilogue. */
+  private def withSharedRoute[T](body: => T): T = {
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    try body
+    finally AnnRouting.unregister(spark, base, name)
+  }
+
   test("installed but unregistered: the rule does not fire") {
     // build the persisted index + sidecar without registering a route
     VectorOps.annIvfPersisted(spark, sfDir).collect()
-    AnnRouting.unregister(base, name)
+    AnnRouting.unregister(spark, base, name)
     AnnRouting.install(spark)
     val df = naiveTopK(descending = true)
     assert(!hasBucketInFilter(df),
@@ -58,95 +69,162 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
   }
 
   test("q_knn_auto: naive SQL routes to probed buckets == programmatic IVF") {
-    val auto = VectorOps.knnAuto(spark, sfDir)
-    assert(hasBucketInFilter(auto), "rule did not fire on a registered scan")
-    val plan = auto.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
-    // the partition filter must carry the bucket probe set
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
-    pf.toLowerCase should include("bucket")
-    // label is a partition column on the persisted side (read back as int)
-    // and a plain long on the programmatic side — compare as longs
     def norm(r: org.apache.spark.sql.Row) =
       (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
         r.getAs[Number](2).longValue, r.getDouble(3))
     val expected = VectorOps.annIvf(spark, sfDir).collect().map(norm)
-    val got = auto.collect().map(norm)
-    got should contain theSameElementsInOrderAs expected
+    withSharedRoute {
+      val auto = VectorOps.knnAutoFrame(spark, sfDir)
+      assert(hasBucketInFilter(auto), "rule did not fire on a registered scan")
+      val plan = auto.queryExecution.executedPlan.toString
+      plan should include("PartitionFilters")
+      // the partition filter must carry the bucket probe set
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
+      pf.toLowerCase should include("bucket")
+      // label is a partition column on the persisted side (read back as
+      // int) and a plain long on the programmatic side — compare as longs
+      auto.collect().map(norm) should contain theSameElementsInOrderAs expected
+    }
+    // the DECLARED query (withRoute: materialize, then unregister in the
+    // epilogue) returns the identical rows
+    VectorOps.knnAuto(spark, sfDir).collect().map(norm) should
+      contain theSameElementsInOrderAs expected
+  }
+
+  test("epilogue scope: after a declared routed query, a plain exact top-K stays brute") {
+    VectorOps.knnAuto(spark, sfDir).collect() // registers, routes, unregisters
+    val df = naiveTopK(descending = true)
+    assert(!hasBucketInFilter(df),
+      "route survived the declared query's epilogue — an unrelated exact " +
+        "ORDER BY cosine DESC LIMIT k would silently return probed results")
+    df.count() shouldBe 10
+  }
+
+  test("session scope: a route registered in one session never routes another") {
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    try {
+      val fresh = spark.newSession()
+      AnnRouting.install(fresh) // rule present, but no route in THIS session
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(fresh, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      val df = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosineSim(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(df),
+        "another session's registration leaked into a fresh session's exact plan")
+      df.count() shouldBe 10
+    } finally AnnRouting.unregister(spark, base, name)
+  }
+
+  test("NaN query vector: routing declines (brute plan), literal builder rejects with a clear message") {
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val nanVec = queryVec.updated(0, Float.NaN)
+      val q = typedlit[Seq[Float]](nanVec)
+      val df = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosineSim(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(df),
+        "rule fired on a NaN query vector — NaN centroid scores make the " +
+          "probe choice meaningless")
+      df.count() shouldBe 10 // the brute plan still answers
+    }
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.floatArraySqlLiteral(Seq(1.0f, Float.NaN))
+    }
+    ex.getMessage should include("non-finite")
   }
 
   test("ascending (euclidean-style) sort over a registered index: no rewrite") {
-    val df = naiveTopK(descending = false)
-    assert(!hasBucketInFilter(df),
-      "rule fired on an ascending sort (would corrupt a distance ranking)")
+    withSharedRoute {
+      val df = naiveTopK(descending = false)
+      assert(!hasBucketInFilter(df),
+        "rule fired on an ascending sort (would corrupt a distance ranking)")
+  }
   }
 
   test("farthest-first (1 - cosine DESC) over a registered index: no rewrite") {
-    // contains the vec_dot kernel under a DESC sort, but through a
-    // NON-monotone wrapper — routing to the NEAREST buckets would return
-    // "farthest within the nearest buckets", near-zero recall, silently
-    import graft.functions.VectorFunctions._
-    val idx = IndexCatalog.load(spark, base, name)
-    val q = typedlit[Seq[Float]](queryVec)
-    val dist = (lit(1.0) - cosineSim(col("embedding"), q)).as("dist")
-    val df = idx.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), dist)
-      .orderBy(col("dist").desc, col("vec_id")).limit(10)
-    assert(!hasBucketInFilter(df),
-      "rule fired on a distance (anti-similarity) ranking")
-    // and negation too
-    val neg = idx.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (-round(cosineSim(col("embedding"), q), 6)).as("nscore"))
-      .orderBy(col("nscore").desc, col("vec_id")).limit(10)
-    assert(!hasBucketInFilter(neg), "rule fired on a negated score")
+    withSharedRoute {
+      // contains the vec_dot kernel under a DESC sort, but through a
+      // NON-monotone wrapper — routing to the NEAREST buckets would return
+      // "farthest within the nearest buckets", near-zero recall, silently
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      val dist = (lit(1.0) - cosineSim(col("embedding"), q)).as("dist")
+      val df = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist)
+        .orderBy(col("dist").desc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(df),
+        "rule fired on a distance (anti-similarity) ranking")
+      // and negation too
+      val neg = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (-round(cosineSim(col("embedding"), q), 6)).as("nscore"))
+        .orderBy(col("nscore").desc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(neg), "rule fired on a negated score")
+  }
   }
 
   test("non-monotone wrappers the guard must decline: negative divisor, constant CASE arm, string cast") {
-    import graft.functions.VectorFunctions._
-    val idx = IndexCatalog.load(spark, base, name)
-    val q = typedlit[Seq[Float]](queryVec)
-    def topBy(score: org.apache.spark.sql.Column) =
-      idx.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), score.as("s"))
-        .orderBy(col("s").desc, col("vec_id")).limit(10)
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      def topBy(score: org.apache.spark.sql.Column) =
+        idx.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), score.as("s"))
+          .orderBy(col("s").desc, col("vec_id")).limit(10)
 
-    // kernel / negative literal: DESC on it is farthest-first
-    assert(!hasBucketInFilter(topBy(
-      dotProduct(col("embedding"), q) / lit(-1.0))),
-      "rule fired on a negative-divisor ranking")
-    // general CASE with a non-zero constant arm: the constant re-ranks
-    // rows independently of the kernel (label-3 rows beat every cosine)
-    assert(!hasBucketInFilter(topBy(
-      when(col("label") === 3, lit(2.0))
-        .otherwise(cosineSim(col("embedding"), q)))),
-      "rule fired on a constant-dominated CASE ranking")
-    // string cast: lexicographic order is not numeric order
-    assert(!hasBucketInFilter(topBy(
-      round(cosineSim(col("embedding"), q), 6).cast("string"))),
-      "rule fired on a string-cast ranking")
+      // kernel / negative literal: DESC on it is farthest-first
+      assert(!hasBucketInFilter(topBy(
+        dotProduct(col("embedding"), q) / lit(-1.0))),
+        "rule fired on a negative-divisor ranking")
+      // general CASE with a non-zero constant arm: the constant re-ranks
+      // rows independently of the kernel (label-3 rows beat every cosine)
+      assert(!hasBucketInFilter(topBy(
+        when(col("label") === 3, lit(2.0))
+          .otherwise(cosineSim(col("embedding"), q)))),
+        "rule fired on a constant-dominated CASE ranking")
+      // string cast: lexicographic order is not numeric order
+      assert(!hasBucketInFilter(topBy(
+        round(cosineSim(col("embedding"), q), 6).cast("string"))),
+        "rule fired on a string-cast ranking")
+  }
   }
 
   test("descending sort without a query-vector kernel: no rewrite") {
-    val idx = IndexCatalog.load(spark, base, name)
-    val df = idx.orderBy(col("vec_id").desc).limit(10)
-    assert(!hasBucketInFilter(df), "rule fired without a vec_dot sort key")
+    withSharedRoute {
+      val idx = IndexCatalog.load(spark, base, name)
+      val df = idx.orderBy(col("vec_id").desc).limit(10)
+      assert(!hasBucketInFilter(df), "rule fired without a vec_dot sort key")
+  }
   }
 
   test("q_lsh_auto: the LSH route needs no sidecar and equals the multi-probe API") {
-    val auto = graft.operators.RandomHyperplaneLsh.lshAuto(spark, sfDir)
-    assert(hasBucketInFilter(auto), "LSH route did not fire")
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(auto.queryExecution.executedPlan.toString)
-      .map(_.group(1)).mkString(" | ")
-    pf.toLowerCase should include("bucket")
     def norm(r: org.apache.spark.sql.Row) =
       (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
         r.getAs[Number](2).longValue, r.getDouble(3))
     val expected = graft.operators.RandomHyperplaneLsh
       .annLshMultiProbe(spark, sfDir).collect().map(norm)
-    auto.collect().map(norm) should contain theSameElementsInOrderAs expected
+    // lazy routed frame: plan evidence (the declared query checkpoints)
+    val frames = graft.operators.RandomHyperplaneLsh.planFrames
+    val auto = frames("q_lsh_auto")(spark, sfDir)
+    try {
+      assert(hasBucketInFilter(auto), "LSH route did not fire")
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(auto.queryExecution.executedPlan.toString)
+        .map(_.group(1)).mkString(" | ")
+      pf.toLowerCase should include("bucket")
+      auto.collect().map(norm) should contain theSameElementsInOrderAs expected
+    } finally graft.operators.RandomHyperplaneLsh.dropPlanRoutes(spark, sfDir)
+    // and the declared query's materialized rows match too
+    graft.operators.RandomHyperplaneLsh.lshAuto(spark, sfDir)
+      .collect().map(norm) should contain theSameElementsInOrderAs expected
   }
 
   test("missing centroid sidecar: routing declines, the query still answers brute") {
@@ -173,13 +251,18 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       .orderBy(col("score").desc, col("vec_id")).limit(2)
     assert(!hasBucketInFilter(df), "declined route must not inject a filter")
     df.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L)
-    AnnRouting.unregister(tmpBase, tiny)
+    AnnRouting.unregister(spark, tmpBase, tiny)
   }
 
   test("q_l2_auto: ascending vec_l2dist routes with L2 probe geometry") {
     import graft.functions.VectorFunctions._
-    val auto = VectorOps.l2Auto(spark, sfDir)
-    assert(hasBucketInFilter(auto), "euclidean route did not fire")
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val auto = try {
+      val frame = VectorOps.l2AutoFrame(spark, sfDir)
+      assert(hasBucketInFilter(frame), "euclidean route did not fire")
+      frame.collect()
+    } finally AnnRouting.unregister(spark, base, name)
     // programmatic twin: probe the 4 centroids nearest BY L2, then exact
     // L2 ranking within the probed buckets of the persisted layout
     val q = typedlit[Seq[Float]](queryVec)
@@ -200,50 +283,62 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     def norm(r: org.apache.spark.sql.Row) =
       (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
         r.getAs[Number](2).longValue, r.getDouble(3))
-    auto.collect().map(norm) should contain theSameElementsInOrderAs
+    auto.map(norm) should contain theSameElementsInOrderAs
       expected.collect().map(norm)
+    // the declared query matches too
+    VectorOps.l2Auto(spark, sfDir).collect().map(norm) should
+      contain theSameElementsInOrderAs auto.map(norm)
   }
 
   test("farthest-first euclidean forms decline: l2 DESC and -l2 ASC") {
-    import graft.functions.VectorFunctions._
-    val idx = IndexCatalog.load(spark, base, name)
-    val q = typedlit[Seq[Float]](queryVec)
-    val farthest = idx.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), round(l2Dist(col("embedding"), q), 6).as("d"))
-      .orderBy(col("d").desc, col("vec_id")).limit(10)
-    assert(!hasBucketInFilter(farthest),
-      "rule fired on a DESC distance sort (farthest-first)")
-    val negAsc = idx.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), (-l2Dist(col("embedding"), q)).as("nd"))
-      .orderBy(col("nd").asc, col("vec_id")).limit(10)
-    assert(!hasBucketInFilter(negAsc),
-      "rule fired on an ASC negated distance (farthest-first)")
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      val farthest = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(l2Dist(col("embedding"), q), 6).as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(farthest),
+        "rule fired on a DESC distance sort (farthest-first)")
+      val negAsc = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), (-l2Dist(col("embedding"), q)).as("nd"))
+        .orderBy(col("nd").asc, col("vec_id")).limit(10)
+      assert(!hasBucketInFilter(negAsc),
+        "rule fired on an ASC negated distance (farthest-first)")
+  }
   }
 
   test("1 - l2 DESC (one antitone wrapper) routes nearest-first") {
-    import graft.functions.VectorFunctions._
-    val idx = IndexCatalog.load(spark, base, name)
-    val q = typedlit[Seq[Float]](queryVec)
-    val df = idx.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), (lit(1.0) - l2Dist(col("embedding"), q)).as("s"))
-      .orderBy(col("s").desc, col("vec_id")).limit(10)
-    assert(hasBucketInFilter(df),
-      "similarity-shaped euclidean form (1 - l2 DESC) did not route")
-    // same ids as the direct ASC routed form
     val asc = VectorOps.l2Auto(spark, sfDir).select("vec_id")
       .collect().map(_.getLong(0)).toSeq
-    df.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe asc
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      val df = idx.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), (lit(1.0) - l2Dist(col("embedding"), q)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+      assert(hasBucketInFilter(df),
+        "similarity-shaped euclidean form (1 - l2 DESC) did not route")
+      // same ids as the direct ASC routed form
+      df.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe asc
+    }
   }
 
   test("q_knn_auto_filtered: one plan carries the user partition filter AND the probe set") {
-    val df = VectorOps.knnAutoFiltered(spark, sfDir)
-    assert(hasBucketInFilter(df), "routed+filtered composition did not route")
-    val plan = df.queryExecution.executedPlan.toString
-    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
-      .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
-    pf.toLowerCase should include("bucket")
-    pf.toLowerCase should include("label")
-    plan should include("PushedFilters")
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val df = try {
+      val frame = VectorOps.knnAutoFilteredFrame(spark, sfDir)
+      assert(hasBucketInFilter(frame), "routed+filtered composition did not route")
+      val plan = frame.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).mkString(" | ")
+      pf.toLowerCase should include("bucket")
+      pf.toLowerCase should include("label")
+      plan should include("PushedFilters")
+      frame
+    } finally AnnRouting.unregister(spark, base, name)
     def norm(r: org.apache.spark.sql.Row) =
       (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
         r.getAs[Number](2).longValue, r.getDouble(3))
@@ -252,33 +347,41 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
   }
 
   test("bucket predicate hidden behind a re-aliasing Project still blocks routing") {
-    import graft.functions.VectorFunctions._
-    val idx = IndexCatalog.load(spark, base, name)
-    val q = typedlit[Seq[Float]](queryVec)
-    // the user chose their own buckets, then re-aliased the column: the
-    // alreadyRouted guard must chase the alias and DECLINE, not inject a
-    // second probe set that intersects the user's choice
-    val df = idx.select(col("vec_id"), col("embedding"),
-        col("bucket").as("b"))
-      .filter(col("b").cast("long").isin(0L, 1L))
-      .select(col("vec_id"),
-        round(cosineSim(col("embedding"), q), 6).as("score"))
-      .orderBy(col("score").desc, col("vec_id")).limit(10)
-    // the user's own pushed-down `bucket IN (0,1)` is one In-filter; a
-    // double-route would inject a SECOND one carrying the probe set
-    val bucketInSets = df.queryExecution.optimizedPlan.collect {
-      case Filter(cond, _) => cond.collect {
-        case In(a: AttributeReference, vs) if a.name == "bucket" =>
-          vs.map(_.toString).toSet
-      }
-    }.flatten
-    bucketInSets should have size 1
-    bucketInSets.head shouldBe Set("0", "1")
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      // the user chose their own buckets, then re-aliased the column: the
+      // alreadyRouted guard must chase the alias and DECLINE, not inject a
+      // second probe set that intersects the user's choice
+      val df = idx.select(col("vec_id"), col("embedding"),
+          col("bucket").as("b"))
+        .filter(col("b").cast("long").isin(0L, 1L))
+        .select(col("vec_id"),
+          round(cosineSim(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+      // the user's own pushed-down `bucket IN (0,1)` is one In-filter; a
+      // double-route would inject a SECOND one carrying the probe set
+      val bucketInSets = df.queryExecution.optimizedPlan.collect {
+        case Filter(cond, _) => cond.collect {
+          case In(a: AttributeReference, vs) if a.name == "bucket" =>
+            vs.map(_.toString).toSet
+        }
+      }.flatten
+      bucketInSets should have size 1
+      bucketInSets.head shouldBe Set("0", "1")
+  }
   }
 
   test("q_ann_batch_auto: the window-rank batch shape routes per query") {
     import org.apache.spark.sql.catalyst.expressions.EqualTo
-    val df = VectorOps.annBatchAuto(spark, sfDir)
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val df = try {
+      val f = VectorOps.annBatchAutoFrame(spark, sfDir)
+      f.queryExecution.executedPlan // force planning inside the route window
+      f
+    } finally AnnRouting.unregister(spark, base, name)
     // partition pruning: the probe UNION reaches the scan
     val plan = df.queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
@@ -306,6 +409,9 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
         r.getAs[Number](4).longValue, r.getDouble(5))
     val expected = VectorOps.annBatch(spark, sfDir).collect().map(norm)
     df.collect().map(norm) should contain theSameElementsInOrderAs expected
+    // the declared (materialized + epilogue-unregistered) query matches too
+    VectorOps.annBatchAuto(spark, sfDir).collect().map(norm) should
+      contain theSameElementsInOrderAs expected
   }
 
   test("batched routing declines above BatchRouteCap") {
@@ -337,6 +443,7 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
     assert(!hasBucketInFilter(df),
       s"batched rewrite fired above the ${AnnRouting.BatchRouteCap}-query cap")
+    AnnRouting.unregister(spark, base, name)
   }
 
   test("routing is deterministic across repeated optimization") {
@@ -366,23 +473,50 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     // every routed-result row exists in the exact radius result (the
     // routing only PRUNES — it can never invent rows or change scores)
     val routed = df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
-    AnnRouting.unregister(base, name)
+    AnnRouting.unregister(spark, base, name)
     val exact = naiveRadius(lowerBound = true).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSet
     routed.subsetOf(exact) shouldBe true
     routed should not be empty
-    AnnRouting.register(spark, base, name, nprobe = 4)
   }
 
   test("radius routing declines an UPPER bound (far-from-query) and kernel-free filters") {
-    AnnRouting.register(spark, base, name, nprobe = 4)
-    // score <= τ means "far from the query" — probing the nearest buckets
-    // would be exactly wrong
-    assert(!hasBucketInFilter(naiveRadius(lowerBound = false)),
-      "radius arm fired on an upper (far-from-query) bound")
-    // a plain metadata filter carries no query vector — nothing to probe
-    val idx = IndexCatalog.load(spark, base, name)
-    assert(!hasBucketInFilter(idx.filter(col("label") >= 3)),
-      "radius arm fired on a kernel-free filter")
+    withSharedRoute {
+      // score <= τ means "far from the query" — probing the nearest
+      // buckets would be exactly wrong
+      assert(!hasBucketInFilter(naiveRadius(lowerBound = false)),
+        "radius arm fired on an upper (far-from-query) bound")
+      // a plain metadata filter carries no query vector — nothing to probe
+      val idx = IndexCatalog.load(spark, base, name)
+      assert(!hasBucketInFilter(idx.filter(col("label") >= 3)),
+        "radius arm fired on a kernel-free filter")
+    }
+  }
+
+  test("bucket filter re-exposed through an EXPRESSION alias (cast) still blocks routing") {
+    withSharedRoute {
+      import graft.functions.VectorFunctions._
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      // the alias child is CAST(bucket), not a bare rename — the taint
+      // chase must follow any expression READING bucket, or the rule
+      // would inject probes on top of the user's own bucket choice
+      val df = idx.select(col("vec_id"), col("embedding"),
+          col("bucket").cast("long").as("b"))
+        .filter(col("b").isin(0L, 1L))
+        .select(col("vec_id"),
+          round(cosineSim(col("embedding"), q), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+      val bucketInSets = df.queryExecution.optimizedPlan.collect {
+        case Filter(cond, _) => cond.collect {
+          case In(a: AttributeReference, vs) if a.name == "bucket" =>
+            vs.map(_.toString).toSet
+        }
+      }.flatten
+      // at most the user's own pushed-down filter — never a second probe set
+      bucketInSets.size should be <= 1
+      bucketInSets.foreach(_ shouldBe Set("0", "1"))
+      df.count() shouldBe 10
+    }
   }
 }

@@ -98,7 +98,7 @@ class IvfRebuildSpec extends SparkSpecBase with Matchers {
       .orderBy(col("score").desc, col("vec_id")).limit(5)
     post.collect().map(_.toSeq) should contain theSameElementsInOrderAs
       expected.collect().map(_.toSeq)
-    AnnRouting.unregister(base, name)
+    AnnRouting.unregister(spark, base, name)
   }
 
   test("trained rebuild: the k-means path restores balance and preserves the corpus") {
