@@ -364,10 +364,31 @@ object VectorOps {
         partitionCols = Seq("label", "bucket"))
     }
     // centroid sidecar for plan-time probe selection (AnnRouting); written
-    // separately so indexes persisted before the sidecar existed get one
-    if (!IndexCatalog.hasCentroids(base, name))
+    // separately so indexes persisted before the sidecar existed get one.
+    // Carries c_maxresid — each bucket's max member-to-centroid L2
+    // distance — because MIPS (dotproduct-metric) probe selection needs
+    // the norm-aware bound dot(q,c) + ‖q‖·maxresid; a sidecar without it
+    // (the pre-round-11 schema) makes dot routing decline, so an existing
+    // old-schema sidecar is upgraded in place here.
+    val needSidecar = !IndexCatalog.hasCentroids(base, name) || {
+      val path = java.nio.file.Paths.get(base, name, "centroids").toString
+      !spark.read.parquet(path).columns.contains("c_maxresid")
+    }
+    if (needSidecar) {
+      val members = IvfIndex.assign(index(spark, dir), cent)
+        .select(col("cent_id"), col("embedding"))
+      val resid = members
+        .join(broadcast(cent.select(col("cent_id"), col("c_embedding"))), "cent_id")
+        .groupBy(col("cent_id"))
+        .agg(max(l2Dist(col("embedding"), col("c_embedding"))).as("c_maxresid"))
       IndexCatalog.writeCentroids(spark, base, name,
-        cent.select(col("cent_id"), col("c_embedding")))
+        cent.select(col("cent_id"), col("c_embedding"))
+          .join(resid, Seq("cent_id"), "left")
+          // an empty bucket bounds at dot(q,c) exactly (resid 0)
+          .select(col("cent_id"), col("c_embedding"),
+            coalesce(col("c_maxresid"), lit(0.0)).as("c_maxresid")))
+      graft.plans.AnnRouting.invalidate(base, name)
+    }
     (base, name, cent)
   }
 
@@ -498,6 +519,69 @@ object VectorOps {
        |        WHERE a.vec_id <> q.q_id)
        |SELECT vec_id, label, cent_id, score FROM res
        |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Q-dot-auto: OPTIMIZER-ROUTED MIPS — the q_knn_auto contract under
+    * the reference's THIRD first-class metric (`upsert/upsert.go:27`
+    * documents dotproduct beside cosine/euclidean). The user writes the
+    * naive raw-inner-product ranking — `ORDER BY vec_dot(...) DESC
+    * LIMIT 10`, no normalization — and [[graft.plans.AnnRouting]] routes
+    * it with NORM-AWARE probe selection: bucket b's probe score is the
+    * Cauchy–Schwarz upper bound `dot(q, c_b) + ‖q‖·maxresid_b` read from
+    * the residual-carrying centroid sidecar, not the cosine centroid
+    * score — under cosine probes a high-norm vector sitting in an
+    * angularly-distant bucket is unreachable, which is exactly the vector
+    * a MIPS ranking exists to find. A sidecar without residuals (the
+    * pre-round-11 schema) declines to the exact brute plan rather than
+    * mis-probing. The oracle replays the routed semantics end to end:
+    * cosine assignment (how the index was BUILT), per-bucket max residual,
+    * bound-ranked probe selection, raw-dot ranking within the probed
+    * buckets. */
+  private[graft] def dotAutoFrame(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(vec_dot(embedding, $qLit), 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  def dotAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      dotAutoFrame(spark, dir))
+  }
+
+  val dotAutoSql: String = {
+    import VectorSql.{cosine => cos, dot, l2dist, norm}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |mr AS (SELECT a.cent_id, MAX(${l2dist("a.embedding", "c.ce")}) AS resid
+       |       FROM a1 a JOIN cent c ON a.cent_id = c.cent_id GROUP BY a.cent_id),
+       |pr AS (SELECT cent.cent_id FROM cent LEFT JOIN mr ON cent.cent_id = mr.cent_id
+       |       CROSS JOIN q
+       |       ORDER BY ${dot("cent.ce", "q.qe")} + ${norm("q.qe")} * COALESCE(mr.resid, 0.0)
+       |         DESC, cent.cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${dot("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
   /** Q-knn-auto-filtered: the ROUTED + FILTERED composition — q_knn_auto's
@@ -1578,6 +1662,7 @@ object VectorOps {
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_knn_auto" -> (knnAuto _),
     "q_l2_auto" -> (l2Auto _),
+    "q_dot_auto" -> (dotAuto _),
     "q_knn_auto_filtered" -> (knnAutoFiltered _),
     "q_knn_meta" -> (knnMeta _),
     "q_cluster_mix" -> (clusterMix _))
@@ -1598,6 +1683,7 @@ object VectorOps {
     Map(
       "q_knn_auto" -> routed(knnAutoFrame),
       "q_l2_auto" -> routed(l2AutoFrame),
+      "q_dot_auto" -> routed(dotAutoFrame),
       "q_knn_auto_filtered" -> routed(knnAutoFilteredFrame),
       "q_ann_batch_auto" -> routed(annBatchAutoFrame),
       "q_radius_auto" -> routed(radiusAutoFrame))
@@ -1650,6 +1736,8 @@ object VectorOps {
     // the euclidean route replays its own probe geometry (L2 probes, L2
     // ranking) over the same cosine-built layout
     "q_l2_auto" -> l2AutoSql,
+    // the MIPS route replays the norm-aware bound probes + raw-dot ranking
+    "q_dot_auto" -> dotAutoSql,
     // routed + filtered must equal the programmatic filtered-IVF search:
     // same probes, the predicate restricts candidates inside them
     "q_knn_auto_filtered" -> annFilteredSql,

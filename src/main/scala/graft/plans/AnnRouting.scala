@@ -102,11 +102,23 @@ object AnnRouting {
       }
     }
 
-  /** Driver-side caches: per-index centroid codebooks (id, vector, norm)
-    * and per-(index, query-vector) probe sets — the fixpoint optimizer
-    * batch may visit a plan several times, and repeated queries against
-    * the same index should not re-read the sidecar. */
-  private val centroidCache = TrieMap.empty[String, Array[(Long, Array[Double], Double)]]
+  /** One centroid of a persisted sidecar. `maxResid` is the bucket's
+    * max member-to-centroid L2 distance (written by residual-aware
+    * builds; None on older sidecars) — the quantity MIPS probing needs:
+    * for any member v of bucket b, `dot(q, v) = dot(q, c_b) + dot(q,
+    * v − c_b) ≤ dot(q, c_b) + ‖q‖·maxResid_b` (Cauchy–Schwarz), so the
+    * bound ranks buckets by the best inner product they could possibly
+    * contain. Cosine-scored probes would miss exactly the high-norm
+    * vectors a dot ranking exists to find. */
+  private[plans] case class Centroid(id: Long, vec: Array[Double],
+                                     norm: Double, maxResid: Option[Double])
+
+  /** Driver-side caches: per-index centroid codebooks (id, vector, norm,
+    * residual bound) and per-(index, metric, query-vector) probe sets —
+    * the fixpoint optimizer batch may visit a plan several times, and
+    * repeated queries against the same index should not re-read the
+    * sidecar. */
+  private val centroidCache = TrieMap.empty[String, Array[Centroid]]
   private val probeCache = TrieMap.empty[(String, String, Seq[Double]), Seq[Long]]
 
   /** Bound on probeCache: a serving session sees a distinct query vector
@@ -224,17 +236,24 @@ object AnnRouting {
     * JVM. Columns: cent_id, c_embedding; the norm is recomputed here with
     * the engine's arithmetic. */
   private[plans] def centroids(spark: SparkSession, route: Route)
-      : Array[(Long, Array[Double], Double)] =
+      : Array[Centroid] =
     centroidCache.getOrElseUpdate(dataPath(route.base, route.name), {
       val path = Paths.get(route.base, route.name, "centroids").toString
-      spark.read.parquet(path).select("cent_id", "c_embedding").collect().map { row =>
+      val raw = spark.read.parquet(path)
+      val hasResid = raw.columns.contains("c_maxresid")
+      val cols =
+        if (hasResid) Seq("cent_id", "c_embedding", "c_maxresid")
+        else Seq("cent_id", "c_embedding")
+      raw.select(cols.head, cols.tail: _*).collect().map { row =>
         val id = row.getLong(0)
         val vec = row.getSeq[Any](1).map {
           case f: Float => f.toDouble
           case d: Double => d
         }.toArray
-        (id, vec, math.sqrt(vec.map(x => x * x).sum))
-      }.sortBy(_._1)
+        val resid =
+          if (hasResid && !row.isNullAt(2)) Some(row.getDouble(2)) else None
+        Centroid(id, vec, math.sqrt(vec.map(x => x * x).sum), resid)
+      }.sortBy(_.id)
     })
 
   /** Probe selection per route kind and METRIC, computed on the driver
@@ -275,7 +294,14 @@ object AnnRouting {
   private def ivfProbes(spark: SparkSession, route: Route,
                         query: Array[Double], metric: String): Seq[Long] = {
     val qNorm = math.sqrt(query.map(x => x * x).sum)
-    val scored = centroids(spark, route).map { case (id, vec, cNorm) =>
+    val cents = centroids(spark, route)
+    // MIPS probing NEEDS the residual bound (see [[Centroid.maxResid]]):
+    // on a sidecar written before residuals existed, decline-by-default —
+    // an empty probe set falls the caller back to the exact brute plan,
+    // never to cosine-geometry probes that lose high-norm vectors.
+    if (metric == "dot" && cents.exists(_.maxResid.isEmpty)) return Seq.empty
+    val scored = cents.map { c =>
+      val vec = c.vec
       require(vec.length == query.length,
         s"ann routing: query dim ${query.length} != centroid dim ${vec.length}")
       metric match {
@@ -285,13 +311,20 @@ object AnnRouting {
           while (i < vec.length) {
             val d = vec(i) - query(i); ss += d * d; i += 1
           }
-          (id, math.sqrt(ss))
+          (c.id, math.sqrt(ss))
+        case "dot" =>
+          // upper bound on the inner product any member can achieve:
+          // dot(q, c) + ‖q‖·maxResid (Cauchy–Schwarz on the residual)
+          var dot = 0.0
+          var i = 0
+          while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
+          (c.id, dot + qNorm * c.maxResid.get)
         case _ =>
           var dot = 0.0
           var i = 0
           while (i < vec.length) { dot += vec(i) * query(i); i += 1 }
-          val denom = cNorm * qNorm
-          (id, if (denom == 0.0) 0.0 else dot / denom)
+          val denom = c.norm * qNorm
+          (c.id, if (denom == 0.0) 0.0 else dot / denom)
       }
     }
     val best: ((Long, Double), (Long, Double)) => Boolean =
@@ -395,7 +428,9 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
       case x => Seq(x)
     }
-    def cosineLowerBound(k: Expression): Option[Expression] =
+    // carries its own metric: "cosine" for the normalized form, "dot"
+    // for a bare inner-product bound (dot >= τ routes by the MIPS bound)
+    def simLowerBound(k: Expression): Option[(Expression, String)] =
       monotoneDotKernel(vecAttrOk, _.foldable)(resolve(k, 4))
     def l2UpperBound(k: Expression): Option[Expression] =
       monotoneL2Kernel(vecAttrOk)(resolve(k, 4))
@@ -415,14 +450,10 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // first conjunct that is a near-the-query bound; the opposite-sense
     // forms fall through to None (decline)
     val hit: Option[(Expression, String)] = conjuncts(cond).iterator.map(unwrapGuard).map {
-      case GreaterThanOrEqual(l, t) if isNumericLiteral(t) =>
-        cosineLowerBound(l).map((_, "cosine"))
-      case GreaterThan(l, t) if isNumericLiteral(t) =>
-        cosineLowerBound(l).map((_, "cosine"))
-      case LessThanOrEqual(t, rr) if isNumericLiteral(t) =>
-        cosineLowerBound(rr).map((_, "cosine"))
-      case LessThan(t, rr) if isNumericLiteral(t) =>
-        cosineLowerBound(rr).map((_, "cosine"))
+      case GreaterThanOrEqual(l, t) if isNumericLiteral(t) => simLowerBound(l)
+      case GreaterThan(l, t) if isNumericLiteral(t) => simLowerBound(l)
+      case LessThanOrEqual(t, rr) if isNumericLiteral(t) => simLowerBound(rr)
+      case LessThan(t, rr) if isNumericLiteral(t) => simLowerBound(rr)
       case LessThanOrEqual(l, t) if isNumericLiteral(t) =>
         l2UpperBound(l).map((_, "euclidean"))
       case LessThan(l, t) if isNumericLiteral(t) =>
@@ -434,7 +465,8 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }.collectFirst { case Some(x) => x }
     val (queryLit, metric) = hit.getOrElse(return None)
-    if (metric == "euclidean" && r.kind != "ivf") return None
+    // only the angular metric matches the LSH family's bucket geometry
+    if (metric != "cosine" && r.kind != "ivf") return None
     val query = evalVector(queryLit).getOrElse(return None)
     val probes = probeBuckets(spark, r, query, metric)
     if (probes.isEmpty) return None
@@ -533,7 +565,9 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     //    negation is declined (conservative: decline-by-default).
     import org.apache.spark.sql.catalyst.expressions.{RoundBase, Subtract, UnaryMinus}
     import org.apache.spark.sql.types.NumericType
-    def monotoneKernel(e: Expression): Option[Expression] =
+    // (query, metric): "cosine" for the normalized form, "dot" for a
+    // bare inner-product DESC sort (the MIPS ranking)
+    def monotoneKernel(e: Expression): Option[(Expression, String)] =
       monotoneDotKernel(vecAttrOk, _.foldable)(e)
     def monotoneL2(e: Expression): Option[Expression] =
       monotoneL2Kernel(vecAttrOk)(e)
@@ -550,16 +584,16 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     val (queryLit, metric) = head.direction match {
       case Descending =>
-        monotoneKernel(key).map((_, "cosine"))
+        monotoneKernel(key)
           .orElse(antitoneL2(key).map((_, "euclidean")))
           .getOrElse(return None)
       case Ascending =>
         monotoneL2(key).map((_, "euclidean")).getOrElse(return None)
     }
-    // the random-hyperplane LSH family buckets by ANGLE: routing an
-    // euclidean ranking through it would probe buckets chosen under the
-    // wrong geometry — decline, the brute plan stays correct
-    if (metric == "euclidean" && r.kind != "ivf") return None
+    // the random-hyperplane LSH family buckets by ANGLE: routing a
+    // euclidean or raw-dot ranking through it would probe buckets chosen
+    // under the wrong geometry — decline, the brute plan stays correct
+    if (metric != "cosine" && r.kind != "ivf") return None
 
     val query = evalVector(queryLit).getOrElse(return None)
     val probes = probeBuckets(spark, r, query, metric)
@@ -703,26 +737,37 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     go(e)
   }
 
+  /** Returns (query side, metric): `"cosine"` when the unwrap path passed
+    * through a division by a norm product (the normalized similarity —
+    * probe by centroid cosine), `"dot"` when the kernel is reached bare or
+    * through norm-free positive scaling (the raw inner-product ranking of
+    * `upsert/upsert.go:27`'s dotproduct metric — probe by the norm-aware
+    * MIPS bound; a constant positive divisor rescales every score equally
+    * and leaves the dot ORDER intact, so it stays "dot"). The distinction
+    * is load-bearing: routing a bare-dot sort through cosine-geometry
+    * probes silently loses high-norm vectors in unprobed buckets. */
   private def monotoneDotKernel(vecOk: Expression => Boolean,
                                 queryOk: Expression => Boolean)
-                               (e: Expression): Option[Expression] = {
+                               (e: Expression): Option[(Expression, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, RoundBase}
     import org.apache.spark.sql.types.NumericType
-    def go(e: Expression): Option[Expression] = e match {
-      case DotProduct(a, q) if vecOk(a) && queryOk(q) => Some(q)
-      case DotProduct(q, a) if vecOk(a) && queryOk(q) => Some(q)
-      case al: Alias => go(al.child)
+    def go(e: Expression, normalized: Boolean): Option[(Expression, String)] = e match {
+      case DotProduct(a, q) if vecOk(a) && queryOk(q) =>
+        Some((q, if (normalized) "cosine" else "dot"))
+      case DotProduct(q, a) if vecOk(a) && queryOk(q) =>
+        Some((q, if (normalized) "cosine" else "dot"))
+      case al: Alias => go(al.child, normalized)
       case c: org.apache.spark.sql.catalyst.expressions.Cast
-          if c.dataType.isInstanceOf[NumericType] => go(c.child)
-      case rn: RoundBase => go(rn.children.head)
+          if c.dataType.isInstanceOf[NumericType] => go(c.child, normalized)
+      case rn: RoundBase => go(rn.children.head, normalized)
       case CaseWhen(Seq((cond, value)), Some(els))
           if isLiteralZero(value) && !cond.exists(_.isInstanceOf[DotProduct]) =>
-        go(els)
+        go(els, normalized)
       case Divide(num, den, _) if provablyNonNegative(den) =>
-        go(num)
+        go(num, normalized || den.exists(_.isInstanceOf[graft.functions.L2Norm]))
       case _ => None
     }
-    go(e)
+    go(e, normalized = false)
   }
 
   // ---- the batched window-rank shape ----------------------------------
@@ -815,10 +860,14 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case ar: AttributeReference => local.outputSet.contains(ar)
       case _ => false
     }
-    val qAttr = monotoneDotKernel(vecAttrOk, inLocal)(key) match {
-      case Some(ar: AttributeReference) => ar
+    val (qAttr, batchMetric) = monotoneDotKernel(vecAttrOk, inLocal)(key) match {
+      case Some((ar: AttributeReference, m)) => (ar, m)
       case _ => return None
     }
+    // bare-dot batched rankings probe by the MIPS bound, never by
+    // cosine geometry (the single-query discipline, batch form); LSH
+    // buckets only match the angular metric
+    if (batchMetric != "cosine" && r.kind != "ivf") return None
 
     // 5. the partition key resolves to an INTEGRAL column of the same
     // literal table (its values become EqualTo literals; integral internal
@@ -845,7 +894,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (row.get(qIdx, idType), vec)
     }
     val perQuery = queries.map { case (id, vec) =>
-      (id, probeBuckets(spark, r, vec, "cosine"))
+      (id, probeBuckets(spark, r, vec, batchMetric))
     }
     if (perQuery.exists(_._2.isEmpty)) return None
     val union = perQuery.flatMap(_._2).distinct

@@ -493,6 +493,96 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  /** A 2-bucket index where cosine probes and MIPS probes provably
+    * differ: the query (1,0,0,0) is ANGULARLY nearest centroid 0 (its
+    * bucket holds only a small-norm vector, dot 0.9) while bucket 1's
+    * member has a large norm (dot 5.0) behind an angularly-distant
+    * centroid — the vector a raw-dot ranking exists to find and cosine
+    * probing at nprobe=1 cannot reach. Returns (base, name). */
+  private def mipsFixture(withResid: Boolean): (String, String) = {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val tmpBase = graft.Scratch.dir(if (withResid) "mipsrt" else "mipsrt0")
+    val tiny = "tiny-mips"
+    val data = Seq(
+        (1L, 0L, vec(0.9, 0, 0, 0), 0L),
+        (2L, 1L, vec(5.0, 6.0, 0, 0), 1L))
+      .toDF("vec_id", "label", "embedding", "bucket")
+    IndexCatalog.createIfAbsent(spark, tmpBase,
+      IndexCatalog.IndexDescriptor(tiny, 4, "dotproduct"), data, Seq("bucket"))
+    val centCols = Seq(
+      (0L, vec(1.0, 0, 0, 0), 0.1),
+      (1L, vec(0.6, 0.8, 0, 0), 6.81))
+    val cent =
+      if (withResid) centCols.toDF("cent_id", "c_embedding", "c_maxresid")
+      else centCols.map { case (i, e, _) => (i, e) }.toDF("cent_id", "c_embedding")
+    IndexCatalog.writeCentroids(spark, tmpBase, tiny, cent)
+    (tmpBase, tiny)
+  }
+
+  test("q_dot_auto: bare vec_dot DESC routes by the norm-aware MIPS bound, not cosine geometry") {
+    import graft.functions.VectorFunctions._
+    val (tmpBase, tiny) = mipsFixture(withResid = true)
+    AnnRouting.register(spark, tmpBase, tiny, nprobe = 1)
+    try {
+      val idx = IndexCatalog.load(spark, tmpBase, tiny)
+      val q = typedlit[Seq[Float]](Seq(1.0f, 0f, 0f, 0f))
+      // MIPS: bound(b0) = 1 + 0.1 = 1.1 < bound(b1) = 0.6 + 6.81 = 7.41
+      // → probe bucket 1 → the high-norm vector wins, as exact MIPS does
+      val dotTop = idx
+        .select(col("vec_id"), dotProduct(col("embedding"), q).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(hasBucketInFilter(dotTop), "MIPS route did not fire")
+      dotTop.select("vec_id").head().getLong(0) shouldBe 2L
+      // cosine over the SAME index probes by angle → bucket 0's member
+      val cosTop = idx
+        .select(col("vec_id"), cosineSim(col("embedding"), q).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(hasBucketInFilter(cosTop), "cosine route did not fire")
+      cosTop.select("vec_id").head().getLong(0) shouldBe 1L
+    } finally AnnRouting.unregister(spark, tmpBase, tiny)
+  }
+
+  test("dot routing declines on a residual-less sidecar; cosine still routes") {
+    import graft.functions.VectorFunctions._
+    val (tmpBase, tiny) = mipsFixture(withResid = false)
+    AnnRouting.register(spark, tmpBase, tiny, nprobe = 1)
+    try {
+      val idx = IndexCatalog.load(spark, tmpBase, tiny)
+      val q = typedlit[Seq[Float]](Seq(1.0f, 0f, 0f, 0f))
+      val dotTop = idx
+        .select(col("vec_id"), dotProduct(col("embedding"), q).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(!hasBucketInFilter(dotTop),
+        "MIPS route fired without residual bounds — cosine-geometry " +
+          "probes would silently lose high-norm vectors")
+      // the exact brute plan still answers, and correctly
+      dotTop.select("vec_id").head().getLong(0) shouldBe 2L
+      val cosTop = idx
+        .select(col("vec_id"), cosineSim(col("embedding"), q).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(hasBucketInFilter(cosTop),
+        "cosine routing should not need residuals")
+    } finally AnnRouting.unregister(spark, tmpBase, tiny)
+  }
+
+  test("q_dot_auto over the shared index: routed frame == declared query == MIPS replay") {
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val routed = try {
+      val f = VectorOps.dotAutoFrame(spark, sfDir)
+      assert(hasBucketInFilter(f), "dot route did not fire on the shared index")
+      f.collect().map(norm)
+    } finally AnnRouting.unregister(spark, base, name)
+    // semantics: exactly the top-10 by raw dot of the probed buckets —
+    // recompute from the plan-injected probe set
+    VectorOps.dotAuto(spark, sfDir).collect().map(norm) should
+      contain theSameElementsInOrderAs routed
+  }
+
   test("bucket filter re-exposed through an EXPRESSION alias (cast) still blocks routing") {
     withSharedRoute {
       import graft.functions.VectorFunctions._
