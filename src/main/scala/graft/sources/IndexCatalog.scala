@@ -345,7 +345,8 @@ object IndexCatalog {
     * bucket) to make discovery ∝ batch as well. */
   def upsertInto(spark: SparkSession, basePath: String, name: String,
                  batch: DataFrame, keyCol: String,
-                 versionCol: Option[String] = None): Unit = {
+                 versionCol: Option[String] = None,
+                 knownNonEmpty: Boolean = false): Unit = {
     require(exists(basePath, name), s"no such index: $name")
     // the layout is DERIVED from the index, never trusted from the caller
     // (see partitionLayout) — the batch must carry those columns
@@ -356,8 +357,11 @@ object IndexCatalog {
         s"(layout: ${partitionCols.mkString("/")})"))
     // An empty batch touches no partitions — a no-op, not an error. Without
     // this guard the touched-partition reduce below throws an opaque
-    // 'empty.reduce' from deep inside the merge.
-    if (batch.isEmpty) return
+    // 'empty.reduce' from deep inside the merge. A caller that already
+    // counted the batch (the CDC trigger counts per op anyway) passes
+    // knownNonEmpty to skip this extra driver action — per-trigger job
+    // count is the dominant streaming-merge cost at small batch sizes.
+    if (!knownNonEmpty && batch.isEmpty) return
     val keys = batch.select(col(keyCol)).distinct()
     // Re-upserting a deleted key REVIVES it: drop the batch keys' pending
     // tombstones first, or load()'s anti-join would hide the fresh row

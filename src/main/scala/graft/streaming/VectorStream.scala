@@ -363,15 +363,23 @@ object VectorStream {
         val resolved = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
             tieBreak = Seq(xxhash64(col("embedding"), col("label"), col("op"))))
           .localCheckpoint(true)
-        val ups = resolved.filter(col("op") =!= "D").drop("op")
-          .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
-          .localCheckpoint(true)
-        val dels = resolved.filter(col("op") === "D").select(col("vec_id"))
-        if (!ups.isEmpty)
+        // ONE driver action decides both branches: count per op over the
+        // checkpointed frame (a short job over cached blocks). The
+        // previous shape paid two extra jobs per trigger — `ups.isEmpty`
+        // and `dels.isEmpty` each launched one before the real merge —
+        // and per-trigger scheduling latency is the dominant CDC cost at
+        // this batch size (5.6 s vs the upsert twin's 1.9 s median).
+        val opCounts = resolved.groupBy(col("op")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
+          val ups = resolved.filter(col("op") =!= "D").drop("op")
+            .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
           IndexCatalog.upsertInto(batch.sparkSession, base, name,
-            ups, "vec_id", versionCol = Some("version"))
-        if (!dels.isEmpty)
-          IndexCatalog.tombstone(batch.sparkSession, base, name, dels)
+            ups, "vec_id", versionCol = Some("version"), knownNonEmpty = true)
+        }
+        if (opCounts.contains("D"))
+          IndexCatalog.tombstone(batch.sparkSession, base, name,
+            resolved.filter(col("op") === "D").select(col("vec_id")))
       }
       .start()
     try {
