@@ -486,11 +486,14 @@ object GraphOps {
   /** Per-node out-degree of the serving graph. */
   val GraphAnnDegree = 8
   /** Beam width of [[graphAnn]]'s search — nodes expanded per hop. */
-  val GraphAnnBeam = 16
+  val GraphAnnBeam = 32
   /** Fixed hop count — a constant (not convergence-tested) so the oracle
     * can replay the search as chained CTEs, the [[PagerankIters]]
     * discipline. */
-  val GraphAnnHops = 2
+  val GraphAnnHops = 3
+  /** Seed-stage coarse probes: how many IVF buckets are exactly scored to
+    * form the initial beam. */
+  val GraphAnnSeedProbes = 2
 
   /** Q-graph-ann: GRAPH-ROUTED ANN SERVING — the search path the
     * k-NN-graph substrate exists for (q_knn_graph builds the mutual-edge
@@ -499,8 +502,8 @@ object GraphOps {
     * Two stages, the coarse-route + graph-refine shape of every deployed
     * graph-ANN system (an HNSW upper layer IS a coarse router):
     *
-    *  1. ROUTE: exactly score the query's single nearest IVF bucket
-    *     (nprobe=1 — the cheapest coarse probe) and keep the top
+    *  1. ROUTE: exactly score the query's [[GraphAnnSeedProbes]] nearest
+    *     IVF buckets (the cheap coarse probe) and keep the top
     *     [[GraphAnnBeam]] as the seed beam.
     *  2. REFINE: for each of [[GraphAnnHops]] hops, expand the beam's
     *     out-edges in the serving graph, exactly score only the NEWLY
@@ -515,12 +518,18 @@ object GraphOps {
     * Voronoi face that nprobe=1 routing cannot see. Navigability is a
     * construction property, not luck: a graph joined on single
     * assignments is a disjoint union of per-bucket subgraphs (beam
-    * search can never leave the seed bucket — measured recall@10 0.1 on
+    * search can never leave the seed buckets — measured recall@10 0.1 on
     * the LSH single-probe variant of the same idea), while the top-2
-    * form measurably lifts recall@10 over the nprobe=1 seeds alone
-    * (0.9 → 1.0 at sf0.01, 0.6 → 0.7 at sf0.001; gated in KnnGraphSpec).
-    * Like every graph-ANN system the search is approximate: only the
-    * visited set is ever exactly scored.
+    * form measurably lifts recall@10 over the coarse seeds alone. At the
+    * round-11 defaults (beam 32, 3 hops, 2 seed probes — chosen by a
+    * recall sweep) recall@10 is 0.9 at sf0.001 and 1.0 at sf0.01/sf0.1,
+    * gated at ≥0.9 for ALL THREE scale factors in KnnGraphSpec, with a
+    * beam-sensitivity spec asserting recall is non-decreasing in beam.
+    * The sf0.001 ceiling is graph sparsity, not policy: 600 points give
+    * the mutual top-[[GraphAnnDegree]] graph too few cross-Voronoi
+    * edges; at larger corpora the same parameters saturate. Like every
+    * graph-ANN system the search is approximate: only the visited set is
+    * ever exactly scored.
     *
     * Scale shape: construction is the knnJoinLarge discipline on IVF
     * buckets (each side shuffles once on the bucket key, per-bucket-
@@ -574,7 +583,9 @@ object GraphOps {
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
   }
 
-  def graphAnn(spark: SparkSession, dir: String): DataFrame = {
+  def graphAnn(spark: SparkSession, dir: String,
+               beam: Int = GraphAnnBeam, hops: Int = GraphAnnHops,
+               seedProbes: Int = GraphAnnSeedProbes): DataFrame = {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
     val cent = VectorOps.seedCentroids(spark, dir)
     val q = broadcast(KnnSearch.withNorm(
@@ -589,16 +600,16 @@ object GraphOps {
     val a1 = asg.filter(col("rn") === 1)
     val edges = graphAnnEdges(asg)
       .localCheckpoint(eager = true) // id-pairs only — built once, walked per hop
-    val probe = IvfIndex.probes(cent, q, nprobe = 1)
+    val probe = IvfIndex.probes(cent, q, nprobe = seedProbes)
     var visited = scoreAgainstQuery(
       a1.join(broadcast(probe), "cent_id").filter(col("vec_id") =!= 0))
       .orderBy(col("score").desc, col("vec_id"))
-      .limit(GraphAnnBeam)
+      .limit(beam)
       .localCheckpoint(eager = true)
-    for (_ <- 1 to GraphAnnHops) {
+    for (_ <- 1 to hops) {
       val frontier = visited
         .orderBy(col("score").desc, col("vec_id"))
-        .limit(GraphAnnBeam)
+        .limit(beam)
         .select(col("vec_id").as("src"))
       val fresh = edges.join(broadcast(frontier), "src")
         .select(col("dst").as("vec_id")).distinct()
@@ -636,14 +647,13 @@ object GraphOps {
        |        FROM gsc),
        |e AS (SELECT src, dst FROM grk WHERE rank <= $GraphAnnDegree),
        |pr AS (SELECT cent_id FROM cent, q
-       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 1),
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT $GraphAnnSeedProbes),
        |v0 AS (SELECT a.vec_id, a.label, ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
        |       FROM a1 a JOIN pr USING (cent_id) CROSS JOIN q
        |       WHERE a.vec_id <> 0
        |       ORDER BY score DESC, vec_id LIMIT $GraphAnnBeam),
-       |${round_("v0", 1)},
-       |${round_("v1", 2)}
-       |SELECT vec_id, label, score FROM v2
+       |${(1 to GraphAnnHops).map(k => round_(s"v${k - 1}", k)).mkString(",\n")}
+       |SELECT vec_id, label, score FROM v$GraphAnnHops
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -724,7 +734,7 @@ object GraphOps {
     "q_knn_graph" -> (knnGraph _),
     "q_knn_graph_incr" -> (knnGraphIncr _),
     "q_knn_graph_clusters" -> (knnGraphClusters _),
-    "q_graph_ann" -> (graphAnn _))
+    "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
