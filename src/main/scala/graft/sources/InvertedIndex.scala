@@ -112,16 +112,22 @@ object InvertedIndex {
   def bm25Indexed(spark: SparkSession, dir: String): DataFrame =
     bm25Over(spark, ensure(spark, dir))
 
-  /** BM25 top-10 against an arbitrary index layout — shared by the
-    * build-then-query path (q_bm25_indexed) and the upsert path
-    * (q_bm25_upsert), so both serve through literally the same plan. */
-  private[graft] def bm25Over(spark: SparkSession, layout: Layout): DataFrame = {
+  /** BM25 top-k against an arbitrary index layout — shared by the
+    * build-then-query path (q_bm25_indexed), the upsert path
+    * (q_bm25_upsert) and the hybrid fusion's lexical arm
+    * (q_hybrid_indexed), so all serve through literally the same plan.
+    * `excludeDoc` drops one doc BEFORE ranking (the hybrid query's
+    * "every doc but the query doc" contract). */
+  private[graft] def bm25Over(spark: SparkSession, layout: Layout,
+                              k: Int = 10,
+                              excludeDoc: Option[Long] = None): DataFrame = {
     val terms = TextOps.Bm25Terms
     import spark.implicits._
     val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
       .distinct().as[Long].collect().toSeq
     val post = spark.read.parquet(layout.dataPath)
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .filter(excludeDoc.map(col("doc_id") =!= _).getOrElse(lit(true)))
     val dict = spark.read.parquet(layout.dictPath)
       .filter(col("w").isin(terms: _*))
     // avgdl = exact-long total / exact-long count, ONE double division —
@@ -140,7 +146,7 @@ object InvertedIndex {
       .select(col("doc_id"),
         round(terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(10)
+      .limit(k)
   }
 
   /** New-doc derivation for the declared upsert query: the first
@@ -231,13 +237,107 @@ object InvertedIndex {
         s"WHERE doc_id < $UpsertSrcCount),\ntoks AS")
     .replace("FROM documents)", "FROM d2)")
 
+  /** Rank depth each hybrid arm retrieves before fusion. */
+  val HybridArmK = 100
+  /** The RRF rank discount constant (Cormack et al.'s k=60). */
+  val HybridRrfK = 60
+
+  /** Q-hybrid-indexed: sparse–dense HYBRID retrieval where the LEXICAL
+    * arm rides the persisted inverted index — the production form of
+    * q_hybrid (whose "sparse" arm is a masked dense dot over the
+    * embeddings table, a full-corpus re-scoring). Here the lexical arm is
+    * the real thing: BM25 for the fixed query terms served through
+    * [[bm25Over]], so the text side of the fusion reads |terms| tbucket
+    * partition directories (plan-asserted PartitionFilters in Bm25Spec)
+    * instead of re-tokenizing the corpus. The dense arm is the exact
+    * top-[[HybridArmK]] cosine neighbors of query vector 0 (doc_id and
+    * vec_id share the id domain — a document's embedding carries its id).
+    * Both arms exclude the query doc, retrieve their top-[[HybridArmK]],
+    * and reciprocal-rank fusion scores `Σ 1/(60+rank)` over the lists
+    * that retrieved each doc — two fixed-order terms, so double addition
+    * associates identically in both engines (the q_hybrid discipline).
+    *
+    * 100 TB: the lexical arm's cost is ∝ the query terms' posting lists
+    * (partition-pruned, corpus-size-independent); the dense arm composes
+    * with any ANN layout exactly as q_knn does (probe, then rank) — the
+    * fusion itself joins two k-row frames. */
+  def hybridIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KnnSearch
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Over(spark, ensure(spark, dir), k = HybridArmK,
+        excludeDoc = Some(0L))
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val dense = KnnSearch.topK(emb, q, HybridArmK)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    dense.join(lex, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("dense_rank"), col("lex_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(HybridRrfK) + col("dense_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(HybridRrfK) + col("lex_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  /** The oracle re-derives the lexical arm from raw text (the q_bm25
+    * replay — stats over the FULL corpus, exclusion only at ranking) and
+    * the dense arm from the embeddings, then fuses identically. */
+  val hybridIndexedSql: String = {
+    import graft.operators.VectorSql.{cosine => cos}
+    val Seq(t1, t2, t3) = TextOps.Bm25Terms
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+       |       WHERE w IN ('$t1', '$t2', '$t3') GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT tf.doc_id, tf.w,
+       |    ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+       |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |piv AS (SELECT doc_id,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t1'), 0.0) AS s1,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t2'), 0.0) AS s2,
+       |    COALESCE(SUM(s) FILTER (WHERE w = '$t3'), 0.0) AS s3
+       |  FROM contrib GROUP BY doc_id),
+       |lex AS (SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv
+       |        WHERE doc_id <> 0
+       |        ORDER BY score DESC, doc_id LIMIT $HybridArmK),
+       |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+       |         FROM lex),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ds AS (SELECT e.vec_id AS doc_id, ROUND(${cos("e.embedding", "q.qe")}, 6) AS dscore
+       |       FROM embeddings e, q WHERE e.vec_id <> 0
+       |       ORDER BY dscore DESC, doc_id LIMIT $HybridArmK),
+       |dsr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id) AS dense_rank
+       |        FROM ds),
+       |f AS (SELECT COALESCE(d.doc_id, l.doc_id) AS doc_id, d.dense_rank, l.lex_rank
+       |      FROM dsr d FULL OUTER JOIN lexr l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, dense_rank, lex_rank,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ($HybridRrfK + dense_rank), 0.0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / ($HybridRrfK + lex_rank), 0.0), 6) AS rrf
+       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_indexed" -> (bm25Indexed _),
-    "q_bm25_upsert" -> (bm25Upsert _))
+    "q_bm25_upsert" -> (bm25Upsert _),
+    "q_hybrid_indexed" -> (hybridIndexed _))
 
   // q_bm25_indexed: same oracle as q_bm25 — the persisted term-bucketed
   // layout changes the access path (partition pruning), never the result
   def oracles: Map[String, String] = Map(
     "q_bm25_indexed" -> TextOps.bm25Sql,
-    "q_bm25_upsert" -> bm25UpsertSql)
+    "q_bm25_upsert" -> bm25UpsertSql,
+    "q_hybrid_indexed" -> hybridIndexedSql)
 }

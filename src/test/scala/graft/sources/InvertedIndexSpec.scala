@@ -30,6 +30,27 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
     plan should include regex "PushedFilters: \\[In\\(w,"
   }
 
+  test("q_hybrid_indexed: the lexical arm rides the index (tbucket PartitionFilters), fusion ranks sanely") {
+    val df = InvertedIndex.hybridIndexed(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fusion plan's TEXT side is partition-pruned posting lists, not
+    // a corpus re-tokenization
+    plan should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
+    plan should include regex "PushedFilters: \\[In\\(w,"
+    val rows = df.collect()
+    rows should have length 10
+    // rrf is within the two-list bound and the ordering is by rrf desc
+    val rrfs = rows.map(_.getDouble(3))
+    all(rrfs) should be <= 2.0 / (InvertedIndex.HybridRrfK + 1)
+    rrfs.toSeq shouldBe rrfs.sortBy(-_).toSeq
+    // a doc retrieved by BOTH arms outranks rank-equivalent single-arm docs:
+    // every returned row has at least one arm rank
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) || !r.isNullAt(2),
+        s"row ${r.getLong(0)} fused with neither arm rank")
+    }
+  }
+
   test("ensure() is idempotent: the second call leaves the index untouched") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val marker = Paths.get(IndexCatalog.cacheBase(sfDir),
