@@ -683,7 +683,20 @@ object CorpusOps {
     * table) and q_quality_apply (takes the final weights to inference):
     * returns the per-epoch (epoch, n_mis, w₀..w₃) rows; the last row
     * carries the final model. */
+  /** Memo for [[perceptronEpochs]] keyed by dataset dir: training is
+    * deterministic (integer arithmetic, fixed epochs), so a session
+    * running both q_quality_train and q_quality_apply — or either twice —
+    * pays the 5 distributed epoch jobs once, not per caller. The values
+    * are 6-tuples of longs (epoch rows), never row data — driver-bounded
+    * by construction. */
+  private val epochCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Long, Long, Long, Long, Long)]]
+
   private def perceptronEpochs(spark: SparkSession, dir: String)
+      : Seq[(Long, Long, Long, Long, Long, Long)] =
+    epochCache.getOrElseUpdate(dir, computePerceptronEpochs(spark, dir))
+
+  private def computePerceptronEpochs(spark: SparkSession, dir: String)
       : Seq[(Long, Long, Long, Long, Long, Long)] = {
     val feats = perceptronFeatures(spark, dir).localCheckpoint(true)
     var w = Array(0L, 0L, 0L, 0L)

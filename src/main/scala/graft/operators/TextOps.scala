@@ -775,23 +775,39 @@ object TextOps {
     * aggregate expression expresses, and its output is candidate TERMS
     * only (≤ partitions·k strings, metadata-sized). */
   private[operators] def misraGriesCandidates(
+      terms: org.apache.spark.sql.Dataset[String], k: Int): DataFrame =
+    misraGriesSummary(terms, k)
+      .filter(col("w").isNotNull).select(col("w")).distinct()
+
+  /** The MG pass with its bookkeeping: candidate rows (w, 0, false) plus
+    * ONE sentinel row per partition (null, partition term count, did any
+    * eviction run). The sentinel is what lets [[heavyHitters]] check its
+    * exactness precondition without a second corpus pass: total N is the
+    * sum of partition counts, and "no eviction anywhere" certifies the
+    * summary held every distinct term regardless of the N/(k+1) bound. */
+  private[operators] def misraGriesSummary(
       terms: org.apache.spark.sql.Dataset[String], k: Int): DataFrame = {
     import terms.sparkSession.implicits._
     terms.mapPartitions { it =>
       val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      var evicted = false
       it.foreach { t =>
+        n += 1
         counts.get(t) match {
           case Some(c) => counts(t) = c + 1
           case None if counts.size < k => counts(t) = 1L
           case None =>
+            evicted = true
             for (key <- counts.keys.toArray) {
               val c = counts(key) - 1
               if (c == 0) counts.remove(key) else counts(key) = c
             }
         }
       }
-      counts.keysIterator
-    }.toDF("w").distinct()
+      counts.keysIterator.map(w => (w, 0L, false)) ++
+        Iterator(((null: String), n, evicted))
+    }.toDF("w", "pn", "evicted")
   }
 
   /** Q-heavy-hitters: EXACT top-10 terms via the 2-PASS HEAVY-HITTERS
@@ -814,12 +830,34 @@ object TextOps {
     val terms = Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .as[String]
-    val cand = misraGriesCandidates(terms, HeavyHittersK)
-    terms.toDF.join(broadcast(cand), Seq("w"))
+    // one MG pass, materialized: candidates + per-partition (count,
+    // evicted) sentinels ride the same job
+    val summary = misraGriesSummary(terms, HeavyHittersK).localCheckpoint(true)
+    val sentinels = summary.filter(col("w").isNull)
+      .agg(coalesce(sum(col("pn")), lit(0L)).as("n"),
+        coalesce(max(col("evicted")), lit(false)).as("evicted")).head()
+    val (total, anyEvicted) = (sentinels.getLong(0), sentinels.getBoolean(1))
+    val cand = summary.filter(col("w").isNotNull).select(col("w")).distinct()
+    val top = terms.toDF.join(broadcast(cand), Seq("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
       .limit(10)
+      .localCheckpoint(eager = true)
+    // EXACTNESS PRECONDITION, checked loudly: the 2-pass result is exact
+    // iff no summary ever evicted (every distinct term is a candidate) OR
+    // every returned rank clears the MG containment bound N/(k+1) —
+    // otherwise a just-below-threshold term could be missing from the
+    // candidate set and the "exact top-10" claim (and its oracle) would
+    // silently become approximate on a future corpus.
+    if (anyEvicted) {
+      val minTop = top.agg(coalesce(min(col("n")), lit(0L))).head().getLong(0)
+      require(minTop * (HeavyHittersK + 1L) > total,
+        s"heavy-hitters exactness precondition violated: rank-10 count " +
+          s"$minTop ≤ N/(k+1) = $total/${HeavyHittersK + 1} — raise " +
+          s"HeavyHittersK for this corpus")
+    }
+    top
   }
 
   val heavyHittersSql: String =

@@ -231,6 +231,15 @@ object IndexCatalog {
   def tombstone(spark: SparkSession, basePath: String, name: String,
                 keys: DataFrame, keyCol: String = "vec_id"): Unit = {
     require(exists(basePath, name), s"no such index: $name")
+    // Fail FAST on an unpartitioned index: vacuumTombstones requires a
+    // partition layout (touched-partition rewrite has nothing to prune
+    // on), so accepting the delete here would accumulate tombstones that
+    // can never compact — the read-path anti-join overhead would be
+    // permanent, surfacing as an opaque vacuum failure much later.
+    require(partitionLayout(basePath, name).nonEmpty,
+      s"index $name has no partition layout: its tombstones could never " +
+        "be vacuumed (rebuild the index with partition columns, or drop " +
+        "and rewrite it without the deleted keys)")
     keys.select(col(keyCol)).distinct()
       .coalesce(1) // a delete batch's key set is metadata-sized
       .write.mode("append").parquet(tombstoneDir(basePath, name).toString)
