@@ -177,9 +177,34 @@ object IndexCatalog {
   def load(spark: SparkSession, basePath: String, name: String): DataFrame = {
     val data = loadRaw(spark, basePath, name)
     pendingTombstones(spark, basePath, name) match {
+      case Some(ts) if ts.columns.length == 2 =>
+        data.join(broadcast(versionedTombstoneMax(ts)),
+          hiddenByVersioned(data, ts.columns(0), ts.columns(1)), "left_anti")
       case Some(ts) => data.join(broadcast(ts), ts.columns.toIndexedSeq, "left_anti")
       case None => data
     }
+  }
+
+  /** The binding tombstone per key of a VERSIONED tombstone frame (key,
+    * version): the max version — a lower-versioned delete can never hide
+    * what a higher one would not. Columns renamed to `__ts_*` so the
+    * non-equi anti-join condition never collides with the data frame. */
+  private def versionedTombstoneMax(ts: DataFrame): DataFrame = {
+    val Array(k, v) = ts.columns
+    ts.groupBy(col(k)).agg(max(col(v)).as("__ts_v"))
+      .withColumnRenamed(k, "__ts_k")
+  }
+
+  /** A data row is hidden by a versioned tombstone iff a delete with
+    * version ≥ the row's version exists for its key — the rule that makes
+    * delete REDELIVERY safe: a stale delete (version below the stored
+    * row's) arriving after a revival leaves the revived row visible,
+    * where the un-versioned key-set tombstone would silently re-hide it. */
+  private def hiddenByVersioned(data: DataFrame, keyCol: String,
+                                versionCol: String): org.apache.spark.sql.Column = {
+    require(data.columns.contains(versionCol),
+      s"versioned tombstones need the index to store '$versionCol'")
+    data(keyCol) === col("__ts_k") && col("__ts_v") >= data(versionCol)
   }
 
   /** Load restricted to a probe-bucket set. On a bucket-partitioned index
@@ -228,8 +253,18 @@ object IndexCatalog {
     * and the only shape that survives 100 TB: a synchronous delete of k
     * keys must never rewrite the partitions holding them on the write
     * path. */
+  /** With `versionCol` set, the delete is VERSIONED: the tombstone stores
+    * (key, max batch version) and hides only rows whose stored version it
+    * covers (see [[hiddenByVersioned]]) — the CDC-redelivery-safe form. A
+    * later upsert with a HIGHER version revives the key with no tombstone
+    * bookkeeping at all; a redelivered stale delete is inert. Versioned
+    * and un-versioned tombstones cannot mix on one index (enforced), and
+    * [[vacuumTombstones]] is the GC barrier: after a vacuum, ops with
+    * versions at or below the vacuumed deletes must not be replayed (the
+    * standard tombstone-GC watermark contract). */
   def tombstone(spark: SparkSession, basePath: String, name: String,
-                keys: DataFrame, keyCol: String = "vec_id"): Unit = {
+                keys: DataFrame, keyCol: String = "vec_id",
+                versionCol: Option[String] = None): Unit = {
     require(exists(basePath, name), s"no such index: $name")
     // Fail FAST on an unpartitioned index: vacuumTombstones requires a
     // partition layout (touched-partition rewrite has nothing to prune
@@ -240,7 +275,21 @@ object IndexCatalog {
       s"index $name has no partition layout: its tombstones could never " +
         "be vacuumed (rebuild the index with partition columns, or drop " +
         "and rewrite it without the deleted keys)")
-    keys.select(col(keyCol)).distinct()
+    val expected = keyCol +: versionCol.toSeq
+    pendingTombstones(spark, basePath, name).foreach { ts =>
+      require(ts.columns.sameElements(expected),
+        s"index $name already has tombstones with schema " +
+          s"(${ts.columns.mkString(", ")}); a delete with schema " +
+          s"(${expected.mkString(", ")}) cannot mix with them — vacuum first")
+    }
+    val rows = versionCol match {
+      case Some(v) =>
+        require(loadRaw(spark, basePath, name).columns.contains(v),
+          s"versioned delete needs the index to store '$v'")
+        keys.groupBy(col(keyCol)).agg(max(col(v)).as(v))
+      case None => keys.select(col(keyCol)).distinct()
+    }
+    rows
       .coalesce(1) // a delete batch's key set is metadata-sized
       .write.mode("append").parquet(tombstoneDir(basePath, name).toString)
   }
@@ -258,14 +307,25 @@ object IndexCatalog {
   def vacuumTombstones(spark: SparkSession, basePath: String, name: String,
                        keyCol: String = "vec_id"): Unit = {
     val ts = pendingTombstones(spark, basePath, name).getOrElse(return)
-    require(ts.columns.sameElements(Array(keyCol)),
+    require(ts.columns.headOption.contains(keyCol),
       s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
         s"but the vacuum folds by '$keyCol'")
+    require(ts.columns.length <= 2,
+      s"unrecognized tombstone schema (${ts.columns.mkString(", ")})")
     val partitionCols = partitionLayout(basePath, name)
     require(partitionCols.nonEmpty, s"index $name has no partition layout")
     val idx = loadRaw(spark, basePath, name)
-    val keys = ts.select(col(keyCol))
-    val touchedValues = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
+    // versioned tombstones hide only the rows their version covers —
+    // touched-partition discovery and the survivor anti-join use the SAME
+    // condition the read path does, so vacuum folds exactly what load hides
+    val versioned = ts.columns.length == 2
+    val probe =
+      if (versioned) broadcast(versionedTombstoneMax(ts))
+      else broadcast(ts.select(col(keyCol)))
+    def hiddenCond(d: DataFrame) =
+      if (versioned) hiddenByVersioned(d, keyCol, ts.columns(1))
+      else d(keyCol) === probe(keyCol)
+    val touchedValues = idx.join(probe, hiddenCond(idx), "left_semi")
       .select(partitionCols.map(col): _*)
       .distinct()
       .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
@@ -276,8 +336,8 @@ object IndexCatalog {
           .map { case (c, v) => col(c) <=> lit(v) }
           .reduce(_ && _)
       }.reduce(_ || _)
-      val survivors = idx.filter(touchedPred)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
+      val scoped = idx.filter(touchedPred)
+      val survivors = scoped.join(probe, hiddenCond(scoped), "left_anti")
       overwritePartitions(basePath, name, partitionCols, touchedValues, survivors)
     }
     deleteTree(tombstoneDir(basePath, name))
@@ -376,7 +436,8 @@ object IndexCatalog {
     // tombstones first, or load()'s anti-join would hide the fresh row
     // (and the key's hidden old row must become visible to discovery so
     // its partition is rewritten without it).
-    clearTombstonesFor(spark, basePath, name, keys, keyCol)
+    clearTombstonesFor(spark, basePath, name, keys, keyCol,
+      versionedUpsert = versionCol.isDefined)
     val idx = load(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.toIndexedSeq.map(col): _*)
     // Touched-partition values are cast to the INDEX column's type before
@@ -473,25 +534,33 @@ object IndexCatalog {
     * would open exactly that window. */
   private def clearTombstonesFor(spark: SparkSession, basePath: String,
                                  name: String, keys: DataFrame,
-                                 keyCol: String): Unit =
+                                 keyCol: String,
+                                 versionedUpsert: Boolean): Unit =
     pendingTombstones(spark, basePath, name).foreach { ts =>
-      require(ts.columns.sameElements(Array(keyCol)),
+      require(ts.columns.headOption.contains(keyCol),
         s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
           s"but the upsert merges by '$keyCol'")
-      val dir = tombstoneDir(basePath, name)
-      val oldFiles = {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toList
-        finally s.close()
+      // VERSIONED tombstones against a VERSIONED upsert need no clearing:
+      // the read path compares versions, so a higher-versioned upsert
+      // revives its key through the standing tombstone, while a stale
+      // (lower-versioned) row stays correctly hidden by it — clearing
+      // here would break exactly that second case. Only vacuum GCs them.
+      if (!(ts.columns.length == 2 && versionedUpsert)) {
+        val dir = tombstoneDir(basePath, name)
+        val oldFiles = {
+          val s = Files.list(dir)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toList
+          finally s.close()
+        }
+        // materialize BEFORE touching the files the plan reads from
+        val remaining = ts
+          .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")
+          .localCheckpoint(true)
+        if (!remaining.isEmpty)
+          remaining.coalesce(1).write.mode("append").parquet(dir.toString)
+        oldFiles.foreach(Files.deleteIfExists(_))
       }
-      // materialize BEFORE touching the files the plan reads from
-      val remaining = ts
-        .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_anti")
-        .localCheckpoint(true)
-      if (!remaining.isEmpty)
-        remaining.coalesce(1).write.mode("append").parquet(dir.toString)
-      oldFiles.foreach(Files.deleteIfExists(_))
     }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per

@@ -322,10 +322,12 @@ object VectorStream {
     * v2 delete — the later op wins), and DELETE-THEN-REUPSERT (v1 delete,
     * v2 upsert — upsertInto's tombstone-clearing revival path, the
     * IndexDeleteSpec semantics under streamed delivery). Cross-batch
-    * delete ordering note: upserts are version-safe under redelivery (the
-    * stored version wins the merge window), deletes are not versioned on
-    * disk — the staged batches arrive in version order, the contract a
-    * log-offset CDC source provides.
+    * redelivery safety is symmetric since round 11: upserts are
+    * version-safe (the stored version wins the merge window) AND deletes
+    * are VERSIONED tombstones ((key, MAX batch version) on disk, hiding
+    * only rows their version covers) — a redelivered stale op of either
+    * kind is inert, which [[streamCdcOoo]] exercises end-to-end with a
+    * deliberately out-of-order third batch.
     *
     * The oracle states the flat end-state per key class — no replay of
     * the machinery, just what the index must contain. */
@@ -360,26 +362,7 @@ object VectorStream {
     val q = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val resolved = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
-            tieBreak = Seq(xxhash64(col("embedding"), col("label"), col("op"))))
-          .localCheckpoint(true)
-        // ONE driver action decides both branches: count per op over the
-        // checkpointed frame (a short job over cached blocks). The
-        // previous shape paid two extra jobs per trigger — `ups.isEmpty`
-        // and `dels.isEmpty` each launched one before the real merge —
-        // and per-trigger scheduling latency is the dominant CDC cost at
-        // this batch size (5.6 s vs the upsert twin's 1.9 s median).
-        val opCounts = resolved.groupBy(col("op")).count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
-          val ups = resolved.filter(col("op") =!= "D").drop("op")
-            .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
-          IndexCatalog.upsertInto(batch.sparkSession, base, name,
-            ups, "vec_id", versionCol = Some("version"), knownNonEmpty = true)
-        }
-        if (opCounts.contains("D"))
-          IndexCatalog.tombstone(batch.sparkSession, base, name,
-            resolved.filter(col("op") === "D").select(col("vec_id")))
+        applyCdcBatch(batch, base, name, dim)
       }
       .start()
     try {
@@ -392,6 +375,32 @@ object VectorStream {
       .orderBy(col("vec_id"))
   }
 
+  /** One CDC trigger (shared by q_stream_cdc and q_stream_cdc_ooo):
+    * in-batch LWW resolve, then ONE driver action decides both branches —
+    * count per op over the checkpointed frame (a short job over cached
+    * blocks; the pre-round-11 shape paid two extra jobs per trigger via
+    * `ups.isEmpty`/`dels.isEmpty`, and per-trigger scheduling latency is
+    * the dominant CDC cost at small batch sizes). Upserts merge
+    * version-aware; deletes append a VERSIONED tombstone. */
+  private def applyCdcBatch(batch: DataFrame, base: String, name: String,
+                            dim: Int): Unit = {
+    val resolved = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
+        tieBreak = Seq(xxhash64(col("embedding"), col("label"), col("op"))))
+      .localCheckpoint(true)
+    val opCounts = resolved.groupBy(col("op")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
+      val ups = resolved.filter(col("op") =!= "D").drop("op")
+        .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), dim))
+      IndexCatalog.upsertInto(batch.sparkSession, base, name,
+        ups, "vec_id", versionCol = Some("version"), knownNonEmpty = true)
+    }
+    if (opCounts.contains("D"))
+      IndexCatalog.tombstone(batch.sparkSession, base, name,
+        resolved.filter(col("op") === "D").select(col("vec_id"), col("version")),
+        versionCol = Some("version"))
+  }
+
   val streamCdcSql: String =
     """SELECT vec_id,
       |  CASE WHEN vec_id % 194 = 0 THEN label + 500
@@ -400,6 +409,96 @@ object VectorStream {
       |FROM embeddings
       |WHERE NOT ((vec_id % 97 = 0 AND vec_id % 194 <> 0)
       |        OR (vec_id % 202 = 0 AND vec_id % 194 <> 0))
+      |ORDER BY vec_id""".stripMargin
+
+  /** Q-stream-cdc-ooo: CDC REDELIVERY SAFETY, end-to-end — the same
+    * changelog-apply machinery as q_stream_cdc fed a deliberately
+    * OUT-OF-ORDER delivery: after the v2 updates/deletes and the v3
+    * revivals, a third batch REDELIVERS STALE v1 ops — a v1 DELETE of the
+    * keys just revived at v3, and a v1 relabel of keys already updated to
+    * v2. Both must be inert: the versioned tombstone hides only rows its
+    * version covers (v1 < v3 → the revived rows stay visible), and the
+    * version-aware merge keeps the higher stored version (v2 beats the
+    * stale v1 payload). An at-least-once CDC source (every real one)
+    * redelivers exactly like this; the pre-round-11 key-set tombstone
+    * would have silently re-hidden the revived keys. The oracle states
+    * the end state the IN-ORDER prefix alone would produce — redelivery
+    * changing nothing IS the property under test. */
+  def streamCdcOoo(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val emb = Tables.embeddings(spark, dir)
+    val (base, name) = cloneWarmIndex(spark, dir, "graft-streamcdcooo-idx")
+    val staged = graft.Scratch.dir("graft-streamcdcooo-in")
+    val b1 = emb.filter(col("vec_id") % 101 === 0 && col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") + 100).as("label"), lit(2L).as("version"), lit("U").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id"), col("embedding"),
+          col("label"), lit(2L).as("version"), lit("D").as("op")))
+    val b2 = emb.filter(col("vec_id") % 194 === 0)
+      .select(col("vec_id"), col("embedding"),
+        (col("label") + 500).as("label"), lit(3L).as("version"), lit("U").as("op"))
+    // the stale redelivery: v1 ops that in-order delivery applied (and
+    // superseded) long ago
+    val b3 = emb.filter(col("vec_id") % 194 === 0)
+      .select(col("vec_id"), col("embedding"),
+        col("label"), lit(1L).as("version"), lit("D").as("op"))
+      .unionByName(emb.filter(col("vec_id") % 101 === 0 && col("vec_id") % 97 =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          (col("label") + 900).as("label"), lit(1L).as("version"), lit("U").as("op")))
+    stageOrdered(staged, Seq(b1, b2, b3))
+    val dim = IndexCatalog.describe(base, name).get.dimension
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcBatch(batch, base, name, dim)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      TriggerStats.record("q_stream_cdc_ooo", q)
+    } finally { q.stop() }
+    IndexCatalog.vacuumTombstones(spark, base, name)
+    IndexCatalog.load(spark, base, name)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Stage batches as ORDER-CARRYING stream files: each batch's single
+    * part file is renamed `part-bNNNN.parquet` so the name order IS the
+    * delivery order, then mtimes are stamped ascending in name order
+    * (FileStreamSource delivers oldest-first; two appends in the same
+    * millisecond would otherwise tie-break arbitrarily). */
+  private def stageOrdered(staged: String,
+                           batches: Seq[DataFrame]): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(Paths.get(staged))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = staged + s".b$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp))) { s =>
+        s.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+      }
+      Files.move(part, Paths.get(staged, f"part-b$i%04d.parquet"))
+      graft.sources.Maintenance.deleteRecursively(Paths.get(tmp))
+    }
+    DocStream.stampAscendingMtimes(staged)
+  }
+
+  /** The in-order prefix's end state — identical to what q_stream_cdc's
+    * oracle states for its own key classes: stale redelivered ops must
+    * leave no trace. */
+  val streamCdcOooSql: String =
+    """SELECT vec_id,
+      |  CASE WHEN vec_id % 194 = 0 THEN label + 500
+      |       WHEN vec_id % 101 = 0 THEN label + 100
+      |       ELSE label END AS label
+      |FROM embeddings
+      |WHERE NOT (vec_id % 97 = 0 AND vec_id % 194 <> 0)
       |ORDER BY vec_id""".stripMargin
 
   /** Q-stream-ann: STREAMING PROBED-ANN SERVING — the q_stream_knn
@@ -484,6 +583,7 @@ object VectorStream {
     Map("q_stream_upsert" -> (streamUpsert _),
       "q_stream_upsert_steady" -> (streamUpsertSteady _),
       "q_stream_cdc" -> (streamCdc _),
+      "q_stream_cdc_ooo" -> (streamCdcOoo _),
       "q_stream_ann" -> (streamAnn _),
       "q_stream_knn" -> (streamKnn _))
 
@@ -492,6 +592,7 @@ object VectorStream {
       // identical final LWW state through the warm-index lifecycle
       "q_stream_upsert_steady" -> streamUpsertSql,
       "q_stream_cdc" -> streamCdcSql,
+      "q_stream_cdc_ooo" -> streamCdcOooSql,
       // the streamed probed serving log must equal the one-shot batched
       // probed search — same probes, same ranks, different delivery
       "q_stream_ann" -> graft.operators.VectorOps.annBatchSql,

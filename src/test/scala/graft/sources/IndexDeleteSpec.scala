@@ -112,4 +112,78 @@ class IndexDeleteSpec extends SparkSpecBase with Matchers {
     spark.read.parquet(java.nio.file.Paths.get(base, "del", "data").toString)
       .filter(col("vec_id") === 3L).count() shouldBe 1
   }
+
+  /** Version-carrying 3-bucket index for the versioned-delete gates. */
+  private def buildVersionedIndex(base: String, name: String) = {
+    import spark.implicits._
+    val data = Seq(
+      (1L, Array(1f, 0f), 0, 0L, 2L),
+      (2L, Array(0.9f, 0.1f), 0, 0L, 1L),
+      (3L, Array(0f, 1f), 1, 1L, 3L),
+      (5L, Array(-1f, 0f), 2, 2L, 1L)
+    ).toDF("vec_id", "embedding", "label", "bucket", "version")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor(name, 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+  }
+
+  test("versioned tombstones: equal/higher versions hide, stale ones are inert, vacuum folds exactly what load hides") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-del-ver").toString
+    buildVersionedIndex(base, "vdel")
+    // delete key 1 at v2 (== stored v2: delete wins ties), key 3 at v1
+    // (< stored v3: stale, must be inert)
+    IndexCatalog.tombstone(spark, base, "vdel",
+      Seq((1L, 2L), (3L, 1L)).toDF("vec_id", "version"),
+      versionCol = Some("version"))
+    val visible = IndexCatalog.load(spark, base, "vdel")
+      .select("vec_id").as[Long].collect().sorted
+    visible shouldBe Seq(2L, 3L, 5L) // 1 hidden (2 >= 2); 3 visible (1 < 3)
+    // vacuum folds ONLY the covered row and clears the tombstones
+    IndexCatalog.vacuumTombstones(spark, base, "vdel")
+    IndexCatalog.pendingTombstones(spark, base, "vdel") shouldBe None
+    spark.read.parquet(java.nio.file.Paths.get(base, "vdel", "data").toString)
+      .select("vec_id").as[Long].collect().sorted shouldBe Seq(2L, 3L, 5L)
+  }
+
+  test("versioned tombstones: a higher-versioned upsert revives THROUGH the standing tombstone; a stale upsert stays hidden by it") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-del-ver2").toString
+    buildVersionedIndex(base, "vdel")
+    IndexCatalog.tombstone(spark, base, "vdel",
+      Seq((1L, 3L), (5L, 3L)).toDF("vec_id", "version"),
+      versionCol = Some("version"))
+    IndexCatalog.load(spark, base, "vdel")
+      .select("vec_id").as[Long].collect().sorted shouldBe Seq(2L, 3L)
+    // key 1 revives at v4 (> ts v3); key 5's redelivered v2 row is STALE
+    // (< ts v3) and must stay hidden — the exact case clearing the
+    // tombstone on upsert would break
+    val batch = Seq(
+      (1L, Array(1f, 1f), 7, 0L, 4L),
+      (5L, Array(-1f, 0f), 9, 2L, 2L)
+    ).toDF("vec_id", "embedding", "label", "bucket", "version")
+    IndexCatalog.upsertInto(spark, base, "vdel", batch, "vec_id",
+      versionCol = Some("version"))
+    val after = IndexCatalog.load(spark, base, "vdel")
+      .select("vec_id").as[Long].collect().sorted
+    after shouldBe Seq(1L, 2L, 3L)
+    // the versioned tombstones were NOT cleared by the upsert (only
+    // vacuum GCs them) — that is what keeps key 5 hidden
+    IndexCatalog.pendingTombstones(spark, base, "vdel").get.count() shouldBe 2
+    IndexCatalog.vacuumTombstones(spark, base, "vdel")
+    IndexCatalog.load(spark, base, "vdel")
+      .select("vec_id").as[Long].collect().sorted shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("versioned and un-versioned tombstones cannot mix on one index") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-del-mix").toString
+    buildVersionedIndex(base, "vdel")
+    IndexCatalog.tombstone(spark, base, "vdel",
+      Seq((1L, 2L)).toDF("vec_id", "version"), versionCol = Some("version"))
+    val ex = intercept[IllegalArgumentException] {
+      IndexCatalog.tombstone(spark, base, "vdel", Seq(3L).toDF("vec_id"))
+    }
+    ex.getMessage should include("cannot mix")
+  }
 }

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Maintain BENCH_RECORD.json — the per-query best-of-quiet-runs record.
+
+The host's bench totals swing +/-25% with load (documented in
+.claude/skills/verify/SKILL.md), so round-over-round comparison against a
+single run keeps generating false regressions. This keeps a committed
+per-query RECORD (the minimum over quiet runs) and reports each new run
+against it, so "regression" means "worse than the best this code has ever
+measured", not "worse than one noisy sample".
+
+Usage:
+  bench_record.py merge <bench.json> [--load AVG]   # fold a run into the record
+  bench_record.py compare <bench.json> [--ratio R]  # list queries > R x record
+
+A bench.json is either the one-line {"metric": ...} object graft.Bench
+prints (also committed per round as BENCH_rNN.json) or a file containing it.
+Runs merged with --load > 1.5 are rejected: a loaded host produces times
+that are not records.
+"""
+import json
+import sys
+from pathlib import Path
+
+RECORD = Path(__file__).resolve().parent.parent / "BENCH_RECORD.json"
+
+
+def load_bench(path):
+    text = Path(path).read_text()
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    obj = json.loads(text)
+    # the driver's BENCH_rNN.json wraps graft.Bench's line under "parsed"
+    # (or leaves it inside a captured "tail" when parsing was truncated)
+    if "queries" not in obj and isinstance(obj.get("parsed"), dict):
+        obj = obj["parsed"]
+    if "queries" not in obj and isinstance(obj.get("tail"), str):
+        # the driver's capture keeps a bounded tail that can truncate the
+        # JSON line mid-object — salvage whatever ("q_name": float) pairs
+        # survive (partial per-query data is still record-grade)
+        import re
+        pairs = re.findall(r'"(q_[A-Za-z0-9_]+)":(-?[0-9.]+)', obj["tail"])
+        if pairs:
+            return {"queries": {k: float(v) for k, v in pairs}}
+    return obj
+
+
+def load_record():
+    if RECORD.exists():
+        return json.loads(RECORD.read_text())
+    return {"note": "per-query best-of-quiet-runs seconds at sf0.1 "
+                    "(merged by tools/bench_record.py; -1 runs excluded)",
+            "queries": {}}
+
+
+def main():
+    if len(sys.argv) < 3 or sys.argv[1] not in ("merge", "compare"):
+        print(__doc__)
+        return 1
+    cmd, path = sys.argv[1], sys.argv[2]
+    opts = dict(zip(sys.argv[3::2], sys.argv[4::2]))
+    bench = load_bench(path)
+    queries = {k: v for k, v in bench["queries"].items() if v >= 0}
+    record = load_record()
+    rec = record["queries"]
+
+    if cmd == "merge":
+        load = float(opts.get("--load", "0"))
+        if load > 1.5:
+            print(f"refusing to merge: load average {load} > 1.5 "
+                  "(a loaded host cannot set records)")
+            return 1
+        improved = 0
+        for q, t in queries.items():
+            if q not in rec or t < rec[q]:
+                rec[q] = round(t, 3)
+                improved += 1
+        RECORD.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
+        print(f"merged {len(queries)} queries; {improved} records improved; "
+              f"{len(rec)} total in {RECORD.name}")
+        return 0
+
+    ratio = float(opts.get("--ratio", "1.5"))
+    flagged = []
+    for q, t in sorted(queries.items()):
+        if q in rec and rec[q] > 0 and t / rec[q] > ratio:
+            flagged.append((q, t, rec[q], t / rec[q]))
+    if not flagged:
+        print(f"all {len(queries)} queries within {ratio}x of record")
+    else:
+        print(f"{len(flagged)} queries above {ratio}x of record "
+              "(rerun on a quiet host before believing any):")
+        for q, t, r, x in sorted(flagged, key=lambda f: -f[3]):
+            print(f"  {q}: {t:.2f}s vs record {r:.2f}s ({x:.1f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
