@@ -88,7 +88,7 @@ object PlanDump {
     // bound probes out) and the round-10 flagship persisted/streaming
     // plans the artifact was missing (VERDICT r10 gap #4/#8)
     "q_dot_auto", "q_bm25_indexed", "q_graph_ann", "q_bq_knn",
-    "q_stream_cdc", "q_stream_ann", "q_hybrid")
+    "q_stream_cdc", "q_stream_ann", "q_hybrid", "q_hybrid_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -114,7 +114,11 @@ object PlanDump {
       val df = overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       df.collect() // finalize AQE so the executed plan is the real one
       sb.append(s"\n## $name\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(4000))
+      // fusion/composite plans need more room before their interesting
+      // scans (the hybrid lexical arm's tbucket PartitionFilters sit
+      // below the dense arm in the tree)
+      val cap = if (Set("q_hybrid_indexed", "q_pipeline_e2e").contains(name)) 9000 else 4000
+      sb.append(df.queryExecution.executedPlan.toString.take(cap))
       sb.append("\n```\n")
       if (overrides.contains(name)) {
         graft.operators.VectorOps.dropPlanRoutes(spark, sfDir)
