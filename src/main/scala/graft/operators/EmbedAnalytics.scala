@@ -305,11 +305,160 @@ object EmbedAnalytics {
        |FROM tot ORDER BY q_id""".stripMargin
   }
 
+  /** Neighborhood size of the margin criterion (Artetxe & Schwenk 2019's
+    * k): each side's score is normalized by the mean of its k nearest
+    * cross-set cosines. */
+  val MarginK = 4
+
+  /** Q-margin-mine: MARGIN-BASED PAIR MINING — the bitext-mining scoring
+    * rule of Artetxe & Schwenk (2019) / CCMatrix, the standard tool for
+    * harvesting aligned training pairs from two unaligned corpora: raw
+    * cosine over-selects HUB vectors (points close to everything), so a
+    * candidate pair (a, b) is scored by its cosine RELATIVE to what each
+    * endpoint scores against its own neighborhood —
+    * `margin = cos(a,b) / ((avg_k(a) + avg_k(b)) / 2)` with avg_k the
+    * mean of the endpoint's top-[[MarginK]] cross-set cosines. A hub's
+    * denominator is large, so its pairs rank down; an isolated mutual
+    * match ranks up. The two "languages" here are the deterministic
+    * odd/even vec_id split; mined output is each source's best target
+    * with cosine and margin, global top-20 by margin.
+    *
+    * FP discipline: per-pair cosines are the rounded knnJoin scores; each
+    * avg is a FIXED-ORDER (r1+..+rk)/k over the rank-pivoted values (the
+    * q_bm25 rule — never an orderless double SUM), so the margin divides
+    * identical doubles in both engines.
+    *
+    * Scale shape: two knnJoin passes (broadcast query side here; the
+    * corpus-vs-corpus form swaps in knnJoinLarge's bucketed join — the
+    * documented composition), one rank pivot per side (id-keyed,
+    * map-side partials), one broadcast join of the k-row-per-id
+    * neighborhood stats onto the best-match pairs, TakeOrderedAndProject
+    * for the global top-20. Nothing corpus-quadratic materializes. */
+  def marginMine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val src = emb.filter(col("vec_id") % 2 === 1)
+    val tgt = emb.filter(col("vec_id") % 2 === 0)
+    def queriesOf(side: DataFrame) = side
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val fwd = KnnSearch.knnJoin(tgt, queriesOf(src), MarginK)
+    val bwd = KnnSearch.knnJoin(src, queriesOf(tgt), MarginK)
+    def avgK(ranked: DataFrame, idName: String, avgName: String): DataFrame =
+      ranked.groupBy(col("query_id").as(idName))
+        .pivot("rank", 1 to MarginK)
+        .agg(first(col("score")))
+        .select(col(idName),
+          ((1 to MarginK).map(r => col(r.toString)).reduce(_ + _) /
+            lit(MarginK.toDouble)).as(avgName))
+    val avgSrc = avgK(fwd, "src_id", "avg_src")
+    val avgTgt = avgK(bwd, "tgt_id", "avg_tgt")
+    fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        col("score").as("cos"))
+      .join(broadcast(avgSrc), Seq("src_id"))
+      .join(broadcast(avgTgt), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos") / ((col("avg_src") + col("avg_tgt")) / 2.0), 6).as("margin"))
+      .orderBy(col("margin").desc, col("src_id"))
+      .limit(20)
+  }
+
+  val marginMineSql: String = {
+    import graft.operators.{VectorSql => V}
+    val c = V.cosine("s.embedding", "t.embedding")
+    def avgChain(prefix: String) =
+      "(" + (1 to MarginK).map(r => s"SUM(c) FILTER (WHERE rk = $r)")
+        .mkString(" + ") + s") / ${MarginK}.0"
+    s"""WITH x AS (
+       |  SELECT s.vec_id AS sid, t.vec_id AS tid, ROUND($c, 6) AS c
+       |  FROM embeddings s JOIN embeddings t
+       |    ON s.vec_id % 2 = 1 AND t.vec_id % 2 = 0),
+       |fr AS (SELECT sid, tid, c,
+       |         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rk
+       |       FROM x),
+       |br AS (SELECT tid, c,
+       |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rk
+       |       FROM x),
+       |fa AS (SELECT sid, ${avgChain("f")} AS avg_src
+       |       FROM fr WHERE rk <= $MarginK GROUP BY sid),
+       |ba AS (SELECT tid, ${avgChain("b")} AS avg_tgt
+       |       FROM br WHERE rk <= $MarginK GROUP BY tid),
+       |best AS (SELECT sid, tid, c FROM fr WHERE rk = 1)
+       |SELECT b.sid AS src_id, b.tid AS tgt_id, b.c AS cos,
+       |  ROUND(b.c / ((fa.avg_src + ba.avg_tgt) / 2.0), 6) AS margin
+       |FROM best b JOIN fa ON fa.sid = b.sid JOIN ba ON ba.tid = b.tid
+       |ORDER BY margin DESC, src_id LIMIT 20""".stripMargin
+  }
+
+  /** Truncation prefixes evaluated by q_mrl_eval; the last is the full
+    * dimension (recall 1.0 by construction — the sanity anchor). */
+  val MrlDims = Seq(8, 16, 32, 64)
+
+  /** Q-mrl-eval: MATRYOSHKA truncation evaluation — how much retrieval
+    * quality survives truncating embeddings to their leading dimensions
+    * (Kusupati et al. 2022's deployment question: MRL-trained models let
+    * you serve a d/8 prefix at 8× less bandwidth/memory — but you only
+    * get to do that after MEASURING the recall cliff on your corpus).
+    * For each prefix length d: exact top-10 by cosine over the FIRST d
+    * components, recall@10 against the full-dimension top-10. One row
+    * per d, exact and fully oracle-replayable (list slicing exists in
+    * both engines).
+    *
+    * Scale shape: one scored scan + TakeOrderedAndProject per prefix
+    * (the q_knn shape with a sliced kernel); the per-dim semi-join
+    * compares 10-row frames. At 100 TB the interesting composition is
+    * the quantization ladder's: a short-prefix pass over 1/8 of the
+    * bytes as the shortlist stage, full-dim rerank on the survivors —
+    * this query is the measurement that justifies (or vetoes) it. */
+  def mrlEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    def top10(d: Int): DataFrame =
+      emb.crossJoin(q).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosineSim(slice(col("embedding"), 1, d),
+            slice(col("qe"), 1, d)), 6).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+    val full = top10(MrlDims.last).localCheckpoint(eager = true) // 10 ids, reused per dim
+    MrlDims.map { d =>
+      top10(d).join(full, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), col("n_hits"))
+    }.reduce(_ unionByName _)
+      .select(col("dim"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 6).as("recall_10"))
+      .orderBy(col("dim"))
+  }
+
+  val mrlEvalSql: String = {
+    import graft.operators.{VectorSql => V}
+    def topCte(d: Int) =
+      s"""d$d AS (SELECT e.vec_id FROM embeddings e, q
+         |        WHERE e.vec_id <> 0
+         |        ORDER BY ROUND(${V.cosine(s"e.embedding[1:$d]", s"q.qe[1:$d]")}, 6) DESC,
+         |          e.vec_id
+         |        LIMIT 10)""".stripMargin
+    val full = MrlDims.last
+    val rows = MrlDims.map { d =>
+      s"""SELECT $d AS dim,
+         |  CAST((SELECT COUNT(*) FROM d$d
+         |        WHERE vec_id IN (SELECT vec_id FROM d$full)) AS BIGINT) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |${MrlDims.map(topCte).mkString(",\n")}
+       |SELECT dim, n_hits, ROUND(n_hits / 10.0, 6) AS recall_10 FROM (
+       |$rows
+       |) ORDER BY dim""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_centroids" -> (labelCentroidsFlat _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_retrieval_eval" -> (retrievalEval _),
+    "q_margin_mine" -> (marginMine _),
+    "q_mrl_eval" -> (mrlEval _),
     "q_ncm_eval" -> (ncmEval _))
 
   def oracles: Map[String, String] = Map(
@@ -317,5 +466,7 @@ object EmbedAnalytics {
     "q_embed_outliers" -> embedOutliersSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_retrieval_eval" -> retrievalEvalSql,
+    "q_margin_mine" -> marginMineSql,
+    "q_mrl_eval" -> mrlEvalSql,
     "q_ncm_eval" -> ncmEvalSql)
 }

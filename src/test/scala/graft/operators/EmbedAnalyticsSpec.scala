@@ -45,4 +45,37 @@ class EmbedAnalyticsSpec extends SparkSpecBase with Matchers {
     val scores = rows.map(_.getAs[Double]("centroid_cos"))
     scores.toSeq shouldBe scores.sorted.toSeq
   }
+
+  test("q_margin_mine: odd→even best matches, margins positive and ordered, hub normalization changes the ranking") {
+    import org.apache.spark.sql.functions.col
+    val rows = EmbedAnalytics.marginMine(spark, sfDir).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      (r.getAs[Long]("src_id") % 2) shouldBe 1L
+      (r.getAs[Long]("tgt_id") % 2) shouldBe 0L
+      r.getAs[Double]("margin") should be > 0.0
+    }
+    val margins = rows.map(_.getAs[Double]("margin"))
+    margins.toSeq shouldBe margins.sortBy(-_).toSeq
+    // the criterion's reason to exist: margin order is NOT raw cosine
+    // order (hub endpoints are discounted by their own neighborhoods) —
+    // on a corpus where they coincided the normalization would be inert
+    val byCos = rows.sortBy(r => (-r.getAs[Double]("cos"), r.getAs[Long]("src_id")))
+      .map(_.getAs[Long]("src_id")).toSeq
+    byCos should not be rows.map(_.getAs[Long]("src_id")).toSeq
+  }
+
+  test("q_mrl_eval: valid recalls, 1.0 at full dimension, and a real cliff on untrained prefixes") {
+    val rows = EmbedAnalytics.mrlEval(spark, sfDir).collect()
+    rows.map(_.getAs[Int]("dim")).toSeq shouldBe EmbedAnalytics.MrlDims
+    val recalls = rows.map(_.getAs[Double]("recall_10"))
+    all(recalls) should (be >= 0.0 and be <= 1.0)
+    recalls.last shouldBe 1.0 // full dimension is the sanity anchor
+    // the testdata's embeddings are NOT matryoshka-trained, so short
+    // prefixes must lose most of the top-10 — this measured cliff is the
+    // query's point: it VETOES prefix serving on a corpus like this one
+    // (monotonicity in d is a property of MRL-trained models, not of
+    // arbitrary embeddings, and is deliberately not asserted)
+    recalls.head should be < 0.8
+  }
 }
