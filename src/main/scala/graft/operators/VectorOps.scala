@@ -370,9 +370,14 @@ object VectorOps {
     // the norm-aware bound dot(q,c) + ‖q‖·maxresid; a sidecar without it
     // (the pre-round-11 schema) makes dot routing decline, so an existing
     // old-schema sidecar is upgraded in place here.
-    val needSidecar = !IndexCatalog.hasCentroids(base, name) || {
-      val path = java.nio.file.Paths.get(base, name, "centroids").toString
-      !spark.read.parquet(path).columns.contains("c_maxresid")
+    // schema probe memoized per JVM: every IVF-family query routes
+    // through here, and an extra parquet footer read per call would tax
+    // all of them for a check that can only flip when the sidecar is
+    // rewritten (which re-runs this builder anyway)
+    val sidecarPath = java.nio.file.Paths.get(base, name, "centroids").toString
+    val needSidecar = !residSidecarsChecked.contains(sidecarPath) && {
+      !IndexCatalog.hasCentroids(base, name) ||
+        !spark.read.parquet(sidecarPath).columns.contains("c_maxresid")
     }
     if (needSidecar) {
       val members = IvfIndex.assign(index(spark, dir), cent)
@@ -389,8 +394,14 @@ object VectorOps {
             coalesce(col("c_maxresid"), lit(0.0)).as("c_maxresid")))
       graft.plans.AnnRouting.invalidate(base, name)
     }
+    residSidecarsChecked.add(sidecarPath)
     (base, name, cent)
   }
+
+  /** Sidecar paths already verified (or written) to carry c_maxresid in
+    * this JVM — see the schema-probe memo note in [[ensureIvfBucketed]]. */
+  private val residSidecarsChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Q-ann-ivf-persisted: the SAME IVF search as q_ann_ivf, but against a
     * PERSISTED index with the centroid bucket as a physical partition
