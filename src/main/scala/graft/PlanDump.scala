@@ -108,8 +108,9 @@ object PlanDump {
     // ExistingRDD — dump their LAZY route-registered frames instead, and
     // unregister right after each dump so no other query's plan sees the
     // route (the per-session scope discipline, applied to the dumper).
-    val overrides = graft.operators.VectorOps.planFrames ++
-      graft.operators.RandomHyperplaneLsh.planFrames
+    val ivfFrames = graft.operators.VectorOps.planFrames
+    val lshFrames = graft.operators.RandomHyperplaneLsh.planFrames
+    val overrides = ivfFrames ++ lshFrames
     Headline.foreach { name =>
       val df = overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       df.collect() // finalize AQE so the executed plan is the real one
@@ -120,10 +121,13 @@ object PlanDump {
       val cap = if (Set("q_hybrid_indexed", "q_pipeline_e2e").contains(name)) 9000 else 4000
       sb.append(df.queryExecution.executedPlan.toString.take(cap))
       sb.append("\n```\n")
-      if (overrides.contains(name)) {
+      // drop exactly the route this entry registered — unconditionally
+      // running both families' epilogues would BUILD the other family's
+      // index just to unregister a route that was never there
+      if (ivfFrames.contains(name))
         graft.operators.VectorOps.dropPlanRoutes(spark, sfDir)
+      if (lshFrames.contains(name))
         graft.operators.RandomHyperplaneLsh.dropPlanRoutes(spark, sfDir)
-      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written (${Headline.size} queries)")

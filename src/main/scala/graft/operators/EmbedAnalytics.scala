@@ -365,7 +365,7 @@ object EmbedAnalytics {
   val marginMineSql: String = {
     import graft.operators.{VectorSql => V}
     val c = V.cosine("s.embedding", "t.embedding")
-    def avgChain(prefix: String) =
+    val avgChain =
       "(" + (1 to MarginK).map(r => s"SUM(c) FILTER (WHERE rk = $r)")
         .mkString(" + ") + s") / ${MarginK}.0"
     s"""WITH x AS (
@@ -378,9 +378,9 @@ object EmbedAnalytics {
        |br AS (SELECT tid, c,
        |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rk
        |       FROM x),
-       |fa AS (SELECT sid, ${avgChain("f")} AS avg_src
+       |fa AS (SELECT sid, $avgChain AS avg_src
        |       FROM fr WHERE rk <= $MarginK GROUP BY sid),
-       |ba AS (SELECT tid, ${avgChain("b")} AS avg_tgt
+       |ba AS (SELECT tid, $avgChain AS avg_tgt
        |       FROM br WHERE rk <= $MarginK GROUP BY tid),
        |best AS (SELECT sid, tid, c FROM fr WHERE rk = 1)
        |SELECT b.sid AS src_id, b.tid AS tgt_id, b.c AS cos,
@@ -422,7 +422,10 @@ object EmbedAnalytics {
         .select(col("vec_id"))
     val full = top10(MrlDims.last).localCheckpoint(eager = true) // 10 ids, reused per dim
     MrlDims.map { d =>
-      top10(d).join(full, Seq("vec_id"), "left_semi")
+      // the full-dim row is 10/10 against itself by construction — reuse
+      // the materialized frame instead of re-scoring the corpus
+      val topD = if (d == MrlDims.last) full else top10(d)
+      topD.join(full, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(d).as("dim"), col("n_hits"))
     }.reduce(_ unionByName _)

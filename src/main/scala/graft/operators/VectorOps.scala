@@ -1700,8 +1700,10 @@ object VectorOps {
       "q_radius_auto" -> routed(radiusAutoFrame))
   }
 
-  /** Drop every PlanDump-registered route for `dir`'s shared index (the
-    * dumper's epilogue). */
+  /** Drop the PlanDump-registered route for `dir`'s shared IVF index
+    * (the dumper's per-entry epilogue — called only for names this
+    * object's planFrames registered, so it never touches, or builds,
+    * another family's index). */
   private[graft] def dropPlanRoutes(spark: SparkSession, dir: String): Unit = {
     val (base, name, _) = ensureIvfBucketed(spark, dir)
     graft.plans.AnnRouting.unregister(spark, base, name)

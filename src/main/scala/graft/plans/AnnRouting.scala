@@ -363,11 +363,25 @@ object AnnRouting {
 class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import AnnRouting._
 
+  /** The session whose ROUTES govern this plan. Rules are constructed
+    * per-session, but rule INSTANCES travel: cloneSession (which
+    * Structured Streaming performs for every stream) copies
+    * experimental.extraOptimizations, so a clone plans through a rule
+    * whose captured `spark` is the parent. Route lookup therefore
+    * resolves the ACTIVE session at apply time (QueryExecution phases run
+    * under withActive) — a clone's registration routes the clone, and a
+    * parent's registration never leaks into the clone's plans. The
+    * captured session remains the fallback (and stays correct for
+    * driver-side sidecar reads, which are session-independent). */
+  private def planSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(spark)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // the rule is installed on every extensions-built session; with no
-    // route registered IN THIS SESSION there is nothing to do — skip the
-    // tree walk (and registeredPath's canonicalization syscalls) entirely
-    if (!AnnRouting.hasRoutes(spark)) return plan
+    // route registered IN THE PLANNING SESSION there is nothing to do —
+    // skip the tree walk (and registeredPath's canonicalization
+    // syscalls) entirely
+    if (!AnnRouting.hasRoutes(planSession)) return plan
     applyBatchRouting(applyRadiusRouting(applyRouting(plan)))
   }
 
@@ -414,7 +428,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                           child: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(spark, path).getOrElse(return None)
+    val r = routeFor(planSession, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     // the whole filter (cond included) — a user bucket predicate, or this
     // rule's own injected probe filter on a previous pass, declines
@@ -522,7 +536,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val head = orders.headOption.getOrElse(return None)
 
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(spark, path).getOrElse(return None)
+    val r = routeFor(planSession, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     if (hasUserBucketFilter(child, relation, bucketAttr)) return None
 
@@ -614,7 +628,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[(LogicalRelation, String)] = {
     val candidates = child.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        registeredPath(spark, lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
+        registeredPath(planSession, lr.relation.asInstanceOf[HadoopFsRelation]).map(p => (lr, p))
     }.flatten
     candidates match {
       case Seq(one) => Some(one)
@@ -738,19 +752,26 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Returns (query side, metric): `"cosine"` when the unwrap path passed
-    * through a division by a norm product (the normalized similarity —
-    * probe by centroid cosine), `"dot"` when the kernel is reached bare or
-    * through norm-free positive scaling (the raw inner-product ranking of
+    * through a division by the DATA vector column's norm (the
+    * row-dependent normalization — probe by centroid cosine), `"dot"`
+    * when the kernel is reached bare or through norm-free / query-side
+    * positive scaling (the raw inner-product ranking of
     * `upsert/upsert.go:27`'s dotproduct metric — probe by the norm-aware
-    * MIPS bound; a constant positive divisor rescales every score equally
-    * and leaves the dot ORDER intact, so it stays "dot"). The distinction
-    * is load-bearing: routing a bare-dot sort through cosine-geometry
-    * probes silently loses high-norm vectors in unprobed buckets. */
+    * MIPS bound). The distinction keys on WHOSE norm divides: the QUERY
+    * vector's norm is one constant for the whole ranking —
+    * `dot / vec_l2norm(query)` is order-identical to bare dot and must
+    * probe by the MIPS bound, where cosine-geometry probes would lose
+    * exactly the high-norm vectors it ranks first; the row vector's norm
+    * re-weights every row and makes the ranking angular. */
   private def monotoneDotKernel(vecOk: Expression => Boolean,
                                 queryOk: Expression => Boolean)
                                (e: Expression): Option[(Expression, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, RoundBase}
     import org.apache.spark.sql.types.NumericType
+    def rowNormDivisor(den: Expression): Boolean = den.exists {
+      case n: graft.functions.L2Norm => vecOk(n.child)
+      case _ => false
+    }
     def go(e: Expression, normalized: Boolean): Option[(Expression, String)] = e match {
       case DotProduct(a, q) if vecOk(a) && queryOk(q) =>
         Some((q, if (normalized) "cosine" else "dot"))
@@ -764,7 +785,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if isLiteralZero(value) && !cond.exists(_.isInstanceOf[DotProduct]) =>
         go(els, normalized)
       case Divide(num, den, _) if provablyNonNegative(den) =>
-        go(num, normalized || den.exists(_.isInstanceOf[graft.functions.L2Norm]))
+        go(num, normalized || rowNormDivisor(den))
       case _ => None
     }
     go(e, normalized = false)
@@ -836,7 +857,7 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val child = w.child
     val (relation, path) = registeredScan(child).getOrElse(return None)
-    val r = routeFor(spark, path).getOrElse(return None)
+    val r = routeFor(planSession, path).getOrElse(return None)
     val bucketAttr = relation.output.find(_.name == "bucket").getOrElse(return None)
     if (hasUserBucketFilter(child, relation, bucketAttr)) return None
 

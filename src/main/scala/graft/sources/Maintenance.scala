@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, xxhash64}
 
 /** Table maintenance — the small-file problem. A long-running ingest
   * (streaming micro-batches, repeated upserts) accretes many small part
@@ -225,8 +225,21 @@ object Maintenance {
     Files.move(dataDir, retired)
     Files.move(staging, dataDir)
     deleteRecursively(retired)
+    // the sidecar must carry the ROUND-11 residual column or MIPS (dot)
+    // routing silently declines on every rebuilt index: recompute the
+    // per-bucket max member-to-centroid L2 distance from the tree just
+    // swapped in (one column-pruned scan of the rewritten data)
+    val resid = spark.read.parquet(dataDir.toString)
+      .select(col("bucket").cast("long").as("cent_id"), col("embedding"))
+      .join(broadcast(cent.select(col("cent_id"), col("c_embedding"))), Seq("cent_id"))
+      .groupBy(col("cent_id"))
+      .agg(max(graft.functions.VectorFunctions.l2Dist(
+        col("embedding"), col("c_embedding"))).as("c_maxresid"))
     IndexCatalog.writeCentroids(spark, basePath, name,
-      newCentroids.select(col("cent_id"), col("c_embedding")))
+      newCentroids.select(col("cent_id"), col("c_embedding"))
+        .join(resid, Seq("cent_id"), "left")
+        .select(col("cent_id"), col("c_embedding"),
+          coalesce(col("c_maxresid"), lit(0.0)).as("c_maxresid")))
     graft.plans.AnnRouting.invalidate(basePath, name)
   }
 

@@ -540,6 +540,27 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
         .orderBy(col("s").desc, col("vec_id")).limit(1)
       assert(hasBucketInFilter(cosTop), "cosine route did not fire")
       cosTop.select("vec_id").head().getLong(0) shouldBe 1L
+      // WHOSE norm divides decides the metric: dividing by the QUERY
+      // vector's norm is one constant for the whole ranking — the order
+      // is still raw dot, and it must probe by the MIPS bound (cosine
+      // probes would return the wrong vector here, exactly as bare dot
+      // would)
+      val dotOverQNorm = idx
+        .select(col("vec_id"),
+          (dotProduct(col("embedding"), q) / l2Norm(q)).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(hasBucketInFilter(dotOverQNorm),
+        "query-norm-scaled dot did not route")
+      dotOverQNorm.select("vec_id").head().getLong(0) shouldBe 2L
+      // dividing by the ROW vector's norm re-weights every row — an
+      // angular ranking, probed by cosine geometry
+      val dotOverRowNorm = idx
+        .select(col("vec_id"),
+          (dotProduct(col("embedding"), q) / l2Norm(col("embedding"))).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(1)
+      assert(hasBucketInFilter(dotOverRowNorm),
+        "row-norm-scaled dot did not route")
+      dotOverRowNorm.select("vec_id").head().getLong(0) shouldBe 1L
     } finally AnnRouting.unregister(spark, tmpBase, tiny)
   }
 

@@ -98,6 +98,21 @@ class IvfRebuildSpec extends SparkSpecBase with Matchers {
       .orderBy(col("score").desc, col("vec_id")).limit(5)
     post.collect().map(_.toSeq) should contain theSameElementsInOrderAs
       expected.collect().map(_.toSeq)
+    // the rewritten sidecar must keep the MIPS residual column — without
+    // it every rebuilt index silently declines dot routing forever
+    val sidecar = spark.read.parquet(
+      java.nio.file.Paths.get(base, name, "centroids").toString)
+    sidecar.columns should contain("c_maxresid")
+    sidecar.filter(col("c_maxresid") < 0.0).count() shouldBe 0
+    // a bare-dot DESC sort over the rebuilt index routes (bucket filter
+    // present), proving the residuals are live end-to-end
+    import graft.functions.VectorFunctions.dotProduct
+    val dotTop = IndexCatalog.load(spark, base, name)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        dotProduct(col("embedding"), typedlit[Seq[Float]](qVec)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+    bucketInValues(dotTop) should not be empty
     AnnRouting.unregister(spark, base, name)
   }
 

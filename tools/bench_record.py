@@ -29,7 +29,13 @@ def load_bench(path):
     for line in text.splitlines():
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
+            obj = json.loads(line)
+            # a compact one-line wrapper ({"parsed": {"queries": ...}})
+            # matches the substring scan too — fall through to the
+            # wrapper-unwrapping path instead of returning it raw
+            if "queries" in obj:
+                return obj
+            break
     obj = json.loads(text)
     # the driver's BENCH_rNN.json wraps graft.Bench's line under "parsed"
     # (or leaves it inside a captured "tail" when parsing was truncated)
@@ -61,6 +67,10 @@ def main():
     cmd, path = sys.argv[1], sys.argv[2]
     opts = dict(zip(sys.argv[3::2], sys.argv[4::2]))
     bench = load_bench(path)
+    if "queries" not in bench:
+        print(f"no per-query data found in {path} (not a graft.Bench line, "
+              "a driver BENCH_rNN.json wrapper, or a salvageable tail)")
+        return 1
     queries = {k: v for k, v in bench["queries"].items() if v >= 0}
     record = load_record()
     rec = record["queries"]
