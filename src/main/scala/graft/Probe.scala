@@ -5,14 +5,14 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("probe")
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def run(q: String): Unit = {
+    def run(q: String, dir: String): Unit = {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
-      println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"$q@$dir: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
-    run("q_knn") // warm
-    for (q <- Seq("q_dedup_clusters", "q_knn_graph_clusters"); _ <- 1 to 2) run(q)
+    run("q_knn", "/root/testdata/sf0.01") // warm
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1");
+         _ <- 1 to 3) run("q_margin_mine", d)
     spark.stop()
   }
 }

@@ -323,39 +323,73 @@ object EmbedAnalytics {
     * odd/even vec_id split; mined output is each source's best target
     * with cosine and margin, global top-20 by margin.
     *
-    * FP discipline: per-pair cosines are the rounded knnJoin scores; each
+    * FP discipline: per-pair cosines are rounded once at scoring; each
     * avg is a FIXED-ORDER (r1+..+rk)/k over the rank-pivoted values (the
     * q_bm25 rule — never an orderless double SUM), so the margin divides
     * identical doubles in both engines.
     *
-    * Scale shape: two knnJoin passes (broadcast query side here; the
-    * corpus-vs-corpus form swaps in knnJoinLarge's bucketed join — the
-    * documented composition), one rank pivot per side (id-keyed,
-    * map-side partials), one broadcast join of the k-row-per-id
-    * neighborhood stats onto the best-match pairs, TakeOrderedAndProject
-    * for the global top-20. Nothing corpus-quadratic materializes. */
+    * Scale shape (the [[KnnSearch.knnJoinLarge]] discipline — NOTHING
+    * corpus-sized broadcasts, plan-asserted in EmbedAnalyticsSpec):
+    * both parity halves are LSH-bucketed; the source side explodes to its
+    * multi-probe set (own bucket + 8 hamming-1 neighbors — the probe
+    * relation is SYMMETRIC under xor, so one scored pair set serves BOTH
+    * directions of the margin criterion, halving the kernel work the two
+    * knnJoin passes used to do); candidates merge-join ON THE BUCKET (one
+    * shuffle per side, per-bucket-quadratic, never corpus-quadratic);
+    * each direction ranks via WindowGroupLimit over the shared pair set;
+    * rank pivots are id-keyed map-side partials; the neighborhood-stat
+    * joins are key-partitioned shuffle joins (each side is one row per
+    * query id — corpus-sized, so deliberately NOT hinted broadcast; AQE
+    * may still elect a runtime broadcast at test scale, which is its
+    * call to make from measured sizes); TakeOrderedAndProject for the
+    * global top-20. Like any multi-probe LSH search this is approximate:
+    * a query mines only candidates within hamming-1 of its bucket, and a
+    * query without a FULL top-[[MarginK]] probed neighborhood abstains
+    * (its avg would estimate hubness from a truncated sample — the same
+    * reason the exact criterion fixes k) — the oracle replays the bucket
+    * arithmetic bit-for-bit, so this is gated exact-on-the-probed-set. */
   def marginMine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
-    val src = emb.filter(col("vec_id") % 2 === 1)
-    val tgt = emb.filter(col("vec_id") % 2 === 0)
-    def queriesOf(side: DataFrame) = side
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-    val fwd = KnnSearch.knnJoin(tgt, queriesOf(src), MarginK)
-    val bwd = KnnSearch.knnJoin(src, queriesOf(tgt), MarginK)
+    val b = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", RandomHyperplaneLsh.bucket(col("embedding"), 64))
+    val src = b.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_embedding"),
+        col("vec_norm").as("q_norm"),
+        explode(RandomHyperplaneLsh.probeBuckets(col("bucket"))).as("probe"))
+    val tgt = b.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("tgt_id"), col("embedding"), col("vec_norm"),
+        col("bucket"))
+    val pairs = tgt.hint("merge")
+      .join(src, col("bucket") === col("probe"))
+      .withColumn("score", round(cosineSimPrenormed(
+        dotProduct(col("embedding"), col("q_embedding")),
+        col("vec_norm"), col("q_norm")), 6))
+      .select(col("src_id"), col("tgt_id"), col("score"))
+    import org.apache.spark.sql.expressions.Window
+    val wFwd = Window.partitionBy(col("src_id"))
+      .orderBy(col("score").desc, col("tgt_id"))
+    val wBwd = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("score").desc, col("src_id"))
+    val fwd = pairs.withColumn("rank", row_number().over(wFwd))
+      .filter(col("rank") <= MarginK)
+    val bwd = pairs.withColumn("rank", row_number().over(wBwd))
+      .filter(col("rank") <= MarginK)
+    // null-sum propagation encodes the abstention rule: any missing rank
+    // 1..k nulls the pivot chain, and the filter drops the query —
+    // exactly the oracle's HAVING COUNT(*) = k (ranks are consecutive).
     def avgK(ranked: DataFrame, idName: String, avgName: String): DataFrame =
-      ranked.groupBy(col("query_id").as(idName))
+      ranked.groupBy(col(idName))
         .pivot("rank", 1 to MarginK)
         .agg(first(col("score")))
         .select(col(idName),
           ((1 to MarginK).map(r => col(r.toString)).reduce(_ + _) /
             lit(MarginK.toDouble)).as(avgName))
+        .filter(col(avgName).isNotNull)
     val avgSrc = avgK(fwd, "src_id", "avg_src")
     val avgTgt = avgK(bwd, "tgt_id", "avg_tgt")
     fwd.filter(col("rank") === 1)
-      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
-        col("score").as("cos"))
-      .join(broadcast(avgSrc), Seq("src_id"))
-      .join(broadcast(avgTgt), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("score").as("cos"))
+      .join(avgSrc, Seq("src_id"))
+      .join(avgTgt, Seq("tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("cos"),
         round(col("cos") / ((col("avg_src") + col("avg_tgt")) / 2.0), 6).as("margin"))
       .orderBy(col("margin").desc, col("src_id"))
@@ -368,10 +402,17 @@ object EmbedAnalytics {
     val avgChain =
       "(" + (1 to MarginK).map(r => s"SUM(c) FILTER (WHERE rk = $r)")
         .mkString(" + ") + s") / ${MarginK}.0"
-    s"""WITH x AS (
+    val probeList = ("bucket" +:
+      (0 until RandomHyperplaneLsh.Planes)
+        .map(p => s"xor(bucket, ${1L << p})")).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |             ${RandomHyperplaneLsh.bucketSqlPublic("embedding")} AS bucket
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, embedding, unnest($probeList) AS probe
+       |      FROM b WHERE vec_id % 2 = 1),
+       |x AS (
        |  SELECT s.vec_id AS sid, t.vec_id AS tid, ROUND($c, 6) AS c
-       |  FROM embeddings s JOIN embeddings t
-       |    ON s.vec_id % 2 = 1 AND t.vec_id % 2 = 0),
+       |  FROM s JOIN b t ON t.bucket = s.probe AND t.vec_id % 2 = 0),
        |fr AS (SELECT sid, tid, c,
        |         ROW_NUMBER() OVER (PARTITION BY sid ORDER BY c DESC, tid) AS rk
        |       FROM x),
@@ -379,9 +420,11 @@ object EmbedAnalytics {
        |         ROW_NUMBER() OVER (PARTITION BY tid ORDER BY c DESC, sid) AS rk
        |       FROM x),
        |fa AS (SELECT sid, $avgChain AS avg_src
-       |       FROM fr WHERE rk <= $MarginK GROUP BY sid),
+       |       FROM fr WHERE rk <= $MarginK GROUP BY sid
+       |       HAVING COUNT(*) = $MarginK),
        |ba AS (SELECT tid, $avgChain AS avg_tgt
-       |       FROM br WHERE rk <= $MarginK GROUP BY tid),
+       |       FROM br WHERE rk <= $MarginK GROUP BY tid
+       |       HAVING COUNT(*) = $MarginK),
        |best AS (SELECT sid, tid, c FROM fr WHERE rk = 1)
        |SELECT b.sid AS src_id, b.tid AS tgt_id, b.c AS cos,
        |  ROUND(b.c / ((fa.avg_src + ba.avg_tgt) / 2.0), 6) AS margin

@@ -48,7 +48,16 @@ class EmbedAnalyticsSpec extends SparkSpecBase with Matchers {
 
   test("q_margin_mine: odd→even best matches, margins positive and ordered, hub normalization changes the ranking") {
     import org.apache.spark.sql.functions.col
-    val rows = EmbedAnalytics.marginMine(spark, sfDir).collect()
+    val mined = EmbedAnalytics.marginMine(spark, sfDir)
+    // the 100 TB property (the q_knn_join_large precedent): no side of
+    // any join carries a STATIC broadcast — the candidate join is the
+    // hinted bucket merge join, and the neighborhood-stat joins are
+    // key-partitioned shuffles (corpus-sized at scale; only AQE may
+    // elect a runtime broadcast from measured sizes)
+    val plan = mined.queryExecution.executedPlan.toString
+    plan should not include "BroadcastExchange"
+    plan should include("SortMergeJoin")
+    val rows = mined.collect()
     rows.length shouldBe 20
     rows.foreach { r =>
       (r.getAs[Long]("src_id") % 2) shouldBe 1L
