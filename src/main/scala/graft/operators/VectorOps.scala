@@ -370,15 +370,17 @@ object VectorOps {
     // the norm-aware bound dot(q,c) + ‖q‖·maxresid; a sidecar without it
     // (the pre-round-11 schema) makes dot routing decline, so an existing
     // old-schema sidecar is upgraded in place here.
-    // schema probe memoized per JVM: every IVF-family query routes
-    // through here, and an extra parquet footer read per call would tax
-    // all of them for a check that can only flip when the sidecar is
-    // rewritten (which re-runs this builder anyway)
+    // Only the parquet SCHEMA probe is memoized per JVM (every IVF-family
+    // query routes through here, and an extra footer read per call would
+    // tax all of them); the hasCentroids DIRECTORY check stays OUTSIDE
+    // the memo — an index deleted and recreated at the same path later in
+    // the JVM must never inherit a stale "checked" verdict, or the fresh
+    // index would get no sidecar and every *_auto query would silently
+    // decline to the brute plan (diverging from its probed oracle).
     val sidecarPath = java.nio.file.Paths.get(base, name, "centroids").toString
-    val needSidecar = !residSidecarsChecked.contains(sidecarPath) && {
-      !IndexCatalog.hasCentroids(base, name) ||
-        !spark.read.parquet(sidecarPath).columns.contains("c_maxresid")
-    }
+    val needSidecar = !IndexCatalog.hasCentroids(base, name) ||
+      (!residSidecarsChecked.contains(sidecarPath) &&
+        !spark.read.parquet(sidecarPath).columns.contains("c_maxresid"))
     if (needSidecar) {
       val members = IvfIndex.assign(index(spark, dir), cent)
         .select(col("cent_id"), col("embedding"))

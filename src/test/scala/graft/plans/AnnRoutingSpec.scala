@@ -57,6 +57,22 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
     finally AnnRouting.unregister(spark, base, name)
   }
 
+  test("deleted-and-recreated index regains its residual sidecar (the schema memo never masks a rebuild)") {
+    VectorOps.annIvfPersisted(spark, sfDir).collect() // build + memoize
+    // an external delete + recreate at the SAME path later in the JVM:
+    // the fresh index must get a fresh c_maxresid sidecar — a stale
+    // "checked" memo here would leave it sidecar-less and every *_auto
+    // query would silently decline to brute (ADVICE r11, medium)
+    graft.sources.Maintenance.deleteRecursively(
+      java.nio.file.Paths.get(base, name))
+    assert(!IndexCatalog.exists(base, name))
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    assert(IndexCatalog.hasCentroids(base, name),
+      "rebuilt index lost its centroid sidecar")
+    spark.read.parquet(java.nio.file.Paths.get(base, name, "centroids")
+      .toString).columns should contain("c_maxresid")
+  }
+
   test("installed but unregistered: the rule does not fire") {
     // build the persisted index + sidecar without registering a route
     VectorOps.annIvfPersisted(spark, sfDir).collect()
