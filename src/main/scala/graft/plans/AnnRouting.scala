@@ -87,16 +87,31 @@ object AnnRouting {
     * results the user never asked for. Scoping by session (weak keys: a
     * dropped session's routes die with it) plus [[withRoute]]'s epilogue
     * unregistration makes the approximate window exactly as wide as the
-    * query that declared it. */
-  private val routes =
-    new java.util.WeakHashMap[SparkSession, TrieMap[String, Route]]()
+    * query that declared it.
+    *
+    * Registrations are REFERENCE-COUNTED per (session, path): two
+    * overlapping [[withRoute]] windows over the same index (nested
+    * helpers, or concurrent declared queries sharing a session) each
+    * increment on entry and decrement on exit, so the first epilogue to
+    * run can never strip the route out from under the other window's
+    * still-planning body. The route VALUE is last-registration-wins
+    * (overlapping windows with different nprobe share one probe config —
+    * the sane reading of a shared opt-in). What refcounting deliberately
+    * does NOT fix: an unrelated exact top-K planned by another thread
+    * INSIDE someone's window is still probed — approximate opt-in is
+    * session-scoped, and untangling that needs per-plan tokens, not a
+    * registry. */
+  private final case class RouteReg(route: Route, refs: Int)
 
-  private def sessionRoutes(spark: SparkSession): TrieMap[String, Route] =
+  private val routes =
+    new java.util.WeakHashMap[SparkSession, TrieMap[String, RouteReg]]()
+
+  private def sessionRoutes(spark: SparkSession): TrieMap[String, RouteReg] =
     routes.synchronized {
       val existing = routes.get(spark)
       if (existing != null) existing
       else {
-        val m = TrieMap.empty[String, Route]
+        val m = TrieMap.empty[String, RouteReg]
         routes.put(spark, m)
         m
       }
@@ -154,8 +169,11 @@ object AnnRouting {
                vecCol: String = "embedding", kind: String = "ivf"): Unit = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     require(kind == "ivf" || kind == "lsh", s"unknown route kind '$kind'")
-    sessionRoutes(spark).put(dataPath(base, name),
-      Route(base, name, nprobe, vecCol, kind))
+    val route = Route(base, name, nprobe, vecCol, kind)
+    sessionRoutes(spark).updateWith(dataPath(base, name)) {
+      case Some(reg) => Some(RouteReg(route, reg.refs + 1))
+      case None => Some(RouteReg(route, 1))
+    }
     // the sidecar may have been rewritten since a previous registration
     invalidate(base, name)
     install(spark)
@@ -166,19 +184,32 @@ object AnnRouting {
     * the declared-query discipline: the approximate-semantics window is
     * exactly the body, so a later plain exact scan over the same index
     * path (same session or any other) plans brute-force. The eager
-    * localCheckpoint is load-bearing, not a convenience: `body`'s frame
+    * materialization is load-bearing, not a convenience: `body`'s frame
     * is lazy, and a lazily-routed plan re-optimized after the epilogue
     * (e.g. by a DataFrameWriter building its own QueryExecution) would
     * silently lose the route and return brute results against a probed
-    * oracle. Checkpointing executes the routed plan while the route is
-    * live and pins the computed rows. */
+    * oracle.
+    *
+    * Materialization is a driver-side collect into a LocalRelation, not
+    * an eager `localCheckpoint`: every routed query is top-K or a
+    * bounded radius set — a handful of rows by construction — and the
+    * checkpoint path paid a full eager RDD materialization (~0.2–0.3 s
+    * of block-manager machinery per declared q_*_auto row) to pin what a
+    * collect pins in milliseconds. Callers routing an UNBOUNDED frame
+    * through here would be mis-using the declared-query discipline (and
+    * the knnJoinLarge shape never reaches this rule anyway). */
   def withRoute(spark: SparkSession, base: String, name: String, nprobe: Int,
                 vecCol: String = "embedding", kind: String = "ivf")
                (body: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     register(spark, base, name, nprobe, vecCol, kind)
-    try body.localCheckpoint(eager = true)
-    finally unregister(spark, base, name)
+    try {
+      val df = body
+      // executes the routed plan while the route is live; the returned
+      // LocalRelation can be re-planned freely after the epilogue
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    } finally unregister(spark, base, name)
   }
 
   /** Drop the driver-side centroid/probe caches for one index — REQUIRED
@@ -192,12 +223,17 @@ object AnnRouting {
     probeCache.filterInPlace { case ((path, _, _), _) => path != p }
   }
 
-  /** Drop a route from one session (the [[withRoute]] epilogue; also the
-    * sane response to dropping the index). */
+  /** Drop one registration from one session (the [[withRoute]] epilogue;
+    * also the sane response to dropping the index). Decrements the
+    * refcount; the route leaves the registry when the LAST overlapping
+    * window exits. Unbalanced extra calls are no-ops. */
   def unregister(spark: SparkSession, base: String, name: String): Unit = {
     routes.synchronized {
       val m = routes.get(spark)
-      if (m != null) m.remove(dataPath(base, name))
+      if (m != null) m.updateWith(dataPath(base, name)) {
+        case Some(reg) if reg.refs > 1 => Some(reg.copy(refs = reg.refs - 1))
+        case _ => None
+      }
     }
     ()
   }
@@ -213,7 +249,8 @@ object AnnRouting {
   }
 
   private[plans] def routeFor(spark: SparkSession, path: String): Option[Route] =
-    routes.synchronized { Option(routes.get(spark)) }.flatMap(_.get(path))
+    routes.synchronized { Option(routes.get(spark)) }
+      .flatMap(_.get(path)).map(_.route)
 
   private[plans] def hasRoutes(spark: SparkSession): Boolean =
     routes.synchronized {

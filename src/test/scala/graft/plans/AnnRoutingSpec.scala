@@ -73,6 +73,24 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       .toString).columns should contain("c_maxresid")
   }
 
+  test("nested withRoute windows compose: the inner epilogue never strips the outer registration") {
+    VectorOps.annIvfPersisted(spark, sfDir).collect() // build index + sidecar
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    try {
+      // a declared-style window over the SAME path inside the outer one:
+      // its epilogue must only release ITS registration (refcounted), not
+      // degrade the outer window's still-live route to brute
+      val inner = AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+        VectorOps.knnAutoFrame(spark, sfDir))
+      inner.count() shouldBe 10
+      assert(hasBucketInFilter(naiveTopK(descending = true)),
+        "inner epilogue unregistered the outer window's route")
+    } finally AnnRouting.unregister(spark, base, name)
+    // balanced exits: after the outer epilogue the route is gone
+    assert(!hasBucketInFilter(naiveTopK(descending = true)),
+      "route survived balanced register/unregister pairs")
+  }
+
   test("installed but unregistered: the rule does not fire") {
     // build the persisted index + sidecar without registering a route
     VectorOps.annIvfPersisted(spark, sfDir).collect()
