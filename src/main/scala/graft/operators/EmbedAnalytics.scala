@@ -498,6 +498,62 @@ object EmbedAnalytics {
        |) ORDER BY dim""".stripMargin
   }
 
+  /** Serving prefix length and shortlist size for [[mrlKnn]] — the values
+    * the q_mrl_eval measurement justifies on THIS corpus: d=8/16 recalls
+    * sit under the cliff (the embeddings are not matryoshka-trained, as
+    * the measurement is designed to reveal), d=32 with a 200-candidate
+    * shortlist recovers 0.9–1.0 recall@10 at every SF (spec-gated). An
+    * MRL-trained model would justify a shorter prefix and a smaller
+    * shortlist — that is exactly the dial q_mrl_eval exists to set. */
+  val MrlServeDim = 32
+  val MrlShortlist = 200
+
+  /** Q-mrl-knn: MATRYOSHKA PREFIX SERVING — the deployment q_mrl_eval's
+    * measurement justifies (the engine's measurement→deployment pattern:
+    * q_embed_covariance → q_embed_pca → q_pca_recall): a COARSE pass
+    * ranks by cosine over the leading [[MrlServeDim]] components only,
+    * keeps a [[MrlShortlist]]-candidate shortlist, and an exact full-
+    * dimension rerank of the shortlist serves the top-10 (each row
+    * carries both the coarse and exact scores — the served ranking is
+    * the exact one).
+    *
+    * Scale shape: the coarse pass is one scored scan +
+    * TakeOrderedAndProject (the q_knn shape with a sliced kernel, half
+    * the multiply-adds at d=32); the rerank touches S rows. At 100 TB a
+    * production MRL layout splits the stored array into prefix/suffix
+    * COLUMNS so the coarse scan's ReadSchema prunes to d/64 of the
+    * bytes (parquet cannot prune inside one array cell) — the serving
+    * composition (coarse shortlist → exact rerank) is identical.
+    * Fully oracle-replayable: both engines slice lists natively. */
+  def mrlKnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = broadcast(emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe")))
+    val shortlist = emb.crossJoin(q).filter(col("vec_id") =!= 0)
+      .withColumn("pcos", round(cosineSim(
+        slice(col("embedding"), 1, MrlServeDim),
+        slice(col("qe"), 1, MrlServeDim)), 6))
+      .orderBy(col("pcos").desc, col("vec_id")).limit(MrlShortlist)
+    shortlist
+      .withColumn("score", round(cosineSim(col("embedding"), col("qe")), 6))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), col("pcos"), col("score"))
+  }
+
+  val mrlKnnSql: String = {
+    import graft.operators.{VectorSql => V}
+    val d = MrlServeDim
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |shortlist AS (
+       |  SELECT e.vec_id, e.label, e.embedding, q.qe,
+       |    ROUND(${V.cosine(s"e.embedding[1:$d]", s"q.qe[1:$d]")}, 6) AS pcos
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY pcos DESC, e.vec_id LIMIT $MrlShortlist)
+       |SELECT vec_id, label, pcos,
+       |  ROUND(${V.cosine("embedding", "qe")}, 6) AS score
+       |FROM shortlist ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_label_centroids" -> (labelCentroidsFlat _),
     "q_embed_outliers" -> (embedOutliers _),
@@ -505,6 +561,7 @@ object EmbedAnalytics {
     "q_retrieval_eval" -> (retrievalEval _),
     "q_margin_mine" -> (marginMine _),
     "q_mrl_eval" -> (mrlEval _),
+    "q_mrl_knn" -> (mrlKnn _),
     "q_ncm_eval" -> (ncmEval _))
 
   def oracles: Map[String, String] = Map(
@@ -514,5 +571,6 @@ object EmbedAnalytics {
     "q_retrieval_eval" -> retrievalEvalSql,
     "q_margin_mine" -> marginMineSql,
     "q_mrl_eval" -> mrlEvalSql,
+    "q_mrl_knn" -> mrlKnnSql,
     "q_ncm_eval" -> ncmEvalSql)
 }

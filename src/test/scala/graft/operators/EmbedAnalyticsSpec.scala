@@ -74,6 +74,25 @@ class EmbedAnalyticsSpec extends SparkSpecBase with Matchers {
     byCos should not be rows.map(_.getAs[Long]("src_id")).toSeq
   }
 
+  test("q_mrl_knn: exact rerank ordering, and the measured shortlist recovers >=0.9 of brute top-10") {
+    import org.apache.spark.sql.functions.col
+    val served = EmbedAnalytics.mrlKnn(spark, sfDir).collect()
+    served.length shouldBe 10
+    // the served ranking is the EXACT score's (prefix only shortlists)
+    val scores = served.map(_.getAs[Double]("score"))
+    scores.toSeq shouldBe scores.sortBy(-_).toSeq
+    // recall gate vs brute truth (the q_graph_ann discipline: measured,
+    // 0.9-1.0 at all three SFs for d=32/S=200 — the dials q_mrl_eval's
+    // cliff measurement justifies on this corpus)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val brute = KnnSearch.topK(KnnSearch.withNorm(emb),
+      emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = served.map(_.getAs[Long]("vec_id")).count(brute)
+    hits.toDouble / 10 should be >= 0.9
+  }
+
   test("q_mrl_eval: valid recalls, 1.0 at full dimension, and a real cliff on untrained prefixes") {
     val rows = EmbedAnalytics.mrlEval(spark, sfDir).collect()
     rows.map(_.getAs[Int]("dim")).toSeq shouldBe EmbedAnalytics.MrlDims
