@@ -110,7 +110,8 @@ object PlanDump {
     // route (the per-session scope discipline, applied to the dumper).
     val ivfFrames = graft.operators.VectorOps.planFrames
     val lshFrames = graft.operators.RandomHyperplaneLsh.planFrames
-    val overrides = ivfFrames ++ lshFrames
+    val invFrames = graft.sources.InvertedIndex.planFrames
+    val overrides = ivfFrames ++ lshFrames ++ invFrames
     Headline.foreach { name =>
       val df = overrides.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       df.collect() // finalize AQE so the executed plan is the real one
@@ -128,6 +129,8 @@ object PlanDump {
         graft.operators.VectorOps.dropPlanRoutes(spark, sfDir)
       if (lshFrames.contains(name))
         graft.operators.RandomHyperplaneLsh.dropPlanRoutes(spark, sfDir)
+      if (invFrames.contains(name))
+        graft.sources.InvertedIndex.dropPlanRoutes(spark, sfDir)
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println(s"PLANS.md written (${Headline.size} queries)")

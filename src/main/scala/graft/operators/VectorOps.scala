@@ -21,7 +21,7 @@ object VectorOps {
     * query (q_sql_knn, q_knn_auto, q_lsh_auto) — oracle hash-parity
     * depends on these staying bit-identical, so a guard or rounding fix
     * must reach all of them through this one definition. */
-  private[operators] def sparkCosineSql(emb: String, q: String): String =
+  private[graft] def sparkCosineSql(emb: String, q: String): String =
     s"""CASE WHEN vec_l2norm($emb) * vec_l2norm($q) = 0.0 THEN 0.0
        |        ELSE vec_dot($emb, $q)
        |             / (vec_l2norm($emb) * vec_l2norm($q)) END""".stripMargin

@@ -242,39 +242,74 @@ object InvertedIndex {
   /** The RRF rank discount constant (Cormack et al.'s k=60). */
   val HybridRrfK = 60
 
-  /** Q-hybrid-indexed: sparse–dense HYBRID retrieval where the LEXICAL
-    * arm rides the persisted inverted index — the production form of
-    * q_hybrid (whose "sparse" arm is a masked dense dot over the
-    * embeddings table, a full-corpus re-scoring). Here the lexical arm is
-    * the real thing: BM25 for the fixed query terms served through
-    * [[bm25Over]], so the text side of the fusion reads |terms| tbucket
-    * partition directories (plan-asserted PartitionFilters in Bm25Spec)
-    * instead of re-tokenizing the corpus. The dense arm is the exact
-    * top-[[HybridArmK]] cosine neighbors of query vector 0 (doc_id and
-    * vec_id share the id domain — a document's embedding carries its id).
-    * Both arms exclude the query doc, retrieve their top-[[HybridArmK]],
-    * and reciprocal-rank fusion scores `Σ 1/(60+rank)` over the lists
-    * that retrieved each doc — two fixed-order terms, so double addition
-    * associates identically in both engines (the q_hybrid discipline).
+  /** Q-hybrid-indexed: sparse–dense HYBRID retrieval where BOTH arms ride
+    * persisted indexes — the production form of q_hybrid (whose "sparse"
+    * arm is a masked dense dot over the embeddings table, a full-corpus
+    * re-scoring). The lexical arm is the real thing: BM25 for the fixed
+    * query terms served through [[bm25Over]], so the text side of the
+    * fusion reads |terms| tbucket partition directories (plan-asserted
+    * PartitionFilters in Bm25Spec) instead of re-tokenizing the corpus.
+    * The dense arm rides the ROUTED IVF path (the q_knn_auto machinery):
+    * a naive top-[[HybridArmK]] cosine sort over the persisted
+    * bucket-partitioned index, rewritten by [[graft.plans.AnnRouting]]
+    * into the nprobe=4 probed scan under a `withRoute` window scoped to
+    * exactly that arm — so the vector side reads 4 of 16 bucket
+    * directories (PartitionFilters on BOTH arms, dumped in PLANS.md).
+    * Probed retrieval is approximate by design (a candidate outside the
+    * probed buckets cannot rank), and the oracle replays the probed
+    * semantics relationally (the q_knn_auto oracle discipline). Both
+    * arms exclude the query doc (doc_id and vec_id share the id domain),
+    * retrieve their top-[[HybridArmK]], and reciprocal-rank fusion
+    * scores `Σ 1/(60+rank)` over the lists that retrieved each doc —
+    * two fixed-order terms, so double addition associates identically in
+    * both engines (the q_hybrid discipline).
     *
     * 100 TB: the lexical arm's cost is ∝ the query terms' posting lists
-    * (partition-pruned, corpus-size-independent); the dense arm composes
-    * with any ANN layout exactly as q_knn does (probe, then rank) — the
+    * (partition-pruned, corpus-size-independent); the dense arm's is
+    * ∝ nprobe/k of the vector index (partition-pruned likewise) — the
     * fusion itself joins two k-row frames. */
   def hybridIndexed(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.KnnSearch
+    import graft.operators.VectorOps
+    val (base, name, _) = VectorOps.ensureIvfBucketed(spark, dir)
+    val denseTop = graft.plans.AnnRouting.withRoute(spark, base, name,
+      nprobe = 4)(hybridDenseFrame(spark, dir))
+    fuseArms(spark, dir, denseTop)
+  }
+
+  /** The dense arm's naive frame (lazy: a plain ORDER BY cosine DESC
+    * LIMIT k over the full persisted index view — the shape AnnRouting
+    * rewrites). Registration scope belongs to the caller: the declared
+    * query wraps it in `withRoute`; PlanDump registers, dumps the lazily
+    * routed fusion, and unregisters. */
+  private[graft] def hybridDenseFrame(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorOps
+    val (base, name, _) = VectorOps.ensureIvfBucketed(spark, dir)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name)
+      .createOrReplaceTempView("emb_indexed_hybrid")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = VectorOps.floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""SELECT vec_id, ROUND(${VectorOps.sparkCosineSql("embedding", qLit)}, 6) AS dscore
+         |FROM emb_indexed_hybrid WHERE vec_id <> 0
+         |ORDER BY dscore DESC, vec_id LIMIT $HybridArmK""".stripMargin)
+  }
+
+  /** Rank both arms and fuse — shared by the declared query (bounded
+    * routed dense frame) and the PlanDump lazy variant (same fusion over
+    * the un-materialized routed plan). */
+  private def fuseArms(spark: SparkSession, dir: String,
+                       denseTop: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lex = bm25Over(spark, ensure(spark, dir), k = HybridArmK,
         excludeDoc = Some(0L))
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
-    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
-    val q = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
-    val dense = KnnSearch.topK(emb, q, HybridArmK)
+    val dense = denseTop
       .withColumn("dense_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+        row_number().over(Window.orderBy(col("dscore").desc, col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("dense_rank"))
     dense.join(lex, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("dense_rank"), col("lex_rank"),
@@ -286,9 +321,29 @@ object InvertedIndex {
       .limit(10)
   }
 
+  /** PlanDump-only lazy routed fusion (see PlanDump's override note):
+    * both arms' PartitionFilters visible in one executed plan. */
+  private[graft] def planFrames: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hybrid_indexed" -> ((s: SparkSession, d: String) => {
+      import graft.operators.VectorOps
+      val (base, name, _) = VectorOps.ensureIvfBucketed(s, d)
+      graft.plans.AnnRouting.register(s, base, name, nprobe = 4)
+      fuseArms(s, d, hybridDenseFrame(s, d))
+    }))
+
+  private[graft] def dropPlanRoutes(spark: SparkSession, dir: String): Unit = {
+    import graft.operators.VectorOps
+    val (base, name, _) = VectorOps.ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.unregister(spark, base, name)
+  }
+
   /** The oracle re-derives the lexical arm from raw text (the q_bm25
     * replay — stats over the FULL corpus, exclusion only at ranking) and
-    * the dense arm from the embeddings, then fuses identically. */
+    * the dense arm as the PROBED IVF REPLAY (the q_knn_auto oracle
+    * discipline: cosine assignment of every vector to its nearest of the
+    * 16 seed centroids, nprobe=4 probe selection for the query, exact
+    * ranking restricted to the probed buckets — exactly what the routed
+    * plan computes), then fuses identically. */
   val hybridIndexedSql: String = {
     import graft.operators.VectorSql.{cosine => cos}
     val Seq(t1, t2, t3) = TextOps.Bm25Terms
@@ -316,8 +371,18 @@ object InvertedIndex {
        |lexr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
        |         FROM lex),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |ds AS (SELECT e.vec_id AS doc_id, ROUND(${cos("e.embedding", "q.qe")}, 6) AS dscore
-       |       FROM embeddings e, q WHERE e.vec_id <> 0
+       |cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn = 1),
+       |pr AS (SELECT cent_id FROM cent, q
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
+       |ds AS (SELECT a.vec_id AS doc_id, ROUND(${cos("a.embedding", "q.qe")}, 6) AS dscore
+       |       FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |       WHERE a.vec_id <> 0
        |       ORDER BY dscore DESC, doc_id LIMIT $HybridArmK),
        |dsr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id) AS dense_rank
        |        FROM ds),

@@ -37,6 +37,16 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
     // a corpus re-tokenization
     plan should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
     plan should include regex "PushedFilters: \\[In\\(w,"
+    // the dense arm rides the ROUTED IVF path: the declared query
+    // materializes it inside withRoute, so assert on the lazy
+    // plan-dump variant under an explicit register — BOTH arms'
+    // PartitionFilters must appear in one fused plan
+    val lazyDf = InvertedIndex.planFrames("q_hybrid_indexed")(spark, sfDir)
+    try {
+      val lp = lazyDf.queryExecution.executedPlan.toString
+      lp should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
+      lp should include regex "PartitionFilters: \\[bucket#\\d+ IN"
+    } finally InvertedIndex.dropPlanRoutes(spark, sfDir)
     val rows = df.collect()
     rows should have length 10
     // rrf is within the two-list bound and the ordering is by rrf desc
