@@ -237,6 +237,89 @@ object InvertedIndex {
         s"WHERE doc_id < $UpsertSrcCount),\ntoks AS")
     .replace("FROM documents)", "FROM d2)")
 
+  /** Per-micro-batch maintenance body, shared by the [[maintainIndex]]
+    * sink and the redelivery spec: dedupe the batch by doc_id
+    * (content-hash tie-break — an at-least-once upstream can duplicate a
+    * doc with different payloads, and a retry must pick the SAME
+    * winner), then merge via [[upsertDocs]] (posting append I/O ∝ the
+    * batch's term buckets, term-level staged dict swap, exact-integer
+    * stats — per trigger). A `_stream_commits/<batchId>` marker written
+    * AFTER the merge makes a REDELIVERED micro-batch (the
+    * foreachBatch restart contract) a no-op — the standard
+    * batchId-dedup idempotent-sink recipe. The narrower crash window
+    * (power loss between the posting append and the marker) is closed
+    * only by moving postings to the touched-partition overwrite merge
+    * ([[IndexCatalog.upsertInto]]'s discipline) at the cost of
+    * rewriting every touched bucket's full posting shard per trigger —
+    * the trade a deployment picks per durability budget. */
+  private[graft] def applyStreamBatch(layout: Layout, batch: DataFrame,
+                                      batchId: Long): Unit = {
+    val commits = Paths.get(layout.dataPath).getParent.resolve("_stream_commits")
+    Files.createDirectories(commits)
+    val marker = commits.resolve(batchId.toString)
+    if (!Files.exists(marker)) {
+      val deduped = graft.operators.Upsert.lastWriteWins(
+          batch.withColumn("version", lit(0L)), Seq("doc_id"), "version",
+          tieBreak = Seq(xxhash64(col("text"))))
+        .drop("version")
+        .localCheckpoint(true)
+      if (!deduped.isEmpty) upsertDocs(batch.sparkSession, layout, deduped)
+      Files.writeString(marker, "")
+    }
+  }
+
+  /** Attach a document ADD stream (`doc_id, text`) to a persisted
+    * inverted index as a foreachBatch maintenance sink — the lexical
+    * twin of [[graft.streaming.VectorStream.maintainIndex]]: one CDC
+    * pipeline can now keep BOTH retrieval indexes fresh. Caller
+    * starts/stops the returned query. Replacing an existing doc_id is
+    * the partition-rewrite path ([[IndexCatalog.upsertInto]]'s
+    * discipline over a forward index), not this. */
+  def maintainIndex(stream: DataFrame, layout: Layout)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyStreamBatch(layout, batch, batchId)
+      }
+
+  /** Q-stream-bm25-upsert: STREAMING MAINTENANCE for the inverted index
+    * run to completion — the [[bm25Upsert]] corpus growth delivered as
+    * TWO micro-batches through [[maintainIndex]] instead of one batch
+    * call (the q_stream_upsert lifecycle discipline: clone the shared
+    * warm index, replay staged stream files, serve from the grown
+    * state). The final persisted state must hash-match q_bm25_upsert's
+    * incremental==rebuild oracle: multi-trigger streaming maintenance,
+    * one-shot batch maintenance, and a from-scratch rebuild over the
+    * grown corpus all agree bit-for-bit (df, n, avgdl all shift with
+    * the new docs — a stale or drifting stat fails the hash). */
+  def streamBm25Upsert(spark: SparkSession, dir: String): DataFrame = {
+    ensure(spark, dir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-stream-upsert"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
+    val layout = Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val newDocs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < UpsertSrcCount)
+      .select((col("doc_id") + UpsertIdOffset).as("doc_id"), col("text"))
+    val staged = graft.Scratch.dir("bm25-stream-in")
+    val half = UpsertIdOffset + UpsertSrcCount / 2
+    newDocs.filter(col("doc_id") < half)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.streaming.DocStream.stampAscendingMtimes(staged)
+    newDocs.filter(col("doc_id") >= half)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = maintainIndex(stream, layout).start()
+    try {
+      q.processAllAvailable()
+      graft.streaming.TriggerStats.record("q_stream_bm25_upsert", q)
+    } finally q.stop()
+    bm25Over(spark, layout)
+  }
+
   /** Rank depth each hybrid arm retrieves before fusion. */
   val HybridArmK = 100
   /** The RRF rank discount constant (Cormack et al.'s k=60). */
@@ -397,12 +480,17 @@ object InvertedIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
+    "q_stream_bm25_upsert" -> (streamBm25Upsert _),
     "q_hybrid_indexed" -> (hybridIndexed _))
 
   // q_bm25_indexed: same oracle as q_bm25 — the persisted term-bucketed
-  // layout changes the access path (partition pruning), never the result
+  // layout changes the access path (partition pruning), never the result.
+  // q_stream_bm25_upsert: same oracle as q_bm25_upsert — multi-trigger
+  // streaming maintenance and one-shot batch maintenance must land on the
+  // identical rebuilt-from-scratch state.
   def oracles: Map[String, String] = Map(
     "q_bm25_indexed" -> TextOps.bm25Sql,
     "q_bm25_upsert" -> bm25UpsertSql,
+    "q_stream_bm25_upsert" -> bm25UpsertSql,
     "q_hybrid_indexed" -> hybridIndexedSql)
 }

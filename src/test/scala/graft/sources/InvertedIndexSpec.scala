@@ -72,6 +72,43 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
     Files.getLastModifiedTime(Paths.get(layout.dataPath)) shouldBe dataBefore
   }
 
+  test("q_stream_bm25_upsert: multi-trigger streaming maintenance lands on the one-shot batch state") {
+    val streamed = InvertedIndex.streamBm25Upsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val batch = InvertedIndex.bm25Upsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    streamed.toSeq shouldBe batch.toSeq
+  }
+
+  test("a redelivered micro-batch is a no-op (batchId commit marker)") {
+    import org.apache.spark.sql.functions.col
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-redeliver"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 3)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.applyStreamBatch(layout, docs, batchId = 7L)
+    val dictAfter = spark.read.parquet(layout.dictPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val statsAfter = spark.read.parquet(layout.statsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the at-least-once redelivery: same batchId arrives again — postings,
+    // dict, and stats must all be untouched (a blind re-merge would
+    // double-count df and n)
+    InvertedIndex.applyStreamBatch(layout, docs, batchId = 7L)
+    spark.read.parquet(layout.dictPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe dictAfter
+    spark.read.parquet(layout.statsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe statsAfter
+  }
+
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
