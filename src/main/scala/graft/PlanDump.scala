@@ -88,7 +88,11 @@ object PlanDump {
     // bound probes out) and the round-10 flagship persisted/streaming
     // plans the artifact was missing (VERDICT r10 gap #4/#8)
     "q_dot_auto", "q_bm25_indexed", "q_graph_ann", "q_bq_knn",
-    "q_stream_cdc", "q_stream_ann", "q_hybrid", "q_hybrid_indexed")
+    "q_stream_cdc", "q_stream_ann", "q_hybrid", "q_hybrid_indexed",
+    // round-12: the MIPS-routed RANGE plan (vec_dot >= τ in, residual-
+    // bound probes out), the bucketed multi-probe margin-mining join (no
+    // corpus-sized broadcast), and the MRL prefix-serving two-stage plan
+    "q_radius_dot", "q_margin_mine", "q_mrl_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1464,6 +1464,75 @@ object VectorOps {
        |ORDER BY score DESC, vec_id""".stripMargin
   }
 
+  /** Raw-inner-product radius threshold for q_radius_dot — near the p99
+    * of this corpus's dot distribution, so the admitted set is small and
+    * data-dependent (the range-query point). Compared on the ROUNDED
+    * score like [[RadiusTau]]. */
+  val DotRadiusTau = 0.25
+
+  /** Q-radius-dot: OPTIMIZER-ROUTED MIPS RANGE SEARCH — the symmetry
+    * completion of the routing matrix: q_radius_auto proved the RADIUS
+    * arm for cosine geometry and q_dot_auto proved the MIPS probe model
+    * for top-K; this query composes them. The user writes the naive
+    * inner-product range SQL (`WHERE vec_dot(...) ≥ τ ORDER BY score
+    * DESC`, no probes) and the radius arm routes it with the SAME
+    * norm-aware Cauchy–Schwarz bound probes as q_dot_auto — under
+    * cosine-geometry probes a high-norm vector in an angularly-distant
+    * bucket would be unreachable, exactly the vector an inner-product
+    * radius exists to admit. Declines on residual-less sidecars and on
+    * LSH-kind (angular) routes; opposite-sense bounds (`vec_dot ≤ τ`)
+    * decline — all spec-gated. The oracle replays the routed semantics:
+    * cosine assignment, per-bucket max residual, bound-ranked probe
+    * selection, τ applied to the raw dot INSIDE the probed buckets. */
+  private[graft] def radiusDotFrame(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.GraftExtensions.register(spark)
+    IndexCatalog.load(spark, base, name).createOrReplaceTempView("emb_indexed")
+    val qVec = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qLit = floatArraySqlLiteral(qVec)
+    spark.sql(
+      s"""WITH scored AS (
+         |  SELECT vec_id, label, CAST(bucket AS BIGINT) AS cent_id,
+         |    ROUND(vec_dot(embedding, $qLit), 6) AS score
+         |  FROM emb_indexed WHERE vec_id <> 0)
+         |SELECT vec_id, label, cent_id, score FROM scored
+         |WHERE score >= $DotRadiusTau
+         |ORDER BY score DESC, vec_id""".stripMargin)
+  }
+
+  def radiusDot(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
+      radiusDotFrame(spark, dir))
+  }
+
+  val radiusDotSql: String = {
+    import VectorSql.{cosine => cos, dot, l2dist, norm}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |mr AS (SELECT a.cent_id, MAX(${l2dist("a.embedding", "c.ce")}) AS resid
+       |       FROM a1 a JOIN cent c ON a.cent_id = c.cent_id GROUP BY a.cent_id),
+       |pr AS (SELECT cent.cent_id FROM cent LEFT JOIN mr ON cent.cent_id = mr.cent_id
+       |       CROSS JOIN q
+       |       ORDER BY ${dot("cent.ce", "q.qe")} + ${norm("q.qe")} * COALESCE(mr.resid, 0.0)
+       |         DESC, cent.cent_id LIMIT 4),
+       |res AS (SELECT a.vec_id, a.label, a.cent_id,
+       |          ROUND(${dot("a.embedding", "q.qe")}, 6) AS score
+       |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
+       |        WHERE a.vec_id <> q.q_id)
+       |SELECT vec_id, label, cent_id, score FROM res
+       |WHERE score >= $DotRadiusTau
+       |ORDER BY score DESC, vec_id""".stripMargin
+  }
+
   /** Q-maxsim: LATE-INTERACTION MULTI-VECTOR RETRIEVAL (the ColBERT
     * MaxSim operator) — documents and queries are SETS of vectors, and a
     * document scores `Σ_{q ∈ Q} max_{d ∈ D} cos(q, d)`: each query vector
@@ -1654,6 +1723,7 @@ object VectorOps {
     "q_radius" -> (radius _),
     "q_maxsim" -> (maxSim _),
     "q_radius_auto" -> (radiusAuto _),
+    "q_radius_dot" -> (radiusDot _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
     "q_bq_knn" -> (bqKnn _),
@@ -1699,7 +1769,8 @@ object VectorOps {
       "q_dot_auto" -> routed(dotAutoFrame),
       "q_knn_auto_filtered" -> routed(knnAutoFilteredFrame),
       "q_ann_batch_auto" -> routed(annBatchAutoFrame),
-      "q_radius_auto" -> routed(radiusAutoFrame))
+      "q_radius_auto" -> routed(radiusAutoFrame),
+      "q_radius_dot" -> routed(radiusDotFrame))
   }
 
   /** Drop the PlanDump-registered route for `dir`'s shared IVF index
@@ -1724,6 +1795,7 @@ object VectorOps {
     "q_radius" -> radiusSql,
     "q_maxsim" -> maxSimSql,
     "q_radius_auto" -> radiusAutoSql,
+    "q_radius_dot" -> radiusDotSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
     "q_bq_knn" -> bqKnnSql,

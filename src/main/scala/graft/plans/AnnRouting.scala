@@ -424,14 +424,17 @@ class AnnRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** RADIUS (similarity-range) routing: a Filter whose condition carries
     * a similarity LOWER bound against a registered index — `cosine ≥ τ`
-    * through the monotone wrappers, or `l2dist ≤ τ` (both meaning "near
-    * the query") — routes to the probed buckets exactly like a top-K
-    * sort does. The same opt-in approximation contract: registering the
-    * index declares that range queries may miss matches in unprobed
-    * buckets (the IVF recall trade), in exchange for reading nprobe/k of
-    * the data. UPPER bounds (`cosine ≤ τ`, `l2dist ≥ τ` — "far from the
-    * query") must DECLINE: the nearest buckets are exactly the wrong
-    * ones. Idempotent across optimizer passes via the user-bucket-filter
+    * through the monotone wrappers, `vec_dot ≥ τ` (bare inner product —
+    * probes ranked by the MIPS residual bound, q_radius_dot; declines on
+    * residual-less sidecars and on angular LSH-kind routes), or
+    * `l2dist ≤ τ` (all meaning "near the query") — routes to the probed
+    * buckets exactly like a top-K sort does. The same opt-in
+    * approximation contract: registering the index declares that range
+    * queries may miss matches in unprobed buckets (the IVF recall
+    * trade), in exchange for reading nprobe/k of the data. UPPER bounds
+    * (`cosine ≤ τ`, `vec_dot ≤ τ`, `l2dist ≥ τ` — "far from the query")
+    * must DECLINE: the nearest buckets are exactly the wrong ones.
+    * Idempotent across optimizer passes via the user-bucket-filter
     * guard (the injected probe filter reads as one on the next visit). */
   /** Pure in-memory pre-screen: the bare `Filter(_, _)` pattern matches
     * the most common operator in every plan, and routeRadius's first

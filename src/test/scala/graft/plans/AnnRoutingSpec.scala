@@ -638,6 +638,56 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       contain theSameElementsInOrderAs routed
   }
 
+  test("q_radius_dot: MIPS range filter routes by the residual bound; negatives decline") {
+    import graft.functions.VectorFunctions._
+    def norm(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getDouble(3))
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 4)
+    val routed = try {
+      val f = VectorOps.radiusDotFrame(spark, sfDir)
+      assert(hasBucketInFilter(f), "MIPS radius route did not fire")
+      f.collect().map(norm)
+    } finally AnnRouting.unregister(spark, base, name)
+    // the declared query (withRoute materialization) lands on the same rows
+    VectorOps.radiusDot(spark, sfDir).collect().map(norm) should
+      contain theSameElementsInOrderAs routed
+    // inner-product UPPER bound ("far from the query"): the bound-ranked
+    // nearest buckets are exactly the wrong ones — must decline
+    withSharedRoute {
+      val idx = IndexCatalog.load(spark, base, name)
+      val q = typedlit[Seq[Float]](queryVec)
+      val far = idx.filter(
+        graft.functions.VectorFunctions.dotProduct(col("embedding"), q) <=
+          lit(VectorOps.DotRadiusTau))
+      assert(!hasBucketInFilter(far), "routed an inner-product UPPER bound")
+    }
+    // residual-less sidecar: dot radius declines, the brute plan answers
+    val (tmpBase, tiny) = mipsFixture(withResid = false)
+    AnnRouting.register(spark, tmpBase, tiny, nprobe = 1)
+    try {
+      val idx = IndexCatalog.load(spark, tmpBase, tiny)
+      val q = typedlit[Seq[Float]](Seq(1.0f, 0f, 0f, 0f))
+      val range = idx.filter(dotProduct(col("embedding"), q) >= lit(2.0))
+      assert(!hasBucketInFilter(range),
+        "MIPS radius fired without residual bounds")
+      range.select("vec_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    } finally AnnRouting.unregister(spark, tmpBase, tiny)
+    // angular (LSH-kind) route: random-hyperplane buckets partition by
+    // ANGLE, which says nothing about raw inner products — must decline
+    graft.operators.RandomHyperplaneLsh.planFrames("q_lsh_auto")(spark, sfDir)
+    try {
+      val lshIdx = IndexCatalog.load(spark,
+        IndexCatalog.cacheBase(sfDir), "emb-lsh-bucketed")
+      val q = typedlit[Seq[Float]](queryVec)
+      val range = lshIdx.filter(
+        dotProduct(col("embedding"), q) >= lit(VectorOps.DotRadiusTau))
+      assert(!hasBucketInFilter(range),
+        "dot radius routed over an angular LSH index")
+    } finally graft.operators.RandomHyperplaneLsh.dropPlanRoutes(spark, sfDir)
+  }
+
   test("bucket filter re-exposed through an EXPRESSION alias (cast) still blocks routing") {
     withSharedRoute {
       import graft.functions.VectorFunctions._
