@@ -825,7 +825,17 @@ object TextOps {
     * occurrences) plus the candidate strings themselves. The same 2-pass
     * shape is how every production frequent-items job (stopword
     * induction, hot-key detection before salting) actually runs. */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHitters(spark, dir, exact = true)
+
+  /** `exact = false` is the explicit escape hatch for flatter term
+    * distributions: the candidate recount still returns TRUE counts for
+    * every returned term (MG never inflates), but a just-below-threshold
+    * term may be missing from the candidate set, so ranks near the tail
+    * can be occupied by the wrong term. A caller accepting that trade
+    * gets the summary-bounded plan on any corpus; the declared query
+    * keeps `exact = true` because its oracle is the exact top-10. */
+  def heavyHitters(spark: SparkSession, dir: String, exact: Boolean): DataFrame = {
     import spark.implicits._
     val terms = Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
@@ -850,12 +860,18 @@ object TextOps {
     // otherwise a just-below-threshold term could be missing from the
     // candidate set and the "exact top-10" claim (and its oracle) would
     // silently become approximate on a future corpus.
-    if (anyEvicted) {
+    if (exact && anyEvicted) {
       val minTop = top.agg(coalesce(min(col("n")), lit(0L))).head().getLong(0)
+      // smallest K whose containment bound the observed counts satisfy:
+      // minTop·(K+1) > N  ⇔  K ≥ floor(N / minTop)  (minTop > 0)
+      val kNeeded = if (minTop > 0) total / minTop else -1L
+      val hint = if (kNeeded > 0) s"HeavyHittersK >= $kNeeded would satisfy " +
+        s"the bound on this corpus" else "no K can bound an empty result"
       require(minTop * (HeavyHittersK + 1L) > total,
         s"heavy-hitters exactness precondition violated: rank-10 count " +
-          s"$minTop ≤ N/(k+1) = $total/${HeavyHittersK + 1} — raise " +
-          s"HeavyHittersK for this corpus")
+          s"$minTop ≤ N/(k+1) = $total/${HeavyHittersK + 1} — $hint; " +
+          s"or call heavyHitters(..., exact = false) to accept the " +
+          s"summary-bounded approximate tail")
     }
     top
   }

@@ -271,6 +271,12 @@ object IndexCatalog {
     // on), so accepting the delete here would accumulate tombstones that
     // can never compact — the read-path anti-join overhead would be
     // permanent, surfacing as an opaque vacuum failure much later.
+    // BREAKING CHANGE (round 11): an unpartitioned index previously
+    // accepted deletes (the read-path anti-join worked; only vacuum was
+    // impossible). That window is closed DELIBERATELY — a store that
+    // can never compact its deletes is a slow leak, and the error names
+    // the migration (rebuild partitioned, or rewrite without the keys)
+    // at the first delete instead of at the first full disk.
     require(partitionLayout(basePath, name).nonEmpty,
       s"index $name has no partition layout: its tombstones could never " +
         "be vacuumed (rebuild the index with partition columns, or drop " +

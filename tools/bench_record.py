@@ -46,7 +46,11 @@ def load_bench(path):
         # JSON line mid-object — salvage whatever ("q_name": float) pairs
         # survive (partial per-query data is still record-grade)
         import re
-        pairs = re.findall(r'"(q_[A-Za-z0-9_]+)":(-?[0-9.]+)', obj["tail"])
+        # the number must be FOLLOWED by a JSON delimiter: a pair cut off
+        # at the tail boundary ("q_foo":12.3 of 12.34) would otherwise
+        # merge an artificially low time as a permanent record
+        pairs = re.findall(r'"(q_[A-Za-z0-9_]+)":(-?[0-9.]+)(?=[,}])',
+                           obj["tail"])
         if pairs:
             return {"queries": {k: float(v) for k, v in pairs}}
     return obj
