@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.scalatest.matchers.should.Matchers
+
+/** Algorithm-property gates for the nprobe recall sweep; value
+  * correctness is oracle-gated (q_nprobe_tune hash-matches DuckDB).
+  *
+  * Asserts PROPERTIES that hold by theorem, not by data (the
+  * round-11 discipline): recall is monotone in nprobe because the
+  * candidate set at a deeper probe is a superset — any brute-top-10
+  * member in the shallow probed top-10 is outranked by at most 9
+  * corpus vectors, so it survives into every deeper probed top-10. */
+class IvfTuneSpec extends SparkSpecBase with Matchers {
+
+  private lazy val rows = IvfTune.nprobeTune(spark, sfDir).collect()
+
+  test("one row per candidate nprobe, in ladder order") {
+    rows.map(_.getAs[Int]("nprobe")).toSeq shouldBe IvfTune.TuneNprobes
+  }
+
+  test("recall@10 is monotone non-decreasing in nprobe (superset theorem)") {
+    val recalls = rows.map(_.getAs[Double]("recall_10")).toSeq
+    recalls.zip(recalls.tail).foreach { case (a, b) => b should be >= a }
+  }
+
+  test("probing every bucket is exact: the full-depth anchor reads 1.0") {
+    rows.last.getAs[Double]("recall_10") shouldBe 1.0
+    rows.last.getAs[Long]("n_hits") shouldBe rows.last.getAs[Long]("n_q") * 10
+  }
+
+  test("chosen is the unique smallest candidate clearing the target") {
+    val meeting = rows.filter(_.getAs[Double]("recall_10") >= IvfTune.TuneTarget)
+    meeting should not be empty // nprobe=16 is exact, so one always exists
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    chosen.map(_.getAs[Int]("nprobe")).toSeq shouldBe
+      Seq(meeting.map(_.getAs[Int]("nprobe")).min)
+  }
+
+  test("the sample excludes seed centroids and follows the declared modulus") {
+    val nQ = rows.head.getAs[Long]("n_q")
+    val expected = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id"))
+      .count(id => id >= 16 && id % IvfTune.TuneSampleMod == IvfTune.TuneSampleRes)
+    nQ shouldBe expected
+    all(rows.map(_.getAs[Long]("n_q"))) shouldBe expected
+  }
+}
