@@ -566,7 +566,8 @@ object GraphOps {
     * the IVF-bucketed corpus join, query side carrying its top-2
     * assignments (see [[graphAnn]]'s scaladoc for why top-2 is the
     * navigability property). */
-  private[operators] def graphAnnEdges(asg: DataFrame): DataFrame = {
+  private[operators] def graphAnnEdges(asg: DataFrame,
+                                       degree: Int = GraphAnnDegree): DataFrame = {
     val a1 = asg.filter(col("rn") === 1)
     val qside = asg.filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
@@ -579,8 +580,36 @@ object GraphOps {
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", KnnSearch.prenormedScore)
       .withColumn("rank", row_number().over(ew))
-      .filter(col("rank") <= GraphAnnDegree)
+      .filter(col("rank") <= degree)
       .select(col("query_id").as("src"), col("vec_id").as("dst"))
+  }
+
+  /** The hop loop every graph-ANN walk shares (coarse layer descent and
+    * fine refinement use ONE implementation, so the visited-set fold and
+    * tie-breaks can never desynchronize): expand the current beam's
+    * out-edges, exactly score only the NEWLY reached nodes, fold into the
+    * visited set, re-take the beam. Per hop the moving pieces are a
+    * beam-sized frontier broadcast against the id-pair edge frame and a
+    * pushed-down id semijoin to fetch the fresh vectors — O(beam·degree)
+    * scored vectors per hop, independent of corpus size. */
+  private def beamWalk(edges: DataFrame, emb: DataFrame, visited0: DataFrame,
+                       beam: Int, hops: Int,
+                       score: DataFrame => DataFrame): DataFrame = {
+    var visited = visited0.localCheckpoint(eager = true)
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(beam)
+        .select(col("vec_id").as("src"))
+      val fresh = edges.join(broadcast(frontier), "src")
+        .select(col("dst").as("vec_id")).distinct()
+        .filter(col("vec_id") =!= 0)
+        .join(visited.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      visited = visited
+        .unionByName(score(emb.join(broadcast(fresh), "vec_id")))
+        .localCheckpoint(eager = true)
+    }
+    visited
   }
 
   def graphAnn(spark: SparkSession, dir: String,
@@ -601,25 +630,132 @@ object GraphOps {
     val edges = graphAnnEdges(asg)
       .localCheckpoint(eager = true) // id-pairs only — built once, walked per hop
     val probe = IvfIndex.probes(cent, q, nprobe = seedProbes)
-    var visited = scoreAgainstQuery(
+    val visited0 = scoreAgainstQuery(
       a1.join(broadcast(probe), "cent_id").filter(col("vec_id") =!= 0))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(beam)
+    beamWalk(edges, emb, visited0, beam, hops, scoreAgainstQuery)
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+  }
+
+  /** Hierarchy dials for [[graphAnnHier]]: layer membership is
+    * DETERMINISTIC id arithmetic (vec_id ≡ 0 mod 8 → layer 1, mod 64 →
+    * layer 2 — the geometric level assignment of an HNSW insert without
+    * its RNG, so both engines replay it), the coarse walk is narrow
+    * (beam 4, degree 4: a router, not a searcher). */
+  val HierLayerMod = 8
+  val HierTopMod = 64
+  val HierDegree = 4
+  val HierBeam = 4
+  val HierHops = 3
+
+  /** Q-graph-ann-hier: HIERARCHICAL-ENTRY GRAPH ANN — [[graphAnn]] with
+    * its IVF bucket-scan seeding replaced by an HNSW-style layer descent,
+    * the r11 verdict's optional depth item. The served index needs NO
+    * centroid probe at query time:
+    *
+    *  1. TOP LAYER (every [[HierTopMod]]-th node): exactly score this
+    *     N/64-row slice — the bounded entry scan an HNSW top layer is.
+    *  2. COARSE DESCENT: greedy [[beamWalk]] (beam [[HierBeam]], degree
+    *     [[HierDegree]]) over the LAYER-1 edge graph (the same bucketed
+    *     construction as the serving graph, restricted to every
+    *     [[HierLayerMod]]-th node) — a router that lands a handful of
+    *     layer nodes in the query's neighborhood.
+    *  3. REFINE: the identical fine walk as [[graphAnn]], seeded by the
+    *     descent's best [[GraphAnnBeam]] nodes instead of two exactly
+    *     scanned IVF buckets.
+    *
+    * Why it matters at scale: [[graphAnn]]'s seed stage scores
+    * O(seedProbes·N/16) vectors; here the entry cost is O(N/64) for the
+    * top scan plus degree-bounded walk hops — and a production build
+    * recurses the layer construction (each layer ~1/8 of the one below,
+    * topmost small enough to broadcast) so entry cost becomes logarithmic
+    * while serving stays this exact composition. Both walks are ONE
+    * implementation ([[beamWalk]]), both edge sets are ONE construction
+    * ([[graphAnnEdges]] — per-bucket-quadratic merge join, no corpus
+    * broadcast), and the whole search is deterministic: the oracle
+    * replays top-scan → 3 coarse rounds → 3 fine rounds as chained
+    * (materialized) CTEs. Approximate like every graph-ANN: only the
+    * visited set is exactly scored; recall@10 vs brute is gated ≥ 0.9
+    * tri-SF in KnnGraphSpec alongside q_graph_ann's. */
+  def graphAnnHier(spark: SparkSession, dir: String,
+                   beam: Int = GraphAnnBeam, hops: Int = GraphAnnHops,
+                   coarseBeam: Int = HierBeam,
+                   coarseHops: Int = HierHops): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val q = broadcast(KnnSearch.withNorm(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm"))
+    def scoreAgainstQuery(rows: DataFrame): DataFrame =
+      rows.crossJoin(q)
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("score"))
+    val asg = ivfTop2Assignments(spark, dir)
+    val layerEdges = graphAnnEdges(
+      asg.filter(col("vec_id") % HierLayerMod === 0), degree = HierDegree)
       .localCheckpoint(eager = true)
-    for (_ <- 1 to hops) {
-      val frontier = visited
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(beam)
-        .select(col("vec_id").as("src"))
-      val fresh = edges.join(broadcast(frontier), "src")
-        .select(col("dst").as("vec_id")).distinct()
-        .filter(col("vec_id") =!= 0)
-        .join(visited.select(col("vec_id")), Seq("vec_id"), "left_anti")
-      visited = visited
-        .unionByName(scoreAgainstQuery(emb.join(broadcast(fresh), "vec_id")))
-        .localCheckpoint(eager = true)
-    }
-    visited.orderBy(col("score").desc, col("vec_id")).limit(10)
+    val edges = graphAnnEdges(asg).localCheckpoint(eager = true)
+    val top0 = scoreAgainstQuery(
+      emb.filter(col("vec_id") % HierTopMod === 0 && col("vec_id") =!= 0))
+      .orderBy(col("score").desc, col("vec_id")).limit(coarseBeam)
+    val coarse = beamWalk(layerEdges, emb, top0, coarseBeam, coarseHops,
+      scoreAgainstQuery)
+    val seeds = coarse.orderBy(col("score").desc, col("vec_id")).limit(beam)
+    beamWalk(edges, emb, seeds, beam, hops, scoreAgainstQuery)
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+  }
+
+  val graphAnnHierSql: String = {
+    import VectorSql.{cosine => cos}
+    def walkRound(edgeCte: String, prev: String, out: String,
+                  beam: Int): String =
+      s"""${out}f AS (SELECT vec_id FROM $prev ORDER BY score DESC, vec_id LIMIT $beam),
+         |${out}n AS (SELECT DISTINCT e.dst FROM $edgeCte e JOIN ${out}f ON e.src = ${out}f.vec_id
+         |        WHERE e.dst <> 0 AND e.dst NOT IN (SELECT vec_id FROM $prev)),
+         |$out AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+         |        SELECT b2.vec_id, b2.label, ROUND(${cos("b2.embedding", "q.qe")}, 6) AS score
+         |        FROM embeddings b2, q WHERE b2.vec_id IN (SELECT dst FROM ${out}n))""".stripMargin
+    val coarse = (1 to HierHops)
+      .map(k => walkRound("le", if (k == 1) "c0" else s"c${k - 1}", s"c$k", HierBeam))
+      .mkString(",\n")
+    val fine = (1 to GraphAnnHops)
+      .map(k => walkRound("e", if (k == 1) "v0" else s"v${k - 1}", s"v$k", GraphAnnBeam))
+      .mkString(",\n")
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |a2 AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn <= 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT qa.vec_id AS src, ia.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+       |                         ORDER BY ROUND(${cos("ia.embedding", "qa.embedding")}, 6) DESC, ia.vec_id) AS rank
+       |    FROM a1 ia JOIN a2 qa ON ia.cent_id = qa.cent_id AND ia.vec_id <> qa.vec_id)
+       |  WHERE rank <= $GraphAnnDegree),
+       |le AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT qa.vec_id AS src, ia.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+       |                         ORDER BY ROUND(${cos("ia.embedding", "qa.embedding")}, 6) DESC, ia.vec_id) AS rank
+       |    FROM a1 ia JOIN a2 qa ON ia.cent_id = qa.cent_id AND ia.vec_id <> qa.vec_id
+       |    WHERE ia.vec_id % $HierLayerMod = 0 AND qa.vec_id % $HierLayerMod = 0)
+       |  WHERE rank <= $HierDegree),
+       |c0 AS MATERIALIZED (
+       |  SELECT b.vec_id, b.label, ROUND(${cos("b.embedding", "q.qe")}, 6) AS score
+       |  FROM embeddings b, q WHERE b.vec_id % $HierTopMod = 0 AND b.vec_id <> 0
+       |  ORDER BY score DESC, vec_id LIMIT $HierBeam),
+       |$coarse,
+       |v0 AS MATERIALIZED (SELECT * FROM c$HierHops
+       |  ORDER BY score DESC, vec_id LIMIT $GraphAnnBeam),
+       |$fine
+       |SELECT vec_id, label, score FROM v$GraphAnnHops
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
   val graphAnnSql: String = {
@@ -734,7 +870,8 @@ object GraphOps {
     "q_knn_graph" -> (knnGraph _),
     "q_knn_graph_incr" -> (knnGraphIncr _),
     "q_knn_graph_clusters" -> (knnGraphClusters _),
-    "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)))
+    "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)),
+    "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
@@ -746,5 +883,6 @@ object GraphOps {
     // the incremental fold must land on the FULL rebuild's exact rows
     "q_knn_graph_incr" -> knnGraphSql,
     "q_knn_graph_clusters" -> knnGraphClustersSql,
-    "q_graph_ann" -> graphAnnSql)
+    "q_graph_ann" -> graphAnnSql,
+    "q_graph_ann_hier" -> graphAnnHierSql)
 }

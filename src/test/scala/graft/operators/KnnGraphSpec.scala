@@ -77,6 +77,48 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("q_graph_ann_hier: recall@10 >= 0.9 at ALL THREE scale factors") {
+    // the hierarchical entry must serve in q_graph_ann's recall band —
+    // replacing the bucket-scan seeding with the layer descent is a cost
+    // change, not a quality change (measured 0.9 / 1.0 / 0.9)
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val emb = KnnSearch.withNorm(graft.Tables.embeddings(spark, dir))
+      val q = graft.Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      val exact = KnnSearch.topK(emb, q, 10).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val r = GraphOps.graphAnnHier(spark, dir).collect()
+        .map(_.getLong(0)).count(exact) / 10.0
+      withClue(s"hier recall@10 vs exact brute force at sf$sf ($r):") {
+        r should be >= 0.9
+      }
+    }
+  }
+
+  test("q_graph_ann_hier: layer construction is id arithmetic — coarse edges live on layer nodes, degree-bounded") {
+    import org.apache.spark.sql.functions.col
+    val got = GraphOps.graphAnnHier(spark, sfDir).collect()
+    got should have length 10
+    got.map(_.getLong(0)) should not contain 0L // out-of-graph query contract
+    val scores = got.map(_.getDouble(2))
+    scores.toSeq shouldBe scores.sortBy(-_).toSeq
+    val layerEdges = GraphOps.graphAnnEdges(
+      GraphOps.ivfTop2Assignments(spark, sfDir)
+        .filter(col("vec_id") % GraphOps.HierLayerMod === 0),
+      degree = GraphOps.HierDegree)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    layerEdges should not be empty
+    layerEdges.foreach { case (s, d) =>
+      withClue(s"layer edge ($s,$d):") {
+        s % GraphOps.HierLayerMod shouldBe 0
+        d % GraphOps.HierLayerMod shouldBe 0
+      }
+    }
+    all(layerEdges.groupBy(_._1).map(_._2.length)) should be <= GraphOps.HierDegree
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
