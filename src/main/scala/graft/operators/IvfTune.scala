@@ -56,11 +56,49 @@ object IvfTune {
   val TuneSampleMod = 37
   val TuneSampleRes = 5
 
-  /** Q-nprobe-tune: the recall sweep. Output: one row per candidate
-    * nprobe — (nprobe, n_q, n_hits, recall_10, chosen). */
-  def nprobeTune(spark: SparkSession, dir: String): DataFrame = {
+  /** Q-nprobe-tune: the recall sweep over the deterministic seed
+    * centroids. Output: one row per candidate nprobe —
+    * (nprobe, n_q, n_hits, recall_10, chosen). */
+  def nprobeTune(spark: SparkSession, dir: String): DataFrame =
+    nprobeTuneOver(spark, dir, VectorOps.seedCentroids(spark, dir))
+
+  /** Q-nprobe-tune-trained: the SAME sweep over Lloyd-trained centroids
+    * ([[IvfIndex.trainCentroids]], the [[graft.sources.Maintenance]]
+    * rebuild path's training) — the re-measurement that closes the
+    * index-quality loop: q_ivf_drift detects imbalance,
+    * rebuildIvfTrained retrains, and THIS query quantifies what the
+    * retraining bought. On this corpus the honest answer is "modest but
+    * uniform": 3 Lloyd iterations lift mean recall@10 at EVERY depth in
+    * {2,4,8} at every SF (0.385→0.500 at sf0.01 nprobe=4; +4–35%
+    * elsewhere), while depth 1 at the smallest SF can trade away
+    * (different Voronoi boundaries move different queries' true
+    * neighbors out of the single probed bucket) — exactly why a
+    * deployment reads the sweep instead of assuming retraining helps
+    * everywhere. IvfTuneSpec gates the measured {2,4,8} dominance at
+    * all three SFs. Declared rows-only: k-means
+    * means are float accumulations whose reduction order is not
+    * cross-engine replayable (the PqIndex precedent); the sweep
+    * arithmetic itself is the oracle-proven q_nprobe_tune pipeline. */
+  def nprobeTuneTrained(spark: SparkSession, dir: String): DataFrame =
+    nprobeTuneOver(spark, dir, trainedCentroids(spark, dir))
+
+  /** Lloyd-trained centroid table for [[nprobeTuneTrained]]: k=16 to
+    * match the seed layout, 3 iterations from the seed starting points
+    * (centroid ids stay the seeds'; empty clusters drop, standard
+    * Lloyd — the sweep ranks whatever centroids survive). */
+  private[operators] def trainedCentroids(spark: SparkSession,
+                                          dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    IvfIndex.trainCentroids(emb, k = 16, dim = 64, iterations = 3)
+  }
+
+  /** The sweep body, parameterized by the centroid table (columns
+    * cent_id, c_embedding, c_norm) so the seed and trained variants are
+    * ONE arithmetic. */
+  private def nprobeTuneOver(spark: SparkSession, dir: String,
+                             cent: DataFrame): DataFrame = {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
-    val cent = VectorOps.seedCentroids(spark, dir)
     val qs = emb
       .filter(col("vec_id") >= 16 &&
         col("vec_id") % TuneSampleMod === TuneSampleRes)
@@ -161,8 +199,11 @@ object IvfTune {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_nprobe_tune" -> (nprobeTune _))
+    "q_nprobe_tune" -> (nprobeTune _),
+    "q_nprobe_tune_trained" -> (nprobeTuneTrained _))
 
+  // q_nprobe_tune_trained is rows-only by design (Lloyd means are not
+  // cross-engine replayable); IvfTuneSpec gates the measured dominance.
   def oracles: Map[String, String] = Map(
     "q_nprobe_tune" -> nprobeTuneSql)
 }

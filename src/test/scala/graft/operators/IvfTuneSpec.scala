@@ -37,6 +37,33 @@ class IvfTuneSpec extends SparkSpecBase with Matchers {
       Seq(meeting.map(_.getAs[Int]("nprobe")).min)
   }
 
+  test("trained sweep keeps the theorem gates: ladder order, monotone recall, exact full-depth anchor") {
+    val tr = IvfTune.nprobeTuneTrained(spark, sfDir).collect()
+    tr.map(_.getAs[Int]("nprobe")).toSeq shouldBe IvfTune.TuneNprobes
+    val recalls = tr.map(_.getAs[Double]("recall_10")).toSeq
+    recalls.zip(recalls.tail).foreach { case (a, b) => b should be >= a }
+    tr.last.getAs[Double]("recall_10") shouldBe 1.0
+  }
+
+  test("Lloyd retraining lifts measured recall at every serving depth {2,4,8} at ALL THREE SFs") {
+    // the measured fact q_nprobe_tune_trained exists to state (depth 1 at
+    // the smallest SF can trade away — moved Voronoi boundaries shift
+    // different queries' true neighbors out of the single probed bucket —
+    // so the gate is the serving-depth band, not all depths)
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val seed = IvfTune.nprobeTune(spark, dir).collect()
+        .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall_10")).toMap
+      val trained = IvfTune.nprobeTuneTrained(spark, dir).collect()
+        .map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall_10")).toMap
+      for (n <- Seq(2, 4, 8)) {
+        withClue(s"sf$sf nprobe=$n trained=${trained(n)} seed=${seed(n)}:") {
+          trained(n) should be >= seed(n)
+        }
+      }
+    }
+  }
+
   test("the sample excludes seed centroids and follows the declared modulus") {
     val nQ = rows.head.getAs[Long]("n_q")
     val expected = graft.Tables.embeddings(spark, sfDir).collect()
