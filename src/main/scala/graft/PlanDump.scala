@@ -92,7 +92,11 @@ object PlanDump {
     // round-12: the MIPS-routed RANGE plan (vec_dot >= τ in, residual-
     // bound probes out), the bucketed multi-probe margin-mining join (no
     // corpus-sized broadcast), and the MRL prefix-serving two-stage plan
-    "q_radius_dot", "q_margin_mine", "q_mrl_knn")
+    "q_radius_dot", "q_margin_mine", "q_mrl_knn",
+    // round-12 second wave: the single-scan nprobe recall sweep (one
+    // materialized pair frame reused per depth) and the hierarchical-
+    // entry graph walk (bounded top-layer scan, no centroid probe)
+    "q_nprobe_tune", "q_graph_ann_hier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
