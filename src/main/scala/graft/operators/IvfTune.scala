@@ -56,9 +56,13 @@ object IvfTune {
   val TuneSampleMod = 37
   val TuneSampleRes = 5
 
-  /** Q-nprobe-tune: the recall sweep over the deterministic seed
-    * centroids. Output: one row per candidate nprobe —
-    * (nprobe, n_q, n_hits, recall_10, chosen). */
+  /** Q-nprobe-tune: the recall/COST frontier over the deterministic seed
+    * centroids. Output: one row per candidate nprobe — (nprobe, n_q,
+    * n_hits, recall_10, scan_frac, chosen) where scan_frac is the
+    * fraction of candidate pairs a probed search at that depth actually
+    * scores (the scan the PartitionFilters admit) — the frontier a
+    * deployment trades on: recall_10 is what depth buys, scan_frac is
+    * what it costs. */
   def nprobeTune(spark: SparkSession, dir: String): DataFrame =
     nprobeTuneOver(spark, dir, VectorOps.seedCentroids(spark, dir))
 
@@ -131,15 +135,23 @@ object IvfTune {
       .select(col("q_id"), col("vec_id"))
       .localCheckpoint(eager = true) // 10·Q ids, reused per candidate
     val nq = qs.agg(count(lit(1)).as("n_q"))
+    val tot = scored.agg(count(lit(1)).as("n_pairs"))
     val perProbe = TuneNprobes.map { n =>
+      // the COST side of the frontier: how much of the corpus a probed
+      // search at this depth actually scores (the scan the PartitionFilters
+      // admit), measured on the same pair frame the recall side ranks
+      val cand = scored.filter(col("prank") <= n)
+        .agg(count(lit(1)).as("n_cand"))
       scored.filter(col("prank") <= n)
         .withColumn("r", row_number().over(rw)).filter(col("r") <= 10)
         .join(brute, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
-        .crossJoin(nq)
+        .crossJoin(nq).crossJoin(cand).crossJoin(tot)
         .select(lit(n).as("nprobe"), col("n_q"), col("n_hits"),
           round(col("n_hits").cast("double") /
-            (col("n_q") * 10).cast("double"), 6).as("recall_10"))
+            (col("n_q") * 10).cast("double"), 6).as("recall_10"),
+          round(col("n_cand").cast("double") /
+            col("n_pairs").cast("double"), 6).as("scan_frac"))
     }.reduce(_ unionByName _)
     // chosen = the smallest candidate clearing the target (5-row window)
     perProbe
@@ -160,7 +172,8 @@ object IvfTune {
          |                              ORDER BY score DESC, vec_id) AS r
          |         FROM scored WHERE prank <= $n) p
          |   JOIN brute b ON b.q_id = p.q_id AND b.vec_id = p.vec_id
-         |   WHERE p.r <= 10) AS n_hits""".stripMargin
+         |   WHERE p.r <= 10) AS n_hits,
+         |  (SELECT COUNT(*) FROM scored WHERE prank <= $n) AS n_cand""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
        |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
@@ -188,11 +201,13 @@ object IvfTune {
        |                         ORDER BY score DESC, vec_id) AS r
        |    FROM scored) WHERE r <= 10),
        |nq AS (SELECT COUNT(*) AS n_q FROM qs),
+       |tot AS (SELECT COUNT(*) AS n_pairs FROM scored),
        |sweep AS (
        |$perProbe
        |)
        |SELECT nprobe, n_q, n_hits,
        |  ROUND(CAST(n_hits AS DOUBLE) / CAST(n_q * 10 AS DOUBLE), 6) AS recall_10,
+       |  ROUND(CAST(n_cand AS DOUBLE) / CAST((SELECT n_pairs FROM tot) AS DOUBLE), 6) AS scan_frac,
        |  nprobe = MIN(CASE WHEN ROUND(CAST(n_hits AS DOUBLE) / CAST(n_q * 10 AS DOUBLE), 6) >= $TuneTarget
        |               THEN nprobe END) OVER () AS chosen
        |FROM sweep ORDER BY nprobe""".stripMargin

@@ -29,6 +29,15 @@ class IvfTuneSpec extends SparkSpecBase with Matchers {
     rows.last.getAs[Long]("n_hits") shouldBe rows.last.getAs[Long]("n_q") * 10
   }
 
+  test("the cost side of the frontier: scan_frac strictly increasing, full depth scans everything") {
+    // deeper probes admit strictly more pairs on any corpus where every
+    // bucket is non-empty for some query (all 16 seed buckets hold their
+    // own centroid vector, so each depth step adds at least those)
+    val fracs = rows.map(_.getAs[Double]("scan_frac")).toSeq
+    fracs.zip(fracs.tail).foreach { case (a, b) => b should be > a }
+    fracs.last shouldBe 1.0
+  }
+
   test("chosen is the unique smallest candidate clearing the target") {
     val meeting = rows.filter(_.getAs[Double]("recall_10") >= IvfTune.TuneTarget)
     meeting should not be empty // nprobe=16 is exact, so one always exists
