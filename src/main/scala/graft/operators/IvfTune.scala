@@ -127,7 +127,19 @@ object IvfTune {
       .withColumn("score", KnnSearch.prenormedScore)
       .join(broadcast(prank), Seq("q_id", "cent_id"))
       .select(col("q_id"), col("vec_id"), col("score"), col("prank"))
-      .localCheckpoint(eager = true)
+    sweepFrontier(scored, qs, TuneNprobes, "prank", "nprobe")
+  }
+
+  /** The frontier evaluation every tuning family shares (IVF probe depth,
+    * LSH hamming radius — ONE implementation, so the families' frontiers
+    * are comparable by construction): materialize the scored pair frame
+    * once (ids and doubles only), rank the brute truth, then per ladder
+    * step filter `depthCol ≤ step`, re-rank, semi-join against truth, and
+    * report (n_hits, recall_10, n_cand, scan_frac, chosen). */
+  private[operators] def sweepFrontier(pairs: DataFrame, qs: DataFrame,
+                                       ladder: Seq[Int], depthCol: String,
+                                       outCol: String): DataFrame = {
+    val scored = pairs.localCheckpoint(eager = true)
     val rw = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     val brute = scored
@@ -136,29 +148,29 @@ object IvfTune {
       .localCheckpoint(eager = true) // 10·Q ids, reused per candidate
     val nq = qs.agg(count(lit(1)).as("n_q"))
     val tot = scored.agg(count(lit(1)).as("n_pairs"))
-    val perProbe = TuneNprobes.map { n =>
+    val sweep = ladder.map { n =>
       // the COST side of the frontier: how much of the corpus a probed
       // search at this depth actually scores (the scan the PartitionFilters
       // admit), measured on the same pair frame the recall side ranks
-      val cand = scored.filter(col("prank") <= n)
+      val cand = scored.filter(col(depthCol) <= n)
         .agg(count(lit(1)).as("n_cand"))
-      scored.filter(col("prank") <= n)
+      scored.filter(col(depthCol) <= n)
         .withColumn("r", row_number().over(rw)).filter(col("r") <= 10)
         .join(brute, Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .crossJoin(nq).crossJoin(cand).crossJoin(tot)
-        .select(lit(n).as("nprobe"), col("n_q"), col("n_hits"),
+        .select(lit(n).as(outCol), col("n_q"), col("n_hits"),
           round(col("n_hits").cast("double") /
             (col("n_q") * 10).cast("double"), 6).as("recall_10"),
           round(col("n_cand").cast("double") /
             col("n_pairs").cast("double"), 6).as("scan_frac"))
     }.reduce(_ unionByName _)
-    // chosen = the smallest candidate clearing the target (5-row window)
-    perProbe
+    // chosen = the smallest candidate clearing the target (ladder-row window)
+    sweep
       .withColumn("chosen",
-        col("nprobe") === min(when(col("recall_10") >= TuneTarget,
-          col("nprobe"))).over(Window.partitionBy()))
-      .orderBy(col("nprobe"))
+        col(outCol) === min(when(col("recall_10") >= TuneTarget,
+          col(outCol))).over(Window.partitionBy()))
+      .orderBy(col(outCol))
   }
 
   val nprobeTuneSql: String = {
