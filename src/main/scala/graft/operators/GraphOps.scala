@@ -638,6 +638,162 @@ object GraphOps {
       .orderBy(col("score").desc, col("vec_id")).limit(10)
   }
 
+  /** The query-BLOCK walk: [[beamWalk]] keyed by q_id — per-query beams
+    * via ranking windows instead of global sort+limit, every hop ONE
+    * batched join against the shared edge frame for the whole block.
+    * `queries` is the broadcastable block (q_id, q_embedding, q_norm);
+    * `visited0` carries (q_id, vec_id, label, score). */
+  private def beamWalkBatch(edges: DataFrame, emb: DataFrame,
+                            queries: DataFrame, visited0: DataFrame,
+                            beam: Int, hops: Int): DataFrame = {
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var visited = visited0.localCheckpoint(eager = true)
+    for (_ <- 1 to hops) {
+      val frontier = visited
+        .withColumn("fr", row_number().over(fw)).filter(col("fr") <= beam)
+        .select(col("q_id"), col("vec_id").as("src"))
+      val fresh = edges.join(broadcast(frontier), "src")
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(visited.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+      val freshScored = emb.join(broadcast(fresh), "vec_id")
+        .join(broadcast(queries), "q_id")
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("q_id"), col("vec_id"), col("label"), col("score"))
+      visited = visited.unionByName(freshScored).localCheckpoint(eager = true)
+    }
+    visited
+  }
+
+  /** Q-graph-ann-batch: GRAPH-ANN AS A JOIN — per-query top-10 for a
+    * whole query block through ONE walk job, completing the family's
+    * single/batch pair the way [[IvfIndex]] has q_ann_ivf/q_ann_batch and
+    * brute kNN has q_knn/q_knn_join. The offline edge frame is the
+    * amortized asset: each hop expands EVERY query's beam with one
+    * broadcast join against it (frontier = block × beam ids), one
+    * distinct, one anti-join against the per-query visited set, and one
+    * fetch-and-score of the block's newly reached (q_id, vec_id) pairs —
+    * per-query ranking windows (WindowGroupLimit) replace the single-query
+    * sort+limit, so the hop count stays [[GraphAnnHops]] while the block
+    * rides the same 6 jobs a single query costs. Seeding is the set-wise
+    * probe form of [[graphAnn]]'s: every query's [[GraphAnnSeedProbes]]
+    * nearest buckets from ONE block × centroid ranking. Deterministic and
+    * fully oracle-replayable (per-q_id windows, materialized round CTEs).
+    *
+    * Scale shape: the block is metadata-sized (it broadcasts); the walk
+    * touches O(block · beam · degree) vectors per hop via pushed-down id
+    * semijoins — corpus-independent serving over a corpus-linear offline
+    * graph, the batched form a recommendation/dedup pipeline runs
+    * nightly over millions of queries by partitioning the block. */
+  /** Batch-serving dials, chosen by a tri-SF recall sweep over the BLOCK
+    * (the distributional view q_nprobe_tune teaches — the single-query
+    * dials measured 0.58 mean recall on the sf0.1 block): a denser
+    * degree-[[BatchDegree]] edge frame (the offline build dial — batch
+    * serving amortizes it across every query in every block), beam
+    * [[BatchBeam]], [[BatchSeedProbes]] seed buckets. Measured mean
+    * recall@10: 0.98 / 0.98 / 0.90, gated ≥ 0.9 tri-SF. */
+  val BatchDegree = 24
+  val BatchBeam = 48
+  val BatchSeedProbes = 4
+
+  def graphAnnBatch(spark: SparkSession, dir: String,
+                    beam: Int = BatchBeam, hops: Int = GraphAnnHops,
+                    seedProbes: Int = BatchSeedProbes,
+                    degree: Int = BatchDegree): DataFrame = {
+    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+    val cent = VectorOps.seedCentroids(spark, dir)
+    val qs = broadcast(KnnSearch.withNorm(
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % BatchSampleMod === BatchSampleRes)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
+      "q_embedding").withColumnRenamed("vec_norm", "q_norm"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("p_score").desc, col("cent_id"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .withColumn("p_score", cosineSimPrenormed(
+        dotProduct(col("c_embedding"), col("q_embedding")),
+        col("c_norm"), col("q_norm")))
+      .withColumn("pr", row_number().over(pw)).filter(col("pr") <= seedProbes)
+      .select(col("q_id"), col("cent_id"))
+    val asg = ivfTop2Assignments(spark, dir)
+    val edges = graphAnnEdges(asg, degree).localCheckpoint(eager = true)
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val visited0 = asg.filter(col("rn") === 1)
+      .join(broadcast(probes), "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qs), "q_id")
+      .withColumn("score", KnnSearch.prenormedScore)
+      .select(col("q_id"), col("vec_id"), col("label"), col("score"))
+      .withColumn("r", row_number().over(fw)).filter(col("r") <= beam)
+      .drop("r")
+    beamWalkBatch(edges, emb, qs, visited0, beam, hops)
+      .withColumn("rank", row_number().over(fw)).filter(col("rank") <= 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic query block for [[graphAnnBatch]]: vec_id ≡ 7
+    * (mod 101) — 5 queries at sf0.01, 20 at sf0.1. */
+  val BatchSampleMod = 101
+  val BatchSampleRes = 7
+
+  val graphAnnBatchSql: String = {
+    import VectorSql.{cosine => cos}
+    def round_(k: Int): String = {
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""f$k AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY score DESC, vec_id) AS r FROM $prev) WHERE r <= $BatchBeam),
+         |n$k AS (SELECT DISTINCT f.q_id, e.dst FROM e JOIN f$k f ON e.src = f.vec_id
+         |        WHERE e.dst <> f.q_id AND NOT EXISTS (
+         |          SELECT 1 FROM $prev v WHERE v.q_id = f.q_id AND v.vec_id = e.dst)),
+         |v$k AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+         |        SELECT n.q_id, b2.vec_id, b2.label,
+         |          ROUND(${cos("b2.embedding", "q.qe")}, 6) AS score
+         |        FROM n$k n JOIN embeddings b2 ON b2.vec_id = n.dst
+         |        JOIN qs q ON q.q_id = n.q_id)""".stripMargin
+    }
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+       |       WHERE vec_id % $BatchSampleMod = $BatchSampleRes),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
+       |a2 AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn <= 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT qa.vec_id AS src, ia.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+       |                         ORDER BY ROUND(${cos("ia.embedding", "qa.embedding")}, 6) DESC, ia.vec_id) AS rank
+       |    FROM a1 ia JOIN a2 qa ON ia.cent_id = qa.cent_id AND ia.vec_id <> qa.vec_id)
+       |  WHERE rank <= $BatchDegree),
+       |pr AS (SELECT q_id, cent_id FROM (
+       |  SELECT q.q_id, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |                       ORDER BY ${cos("c.ce", "q.qe")} DESC, c.cent_id) AS pr
+       |  FROM qs q, cent c) WHERE pr <= $BatchSeedProbes),
+       |v0 AS MATERIALIZED (SELECT q_id, vec_id, label, score FROM (
+       |  SELECT p.q_id, a.vec_id, a.label,
+       |    ROUND(${cos("a.embedding", "q.qe")}, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |                       ORDER BY ROUND(${cos("a.embedding", "q.qe")}, 6) DESC, a.vec_id) AS r
+       |  FROM a1 a JOIN pr p ON a.cent_id = p.cent_id
+       |  JOIN qs q ON q.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id) WHERE r <= $BatchBeam),
+       |${(1 to GraphAnnHops).map(round_).mkString(",\n")}
+       |SELECT q_id, vec_id, label, score, rank FROM (
+       |  SELECT q_id, vec_id, label, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY score DESC, vec_id) AS rank
+       |  FROM v$GraphAnnHops) WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Hierarchy dials for [[graphAnnHier]]: layer membership is
     * DETERMINISTIC id arithmetic (vec_id ≡ 0 mod 8 → layer 1, mod 64 →
     * layer 2 — the geometric level assignment of an HNSW insert without
@@ -871,7 +1027,8 @@ object GraphOps {
     "q_knn_graph_incr" -> (knnGraphIncr _),
     "q_knn_graph_clusters" -> (knnGraphClusters _),
     "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)),
-    "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)))
+    "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)),
+    "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
@@ -884,5 +1041,6 @@ object GraphOps {
     "q_knn_graph_incr" -> knnGraphSql,
     "q_knn_graph_clusters" -> knnGraphClustersSql,
     "q_graph_ann" -> graphAnnSql,
-    "q_graph_ann_hier" -> graphAnnHierSql)
+    "q_graph_ann_hier" -> graphAnnHierSql,
+    "q_graph_ann_batch" -> graphAnnBatchSql)
 }

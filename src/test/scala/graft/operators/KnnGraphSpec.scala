@@ -119,6 +119,42 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     all(layerEdges.groupBy(_._1).map(_._2.length)) should be <= GraphOps.HierDegree
   }
 
+  test("q_graph_ann_batch: block mean recall@10 >= 0.9 at ALL THREE scale factors") {
+    // the distributional gate (q_nprobe_tune's lesson: one favorable
+    // query is not a serving claim) — mean over the whole query block vs
+    // the exact batch-kNN truth; measured 0.98 / 0.98 / 0.90 at the
+    // BatchDegree/BatchBeam/BatchSeedProbes dials the sweep chose
+    import org.apache.spark.sql.functions.col
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sf"
+      val emb = KnnSearch.withNorm(graft.Tables.embeddings(spark, dir))
+      val qs = graft.Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % GraphOps.BatchSampleMod === GraphOps.BatchSampleRes)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val truth = KnnSearch.knnJoin(emb, qs, 10).select("query_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = GraphOps.graphAnnBatch(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nq = got.map(_._1).distinct.length
+      val recall = got.count(truth) / (10.0 * nq)
+      withClue(s"block mean recall@10 at sf$sf ($recall over $nq queries):") {
+        recall should be >= 0.9
+      }
+    }
+  }
+
+  test("q_graph_ann_batch: 10 dense-ranked rows per block query, no self-matches") {
+    val rows = GraphOps.graphAnnBatch(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qId, group) =>
+      withClue(s"query $qId:") {
+        group.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe (1 to 10)
+        group.map(_.getLong(1)) should not contain qId
+        val scores = group.sortBy(_.getAs[Int]("rank")).map(_.getDouble(3))
+        scores.toSeq shouldBe scores.sortBy(-_).toSeq
+      }
+    }
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
