@@ -445,7 +445,147 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Band configurations over the 16-slot signature — (bands, rows/band),
+    * loosest to strictest. The S-curve midpoint (1/b)^(1/r) moves from
+    * ~0.06 at 16×1 to ~0.84 at 2×8: the blocking dial. */
+  val BandConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  /** Recall floor the chosen config must clear, and the exact-Jaccard
+    * threshold defining the truth pairs it is measured against. */
+  val BandTuneTarget = 0.9
+  val BandTruthJaccard = 0.8
+
+  /** Q-band-tune: the DEDUP member of the tuning family (q_nprobe_tune /
+    * q_lsh_tune are the ANN members) — a precision/recall frontier over
+    * MinHash-LSH band configurations, measured against the exact
+    * full-gram Jaccard ≥ [[BandTruthJaccard]] truth. q_dedup_minhash
+    * hard-codes 8×2 banding with an S-curve comment; this query MEASURES
+    * the whole dial: per configuration, candidates = distinct pairs
+    * agreeing on ≥1 band hash; precision = how much of the blocking
+    * budget hits true duplicates, recall = how many true pairs the blocking
+    * admits at all (a pair LSH never proposes is a duplicate the gated
+    * pipeline can never remove). `chosen` = the STRICTEST config (fewest
+    * candidates — the blocking cost) whose recall clears
+    * [[BandTuneTarget]].
+    *
+    * Scale shape: signatures and the banded self-joins are the
+    * q_dedup_minhash machinery (doc_id + fixed-width tuples through every
+    * shuffle); the truth stage is the ONE deliberately exact pass — a
+    * gram-postings intersection with NO df cap (it must measure the same
+    * full-set Jaccard the gated pipeline verifies with), safe on this
+    * corpus (max df 25) and run over a document SAMPLE at 100 TB exactly
+    * as the ANN tunes sample queries. Fully oracle-replayable: LCG
+    * minhash constants and md5 band hashes are shared literals. */
+  def bandTune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint(eager = true)
+    val ex = docs.select(col("doc_id"),
+      explode(Dedup.shingles3(col("text"))).as("gram"))
+    val n = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double") >= BandTruthJaccard)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = true) // truth pairs, reused per config
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val rows = BandConfigs.map { case (b, r) =>
+      val bands = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(b - 1)),
+          k => md5(concat_ws(",",
+            (1 to r).map(i => element_at(col("sig"), k * r + lit(i))): _*)))))
+        .toDF("doc_id", "band_idx", "band_hash")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint(eager = true) // reused by n_cand and n_hit
+      val nc = cand.agg(count(lit(1)).as("n_cand"))
+      val nh = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nc.crossJoin(nh).crossJoin(nTruth)
+        .select(lit(b).as("n_bands"), lit(r).as("n_rows"),
+          col("n_cand"), col("n_truth"), col("n_hit"),
+          when(col("n_cand") > 0,
+            round(col("n_hit").cast("double") / col("n_cand").cast("double"), 6))
+            .as("precision"),
+          round(col("n_hit").cast("double") /
+            col("n_truth").cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+    rows
+      .withColumn("chosen",
+        col("n_rows") === max(when(col("recall") >= BandTuneTarget,
+          col("n_rows"))).over(Window.partitionBy()))
+      .orderBy(col("n_rows"))
+  }
+
+  val bandTuneSql: String = {
+    val sigCte =
+      s"""hs AS (SELECT doc_id,
+         |         list_transform(grams, g -> CAST('0x' || substr(md5(g),1,12) AS BIGINT)) AS hs
+         |       FROM sh),
+         |sig AS MATERIALIZED (SELECT doc_id,
+         |          list_transform(range(0, ${Dedup.MinhashFns}),
+         |            j -> list_min(list_transform(hs,
+         |                   h -> (((1103515245*(j+1) + 12345) % ${Dedup.MinhashPrime})
+         |                          * (h % ${Dedup.MinhashPrime})
+         |                         + ((69069*(j+1) + 1234567) % ${Dedup.MinhashPrime}))
+         |                        % ${Dedup.MinhashPrime}))) AS sig
+         |        FROM hs)""".stripMargin
+    val candCtes = BandConfigs.map { case (b, r) =>
+      val slots = (1 to r).map(i => s"CAST(sig[$r*rg.k+$i] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""bands_${b}x$r AS (SELECT doc_id, rg.k AS band_idx, md5($slots) AS band_hash
+         |  FROM sig, range(0, $b) rg(k)),
+         |cand_${b}x$r AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands_${b}x$r a JOIN bands_${b}x$r b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val sweep = BandConfigs.map { case (b, r) =>
+      s"""SELECT $b AS n_bands, $r AS n_rows,
+         |  (SELECT COUNT(*) FROM cand_${b}x$r) AS n_cand,
+         |  (SELECT n_truth FROM nt) AS n_truth,
+         |  (SELECT COUNT(*) FROM cand_${b}x$r c
+         |   JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN n na ON doc_a = na.doc_id
+       |  JOIN n nb ON doc_b = nb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) >= $BandTruthJaccard),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |$sigCte,
+       |$candCtes,
+       |sweep AS (
+       |$sweep
+       |)
+       |SELECT n_bands, n_rows, n_cand, n_truth, n_hit,
+       |  CASE WHEN n_cand > 0
+       |    THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE), 6) END AS precision,
+       |  ROUND(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+       |  n_rows = MAX(CASE WHEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) >= $BandTuneTarget
+       |               THEN n_rows END) OVER () AS chosen
+       |FROM sweep ORDER BY n_rows""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_band_tune" -> (bandTune _),
     "q_dedup_cut" -> (dedupCut _),
     "q_dedup_spans" -> (dedupSpans _),
     "q_source_overlap" -> (sourceOverlap _),
@@ -461,6 +601,7 @@ object DedupOps {
     "q_dedup_embed_lsh" -> (dedupEmbedLsh _))
 
   def oracles: Map[String, String] = Map(
+    "q_band_tune" -> bandTuneSql,
     "q_dedup_cut" -> dedupCutSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_source_overlap" -> sourceOverlapSql,
