@@ -96,7 +96,11 @@ object PlanDump {
     // round-12 second wave: the single-scan nprobe recall sweep (one
     // materialized pair frame reused per depth) and the hierarchical-
     // entry graph walk (bounded top-layer scan, no centroid probe)
-    "q_nprobe_tune", "q_graph_ann_hier")
+    "q_nprobe_tune", "q_graph_ann_hier",
+    // round-12 third wave: the LSH/banding frontiers (same single-pass
+    // sweep shape) and the batched graph walk (per-query WindowGroupLimit
+    // frontiers over one shared edge frame)
+    "q_lsh_tune", "q_band_tune", "q_graph_ann_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
