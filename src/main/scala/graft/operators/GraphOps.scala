@@ -567,11 +567,21 @@ object GraphOps {
     * assignments (see [[graphAnn]]'s scaladoc for why top-2 is the
     * navigability property). */
   private[operators] def graphAnnEdges(asg: DataFrame,
-                                       degree: Int = GraphAnnDegree): DataFrame = {
-    val a1 = asg.filter(col("rn") === 1)
-    val qside = asg.filter(col("rn") <= 2)
+                                       degree: Int = GraphAnnDegree): DataFrame =
+    graphAnnEdgesFrom(asg.filter(col("rn") === 1), annQside(asg), degree)
+
+  /** Query-side projection of an assignment frame — every node under its
+    * top-2 centroid memberships. */
+  private def annQside(asg: DataFrame): DataFrame =
+    asg.filter(col("rn") <= 2)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         col("vec_norm").as("q_norm"), col("cent_id"))
+
+  /** The edge join itself, decomposed so maintenance can recompute a
+    * SUBSET of query nodes against the full candidate side without
+    * duplicating the ranking arithmetic ([[graphAnnUpsert]]). */
+  private def graphAnnEdgesFrom(a1: DataFrame, qside: DataFrame,
+                                degree: Int): DataFrame = {
     val ew = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))
     a1
@@ -792,6 +802,81 @@ object GraphOps {
        |                       ORDER BY score DESC, vec_id) AS rank
        |  FROM v$GraphAnnHops) WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Batch split for [[graphAnnUpsert]]: vec_id ≡ 23 (mod 50) "arrives"
+    * as the upsert batch (23 avoids the 16 seed-centroid ids — a centroid
+    * cannot arrive after the index it defines). */
+  val AnnUpsertMod = 50
+  val AnnUpsertRes = 23
+
+  /** Q-graph-ann-upsert: INCREMENTAL MAINTENANCE for the SERVING graph —
+    * the last index artifact without a maintenance story (the vector
+    * index has q_stream_upsert/q_stream_cdc, the inverted index
+    * q_bm25_upsert/q_stream_bm25_upsert, the mutual kNN graph
+    * q_knn_graph_incr; the graph-ANN edge frame q_graph_ann/hier/batch
+    * serve from had only full rebuilds). On a batch arrival:
+    *
+    *  1. TOUCHED buckets = the batch nodes' storage (rn=1) assignments —
+    *     ≤ #centroids ids, codebook-sized driver metadata (the
+    *     q_ann_ivf_persisted probe discipline).
+    *  2. AFFECTED queries = batch nodes + any stored node with a touched
+    *     bucket among its top-2 memberships — the EXACT invalidation set:
+    *     a query node's candidate pool is its top-2 buckets' members, so
+    *     an untouched-bucket node's edge list provably cannot change.
+    *  3. Recompute edges for affected queries ONLY (one
+    *     [[graphAnnEdgesFrom]] pass with the query side semi-joined to
+    *     the affected ids — same ranking arithmetic as the build, so the
+    *     two paths cannot desynchronize); stored edges of unaffected
+    *     queries pass through untouched (anti-join on src).
+    *
+    * Incremental == full rebuild by construction, and the oracle states
+    * exactly that: the full-corpus edge replay. Scale shape: the stored
+    * frame moves through one anti-join keyed by src; recomputation is
+    * per-bucket-quadratic ONLY in the touched buckets (batch-proportional,
+    * not corpus-proportional — the touched-partition discipline every
+    * maintenance path in this engine follows). */
+  def graphAnnUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val isNew = col("vec_id") % AnnUpsertMod === AnnUpsertRes
+    val asgFull = ivfTop2Assignments(spark, dir)
+    // the edge frame a deployment has on disk: built before the batch
+    val stored = graphAnnEdges(asgFull.filter(!isNew))
+      .localCheckpoint(eager = true)
+    // ≤16 touched bucket ids — metadata, not data
+    val touched = asgFull.filter(isNew && col("rn") === 1)
+      .select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val affectedIds = asgFull
+      .filter(col("rn") <= 2 && (col("cent_id").isin(touched: _*) || isNew))
+      .select(col("vec_id").as("query_id")).distinct()
+    val fresh = graphAnnEdgesFrom(
+      asgFull.filter(col("rn") === 1),
+      annQside(asgFull).join(affectedIds, "query_id"),
+      GraphAnnDegree)
+    stored
+      .join(affectedIds.withColumnRenamed("query_id", "src"), Seq("src"), "left_anti")
+      .unionByName(fresh)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Incremental == rebuild: the oracle is the full-corpus edge replay
+    * (the q_knn_graph_incr / q_bm25_upsert discipline). */
+  val graphAnnUpsertSql: String = {
+    import VectorSql.{cosine => cos}
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asg AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |                       ORDER BY ${cos("e.embedding", "c.ce")} DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cent c),
+       |a1 AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn = 1),
+       |a2 AS (SELECT vec_id, embedding, cent_id FROM asg WHERE rn <= 2)
+       |SELECT src, dst FROM (
+       |  SELECT qa.vec_id AS src, ia.vec_id AS dst,
+       |    ROW_NUMBER() OVER (PARTITION BY qa.vec_id
+       |                       ORDER BY ROUND(${cos("ia.embedding", "qa.embedding")}, 6) DESC, ia.vec_id) AS rank
+       |  FROM a1 ia JOIN a2 qa ON ia.cent_id = qa.cent_id AND ia.vec_id <> qa.vec_id)
+       |WHERE rank <= $GraphAnnDegree ORDER BY src, dst""".stripMargin
   }
 
   /** Hierarchy dials for [[graphAnnHier]]: layer membership is
@@ -1028,7 +1113,8 @@ object GraphOps {
     "q_knn_graph_clusters" -> (knnGraphClusters _),
     "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)),
     "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)),
-    "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)))
+    "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)),
+    "q_graph_ann_upsert" -> (graphAnnUpsert _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
@@ -1042,5 +1128,6 @@ object GraphOps {
     "q_knn_graph_clusters" -> knnGraphClustersSql,
     "q_graph_ann" -> graphAnnSql,
     "q_graph_ann_hier" -> graphAnnHierSql,
-    "q_graph_ann_batch" -> graphAnnBatchSql)
+    "q_graph_ann_batch" -> graphAnnBatchSql,
+    "q_graph_ann_upsert" -> graphAnnUpsertSql)
 }

@@ -155,6 +155,35 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("q_graph_ann_upsert: unaffected queries keep their stored edges; the invalidation set is non-vacuous") {
+    import org.apache.spark.sql.functions.col
+    val isNew = col("vec_id") % GraphOps.AnnUpsertMod === GraphOps.AnnUpsertRes
+    val asg = GraphOps.ivfTop2Assignments(spark, sfDir)
+    // the invalidation set must be PROPER on this data, or the pass-through
+    // assertion below is vacuous (everything recomputed)
+    val touched = asg.filter(isNew && col("rn") === 1)
+      .select("cent_id").distinct().collect().map(_.getLong(0)).toSet
+    val allBuckets = asg.filter(col("rn") === 1)
+      .select("cent_id").distinct().collect().map(_.getLong(0)).toSet
+    withClue(s"touched $touched of $allBuckets:") {
+      touched.size should be < allBuckets.size
+    }
+    // batch ids never collide with the seed centroids
+    GraphOps.AnnUpsertRes should be >= 16
+
+    val stored = GraphOps.graphAnnEdges(asg.filter(!isNew)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val affected = asg.filter(col("rn") <= 2 &&
+        (col("cent_id").isInCollection(touched) || isNew))
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    val incr = GraphOps.graphAnnUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (recomputed, passedThrough) = incr.partition(e => affected(e._1))
+    passedThrough should not be empty
+    passedThrough.toSet shouldBe stored.filterNot(e => affected(e._1))
+    recomputed should not be empty
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
