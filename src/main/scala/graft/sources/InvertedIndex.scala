@@ -55,6 +55,27 @@ object InvertedIndex {
   private def marker(base: String) =
     Paths.get(base, IndexName, "_text_index.json")
 
+  /** Doc-length sidecar (doc_id, dl) — one long per doc, the Lucene
+    * norms-file analog. It exists so a DELETE by id can decrement the
+    * exact-integer corpus stats without scanning postings (a doc's
+    * length is unreachable from a term-partitioned layout without a full
+    * scan). Maintained at build, appended by upsert, pruned by vacuum. */
+  private def lensPathOf(layout: Layout): String =
+    Paths.get(layout.dataPath).getParent.resolve("lens").toString
+
+  /** Doc-level tombstones (doc_id) — the Lucene deleted-docs discipline:
+    * a delete writes ids here (batch-proportional metadata), the read
+    * path masks them, vacuum folds them into the physical layout. */
+  private def tombDirOf(layout: Layout): java.nio.file.Path =
+    Paths.get(layout.dataPath).getParent.resolve("deletes")
+
+  private def hasParquet(dir: java.nio.file.Path): Boolean =
+    Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.anyMatch(p => p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+
   private def bucketCol(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
@@ -90,6 +111,7 @@ object InvertedIndex {
         .coalesce(1).write.mode("overwrite").parquet(layout.statsPath)
       postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
         .coalesce(1).write.mode("overwrite").parquet(layout.dictPath)
+      lens.coalesce(1).write.mode("overwrite").parquet(lensPathOf(layout))
       postings
         .withColumn("tbucket", bucketCol(col("w")))
         // one task per bucket value → one file per partition directory
@@ -125,11 +147,37 @@ object InvertedIndex {
     import spark.implicits._
     val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
       .distinct().as[Long].collect().toSeq
-    val post = spark.read.parquet(layout.dataPath)
+    // term-filtered postings BEFORE tombstone/exclusion masking: the df
+    // correction below must count every stored posting of a query term,
+    // exactly as the dict's df counted them at build
+    val post0 = spark.read.parquet(layout.dataPath)
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    // pending DELETES (doc-level tombstones, the Lucene deleted-docs
+    // read path): mask tombstoned postings from ranking, and correct each
+    // SCANNED term's df by its tombstoned-posting count — exact within
+    // the pruned scan, because ALL postings of a term live in its term
+    // bucket (df is per-term knowledge, and the scan reads the whole
+    // term). Corpus stats (n, total_dl) were decremented exactly at
+    // delete time from the lens sidecar, so every statistic this query
+    // serves equals a from-scratch rebuild over the reduced corpus —
+    // the incremental==rebuild contract, pre-vacuum.
+    val tombOpt =
+      if (hasParquet(tombDirOf(layout)))
+        Some(spark.read.parquet(tombDirOf(layout).toString).select(col("doc_id")))
+      else None
+    val post = tombOpt
+      .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(post0)
       .filter(excludeDoc.map(col("doc_id") =!= _).getOrElse(lit(true)))
-    val dict = spark.read.parquet(layout.dictPath)
+    val dict0 = spark.read.parquet(layout.dictPath)
       .filter(col("w").isin(terms: _*))
+    val dict = tombOpt.map { t =>
+      val dead = post0.join(broadcast(t), Seq("doc_id"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
+      dict0.join(dead, Seq("w"), "left")
+        .select(col("w"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+    }.getOrElse(dict0)
     // avgdl = exact-long total / exact-long count, ONE double division —
     // the same value avg(dl) produces (Spark and DuckDB both sum integer
     // dl exactly and divide once), so oracle parity is preserved
@@ -175,6 +223,9 @@ object InvertedIndex {
     * At 100 TB the dict rewrite shards by the same term hash as the
     * postings; everything else is already new-batch-proportional. */
   def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit = {
+    // backfill BEFORE the posting append: a pre-sidecar index derives its
+    // lens from the stored postings, which must not yet include this batch
+    ensureLens(spark, layout)
     val (postings, lens) = postingsOf(docs)
     val newPost = postings.withColumn("tbucket", bucketCol(col("w")))
       .localCheckpoint(eager = true) // consumed twice: data append + df delta
@@ -191,6 +242,126 @@ object InvertedIndex {
       .select((col("n") + d.getLong(0)).as("n"),
         (col("total_dl") + d.getLong(1)).as("total_dl"))
     stagedSwap(mergedStats.coalesce(1), layout.statsPath)
+    // lens follows the corpus: the batch's (doc_id, dl) rows append, so a
+    // later DELETE of an upserted doc finds its length
+    lens.coalesce(1).write.mode("append").parquet(lensPathOf(layout))
+  }
+
+  /** Backfill the doc-length sidecar for an index built before it existed:
+    * dl rides denormalized on every posting, so one column-pruned scan +
+    * distinct recovers the exact per-doc lengths (one-time, deterministic
+    * — every doc has ≥1 posting because even empty text tokenizes to a
+    * single empty-string term). */
+  private def ensureLens(spark: SparkSession, layout: Layout): Unit = {
+    val lensPath = Paths.get(lensPathOf(layout))
+    if (!hasParquet(lensPath))
+      spark.read.parquet(layout.dataPath)
+        .select(col("doc_id"), col("dl")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(lensPath.toString)
+  }
+
+  /** Incremental DOCUMENT DELETE — the lexical twin of
+    * [[IndexCatalog.tombstone]], completing the maintenance symmetry
+    * between the two retrieval indexes (the vector index has
+    * delete+vacuum+CDC; before this the inverted index was add-only).
+    * A term-partitioned layout cannot cheaply reach a doc's postings by
+    * id, so deletes follow the Lucene deleted-docs discipline instead of
+    * the partition-rewrite one:
+    *  - tombstones: the batch's ids APPEND to `deletes/` — I/O ∝ batch
+    *  - stats: (n, total_dl) decrement EXACTLY via the lens sidecar
+    *    (pushed-down id join — batch-proportional), so avgdl equals a
+    *    from-scratch rebuild's immediately, no FP drift
+    *  - postings and dict stay untouched; the read path masks tombstoned
+    *    postings and corrects each scanned term's df exactly
+    *    ([[bm25Over]]), and [[vacuum]] folds the tombstones into the
+    *    physical layout when their read-time cost outgrows a rewrite
+    * Ids with no live lens row (never indexed, or already tombstoned) are
+    * dropped — a delete is idempotent and never double-decrements.
+    * Re-adding a deleted doc_id via [[upsertDocs]] is NOT masked (the
+    * tombstone hides only the OLD postings' rows... which are
+    * indistinguishable from re-added ones by id alone) — id reuse under
+    * pending tombstones needs the versioned discipline
+    * ([[IndexCatalog.upsertInto]]'s versionCol); callers vacuum first. */
+  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit = {
+    ensureLens(spark, layout)
+    val tombDir = tombDirOf(layout)
+    val existing =
+      if (hasParquet(tombDir)) spark.read.parquet(tombDir.toString)
+      else spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    val lens = spark.read.parquet(lensPathOf(layout))
+    val fresh = ids.select(col("doc_id")).distinct()
+      .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(lens, Seq("doc_id")) // only docs actually in the index
+      .localCheckpoint(eager = true)
+    val d = fresh.agg(count(lit(1)).as("dn"),
+      coalesce(sum(col("dl")), lit(0L)).as("ddl")).head()
+    if (d.getLong(0) > 0L) {
+      val mergedStats = spark.read.parquet(layout.statsPath)
+        .select((col("n") - d.getLong(0)).as("n"),
+          (col("total_dl") - d.getLong(1)).as("total_dl"))
+      stagedSwap(mergedStats.coalesce(1), layout.statsPath)
+      fresh.select(col("doc_id")).coalesce(1)
+        .write.mode("append").parquet(tombDir.toString)
+    }
+  }
+
+  /** Fold pending tombstones into the physical layout — the lexical
+    * [[IndexCatalog.vacuumTombstones]]: after this, the index is
+    * bit-identical to a from-scratch build over the reduced corpus and
+    * the read path pays zero masking cost.
+    *  - postings: ONE column-pruned discovery scan finds the dead rows;
+    *    only their tbucket partitions rewrite (dynamic partition
+    *    overwrite, directories the rewrite emptied removed explicitly —
+    *    the [[IndexCatalog]] overwritePartitions discipline)
+    *  - dict: term-level df decrements from the dead postings' counts,
+    *    staged swap; terms whose every doc died drop entirely (a rebuild
+    *    would never see them)
+    *  - lens: tombstoned docs drop, restoring the invariant that lens
+    *    rows == docs contributing to stats (so a post-vacuum delete of a
+    *    re-added id decrements correctly)
+    *  - `deletes/` clears — stats were already exact at delete time
+    * Cost: the discovery scan reads (doc_id, tbucket[, w]) of the whole
+    * posting store (the upsertInto honest-cost note applies — at true
+    * 100 TB a doc→tbucket-footprint sidecar would make discovery ∝
+    * batch); the REWRITE is ∝ the touched term buckets only. */
+  def vacuum(spark: SparkSession, layout: Layout): Unit = {
+    import spark.implicits._
+    val tombDir = tombDirOf(layout)
+    if (!hasParquet(tombDir)) return
+    val tomb = spark.read.parquet(tombDir.toString).select(col("doc_id"))
+      .localCheckpoint(eager = true)
+    val post = spark.read.parquet(layout.dataPath)
+    val dead = post.join(broadcast(tomb), Seq("doc_id"))
+      .select(col("tbucket"), col("w"))
+      .localCheckpoint(eager = true) // postings of the deleted docs only
+    val touched = dead.select(col("tbucket")).distinct().as[Long].collect().sorted.toIndexedSeq
+    if (touched.nonEmpty) {
+      val survivors = post.filter(col("tbucket").isin(touched: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("tbucket"))
+        .localCheckpoint(eager = true) // cut lineage off the files being overwritten
+      val written = survivors.select(col("tbucket")).distinct().as[Long].collect().toSet
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tbucket").parquet(layout.dataPath)
+      // dynamic overwrite skips partitions absent from the output — a
+      // bucket whose every posting died keeps its stale directory unless
+      // removed explicitly
+      touched.filterNot(written.contains).foreach { b =>
+        Maintenance.deleteRecursively(
+          Paths.get(layout.dataPath).resolve(s"tbucket=$b"))
+      }
+      val ddf = dead.groupBy(col("w")).agg(count(lit(1)).as("ddf"))
+      val mergedDict = spark.read.parquet(layout.dictPath)
+        .join(ddf, Seq("w"), "left")
+        .select(col("w"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0L)
+      stagedSwap(mergedDict.coalesce(1), layout.dictPath)
+    }
+    val mergedLens = spark.read.parquet(lensPathOf(layout))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    stagedSwap(mergedLens.coalesce(1), lensPathOf(layout))
+    Maintenance.deleteRecursively(tombDir)
   }
 
   /** Write `df` beside `destPath`, then swap directories — the reader
@@ -213,13 +384,7 @@ object InvertedIndex {
     * full rebuild must agree bit-for-bit (df, n, and avgdl all shift
     * with the new docs, so a stale or drifting stat fails the hash). */
   def bm25Upsert(spark: SparkSession, dir: String): DataFrame = {
-    ensure(spark, dir)
-    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-upsert"))
-    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
-    val layout = Layout(
-      cloneRoot.resolve("data").toString,
-      cloneRoot.resolve("dict").toString,
-      cloneRoot.resolve("stats").toString)
+    val layout = cloneIndex(spark, dir, "bm25-upsert")
     val newDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") < UpsertSrcCount)
       .select((col("doc_id") + UpsertIdOffset).as("doc_id"), col("text"))
@@ -293,13 +458,7 @@ object InvertedIndex {
     * grown corpus all agree bit-for-bit (df, n, avgdl all shift with
     * the new docs — a stale or drifting stat fails the hash). */
   def streamBm25Upsert(spark: SparkSession, dir: String): DataFrame = {
-    ensure(spark, dir)
-    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-stream-upsert"))
-    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
-    val layout = Layout(
-      cloneRoot.resolve("data").toString,
-      cloneRoot.resolve("dict").toString,
-      cloneRoot.resolve("stats").toString)
+    val layout = cloneIndex(spark, dir, "bm25-stream-upsert")
     val newDocs = Tables.documents(spark, dir)
       .filter(col("doc_id") < UpsertSrcCount)
       .select((col("doc_id") + UpsertIdOffset).as("doc_id"), col("text"))
@@ -319,6 +478,65 @@ object InvertedIndex {
     } finally q.stop()
     bm25Over(spark, layout)
   }
+
+  /** Deterministic delete set for the declared lifecycle queries:
+    * doc_id ≡ 4 (mod 9) below 400 — 44 docs at every SF (documents run
+    * 0..499 / 0..4999), enough to shift n, avgdl, and the query terms'
+    * dfs so a stale statistic fails the oracle hash. */
+  val DeleteMod = 9
+  val DeleteRes = 4
+  val DeleteMax = 400
+
+  private def deleteSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % DeleteMod === DeleteRes && col("doc_id") < DeleteMax)
+      .select(col("doc_id"))
+
+  private def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout = {
+    ensure(spark, dir)
+    val cloneRoot = Paths.get(graft.Scratch.dir(tag))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
+    Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+  }
+
+  /** Q-bm25-delete: incremental DOCUMENT DELETE end-to-end — clone the
+    * shared warm index, tombstone the [[deleteSet]] via [[deleteDocs]]
+    * (id append + exact stats decrement, nothing else touched), and serve
+    * the fixed BM25 query through the tombstone-masking read path. The
+    * oracle rebuilds from scratch over the REDUCED corpus — n, avgdl,
+    * per-term df, and the ranking must all agree bit-for-bit while the
+    * dead postings are still physically present, proving the read-time
+    * corrections exact (not approximations awaiting vacuum). */
+  def bm25Delete(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "bm25-delete")
+    deleteDocs(spark, layout, deleteSet(spark, dir))
+    bm25Over(spark, layout)
+  }
+
+  /** Q-bm25-vacuum: the full delete lifecycle — delete, then [[vacuum]]
+    * (touched-bucket rewrite + dict/lens fold + tombstone clear), then
+    * serve through the PLAIN pruned-scan plan (no tombstones left to
+    * mask — the query plan is q_bm25_indexed's again). Same oracle as
+    * q_bm25_delete: masking reads and physical compaction must land on
+    * the identical from-scratch state. */
+  def bm25Vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "bm25-vacuum")
+    deleteDocs(spark, layout, deleteSet(spark, dir))
+    vacuum(spark, layout)
+    bm25Over(spark, layout)
+  }
+
+  // the oracle replays the reduced corpus and re-derives every statistic
+  // from scratch — incremental delete (masked reads) and vacuum
+  // (physical rewrite) must both equal the rebuild
+  val bm25DeleteSql: String = TextOps.bm25Sql
+    .replace("WITH toks AS",
+      s"WITH d2 AS (SELECT doc_id, text FROM documents " +
+        s"WHERE NOT (doc_id % $DeleteMod = $DeleteRes AND doc_id < $DeleteMax)),\ntoks AS")
+    .replace("FROM documents)", "FROM d2)")
 
   /** Rank depth each hybrid arm retrieves before fusion. */
   val HybridArmK = 100
@@ -481,6 +699,8 @@ object InvertedIndex {
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
+    "q_bm25_delete" -> (bm25Delete _),
+    "q_bm25_vacuum" -> (bm25Vacuum _),
     "q_hybrid_indexed" -> (hybridIndexed _))
 
   // q_bm25_indexed: same oracle as q_bm25 — the persisted term-bucketed
@@ -492,5 +712,10 @@ object InvertedIndex {
     "q_bm25_indexed" -> TextOps.bm25Sql,
     "q_bm25_upsert" -> bm25UpsertSql,
     "q_stream_bm25_upsert" -> bm25UpsertSql,
+    // q_bm25_delete/q_bm25_vacuum share one oracle: masked reads over
+    // pending tombstones and the post-vacuum physical layout must both
+    // equal the from-scratch rebuild over the reduced corpus
+    "q_bm25_delete" -> bm25DeleteSql,
+    "q_bm25_vacuum" -> bm25DeleteSql,
     "q_hybrid_indexed" -> hybridIndexedSql)
 }

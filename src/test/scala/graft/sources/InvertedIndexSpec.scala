@@ -109,6 +109,115 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe statsAfter
   }
 
+  test("q_bm25_delete (masked reads) and q_bm25_vacuum (physical rewrite) serve the identical ranking") {
+    val masked = InvertedIndex.bm25Delete(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val compacted = InvertedIndex.bm25Vacuum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    masked.toSeq shouldBe compacted.toSeq
+    // the delete actually changed the ranking vs the base index (the
+    // delete set intersects the query terms' postings at this corpus)
+    val base = InvertedIndex.bm25Indexed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    masked.toSeq should not be base.toSeq
+  }
+
+  test("deleteDocs is idempotent and ignores ids the index never held") {
+    import org.apache.spark.sql.functions.col
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-del-idem"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    def stats() = spark.read.parquet(layout.statsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ids = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, layout, ids)
+    val afterFirst = stats()
+    // re-delivered delete: already-tombstoned ids must not double-decrement
+    InvertedIndex.deleteDocs(spark, layout, ids)
+    stats() shouldBe afterFirst
+    // ids outside the corpus: a strict no-op
+    val ghosts = ids.select((col("doc_id") + 77000000L).as("doc_id"))
+    InvertedIndex.deleteDocs(spark, layout, ghosts)
+    stats() shouldBe afterFirst
+  }
+
+  test("vacuum folds tombstones into a state internally consistent with a from-scratch build") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-vac"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val ids = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 3).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, layout, ids)
+    InvertedIndex.vacuum(spark, layout)
+    // tombstones cleared; dead postings physically gone
+    Files.exists(cloneRoot.resolve("deletes")) shouldBe false
+    val post = spark.read.parquet(layout.dataPath)
+    post.join(ids, Seq("doc_id"), "left_semi").count() shouldBe 0L
+    // dict == df recomputed from the surviving postings, bit-for-bit
+    val fromData = post.groupBy(col("w")).agg(count(lit(1)).as("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    spark.read.parquet(layout.dictPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe fromData
+    // stats n == surviving doc count (lens and postings agree with it)
+    val n = spark.read.parquet(layout.statsPath).head().getLong(0)
+    post.agg(countDistinct(col("doc_id"))).head().getLong(0) shouldBe n
+    spark.read.parquet(
+      cloneRoot.resolve("lens").toString).count() shouldBe n
+    // a post-vacuum delete of an already-deleted id is a no-op (lens pruned)
+    val statsBefore = spark.read.parquet(layout.statsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    InvertedIndex.deleteDocs(spark, layout, ids)
+    spark.read.parquet(layout.statsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe statsBefore
+  }
+
+  test("delete of an upserted doc decrements exactly (lens follows the corpus)") {
+    import org.apache.spark.sql.functions.col
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-ups-del"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val base = spark.read.parquet(layout.statsPath).head()
+    val newDocs = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 4)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.upsertDocs(spark, layout, newDocs)
+    InvertedIndex.deleteDocs(spark, layout,
+      newDocs.filter(col("doc_id") === InvertedIndex.UpsertIdOffset)
+        .select(col("doc_id")))
+    val after = spark.read.parquet(layout.statsPath).head()
+    // n grew by 4 then shrank by 1; total_dl shrank by exactly doc 0's length
+    after.getLong(0) shouldBe base.getLong(0) + 3
+    val dl0 = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(col("text")), "\\s+")))
+      .head().getInt(0)
+    after.getLong(1) shouldBe base.getLong(1) +
+      newDocs.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(col("text")), "\\s+")).as("dl"))
+        .agg(org.apache.spark.sql.functions.sum(col("dl"))).head().getLong(0) - dl0
+  }
+
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
