@@ -60,10 +60,11 @@ object PqIndex {
     * cut is what lets the per-subspace dot products sum to the full-vector
     * cosine. Subvectors are stored float: the codebook is itself a lossy
     * 8-bit structure, so float precision is not the error floor. */
-  private[operators] def subvectors(emb: DataFrame): DataFrame = {
-    val subs = array((0 until M).map(m =>
-      struct(lit(m).as("sub_id"),
-        slice(col("nv"), m * SubDim + 1, SubDim).cast("array<float>").as("sv"))): _*)
+  private[operators] def subvectors(emb: DataFrame, m: Int = M,
+                                    subDim: Int = SubDim): DataFrame = {
+    val subs = array((0 until m).map(mm =>
+      struct(lit(mm).as("sub_id"),
+        slice(col("nv"), mm * subDim + 1, subDim).cast("array<float>").as("sv"))): _*)
     emb.withColumn("nv", normalize(col("embedding")))
       .select(col("vec_id"), explode(subs).as("s"))
       .select(col("vec_id"), col("s.sub_id").as("sub_id"), col("s.sv").as("sv"))
@@ -88,15 +89,16 @@ object PqIndex {
     * discipline, including the per-iteration `localCheckpoint` lineage
     * cut. Training reads only the [[TrainCap]]-vector sample; seeds are
     * the first K vectors' subvectors (deterministic). */
-  def trainCodebooks(emb: DataFrame): DataFrame = {
+  def trainCodebooks(emb: DataFrame, m: Int = M,
+                     subDim: Int = SubDim): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sample = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(TrainCap)
-    val sv = subvectors(sample).localCheckpoint(true)
-    var cb = subvectors(emb.filter(col("vec_id") < K))
+    val sv = subvectors(sample, m, subDim).localCheckpoint(true)
+    var cb = subvectors(emb.filter(col("vec_id") < K), m, subDim)
       .select(col("sub_id"), col("vec_id").as("cent_id"), col("sv").as("c_sv"))
       .localCheckpoint(true)
-    val mean = new graft.api.Typed.VectorMean(SubDim).toColumn
+    val mean = new graft.api.Typed.VectorMean(subDim).toColumn
     for (_ <- 1 to TrainIters) {
       val next = assignSv(sv, cb)
         .as[(Int, Long, Array[Float])]
@@ -114,13 +116,14 @@ object PqIndex {
     * collected once per build like the ADC LUT. Clusters Lloyd dropped
     * (empty assignment) fill with +∞ coordinates: no vector can select
     * them, and no stored code references them. */
-  def collectCodebook(cb: DataFrame): Array[Double] = {
-    val flat = Array.fill(M * K * SubDim)(Double.PositiveInfinity)
+  def collectCodebook(cb: DataFrame, m: Int = M,
+                      subDim: Int = SubDim): Array[Double] = {
+    val flat = Array.fill(m * K * subDim)(Double.PositiveInfinity)
     cb.collect().foreach { r =>
-      val base = (r.getAs[Int]("sub_id") * K + r.getAs[Long]("cent_id").toInt) * SubDim
+      val base = (r.getAs[Int]("sub_id") * K + r.getAs[Long]("cent_id").toInt) * subDim
       val sv = r.getSeq[Float](r.fieldIndex("c_sv"))
       var d = 0
-      while (d < SubDim) { flat(base + d) = sv(d).toDouble; d += 1 }
+      while (d < subDim) { flat(base + d) = sv(d).toDouble; d += 1 }
     }
     flat
   }
@@ -131,10 +134,11 @@ object PqIndex {
     * this is the index-build job whose output persists next to the vectors
     * ([[graft.sources.IndexCatalog]] would carry `code` as just another
     * column), and it moves zero rows. */
-  def encode(emb: DataFrame, codebook: DataFrame): DataFrame =
+  def encode(emb: DataFrame, codebook: DataFrame, m: Int = M,
+             subDim: Int = SubDim): DataFrame =
     emb.select(col("vec_id"),
       PqEncode.encode(VectorFunctions.normalize(col("embedding")),
-        collectCodebook(codebook), M, K, SubDim).as("code"))
+        collectCodebook(codebook, m, subDim), m, K, subDim).as("code"))
 
   /** The per-query ADC lookup table as a LITERAL array column: the dot
     * product of each QUERY subvector against every centroid — M·K = 128
