@@ -879,6 +879,72 @@ object GraphOps {
        |WHERE rank <= $GraphAnnDegree ORDER BY src, dst""".stripMargin
   }
 
+  /** Delete batch for [[graphAnnDelete]]: vec_id ≡ 31 (mod 50) leaves the
+    * corpus (disjoint from the upsert batch's residue; ≥ 16, so a seed
+    * centroid never deletes out from under the quantizer it defines —
+    * centroid retirement is the rebuild path, as in every IVF system). */
+  val AnnDeleteMod = 50
+  val AnnDeleteRes = 31
+
+  /** Q-graph-ann-delete: NODE DELETION maintenance for the serving graph —
+    * the [[graphAnnUpsert]] story completed for the other direction of
+    * churn (a CDC feed carries deletes too). On a delete batch:
+    *
+    *  1. Dead srcs: stored edge lists of deleted nodes drop (src-keyed
+    *     anti-join — id pairs, no vectors).
+    *  2. AFFECTED srcs = stored nodes with ≥1 DELETED dst — the EXACT
+    *     invalidation set, and tighter than the upsert's bucket-level one:
+    *     deletion only REMOVES candidates, and removing a candidate that
+    *     never made the top-[[GraphAnnDegree]] list cannot change the
+    *     list (relative order of survivors is removal-invariant under the
+    *     deterministic score/vec_id tie-break). So exactly the srcs whose
+    *     stored list lost a member re-rank; everyone else passes through
+    *     bit-identically.
+    *  3. Recompute affected srcs through the SAME decomposed build join
+    *     ([[graphAnnEdgesFrom]]) with both sides restricted to live
+    *     nodes — incremental == rebuild over the reduced corpus is a
+    *     construction property, and the oracle states it directly.
+    *
+    * Scale shape: the affected-set discovery is one semi-join of the
+    * stored EDGE frame (two id columns, column-pruned) against the
+    * broadcast dead-id batch; the recompute is the per-bucket-quadratic
+    * join restricted query-side to the affected srcs — proportional to
+    * the deleted nodes' in-degree (graph churn), never the corpus. The
+    * honest cost note from [[graft.sources.IndexCatalog.upsertInto]]
+    * applies to discovery: a dst-keyed reverse-edge sidecar would make
+    * it ∝ batch at true 100 TB. */
+  def graphAnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val isDead = col("vec_id") % AnnDeleteMod === AnnDeleteRes
+    val asgFull = ivfTop2Assignments(spark, dir)
+    // the edge frame a deployment has on disk: built over the full corpus
+    val stored = graphAnnEdges(asgFull).localCheckpoint(eager = true)
+    val deadIds = asgFull.filter(isDead && col("rn") === 1)
+      .select(col("vec_id")).localCheckpoint(eager = true)
+    val affected = stored
+      .join(broadcast(deadIds.withColumnRenamed("vec_id", "dst")), Seq("dst"))
+      .select(col("src")).distinct()
+      .localCheckpoint(eager = true)
+    val live = asgFull.filter(!isDead)
+    val fresh = graphAnnEdgesFrom(
+      live.filter(col("rn") === 1),
+      annQside(live).join(
+        affected.withColumnRenamed("src", "query_id"), "query_id"),
+      GraphAnnDegree)
+    stored
+      .join(broadcast(deadIds.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
+      .join(broadcast(affected), Seq("src"), "left_anti")
+      .unionByName(fresh)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Incremental == rebuild over the REDUCED corpus: the full-corpus edge
+    * replay with the deleted residue filtered at the base (the
+    * [[graphAnnUpsertSql]] CTE chain over the surviving nodes — seed
+    * centroids all survive by construction). */
+  val graphAnnDeleteSql: String = graphAnnUpsertSql.replace(
+    "FROM embeddings e, cent c)",
+    s"FROM embeddings e, cent c WHERE e.vec_id % $AnnDeleteMod <> $AnnDeleteRes)")
+
   /** Hierarchy dials for [[graphAnnHier]]: layer membership is
     * DETERMINISTIC id arithmetic (vec_id ≡ 0 mod 8 → layer 1, mod 64 →
     * layer 2 — the geometric level assignment of an HNSW insert without
@@ -1114,7 +1180,8 @@ object GraphOps {
     "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)),
     "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)),
     "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)),
-    "q_graph_ann_upsert" -> (graphAnnUpsert _))
+    "q_graph_ann_upsert" -> (graphAnnUpsert _),
+    "q_graph_ann_delete" -> (graphAnnDelete _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
@@ -1129,5 +1196,6 @@ object GraphOps {
     "q_graph_ann" -> graphAnnSql,
     "q_graph_ann_hier" -> graphAnnHierSql,
     "q_graph_ann_batch" -> graphAnnBatchSql,
-    "q_graph_ann_upsert" -> graphAnnUpsertSql)
+    "q_graph_ann_upsert" -> graphAnnUpsertSql,
+    "q_graph_ann_delete" -> graphAnnDeleteSql)
 }

@@ -184,6 +184,37 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     recomputed should not be empty
   }
 
+  test("q_graph_ann_delete: incremental equals rebuild over the reduced corpus; invalidation is proper") {
+    import org.apache.spark.sql.functions.col
+    val isDead = col("vec_id") % GraphOps.AnnDeleteMod === GraphOps.AnnDeleteRes
+    val asg = GraphOps.ivfTop2Assignments(spark, sfDir)
+    // the strongest claim directly: the src-keyed pass-through + affected
+    // recompute lands on the exact edge set a from-scratch build over the
+    // surviving nodes produces
+    val rebuild = GraphOps.graphAnnEdges(asg.filter(!isDead)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = GraphOps.graphAnnDelete(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    incr.toSet shouldBe rebuild
+    // no output edge references a deleted node, in either position
+    val dead = asg.filter(isDead && col("rn") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    dead should not be empty // or everything below is vacuous
+    incr.foreach { case (s, d) =>
+      dead should not contain s
+      dead should not contain d
+    }
+    // the invalidation set is PROPER: some stored srcs pass through
+    // untouched (deletion's exact set — srcs that lost a list member —
+    // is a strict subset on this data)
+    val stored = GraphOps.graphAnnEdges(asg).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val affected = stored.filter(e => dead(e._2)).map(_._1).toSet
+    affected should not be empty
+    val passThrough = stored.map(_._1).toSet -- affected -- dead
+    passThrough should not be empty
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
