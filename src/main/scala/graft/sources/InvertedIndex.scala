@@ -538,6 +538,116 @@ object InvertedIndex {
         s"WHERE NOT (doc_id % $DeleteMod = $DeleteRes AND doc_id < $DeleteMax)),\ntoks AS")
     .replace("FROM documents)", "FROM d2)")
 
+  /** CDC transitions for [[streamBm25Cdc]]: two delete residues chosen
+    * incompatible mod 7 (21k+6 ≡ 6, 35k+10 ≡ 3), so the two batches'
+    * delete sets are provably disjoint; adds are id-offset twins of docs
+    * 0..9 split across the batches, with the FIRST added doc deleted
+    * again by batch 2 (the add-then-delete cross-trigger transition). */
+  val CdcDelMod1 = 21
+  val CdcDelRes1 = 6
+  val CdcDelMod2 = 35
+  val CdcDelRes2 = 10
+  val CdcAddCount = 10
+
+  /** One lexical CDC trigger (`op` ∈ {U, D} — the Debezium shape the
+    * vector index's [[graft.streaming.VectorStream]] CDC consumes, now
+    * consumable by the text index too): in-batch LWW dedup (content-hash
+    * tie-break — a retry picks the same winner), DELETES first through
+    * [[deleteDocs]] (tombstone append + exact stats decrement), then
+    * ADDS through [[upsertDocs]]; the whole trigger behind the same
+    * `_stream_commits/<batchId>` marker as [[applyStreamBatch]], so a
+    * redelivered micro-batch is a no-op. One driver action (op counts
+    * over the checkpointed frame) decides both branches — the
+    * applyCdcBatch per-trigger-job discipline. Id REUSE under a pending
+    * tombstone (delete then re-add before vacuum) is out of contract
+    * exactly as [[deleteDocs]] documents — versioned reuse is
+    * [[IndexCatalog.upsertInto]]'s discipline; CDC feeds here vacuum
+    * before reusing ids. */
+  private[graft] def applyCdcBatch(layout: Layout, batch: DataFrame,
+                                   batchId: Long): Unit = {
+    val commits = Paths.get(layout.dataPath).getParent.resolve("_stream_commits")
+    Files.createDirectories(commits)
+    val marker = commits.resolve(batchId.toString)
+    if (!Files.exists(marker)) {
+      val resolved = graft.operators.Upsert.lastWriteWins(
+          batch.withColumn("version", lit(0L)), Seq("doc_id"), "version",
+          tieBreak = Seq(xxhash64(col("text"), col("op"))))
+        .drop("version")
+        .localCheckpoint(true)
+      val opCounts = resolved.groupBy(col("op")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val spark = batch.sparkSession
+      if (opCounts.contains("D"))
+        deleteDocs(spark, layout,
+          resolved.filter(col("op") === "D").select(col("doc_id")))
+      if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0)
+        upsertDocs(spark, layout,
+          resolved.filter(col("op") =!= "D").select(col("doc_id"), col("text")))
+      Files.writeString(marker, "")
+    }
+  }
+
+  /** Q-stream-bm25-cdc: the FULL lexical changelog lifecycle — one CDC
+    * stream of mixed upserts and deletes maintained against a cloned
+    * warm index over two micro-batch triggers, a terminal [[vacuum]]
+    * folding the tombstones physically, and the fixed BM25 query served
+    * from the end state. The transitions exercised: plain adds, plain
+    * deletes (both batches, provably disjoint sets), and add-then-delete
+    * across triggers. With this, ONE CDC feed maintains all four index
+    * artifacts the engine ships — the vector index (q_stream_cdc), the
+    * inverted index (here), the mutual kNN graph and the serving graph
+    * (q_knn_graph_incr / q_graph_ann_upsert / q_graph_ann_delete).
+    *
+    * The oracle states the flat end state (the q_stream_cdc discipline):
+    * a from-scratch rebuild over (documents − both delete sets) ∪ (the
+    * adds that survived) — streaming apply, tombstone masking, and
+    * vacuum must be invisible in the result. */
+  def streamBm25Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "bm25-cdc")
+    val docs = Tables.documents(spark, dir)
+    val twins = docs.filter(col("doc_id") < CdcAddCount)
+      .select((col("doc_id") + UpsertIdOffset).as("doc_id"), col("text"))
+    val half = UpsertIdOffset + CdcAddCount / 2
+    val b1 = twins.filter(col("doc_id") < half)
+      .withColumn("op", lit("U"))
+      .unionByName(docs
+        .filter(col("doc_id") % CdcDelMod1 === CdcDelRes1)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("D")))
+    val b2 = twins.filter(col("doc_id") >= half)
+      .withColumn("op", lit("U"))
+      .unionByName(docs
+        .filter(col("doc_id") % CdcDelMod2 === CdcDelRes2)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("D")))
+      .unionByName(twins.filter(col("doc_id") === UpsertIdOffset)
+        .withColumn("op", lit("D")))
+    val staged = graft.Scratch.dir("bm25-cdc-in")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.streaming.DocStream.stampAscendingMtimes(staged)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(layout, batch, batchId)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.streaming.TriggerStats.record("q_stream_bm25_cdc", q)
+    } finally q.stop()
+    vacuum(spark, layout)
+    bm25Over(spark, layout)
+  }
+
+  val streamBm25CdcSql: String = TextOps.bm25Sql
+    .replace("WITH toks AS",
+      s"WITH d2 AS (SELECT doc_id, text FROM documents " +
+        s"WHERE NOT (doc_id % $CdcDelMod1 = $CdcDelRes1 " +
+        s"OR doc_id % $CdcDelMod2 = $CdcDelRes2) " +
+        s"UNION ALL SELECT doc_id + $UpsertIdOffset AS doc_id, text " +
+        s"FROM documents WHERE doc_id < $CdcAddCount AND doc_id <> 0),\ntoks AS")
+    .replace("FROM documents)", "FROM d2)")
+
   /** Rank depth each hybrid arm retrieves before fusion. */
   val HybridArmK = 100
   /** The RRF rank discount constant (Cormack et al.'s k=60). */
@@ -701,6 +811,7 @@ object InvertedIndex {
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
     "q_bm25_delete" -> (bm25Delete _),
     "q_bm25_vacuum" -> (bm25Vacuum _),
+    "q_stream_bm25_cdc" -> (streamBm25Cdc _),
     "q_hybrid_indexed" -> (hybridIndexed _))
 
   // q_bm25_indexed: same oracle as q_bm25 — the persisted term-bucketed
@@ -717,5 +828,8 @@ object InvertedIndex {
     // equal the from-scratch rebuild over the reduced corpus
     "q_bm25_delete" -> bm25DeleteSql,
     "q_bm25_vacuum" -> bm25DeleteSql,
+    // flat end-state oracle (the q_stream_cdc discipline): streaming
+    // apply, tombstone masking, and vacuum must be invisible
+    "q_stream_bm25_cdc" -> streamBm25CdcSql,
     "q_hybrid_indexed" -> hybridIndexedSql)
 }

@@ -218,6 +218,38 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
         .agg(org.apache.spark.sql.functions.sum(col("dl"))).head().getLong(0) - dl0
   }
 
+  test("q_stream_bm25_cdc: streamed changelog equals the same ops applied as one-shot batch calls") {
+    import org.apache.spark.sql.functions.col
+    val streamed = InvertedIndex.streamBm25Cdc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // replay the identical transitions through the BATCH API on a fresh
+    // clone: add all ten twins, delete both residue sets plus the first
+    // twin, vacuum, serve
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-cdc-batch"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val docs = graft.Tables.documents(spark, sfDir)
+    InvertedIndex.upsertDocs(spark, layout,
+      docs.filter(col("doc_id") < InvertedIndex.CdcAddCount)
+        .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+          col("text")))
+    InvertedIndex.deleteDocs(spark, layout,
+      docs.filter(col("doc_id") % InvertedIndex.CdcDelMod1 === InvertedIndex.CdcDelRes1 ||
+          col("doc_id") % InvertedIndex.CdcDelMod2 === InvertedIndex.CdcDelRes2)
+        .select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") === 0)
+          .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"))))
+    InvertedIndex.vacuum(spark, layout)
+    val batch = InvertedIndex.bm25Over(spark, layout).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    streamed.toSeq shouldBe batch.toSeq
+  }
+
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
