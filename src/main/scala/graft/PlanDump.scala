@@ -100,7 +100,19 @@ object PlanDump {
     // round-12 third wave: the LSH/banding frontiers (same single-pass
     // sweep shape) and the batched graph walk (per-query WindowGroupLimit
     // frontiers over one shared edge frame)
-    "q_lsh_tune", "q_band_tune", "q_graph_ann_batch")
+    "q_lsh_tune", "q_band_tune", "q_graph_ann_batch",
+    // the serving-graph maintenance plan: src-keyed anti-join pass-through
+    // + affected-only recompute on the bucketed merge join
+    "q_graph_ann_upsert",
+    // the lexical delete read path: pruned term-bucket scan + broadcast
+    // tombstone anti-join + exact in-scan df correction
+    "q_bm25_delete",
+    // the PQ frontier: one exact pair pass reused, broadcast LUT-frame
+    // ADC scoring, WindowGroupLimit shortlists
+    "q_pq_tune",
+    // the graph delete: src-keyed pass-through anti-joins + affected-only
+    // recompute, mirrored from the upsert plan
+    "q_graph_ann_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
