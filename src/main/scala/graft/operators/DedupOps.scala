@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Shared oracle CTE: distinct word-3gram shingles per doc. */
-  private val shinglesCte =
+  /** Shared oracle CTE: distinct word-3gram shingles per doc (also the
+    * relevance-truth base of [[FusionTune]]'s oracle). */
+  private[operators] val shinglesCte =
     """toks AS (SELECT doc_id, trim(text) AS tt,
       |                regexp_split_to_array(trim(text), '\s+') AS t
       |         FROM documents),

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the hybrid fusion frontier (value correctness is
+  * oracle-gated — q_fusion_tune hash-matches DuckDB end-to-end including
+  * the truth derivation and both arms).
+  *
+  * Theorem gates: the ladder/chosen contract and the MRR range (best
+  * reciprocal rank is 1). Measured gates (the IvfTuneSpec discipline)
+  * state the frontier's reason to exist on THIS corpus: the near-dup
+  * retrieval task is entirely lexical — gram-BM25 ranks every query's
+  * true duplicate first, the text-independent synthetic embeddings
+  * measure ≈0, and every RRF mix pays measurable dilution for fusing in
+  * the noise arm (the hard-coded k=60 default costs ~2/3 of attainable
+  * MRR here — exactly the adjudication this sweep exists to automate). */
+class FusionTuneSpec extends SparkSpecBase with Matchers {
+
+  private lazy val rows = FusionTune.fusionTune(spark, sfDir).collect()
+  private def mrr(cfg: String): Double =
+    rows.find(_.getAs[String]("config") == cfg).get.getAs[Double]("mrr")
+
+  test("one row per config in ladder order; MRR within [0, 1]; hits within the block") {
+    rows.map(_.getAs[String]("config")).toSeq shouldBe
+      FusionTune.Configs.map(_._2)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mrr")
+      m should (be >= 0.0 and be <= 1.0)
+      r.getAs[Long]("n_hit") should be <= r.getAs[Long]("n_q")
+      if (m > 0.0) r.getAs[Long]("n_hit") should be > 0L
+    }
+  }
+
+  test("chosen is the first ladder entry attaining the maximum MRR") {
+    val best = rows.map(_.getAs[Double]("mrr")).max
+    val firstBest = rows.filter(_.getAs[Double]("mrr") == best)
+      .map(_.getAs[Int]("ord")).min
+    rows.filter(_.getAs[Boolean]("chosen"))
+      .map(_.getAs[Int]("ord")).toSeq shouldBe Seq(firstBest)
+  }
+
+  test("measured: the near-dup task is lexical — gram-BM25 is perfect, the dense arm is noise") {
+    mrr("lex") shouldBe 1.0
+    mrr("dense") should be < 0.1
+    // every query found its duplicate through the lexical arm
+    val lexRow = rows.find(_.getAs[String]("config") == "lex").get
+    lexRow.getAs[Long]("n_hit") shouldBe lexRow.getAs[Long]("n_q")
+  }
+
+  test("measured: fusing in a noise arm dilutes, and more so at larger k") {
+    // RRF with a random arm cannot beat the good arm alone; smaller k
+    // (stronger top-rank emphasis) preserves more of the lexical signal
+    mrr("lex") should be > mrr("rrf10")
+    mrr("rrf10") should be > mrr("rrf60")
+    mrr("rrf60") should be >= mrr("rrf240")
+    mrr("rrf60") should be > mrr("dense")
+  }
+}
