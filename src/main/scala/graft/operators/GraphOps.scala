@@ -842,21 +842,44 @@ object GraphOps {
     // the edge frame a deployment has on disk: built before the batch
     val stored = graphAnnEdges(asgFull.filter(!isNew))
       .localCheckpoint(eager = true)
-    // ≤16 touched bucket ids — metadata, not data
-    val touched = asgFull.filter(isNew && col("rn") === 1)
-      .select(col("cent_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val affectedIds = asgFull
-      .filter(col("rn") <= 2 && (col("cent_id").isin(touched: _*) || isNew))
-      .select(col("vec_id").as("query_id")).distinct()
-    val fresh = graphAnnEdgesFrom(
-      asgFull.filter(col("rn") === 1),
-      annQside(asgFull).join(affectedIds, "query_id"),
-      GraphAnnDegree)
-    stored
-      .join(affectedIds.withColumnRenamed("query_id", "src"), Seq("src"), "left_anti")
-      .unionByName(fresh)
+    graphAnnApplyUpsert(asgFull, stored,
+      asgFull.filter(isNew && col("rn") === 1).select(col("vec_id")))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** The upsert maintenance CORE as a DELTA, parameterized by the
+    * post-arrival assignment state and the batch's id frame — shared
+    * verbatim by the declared q_graph_ann_upsert and the streaming
+    * changelog sink ([[streamGraphCdc]]), so batch and streamed
+    * maintenance cannot desynchronize. Returns (dropSrcs — srcs whose
+    * stored lists are superseded, fresh — their recomputed lists).
+    * `asgState` must cover members ∪ batch. */
+  private def upsertDelta(asgState: DataFrame,
+                          newIds: DataFrame): (DataFrame, DataFrame) = {
+    // ≤16 touched bucket ids — metadata, not data
+    val touched = asgState
+      .join(broadcast(newIds), Seq("vec_id"))
+      .filter(col("rn") === 1)
+      .select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val affectedIds = asgState
+      .filter(col("rn") <= 2 && col("cent_id").isin(touched: _*))
+      .select(col("vec_id"))
+      .unionByName(newIds)
+      .distinct()
+      .withColumnRenamed("vec_id", "query_id")
+      .localCheckpoint(eager = true)
+    val fresh = graphAnnEdgesFrom(
+      asgState.filter(col("rn") === 1),
+      annQside(asgState).join(affectedIds, "query_id"),
+      GraphAnnDegree)
+    (affectedIds.withColumnRenamed("query_id", "src"), fresh)
+  }
+
+  private def graphAnnApplyUpsert(asgState: DataFrame, stored: DataFrame,
+                                  newIds: DataFrame): DataFrame = {
+    val (drop, fresh) = upsertDelta(asgState, newIds)
+    stored.join(drop, Seq("src"), "left_anti").unionByName(fresh)
   }
 
   /** Incremental == rebuild: the oracle is the full-corpus edge replay
@@ -920,21 +943,37 @@ object GraphOps {
     val stored = graphAnnEdges(asgFull).localCheckpoint(eager = true)
     val deadIds = asgFull.filter(isDead && col("rn") === 1)
       .select(col("vec_id")).localCheckpoint(eager = true)
+    graphAnnApplyDelete(asgFull, stored, deadIds)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** The delete maintenance CORE as a DELTA, shared like
+    * [[upsertDelta]]. `asgState` covers the members BEFORE removal (dead
+    * included — the recompute side filters them out itself). dropSrcs =
+    * dead ∪ affected (srcs that lost a list member). */
+  private def deleteDelta(asgState: DataFrame, stored: DataFrame,
+                          deadIds: DataFrame): (DataFrame, DataFrame) = {
     val affected = stored
       .join(broadcast(deadIds.withColumnRenamed("vec_id", "dst")), Seq("dst"))
       .select(col("src")).distinct()
       .localCheckpoint(eager = true)
-    val live = asgFull.filter(!isDead)
+    val live = asgState
+      .join(broadcast(deadIds), Seq("vec_id"), "left_anti")
     val fresh = graphAnnEdgesFrom(
       live.filter(col("rn") === 1),
       annQside(live).join(
         affected.withColumnRenamed("src", "query_id"), "query_id"),
       GraphAnnDegree)
-    stored
-      .join(broadcast(deadIds.withColumnRenamed("vec_id", "src")), Seq("src"), "left_anti")
-      .join(broadcast(affected), Seq("src"), "left_anti")
-      .unionByName(fresh)
-      .orderBy(col("src"), col("dst"))
+    val drop = affected
+      .unionByName(deadIds.withColumnRenamed("vec_id", "src"))
+      .distinct()
+    (drop, fresh)
+  }
+
+  private def graphAnnApplyDelete(asgState: DataFrame, stored: DataFrame,
+                                  deadIds: DataFrame): DataFrame = {
+    val (drop, fresh) = deleteDelta(asgState, stored, deadIds)
+    stored.join(broadcast(drop), Seq("src"), "left_anti").unionByName(fresh)
   }
 
   /** Incremental == rebuild over the REDUCED corpus: the full-corpus edge
@@ -944,6 +983,141 @@ object GraphOps {
   val graphAnnDeleteSql: String = graphAnnUpsertSql.replace(
     "FROM embeddings e, cent c)",
     s"FROM embeddings e, cent c WHERE e.vec_id % $AnnDeleteMod <> $AnnDeleteRes)")
+
+  /** One graph changelog trigger (`op` ∈ {U, D}), against a PERSISTED
+    * edge store partitioned by the src's IVF STORAGE bucket — the same
+    * partition key the vector index itself uses, so graph churn
+    * localizes exactly like vector churn: an edge src→dst exists only
+    * between nodes sharing a top-2 bucket, hence every src the batch can
+    * affect lives in a bucket adjacent to the batch's memberships, and
+    * the rewrite is a touched-bucket dynamic overwrite (the
+    * IndexCatalog.overwritePartitions discipline, emptied dirs removed),
+    * never a full-graph rewrite. Deletes apply before adds (the lexical
+    * CDC ordering); the whole trigger is idempotent behind a
+    * `_stream_commits/<batchId>` marker. The members sidecar (the ids
+    * currently in the graph — metadata the primary vector index already
+    * holds) swaps whole per trigger like the inverted index's dict. */
+  private[operators] def applyGraphCdcBatch(root: java.nio.file.Path,
+                                            asgAll: DataFrame,
+                                            batch: DataFrame,
+                                            batchId: Long): Unit = {
+    import java.nio.file.Files
+    val spark = batch.sparkSession
+    val commits = root.resolve("_stream_commits")
+    Files.createDirectories(commits)
+    val marker = commits.resolve(batchId.toString)
+    if (Files.exists(marker)) return
+    val edgesPath = root.resolve("edges").toString
+    val membersPath = root.resolve("members").toString
+    var members = spark.read.parquet(membersPath)
+    val stored = spark.read.parquet(edgesPath)
+    val opCounts = batch.groupBy(col("op")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, DataFrame)]
+    if (opCounts.contains("D")) {
+      val dead = batch.filter(col("op") === "D").select(col("vec_id"))
+        .join(members, Seq("vec_id"), "left_semi") // only present ids
+        .localCheckpoint(eager = true)
+      val asgState = asgAll.join(broadcast(members), Seq("vec_id"), "left_semi")
+      deltas += deleteDelta(asgState, stored, dead)
+      members = members.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    }
+    if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
+      val fresh = batch.filter(col("op") =!= "D").select(col("vec_id"))
+        .join(members, Seq("vec_id"), "left_anti") // redelivered adds are inert
+        .localCheckpoint(eager = true)
+      members = members.unionByName(fresh).localCheckpoint(eager = true)
+      val asgState = asgAll.join(broadcast(members), Seq("vec_id"), "left_semi")
+      deltas += upsertDelta(asgState, fresh)
+    }
+    deltas.foreach { case (drop, freshEdges) =>
+      // touched partitions = the storage buckets of every changed src —
+      // collected as literal metadata (≤ #centroids), the probe-selection
+      // discipline; survivors scan only those directories
+      val a1 = asgAll.filter(col("rn") === 1)
+        .select(col("vec_id").as("src"), col("cent_id").cast("int").as("sbucket"))
+      val changed = drop.unionByName(freshEdges.select(col("src"))).distinct()
+        .join(a1, Seq("src"))
+      val touched = changed.select(col("sbucket")).distinct()
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
+      if (touched.nonEmpty) {
+        val current = spark.read.parquet(edgesPath)
+        val out = current
+          .filter(col("sbucket").isin(touched: _*))
+          .join(broadcast(drop), Seq("src"), "left_anti")
+          .select(col("src"), col("dst"), col("sbucket"))
+          .unionByName(freshEdges.join(a1, Seq("src"))
+            .select(col("src"), col("dst"), col("sbucket")))
+          .repartition(col("sbucket"))
+          .localCheckpoint(eager = true) // cut lineage off the overwritten files
+        val written = out.select(col("sbucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sbucket").parquet(edgesPath)
+        touched.filterNot(written.contains).foreach { b =>
+          graft.sources.Maintenance.deleteRecursively(
+            root.resolve("edges").resolve(s"sbucket=$b"))
+        }
+      }
+    }
+    val mem = members.localCheckpoint(eager = true)
+    mem.coalesce(1).write.mode("overwrite").parquet(membersPath + ".staged")
+    graft.sources.Maintenance.deleteRecursively(root.resolve("members"))
+    Files.move(root.resolve("members.staged"), root.resolve("members"))
+    Files.writeString(marker, "")
+  }
+
+  /** Q-stream-graph-cdc: the serving graph maintained from a CHANGELOG
+    * STREAM end-to-end — the [[graphAnnUpsert]]/[[graphAnnDelete]] cores
+    * (literally the same delta functions) driven by foreachBatch against
+    * a persisted, storage-bucket-partitioned edge store: trigger 1
+    * delivers the upsert batch (vec_id ≡ [[AnnUpsertRes]] mod 50
+    * arrives), trigger 2 the delete batch (≡ [[AnnDeleteRes]] leaves).
+    * End state = the full corpus minus the deleted residue, so the
+    * oracle is exactly [[graphAnnDeleteSql]] — two micro-batched
+    * incremental applications and a from-scratch rebuild over the final
+    * corpus must agree edge-for-edge. With this, every index artifact
+    * the engine ships has BOTH batch and streaming maintenance: vector
+    * index, inverted index, kNN graph, serving graph. */
+  def streamGraphCdc(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val isNew = col("vec_id") % AnnUpsertMod === AnnUpsertRes
+    val isDead = col("vec_id") % AnnDeleteMod === AnnDeleteRes
+    // the assignment frame is reused by every trigger — checkpoint once
+    val asgAll = ivfTop2Assignments(spark, dir).localCheckpoint(eager = true)
+    val root = Paths.get(graft.Scratch.dir("graph-cdc"))
+    val a1 = asgAll.filter(col("rn") === 1)
+      .select(col("vec_id").as("src"), col("cent_id").cast("int").as("sbucket"))
+    graphAnnEdges(asgAll.filter(!isNew))
+      .join(a1, Seq("src"))
+      .repartition(col("sbucket"))
+      .write.partitionBy("sbucket").parquet(root.resolve("edges").toString)
+    asgAll.filter(!isNew && col("rn") === 1).select(col("vec_id"))
+      .coalesce(1).write.parquet(root.resolve("members").toString)
+    val b1 = asgAll.filter(isNew && col("rn") === 1)
+      .select(col("vec_id")).withColumn("op", lit("U"))
+    val b2 = asgAll.filter(isDead && col("rn") === 1)
+      .select(col("vec_id")).withColumn("op", lit("D"))
+    val staged = graft.Scratch.dir("graph-cdc-in")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.streaming.DocStream.stampAscendingMtimes(staged)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyGraphCdcBatch(root, asgAll, batch, batchId)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.streaming.TriggerStats.record("q_stream_graph_cdc", q)
+    } finally q.stop()
+    spark.read.parquet(root.resolve("edges").toString)
+      .select(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst"))
+  }
 
   /** Hierarchy dials for [[graphAnnHier]]: layer membership is
     * DETERMINISTIC id arithmetic (vec_id ≡ 0 mod 8 → layer 1, mod 64 →
@@ -1181,7 +1355,8 @@ object GraphOps {
     "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)),
     "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)),
     "q_graph_ann_upsert" -> (graphAnnUpsert _),
-    "q_graph_ann_delete" -> (graphAnnDelete _))
+    "q_graph_ann_delete" -> (graphAnnDelete _),
+    "q_stream_graph_cdc" -> (streamGraphCdc _))
 
   def oracles: Map[String, String] = Map(
     "q_affinity" -> affinitySql,
@@ -1197,5 +1372,8 @@ object GraphOps {
     "q_graph_ann_hier" -> graphAnnHierSql,
     "q_graph_ann_batch" -> graphAnnBatchSql,
     "q_graph_ann_upsert" -> graphAnnUpsertSql,
-    "q_graph_ann_delete" -> graphAnnDeleteSql)
+    "q_graph_ann_delete" -> graphAnnDeleteSql,
+    // end state = full corpus minus the deleted residue (the upsert batch
+    // arrived in trigger 1) — the same reduced-corpus edge replay
+    "q_stream_graph_cdc" -> graphAnnDeleteSql)
 }

@@ -215,6 +215,21 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     passThrough should not be empty
   }
 
+  test("q_stream_graph_cdc: streamed changelog lands on the batch delete's end state, partitioned by storage bucket") {
+    import org.apache.spark.sql.functions.col
+    val streamed = GraphOps.streamGraphCdc(spark, sfDir)
+    val streamedSet = streamed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // end state = full corpus minus the deleted residue — exactly what
+    // the declared batch q_graph_ann_delete computes
+    val batchEnd = GraphOps.graphAnnDelete(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    streamedSet shouldBe batchEnd
+    // the persisted store is partitioned by the src's IVF storage bucket
+    // (the touched-bucket rewrite's partition key)
+    val plan = streamed.queryExecution.executedPlan.toString
+    plan should include ("sbucket")
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
