@@ -106,20 +106,29 @@ object PqTune {
   private def rankWindow =
     Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
 
-  /** One candidate's ADC shortlist for the whole block: train at m
-    * subspaces, encode, score every (query, code) pair map-side against
-    * the broadcast LUT frame, keep the per-query top-[[PqIndex.Shortlist]]. */
-  private[operators] def shortlistFor(spark: SparkSession, dir: String,
-                                      qs: DataFrame, m: Int): DataFrame = {
+  /** One candidate's ADC scores for every (query, vector) pair: train at
+    * m subspaces, encode, score map-side against the broadcast LUT frame
+    * — the block-scoring core shared with the joint IVF-PQ sweep
+    * ([[IvfPqTune]], which restricts the SAME scores to probed buckets). */
+  private[operators] def adcPairs(spark: SparkSession, dir: String,
+                                  qs: DataFrame, m: Int): DataFrame = {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
     val subDim = 64 / m
     val cb = PqIndex.trainCodebooks(emb, m, subDim)
-    val aw = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("vec_id"))
     PqIndex.encode(emb, cb, m, subDim)
       .crossJoin(broadcast(lutFrame(qs, cb, m, subDim)))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", adcScore(col("lut")))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+  }
+
+  /** One candidate's ADC shortlist for the whole block: the per-query
+    * top-[[PqIndex.Shortlist]] of [[adcPairs]]. */
+  private[operators] def shortlistFor(spark: SparkSession, dir: String,
+                                      qs: DataFrame, m: Int): DataFrame = {
+    val aw = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    adcPairs(spark, dir, qs, m)
       .withColumn("r", row_number().over(aw))
       .filter(col("r") <= PqIndex.Shortlist)
       .select(col("q_id"), col("vec_id"))
