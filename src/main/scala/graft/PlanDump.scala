@@ -112,7 +112,12 @@ object PlanDump {
     "q_pq_tune",
     // the graph delete: src-keyed pass-through anti-joins + affected-only
     // recompute, mirrored from the upsert plan
-    "q_graph_ann_delete")
+    "q_graph_ann_delete",
+    // the fusion frontier: one materialized candidate frame, five
+    // filter+window config evaluations
+    "q_fusion_tune",
+    // the joint IVF-PQ frontier: one pair frame, 20 filter+window cells
+    "q_ivfpq_tune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
