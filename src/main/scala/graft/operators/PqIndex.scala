@@ -311,7 +311,20 @@ object PqIndex {
         writeCodebook(f)
         f
       }
-    val q = emb.filter(col("vec_id") === 0)
+    ivfPqServe(spark, base, name, flat, cent, emb)
+  }
+
+  /** The steady-state IVF-PQ query against a persisted coded index:
+    * probe selection from the centroid table, pruned bucket load,
+    * driver-side ADC table from the STORED codebook, exact rerank of the
+    * shortlist against `corpus`. Shared by q_ivfpq_persisted and the
+    * maintenance query ([[ivfPqUpsert]]) so the served plan is literally
+    * one path. */
+  private def ivfPqServe(spark: SparkSession, base: String, name: String,
+                         flat: Array[Double], cent: DataFrame,
+                         corpus: DataFrame): DataFrame = {
+    import graft.sources.IndexCatalog
+    val q = corpus.filter(col("vec_id") === 0)
     val qVec = q.select(col("embedding")).head().getSeq[Float](0).toArray
     val qn = KnnSearch.withNorm(
       q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
@@ -327,14 +340,74 @@ object PqIndex {
         round(col("approx_dot"), 6).as("approx_dot"))
     val qSide = q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
     KnnSearch.topK(
-      KnnSearch.withNorm(emb).join(broadcast(shortlist), Seq("vec_id")),
+      KnnSearch.withNorm(corpus).join(broadcast(shortlist), Seq("vec_id")),
       qSide, 10, keep = Seq("cent_id", "approx_dot"))
+  }
+
+  /** Upsert batch for [[ivfPqUpsert]]: id-offset twins of vectors
+    * 0..[[UpsertCount]]-1 (the established re-key-past-the-domain
+    * derivation; vec 0's twin is an identical vector, so the served
+    * top-10 visibly and deterministically changes — rank 1 at exact
+    * cosine 1.0). */
+  val UpsertCount = 10
+  val UpsertIdOffset = 2000000L
+
+  /** Q-ivfpq-upsert: MAINTENANCE for the CODED index — the one persisted
+    * artifact that had none (vector CDC maintains the plain IVF layout;
+    * the PQ-coded twin adds a stored `code` column that must stay
+    * consistent with the PERSISTED codebook). The batch path: assign
+    * each new vector its storage bucket (same centroid arithmetic as the
+    * build) and encode it with the codebook READ FROM THE INDEX — never
+    * retrained, so stored codes stay mutually comparable and the ADC
+    * table a query derives matches every row old or new. Codebook drift
+    * under sustained churn is the retrain loop's business (q_ivf_drift →
+    * rebuild → q_nprobe_tune_trained re-measurement), exactly as in
+    * FAISS deployments: add_with_ids encodes against the trained
+    * quantizer, retraining is an offline rebuild.
+    *
+    * Mechanics: clone the shared cached index (lifecycle discipline),
+    * [[graft.sources.IndexCatalog.upsertInto]] merges the encoded batch
+    * (touched-partition dynamic overwrite — I/O ∝ the batch's bucket
+    * footprint), and the serve is literally [[ivfPqServe]] over the
+    * grown corpus. Rows-only like every PQ query (k-means); the spec
+    * gates incremental == rebuild-with-the-same-codebook bit-for-bit,
+    * untouched-partition preservation, and the twin-of-0 rank-1
+    * contract. */
+  def ivfPqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IndexCatalog, Maintenance}
+    import java.nio.file.{Files, Paths}
+    // warm the shared cache (build + persisted codebook), then clone it
+    ivfPqPersisted(spark, dir).collect()
+    val name = "emb-ivfpq-bucketed"
+    val cloneBase = graft.Scratch.dir("ivfpq-upsert")
+    Maintenance.copyTree(
+      Paths.get(IndexCatalog.cacheBase(dir), name),
+      Paths.get(cloneBase, name))
+    val flat = Files.readString(Paths.get(cloneBase, name, "pq_codebook.txt"))
+      .split(",").map(_.toDouble)
+    val emb = Tables.embeddings(spark, dir)
+    val cent = KnnSearch.withNorm(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val twins = emb.filter(col("vec_id") < UpsertCount)
+      .select((col("vec_id") + UpsertIdOffset).as("vec_id"),
+        col("embedding"), col("label"))
+    val batch = IvfIndex.assign(KnnSearch.withNorm(twins), cent)
+      .withColumnRenamed("cent_id", "bucket")
+      .drop("vec_norm")
+      .withColumn("code", PqEncode.encode(
+        VectorFunctions.normalize(col("embedding")), flat, M, K, SubDim))
+    IndexCatalog.upsertInto(spark, cloneBase, name, batch, "vec_id")
+    ivfPqServe(spark, cloneBase, name, flat, cent,
+      emb.unionByName(twins))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_knn" -> (pqKnn _),
     "q_ivfpq_knn" -> (ivfPqKnn _),
-    "q_ivfpq_persisted" -> (ivfPqPersisted _))
+    "q_ivfpq_persisted" -> (ivfPqPersisted _),
+    "q_ivfpq_upsert" -> (ivfPqUpsert _))
 
   /** Iterative k-means has no SQL twin — rows-only by design; recall,
     * determinism, and code shape are gated by PqIndexSpec. */

@@ -66,4 +66,62 @@ class PqIndexSpec extends SparkSpecBase with Matchers {
     val mem = PqIndex.ivfPqKnn(spark, sfDir).collect().map(_.toString)
     disk shouldBe mem
   }
+
+  test("q_ivfpq_upsert: twin of the query vector lands at rank 1 and the shared cache stays untouched") {
+    import java.nio.file.{Files, Paths}
+    PqIndex.ivfPqPersisted(spark, sfDir).collect()
+    val cacheData = Paths.get(graft.sources.IndexCatalog.cacheBase(sfDir),
+      "emb-ivfpq-bucketed", "data")
+    val before = Files.getLastModifiedTime(cacheData)
+    val rows = PqIndex.ivfPqUpsert(spark, sfDir).collect()
+    Files.getLastModifiedTime(cacheData) shouldBe before
+    rows should have length 10
+    // vec 0's twin is an identical vector: exact rerank must rank it first
+    rows.head.getAs[Long]("vec_id") shouldBe PqIndex.UpsertIdOffset
+    rows.head.getAs[Double]("score") shouldBe 1.0 +- 1e-6
+  }
+
+  test("incremental coded upsert equals a rebuild with the same codebook, bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{IndexCatalog, Maintenance}
+    PqIndex.ivfPqPersisted(spark, sfDir).collect()
+    val name = "emb-ivfpq-bucketed"
+    val cloneBase = graft.Scratch.dir("ivfpq-upsert-spec")
+    Maintenance.copyTree(
+      Paths.get(IndexCatalog.cacheBase(sfDir), name),
+      Paths.get(cloneBase, name))
+    val flat = Files.readString(
+      Paths.get(cloneBase, name, "pq_codebook.txt")).split(",").map(_.toDouble)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val cent = KnnSearch.withNorm(
+      emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_embedding")),
+      "c_embedding").withColumnRenamed("vec_norm", "c_norm")
+    val twins = emb.filter(col("vec_id") < PqIndex.UpsertCount)
+      .select((col("vec_id") + PqIndex.UpsertIdOffset).as("vec_id"),
+        col("embedding"), col("label"))
+    val batch = IvfIndex.assign(KnnSearch.withNorm(twins), cent)
+      .withColumnRenamed("cent_id", "bucket")
+      .drop("vec_norm")
+      .withColumn("code", graft.functions.PqEncode.encode(
+        graft.functions.VectorFunctions.normalize(col("embedding")),
+        flat, PqIndex.M, PqIndex.K, PqIndex.SubDim))
+    IndexCatalog.upsertInto(spark, cloneBase, name, batch, "vec_id")
+    // rebuild over the grown corpus with the SAME stored codebook: the
+    // incremental state must match on every (vec_id, bucket, code)
+    val rebuilt = IvfIndex.assign(KnnSearch.withNorm(emb.unionByName(twins)), cent)
+      .withColumnRenamed("cent_id", "bucket")
+      .withColumn("code", graft.functions.PqEncode.encode(
+        graft.functions.VectorFunctions.normalize(col("embedding")),
+        flat, PqIndex.M, PqIndex.K, PqIndex.SubDim))
+      .select(col("vec_id"), col("bucket"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Byte](2).toSeq)).toSet
+    val stored = IndexCatalog.load(spark, cloneBase, name)
+      .select(col("vec_id"), col("bucket").cast("long"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Byte](2).toSeq)).toSet
+    stored shouldBe rebuilt
+  }
 }
