@@ -117,7 +117,10 @@ object PlanDump {
     // filter+window config evaluations
     "q_fusion_tune",
     // the joint IVF-PQ frontier: one pair frame, 20 filter+window cells
-    "q_ivfpq_tune")
+    "q_ivfpq_tune",
+    // the fusion deployment: pruned gram-bucket scan + broadcast block
+    // features, exact-integer ranking
+    "q_fusion_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

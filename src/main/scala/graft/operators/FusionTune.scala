@@ -267,9 +267,110 @@ object FusionTune {
        |FROM sweep2 ORDER BY ord""".stripMargin
   }
 
+  /** Deterministic serve block (the ANN-tune sampling discipline applied
+    * to doc ids). */
+  val ServeSampleMod = 37
+  val ServeSampleRes = 5
+
+  /** The gram-postings index the chosen config serves from. */
+  val GramIndexName = "docs-gram-inverted"
+
+  def ensureGramIndex(spark: SparkSession, dir: String): graft.sources.InvertedIndex.Layout =
+    graft.sources.InvertedIndex.ensureWith(spark, dir, GramIndexName,
+      t => Dedup.shingles3(t))
+
+  /** Q-fusion-serve: the DEPLOYMENT of what q_fusion_tune measured — the
+    * chosen config (pure lexical gram-BM25; the tune showed fusing in
+    * the no-signal dense arm only dilutes) served for a query block from
+    * a PERSISTED gram-postings index. This is near-dup retrieval as a
+    * service ("find my duplicates for these docs"): the word index
+    * answers keyword queries (q_bm25_indexed), the gram index answers
+    * similarity queries, both through ONE build/merge pipeline
+    * ([[graft.sources.InvertedIndex.ensureWith]] — same layout, same
+    * maintenance story).
+    *
+    * Serving shape: the block's gram features and their df-capped
+    * dictionary rows are collected/broadcast metadata (block-bounded);
+    * the posting scan is partition-pruned to the block grams' tbuckets
+    * and feature-joined against the broadcast — cost ∝ the block's rare
+    * grams' posting lists (each ≤ [[MaxDf]] docs BY THE CAP), corpus-
+    * size-independent. At a production vocabulary the bucket fanout
+    * grows with the term space so a small block's tbucket filter stays
+    * selective (the TermBuckets sizing note). Scoring is the tune's
+    * exact-integer arm (floor(s·1e9) long sums), so ranks — and the
+    * rounded output score — replay bit-for-bit in DuckDB. */
+  def fusionServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val layout = ensureGramIndex(spark, dir)
+    val qt = Tables.documents(spark, dir)
+      .filter(col("doc_id") % ServeSampleMod === ServeSampleRes)
+      .select(col("doc_id").as("q_id"),
+        explode(Dedup.shingles3(col("text"))).as("w"))
+      .localCheckpoint(eager = true) // block features: bounded metadata
+    val buckets = qt
+      .select(graft.sources.InvertedIndex.bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().toIndexedSeq
+    val post = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(buckets: _*))
+    // the block grams' dictionary rows under the tune's hot-gram cap —
+    // tiny by construction (≤ block grams), broadcast into the scan
+    val dictQ = spark.read.parquet(layout.dictPath)
+      .filter(col("df") <= MaxDf)
+      .join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
+    val stats = spark.read.parquet(layout.statsPath)
+      .select(col("n"),
+        (col("total_dl").cast("double") / col("n").cast("double")).as("avgdl"))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("ls").desc, col("doc_id"))
+    post.join(broadcast(dictQ), Seq("w"))
+      .join(broadcast(qt), Seq("w"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("si", floor(col("s") * 1e9))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("si")).as("ls"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("doc_id"), col("rank"),
+        round(col("ls").cast("double") / 1e9, 6).as("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The oracle re-derives the gram index from raw text and replays the
+    * serve: same features, same cap, same quantized sums, same ranking. */
+  val fusionServeSql: String =
+    s"""WITH ${DedupOps.shinglesCte},
+       |ex0 AS MATERIALIZED (SELECT doc_id, unnest(grams) AS w FROM sh),
+       |lens AS (SELECT doc_id, len(grams) AS dl FROM sh),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM ex0 GROUP BY 1, 2),
+       |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w
+       |        HAVING COUNT(*) <= $MaxDf),
+       |qt AS (SELECT doc_id AS q_id, w FROM ex0
+       |       WHERE doc_id % $ServeSampleMod = $ServeSampleRes),
+       |contrib AS (SELECT qt.q_id, tf.doc_id,
+       |    CAST(FLOOR((ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl))) * 1000000000.0) AS BIGINT) AS si
+       |  FROM qt JOIN tf USING (w) JOIN dfq USING (w)
+       |  JOIN lens ON lens.doc_id = tf.doc_id CROSS JOIN stats
+       |  WHERE tf.doc_id <> qt.q_id),
+       |ls AS (SELECT q_id, doc_id, SUM(si) AS ls FROM contrib GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, doc_id, ls,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |                       ORDER BY ls DESC, doc_id) AS rank FROM ls)
+       |SELECT q_id, doc_id, rank,
+       |  ROUND(CAST(ls AS DOUBLE) / 1000000000.0, 6) AS score
+       |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fusion_tune" -> (fusionTune _))
+    "q_fusion_tune" -> (fusionTune _),
+    "q_fusion_serve" -> (fusionServe _))
 
   def oracles: Map[String, String] = Map(
-    "q_fusion_tune" -> fusionTuneSql)
+    "q_fusion_tune" -> fusionTuneSql,
+    "q_fusion_serve" -> fusionServeSql)
 }

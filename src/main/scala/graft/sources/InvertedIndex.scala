@@ -52,9 +52,6 @@ object InvertedIndex {
 
   val IndexName = "docs-inverted"
 
-  private def marker(base: String) =
-    Paths.get(base, IndexName, "_text_index.json")
-
   /** Doc-length sidecar (doc_id, dl) — one long per doc, the Lucene
     * norms-file analog. It exists so a DELETE by id can decrement the
     * exact-integer corpus stats without scanning postings (a doc's
@@ -76,7 +73,7 @@ object InvertedIndex {
       finally s.close()
     }
 
-  private def bucketCol(term: org.apache.spark.sql.Column) =
+  private[graft] def bucketCol(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
   /** The index's on-disk locations. */
@@ -84,25 +81,41 @@ object InvertedIndex {
 
   /** Postings + doc-length frame for a batch of documents — the one
     * tokenize pipeline build and upsert share (a drift between them would
-    * silently corrupt df/tf merges). */
-  private def postingsOf(docs: DataFrame): (DataFrame, DataFrame) = {
-    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    * silently corrupt df/tf merges). The feature extractor is a
+    * parameter so the WORD index (`docs-inverted`, BM25 keyword search)
+    * and the GRAM index (`docs-gram-inverted`, near-dup retrieval — the
+    * q_fusion_tune-chosen arm served) ride one build/merge pipeline. */
+  private def postingsOfWith(docs: DataFrame,
+                             tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"), tok(col("text")).as("t"))
     val lens = toks.select(col("doc_id"), size(col("t")).as("dl"))
     val tf = toks.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     (tf.join(lens, "doc_id"), lens)
   }
 
+  private def postingsOf(docs: DataFrame): (DataFrame, DataFrame) =
+    postingsOfWith(docs, t => split(trim(t), "\\s+"))
+
   /** Build the index if absent. */
-  def ensure(spark: SparkSession, dir: String): Layout = {
+  def ensure(spark: SparkSession, dir: String): Layout =
+    ensureWith(spark, dir, IndexName, t => split(trim(t), "\\s+"))
+
+  private def markerOf(base: String, name: String) =
+    Paths.get(base, name, "_text_index.json")
+
+  private[graft] def ensureWith(spark: SparkSession, dir: String, name: String,
+                                tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Layout = {
     val base = IndexCatalog.cacheBase(dir)
     val layout = Layout(
-      Paths.get(base, IndexName, "data").toString,
-      Paths.get(base, IndexName, "dict").toString,
-      Paths.get(base, IndexName, "stats").toString)
-    if (!Files.exists(marker(base))) {
-      Files.createDirectories(Paths.get(base, IndexName))
-      val (postings, lens) = postingsOf(Tables.documents(spark, dir))
+      Paths.get(base, name, "data").toString,
+      Paths.get(base, name, "dict").toString,
+      Paths.get(base, name, "stats").toString)
+    if (!Files.exists(markerOf(base, name))) {
+      Files.createDirectories(Paths.get(base, name))
+      val (postings, lens) = postingsOfWith(Tables.documents(spark, dir), tok)
       // (n, total_dl), NOT (n, avgdl): the average is one double division
       // away, and storing the EXACT integer total is what lets an upsert
       // update the stats incrementally without FP drift (n·avgdl does not
@@ -118,8 +131,8 @@ object InvertedIndex {
         // (the createIfAbsent small-files discipline)
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket").parquet(layout.dataPath)
-      Files.writeString(marker(base),
-        s"""{"name": "$IndexName", "kind": "inverted", "buckets": $TermBuckets}""")
+      Files.writeString(markerOf(base, name),
+        s"""{"name": "$name", "kind": "inverted", "buckets": $TermBuckets}""")
     }
     layout
   }

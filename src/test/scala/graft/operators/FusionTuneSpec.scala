@@ -48,6 +48,41 @@ class FusionTuneSpec extends SparkSpecBase with Matchers {
     lexRow.getAs[Long]("n_hit") shouldBe lexRow.getAs[Long]("n_q")
   }
 
+  test("q_fusion_serve: partition-pruned gram index, sane rankings, planted dups surface at rank 1") {
+    import org.apache.spark.sql.functions.col
+    val df = FusionTune.fusionServe(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the posting scan reads only the block grams' bucket directories
+    plan should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
+    val rows = df.collect()
+    rows should not be empty
+    // per query: ranks are 1..k, scores descend, self never returned
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      sorted.map(_.getAs[Int]("rank")).toSeq shouldBe (1 to g.length)
+      val scores = sorted.map(_.getAs[Double]("score"))
+      scores.zip(scores.tail).foreach { case (a, b) => b should be <= a }
+      g.map(_.getLong(1)) should not contain q
+    }
+    // the tune's finding, served: every truth-pair partner of a block
+    // member ranks FIRST (measured precondition: the block intersects
+    // the planted dups on this corpus — assert non-vacuously only then)
+    val truth = Dedup.ngramJaccardPairs(
+        graft.Tables.documents(spark, sfDir), 0.8, maxDf = FusionTune.MaxDf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val partnersByQ = truth
+      .filter(_._1 % FusionTune.ServeSampleMod == FusionTune.ServeSampleRes)
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val top1 = rows.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    partnersByQ.foreach { case (q, dups) =>
+      withClue(s"query $q, planted dups $dups:") {
+        dups should contain(top1(q))
+      }
+    }
+  }
+
   test("measured: fusing in a noise arm dilutes, and more so at larger k") {
     // RRF with a random arm cannot beat the good arm alone; smaller k
     // (stronger top-rank emphasis) preserves more of the lexical signal
