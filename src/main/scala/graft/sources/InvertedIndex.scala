@@ -235,11 +235,16 @@ object InvertedIndex {
     *    build over the grown corpus would
     * At 100 TB the dict rewrite shards by the same term hash as the
     * postings; everything else is already new-batch-proportional. */
-  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit = {
+  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame,
+                 tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                   t => split(trim(t), "\\s+")): Unit = {
     // backfill BEFORE the posting append: a pre-sidecar index derives its
     // lens from the stored postings, which must not yet include this batch
+    // (the tokenizer must match the index's build tokenizer — word for
+    // docs-inverted, shingles for docs-gram-inverted; deleteDocs and
+    // vacuum are feature-agnostic and need no parameter)
     ensureLens(spark, layout)
-    val (postings, lens) = postingsOf(docs)
+    val (postings, lens) = postingsOfWith(docs, tok)
     val newPost = postings.withColumn("tbucket", bucketCol(col("w")))
       .localCheckpoint(eager = true) // consumed twice: data append + df delta
     newPost.repartition(col("tbucket"))

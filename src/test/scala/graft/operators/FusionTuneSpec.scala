@@ -83,6 +83,39 @@ class FusionTuneSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("gram-index lifecycle: tokenizer-matched upsert + delete + vacuum stays internally consistent") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    import graft.sources.{IndexCatalog, InvertedIndex, Maintenance}
+    FusionTune.ensureGramIndex(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("gram-lifecycle"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      FusionTune.GramIndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val twins = docs.filter(col("doc_id") < 3)
+      .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+    // upsert MUST use the index's build tokenizer (gram shingles)
+    InvertedIndex.upsertDocs(spark, layout, twins, t => Dedup.shingles3(t))
+    val post1 = spark.read.parquet(layout.dataPath)
+    post1.filter(col("doc_id") === 9000001L).count() should be > 0L
+    InvertedIndex.deleteDocs(spark, layout,
+      twins.filter(col("doc_id") === 9000000L).select(col("doc_id")))
+    InvertedIndex.vacuum(spark, layout)
+    val post = spark.read.parquet(layout.dataPath)
+    post.filter(col("doc_id") === 9000000L).count() shouldBe 0L
+    // dict == df recomputed from surviving postings; stats n == doc count
+    val fromData = post.groupBy(col("w")).agg(count(lit(1)).as("df")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    spark.read.parquet(layout.dictPath).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq shouldBe fromData
+    val n = spark.read.parquet(layout.statsPath).head().getLong(0)
+    post.agg(countDistinct(col("doc_id"))).head().getLong(0) shouldBe n
+  }
+
   test("measured: fusing in a noise arm dilutes, and more so at larger k") {
     // RRF with a random arm cannot beat the good arm alone; smaller k
     // (stronger top-rank emphasis) preserves more of the lexical signal
