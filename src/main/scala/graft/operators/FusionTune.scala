@@ -113,8 +113,15 @@ object FusionTune {
     val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
     val tf = toks.select(col("doc_id"), explode(col("t")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val qids2 = qids.withColumnRenamed("q_id", "doc_id")
+    // restrict the df-capped dictionary to the BLOCK's features before it
+    // goes anywhere near a broadcast: dfq alone is vocabulary-sized at
+    // scale (every rare gram), while the block's slice is bounded by the
+    // block's gram count — the q_fusion_serve dictQ discipline
     val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxDf)
+      .join(broadcast(tf.join(broadcast(qids2), "doc_id")
+        .select(col("w")).distinct()), Seq("w"))
     val post = tf.join(broadcast(dfq), "w")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))

@@ -1018,7 +1018,9 @@ object GraphOps {
       val dead = batch.filter(col("op") === "D").select(col("vec_id"))
         .join(members, Seq("vec_id"), "left_semi") // only present ids
         .localCheckpoint(eager = true)
-      val asgState = asgAll.join(broadcast(members), Seq("vec_id"), "left_semi")
+      // members is corpus-sized — a plain semi-join, never a broadcast
+      // (only the BATCH-sized frames ride broadcast hints here)
+      val asgState = asgAll.join(members, Seq("vec_id"), "left_semi")
       deltas += deleteDelta(asgState, stored, dead)
       members = members.join(broadcast(dead), Seq("vec_id"), "left_anti")
     }
@@ -1027,7 +1029,7 @@ object GraphOps {
         .join(members, Seq("vec_id"), "left_anti") // redelivered adds are inert
         .localCheckpoint(eager = true)
       members = members.unionByName(fresh).localCheckpoint(eager = true)
-      val asgState = asgAll.join(broadcast(members), Seq("vec_id"), "left_semi")
+      val asgState = asgAll.join(members, Seq("vec_id"), "left_semi")
       deltas += upsertDelta(asgState, fresh)
     }
     deltas.foreach { case (drop, freshEdges) =>
