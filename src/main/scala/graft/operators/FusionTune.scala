@@ -306,9 +306,16 @@ object FusionTune {
     * selective (the TermBuckets sizing note). Scoring is the tune's
     * exact-integer arm (floor(s·1e9) long sums), so ranks — and the
     * rounded output score — replay bit-for-bit in DuckDB. */
-  def fusionServe(spark: SparkSession, dir: String): DataFrame = {
+  def fusionServe(spark: SparkSession, dir: String): DataFrame =
+    fusionServeOver(spark, dir, ensureGramIndex(spark, dir))
+
+  /** The serve body against an arbitrary gram-index layout — shared by
+    * the steady-state query and the lifecycle query ([[gramUpsert]]), so
+    * both serve through literally the same plan (the bm25Over
+    * discipline). */
+  private def fusionServeOver(spark: SparkSession, dir: String,
+                              layout: graft.sources.InvertedIndex.Layout): DataFrame = {
     import spark.implicits._
-    val layout = ensureGramIndex(spark, dir)
     val qt = Tables.documents(spark, dir)
       .filter(col("doc_id") % ServeSampleMod === ServeSampleRes)
       .select(col("doc_id").as("q_id"),
@@ -373,11 +380,57 @@ object FusionTune {
        |  ROUND(CAST(ls AS DOUBLE) / 1000000000.0, 6) AS score
        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Q-gram-upsert: the gram index's LIFECYCLE as a declared query —
+    * clone the shared cached index, grow it through the tokenizer-
+    * matched [[graft.sources.InvertedIndex.upsertDocs]] (posting append
+    * ∝ the batch's term buckets, term-level dict merge, exact-integer
+    * stats, lens append), and serve the block through literally the
+    * same plan as q_fusion_serve. The oracle rebuilds from scratch over
+    * the grown corpus: n, avgdl, and every shared gram's df shift with
+    * the twins, so a stale or tokenizer-mismatched merge fails the hash
+    * — incremental == rebuild, now first-class for the similarity index
+    * exactly as q_bm25_upsert made it for the keyword index. */
+  def gramUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.sources.{IndexCatalog, InvertedIndex, Maintenance}
+    ensureGramIndex(spark, dir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("gram-upsert"))
+    Maintenance.copyTree(
+      Paths.get(IndexCatalog.cacheBase(dir), GramIndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.upsertDocs(spark, layout, twins, t => Dedup.shingles3(t))
+    fusionServeOver(spark, dir, layout)
+  }
+
+  /** Incremental == rebuild over the grown corpus (the bm25UpsertSql
+    * replace discipline applied to the gram pipeline's base CTE). */
+  val gramUpsertSql: String = fusionServeSql
+    .replace("WITH toks AS",
+      s"WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT doc_id + ${graft.sources.InvertedIndex.UpsertIdOffset} AS doc_id, text " +
+        s"FROM documents WHERE doc_id < ${graft.sources.InvertedIndex.UpsertSrcCount}),\ntoks AS")
+    .replace("FROM documents)", "FROM d2)")
+    // the QUERY block stays the original corpus's (the Spark side samples
+    // Tables.documents) — without this pin, twin id offset+4 ≡ 5 (mod 37)
+    // would enter the oracle's block but not the engine's
+    .replace(s"WHERE doc_id % $ServeSampleMod = $ServeSampleRes)",
+      s"WHERE doc_id % $ServeSampleMod = $ServeSampleRes " +
+        s"AND doc_id < ${graft.sources.InvertedIndex.UpsertIdOffset})")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fusion_tune" -> (fusionTune _),
-    "q_fusion_serve" -> (fusionServe _))
+    "q_fusion_serve" -> (fusionServe _),
+    "q_gram_upsert" -> (gramUpsert _))
 
   def oracles: Map[String, String] = Map(
     "q_fusion_tune" -> fusionTuneSql,
-    "q_fusion_serve" -> fusionServeSql)
+    "q_fusion_serve" -> fusionServeSql,
+    "q_gram_upsert" -> gramUpsertSql)
 }

@@ -116,6 +116,23 @@ class FusionTuneSpec extends SparkSpecBase with Matchers {
     post.agg(countDistinct(col("doc_id"))).head().getLong(0) shouldBe n
   }
 
+  test("q_gram_upsert: the grown index serves shifted rankings and the shared cache stays untouched") {
+    import java.nio.file.{Files, Paths}
+    FusionTune.ensureGramIndex(spark, sfDir)
+    val cacheData = Paths.get(graft.sources.IndexCatalog.cacheBase(sfDir),
+      FusionTune.GramIndexName, "data")
+    val before = Files.getLastModifiedTime(cacheData)
+    val grown = FusionTune.gramUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    Files.getLastModifiedTime(cacheData) shouldBe before
+    grown should not be empty
+    // the twins shift n/avgdl/df, so the served scores cannot all match
+    // the base index's
+    val base = FusionTune.fusionServe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    grown.toSeq should not be base.toSeq
+  }
+
   test("measured: fusing in a noise arm dilutes, and more so at larger k") {
     // RRF with a random arm cannot beat the good arm alone; smaller k
     // (stronger top-rank emphasis) preserves more of the lexical signal
