@@ -1011,11 +1011,23 @@ object GraphOps {
     val membersPath = root.resolve("members").toString
     var members = spark.read.parquet(membersPath)
     val stored = spark.read.parquet(edgesPath)
-    val opCounts = batch.groupBy(col("op")).count()
+    // in-batch per-key resolution FIRST (the lexical applyCdcBatch
+    // discipline): a vec_id carrying both U and D in one micro-batch must
+    // take exactly ONE branch — without this the delete branch removed the
+    // node and the add branch re-inserted it regardless of feed order.
+    // The deterministic tie-break (op hash) picks the same winner on a
+    // redelivered retry; feeds that care which op wins within one trigger
+    // carry a real version column upstream.
+    val resolved = graft.operators.Upsert.lastWriteWins(
+        batch.withColumn("version", lit(0L)), Seq("vec_id"), "version",
+        tieBreak = Seq(xxhash64(col("op"))))
+      .drop("version")
+      .localCheckpoint(eager = true)
+    val opCounts = resolved.groupBy(col("op")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val deltas = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, DataFrame)]
     if (opCounts.contains("D")) {
-      val dead = batch.filter(col("op") === "D").select(col("vec_id"))
+      val dead = resolved.filter(col("op") === "D").select(col("vec_id"))
         .join(members, Seq("vec_id"), "left_semi") // only present ids
         .localCheckpoint(eager = true)
       // members is corpus-sized — a plain semi-join, never a broadcast
@@ -1025,7 +1037,7 @@ object GraphOps {
       members = members.join(broadcast(dead), Seq("vec_id"), "left_anti")
     }
     if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
-      val fresh = batch.filter(col("op") =!= "D").select(col("vec_id"))
+      val fresh = resolved.filter(col("op") =!= "D").select(col("vec_id"))
         .join(members, Seq("vec_id"), "left_anti") // redelivered adds are inert
         .localCheckpoint(eager = true)
       members = members.unionByName(fresh).localCheckpoint(eager = true)

@@ -94,14 +94,18 @@ object AnnRouting {
     * helpers, or concurrent declared queries sharing a session) each
     * increment on entry and decrement on exit, so the first epilogue to
     * run can never strip the route out from under the other window's
-    * still-planning body. The route VALUE is last-registration-wins
-    * (overlapping windows with different nprobe share one probe config —
-    * the sane reading of a shared opt-in). What refcounting deliberately
-    * does NOT fix: an unrelated exact top-K planned by another thread
-    * INSIDE someone's window is still probed — approximate opt-in is
-    * session-scoped, and untangling that needs per-plan tokens, not a
-    * registry. */
-  private final case class RouteReg(route: Route, refs: Int)
+    * still-planning body. Route VALUES form a STACK per (session, path):
+    * the innermost open window's config is active, and when it exits the
+    * enclosing window's remaining body plans with the config IT
+    * registered — not whatever the inner window happened to set (a
+    * last-registration-wins registry leaked the inner nprobe outward).
+    * What the stack deliberately does NOT fix: an unrelated exact top-K
+    * planned by another thread INSIDE someone's window is still probed —
+    * approximate opt-in is session-scoped, and untangling that needs
+    * per-plan tokens, not a registry. */
+  private final case class RouteReg(stack: List[Route]) {
+    def route: Route = stack.head
+  }
 
   private val routes =
     new java.util.WeakHashMap[SparkSession, TrieMap[String, RouteReg]]()
@@ -129,10 +133,12 @@ object AnnRouting {
                                      norm: Double, maxResid: Option[Double])
 
   /** Driver-side caches: per-index centroid codebooks (id, vector, norm,
-    * residual bound) and per-(index, metric, query-vector) probe sets —
-    * the fixpoint optimizer batch may visit a plan several times, and
-    * repeated queries against the same index should not re-read the
-    * sidecar. */
+    * residual bound) and per-(index, metric, query-vector) FULL bucket
+    * rankings (deliberately nprobe-free keys — the ranking is sliced to
+    * the active route's nprobe at use, so overlapping windows with
+    * different depths never serve each other's probe sets) — the fixpoint
+    * optimizer batch may visit a plan several times, and repeated queries
+    * against the same index should not re-read the sidecar. */
   private val centroidCache = TrieMap.empty[String, Array[Centroid]]
   private val probeCache = TrieMap.empty[(String, String, Seq[Double]), Seq[Long]]
 
@@ -171,8 +177,8 @@ object AnnRouting {
     require(kind == "ivf" || kind == "lsh", s"unknown route kind '$kind'")
     val route = Route(base, name, nprobe, vecCol, kind)
     sessionRoutes(spark).updateWith(dataPath(base, name)) {
-      case Some(reg) => Some(RouteReg(route, reg.refs + 1))
-      case None => Some(RouteReg(route, 1))
+      case Some(reg) => Some(RouteReg(route :: reg.stack))
+      case None => Some(RouteReg(route :: Nil))
     }
     // the sidecar may have been rewritten since a previous registration
     invalidate(base, name)
@@ -224,14 +230,15 @@ object AnnRouting {
   }
 
   /** Drop one registration from one session (the [[withRoute]] epilogue;
-    * also the sane response to dropping the index). Decrements the
-    * refcount; the route leaves the registry when the LAST overlapping
-    * window exits. Unbalanced extra calls are no-ops. */
+    * also the sane response to dropping the index). Pops the innermost
+    * route — an enclosing window's remaining body sees the config it
+    * registered again — and the route leaves the registry when the LAST
+    * overlapping window exits. Unbalanced extra calls are no-ops. */
   def unregister(spark: SparkSession, base: String, name: String): Unit = {
     routes.synchronized {
       val m = routes.get(spark)
       if (m != null) m.updateWith(dataPath(base, name)) {
-        case Some(reg) if reg.refs > 1 => Some(reg.copy(refs = reg.refs - 1))
+        case Some(reg) if reg.stack.size > 1 => Some(RouteReg(reg.stack.tail))
         case _ => None
       }
     }
@@ -321,11 +328,15 @@ object AnnRouting {
     // bound exact instead of approximately enforced
     if (probeCache.size >= ProbeCacheMax)
       synchronized { if (probeCache.size >= ProbeCacheMax) probeCache.clear() }
+    // the cache stores the FULL bucket ranking (nprobe-independent — ∝
+    // #centroids, metadata) and slices per route: two windows over the
+    // same index with different nprobe must not serve each other's probe
+    // sets (the route-stack restore guarantee extends to the cache)
     probeCache.getOrElseUpdate(
       (dataPath(route.base, route.name), metric, query.toIndexedSeq), {
         if (route.kind == "lsh") lshProbes(route, query)
         else ivfProbes(spark, route, query, metric)
-      })
+      }).take(route.nprobe)
   }
 
   private def ivfProbes(spark: SparkSession, route: Route,
@@ -374,7 +385,7 @@ object AnnRouting {
         val c = java.lang.Double.compare(sB, sA) // total order, NaN largest
         if (c != 0) c < 0 else idA < idB
       }
-    scored.sortWith(best).take(route.nprobe).map(_._1).toSeq
+    scored.sortWith(best).map(_._1).toSeq // full ranking; caller slices
   }
 
   private def lshProbes(route: Route, query: Array[Double]): Seq[Long] = {
@@ -386,7 +397,7 @@ object AnnRouting {
       while (d < query.length) { s += query(d) * signs(d); d += 1 }
       if (s > 0) 1L << p else 0L
     }.sum
-    (own +: (0 until Planes).map(p => own ^ (1L << p))).take(route.nprobe)
+    own +: (0 until Planes).map(p => own ^ (1L << p)) // full ring; caller slices
   }
 }
 

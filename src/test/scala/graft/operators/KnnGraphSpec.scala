@@ -230,6 +230,37 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     plan should include ("sbucket")
   }
 
+  test("graph CDC resolves same-key U+D per key: one branch fires, end state deterministic and redelivery-stable") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val asgAll = GraphOps.ivfTop2Assignments(spark, sfDir).localCheckpoint(true)
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graph-cdc-mixed"))
+    val a1 = asgAll.filter(col("rn") === 1)
+      .select(col("vec_id").as("src"), col("cent_id").cast("int").as("sbucket"))
+    GraphOps.graphAnnEdges(asgAll).join(a1, Seq("src"))
+      .repartition(col("sbucket"))
+      .write.partitionBy("sbucket").parquet(root.resolve("edges").toString)
+    asgAll.filter(col("rn") === 1).select(col("vec_id"))
+      .coalesce(1).write.parquet(root.resolve("members").toString)
+    val x = 42L // present in the initial graph
+    val mixed = spark.range(1).select(lit(x).as("vec_id"), lit("U").as("op"))
+      .unionByName(spark.range(1).select(lit(x).as("vec_id"), lit("D").as("op")))
+    GraphOps.applyGraphCdcBatch(root, asgAll, mixed, batchId = 0L)
+    def present(): Boolean = spark.read.parquet(root.resolve("members").toString)
+      .filter(col("vec_id") === x).count() > 0
+    // per-key LWW with the op-hash tie-break: exactly one branch fired —
+    // if D won the node is GONE (the old code always re-added it)
+    val dWins = spark.range(1)
+      .select(xxhash64(lit("D")) < xxhash64(lit("U"))).head().getBoolean(0)
+    present() shouldBe !dWins
+    // a RETRY of the same transitions under a new batchId picks the same
+    // winner and lands on the same end state
+    GraphOps.applyGraphCdcBatch(root, asgAll, mixed, batchId = 1L)
+    present() shouldBe !dWins
+    // edges agree with membership: x appears as a src iff it is a member
+    spark.read.parquet(root.resolve("edges").toString)
+      .filter(col("src") === x).count() > 0 shouldBe !dWins
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()

@@ -91,6 +91,27 @@ class AnnRoutingSpec extends SparkSpecBase with Matchers {
       "route survived balanced register/unregister pairs")
   }
 
+  test("route stack: after an inner window with a different nprobe exits, the outer body plans with ITS config") {
+    VectorOps.annIvfPersisted(spark, sfDir).collect()
+    AnnRouting.register(spark, base, name, nprobe = 2)
+    try {
+      // inner window opts into a DEEPER probe; its epilogue must restore
+      // the outer window's nprobe=2, not leave 8 behind
+      AnnRouting.withRoute(spark, base, name, nprobe = 8)(
+        VectorOps.knnAutoFrame(spark, sfDir)).count() shouldBe 10
+      probeListSize(naiveTopK(descending = true)) shouldBe Some(2)
+    } finally AnnRouting.unregister(spark, base, name)
+  }
+
+  /** Size of the routed plan's `bucket IN (...)` list — the observable
+    * form of the active route's nprobe. */
+  private def probeListSize(df: DataFrame): Option[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case Filter(cond, _) => cond.collect {
+        case In(a: AttributeReference, vs) if a.name == "bucket" => vs.size
+      }
+    }.flatten.headOption
+
   test("installed but unregistered: the rule does not fire") {
     // build the persisted index + sidecar without registering a route
     VectorOps.annIvfPersisted(spark, sfDir).collect()
