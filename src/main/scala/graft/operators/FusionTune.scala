@@ -283,8 +283,7 @@ object FusionTune {
   val GramIndexName = "docs-gram-inverted"
 
   def ensureGramIndex(spark: SparkSession, dir: String): graft.sources.InvertedIndex.Layout =
-    graft.sources.InvertedIndex.ensureWith(spark, dir, GramIndexName,
-      t => Dedup.shingles3(t))
+    graft.sources.InvertedIndex.ensureWith(spark, dir, GramIndexName, "gram3")
 
   /** Q-fusion-serve: the DEPLOYMENT of what q_fusion_tune measured — the
     * chosen config (pure lexical gram-BM25; the tune showed fusing in
@@ -327,9 +326,13 @@ object FusionTune {
     val post = spark.read.parquet(layout.dataPath)
       .filter(col("tbucket").isin(buckets: _*))
     // the block grams' dictionary rows under the tune's hot-gram cap —
-    // tiny by construction (≤ block grams), broadcast into the scan
+    // tiny by construction (≤ block grams), broadcast into the scan; the
+    // dict read partition-prunes to the block grams' tbuckets exactly as
+    // the posting read does (the bucketed-dict layout pays off on BOTH
+    // maintenance writes and serving reads)
     val dictQ = spark.read.parquet(layout.dictPath)
-      .filter(col("df") <= MaxDf)
+      .filter(col("tbucket").isin(buckets: _*) && col("df") <= MaxDf)
+      .select(col("w"), col("df"))
       .join(broadcast(qt.select(col("w")).distinct()), Seq("w"))
     val stats = spark.read.parquet(layout.statsPath)
       .select(col("n"),
@@ -405,7 +408,10 @@ object FusionTune {
       .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
       .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
         col("text"))
-    InvertedIndex.upsertDocs(spark, layout, twins, t => Dedup.shingles3(t))
+    // the tokenizer dispatches from the cloned index's own marker
+    // ("gram3") — a mismatched maintenance attach is structurally
+    // impossible now, not merely avoided by a careful caller
+    InvertedIndex.upsertDocs(spark, layout, twins)
     fusionServeOver(spark, dir, layout)
   }
 
@@ -424,13 +430,58 @@ object FusionTune {
       s"WHERE doc_id % $ServeSampleMod = $ServeSampleRes " +
         s"AND doc_id < ${graft.sources.InvertedIndex.UpsertIdOffset})")
 
+  /** Q-stream-gram-upsert: STREAMING MAINTENANCE for the gram index —
+    * the [[gramUpsert]] corpus growth delivered as two micro-batches
+    * through the SAME [[graft.sources.InvertedIndex.maintainIndex]] sink
+    * that maintains the word index (q_stream_bm25_upsert): the sink
+    * dispatches the tokenizer from the target index's marker, so one
+    * foreachBatch pipeline keeps BOTH retrieval indexes fresh with the
+    * right features each. Same oracle as q_gram_upsert: multi-trigger
+    * streaming maintenance, one-shot batch maintenance, and a
+    * from-scratch rebuild over the grown corpus agree bit-for-bit. */
+  def streamGramUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.sources.{IndexCatalog, InvertedIndex, Maintenance}
+    ensureGramIndex(spark, dir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("gram-stream-upsert"))
+    Maintenance.copyTree(
+      Paths.get(IndexCatalog.cacheBase(dir), GramIndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val staged = graft.Scratch.dir("gram-stream-in")
+    val half = InvertedIndex.UpsertIdOffset + InvertedIndex.UpsertSrcCount / 2
+    twins.filter(col("doc_id") < half)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.streaming.DocStream.stampAscendingMtimes(staged)
+    twins.filter(col("doc_id") >= half)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = InvertedIndex.maintainIndex(stream, layout).start()
+    try {
+      q.processAllAvailable()
+      graft.streaming.TriggerStats.record("q_stream_gram_upsert", q)
+    } finally q.stop()
+    fusionServeOver(spark, dir, layout)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fusion_tune" -> (fusionTune _),
     "q_fusion_serve" -> (fusionServe _),
-    "q_gram_upsert" -> (gramUpsert _))
+    "q_gram_upsert" -> (gramUpsert _),
+    "q_stream_gram_upsert" -> (streamGramUpsert _))
 
   def oracles: Map[String, String] = Map(
     "q_fusion_tune" -> fusionTuneSql,
     "q_fusion_serve" -> fusionServeSql,
-    "q_gram_upsert" -> gramUpsertSql)
+    "q_gram_upsert" -> gramUpsertSql,
+    // the one-maintenance-sink-for-both-indexes claim, oracle-gated:
+    // streamed gram maintenance lands on the identical rebuilt state
+    "q_stream_gram_upsert" -> gramUpsertSql)
 }

@@ -24,9 +24,15 @@ import org.apache.spark.sql.functions._
   *    df changes whenever ANY doc containing it arrives, so denormalizing
   *    df would turn every upsert into a rewrite of every touched term's
   *    full posting list (the reason real engines keep a term dictionary)
-  *  - `dict/` — the term dictionary (w, df); term-level, postings-scale
-  *    smaller than the data (bucketable by the same term hash when a
-  *    100 TB corpus's vocabulary outgrows one shard)
+  *  - `dict/tbucket=<b>/` — the term dictionary (w, df), partitioned by
+  *    the SAME term-hash bucket as the postings: a dict merge (upsert's
+  *    df increments, vacuum's decrements) dynamic-overwrites only the
+  *    batch's touched term buckets, never the whole dictionary. This
+  *    matters most for the GRAM index (`docs-gram-inverted`), whose
+  *    shingle vocabulary grows ~corpus-proportionally (df ≤ 25 by
+  *    construction) — a flat dict made every trigger's dict I/O corpus-
+  *    proportional through one writer task; bucketed, it is ∝ the
+  *    batch's term buckets, the same discipline the postings always had
   *  - `stats/` — one row (n, avgdl), the corpus constants
   *  - `_text_index.json` — descriptor, written AFTER the data (the
   *    createIfAbsent killed-build discipline: a half-built index is
@@ -66,6 +72,28 @@ object InvertedIndex {
   private def tombDirOf(layout: Layout): java.nio.file.Path =
     Paths.get(layout.dataPath).getParent.resolve("deletes")
 
+  /** Doc-hash partition fanout of the FOOTPRINT sidecar — sized like
+    * [[TermBuckets]]: raise it at production scale so each shard stays
+    * executor-sized. */
+  val DocBuckets = 32
+
+  private[graft] def dbucketCol(docId: org.apache.spark.sql.Column) =
+    pmod(xxhash64(docId), lit(DocBuckets.toLong))
+
+  /** Doc→tbucket FOOTPRINT sidecar — `footprint/dbucket=<b>/` rows of
+    * (doc_id, tbucket) distinct pairs, partitioned by a doc-id hash. It
+    * answers the one question a term-partitioned layout cannot answer
+    * cheaply: "which term buckets does this batch of doc_ids touch?" —
+    * the discovery step of delete-side maintenance. Without it, vacuum's
+    * dead-posting discovery scanned the WHOLE posting store; with it,
+    * discovery reads doc-level metadata pruned to the batch ids' dbucket
+    * shards, and the posting scan that follows is pruned to the touched
+    * term buckets. Maintained at build, appended by upsert (batch-
+    * proportional), folded by vacuum (touched-dbucket dynamic
+    * overwrite). The Lucene analog is the per-doc term-vector file. */
+  private def footprintPathOf(layout: Layout): String =
+    Paths.get(layout.dataPath).getParent.resolve("footprint").toString
+
   private def hasParquet(dir: java.nio.file.Path): Boolean =
     Files.exists(dir) && {
       val s = Files.list(dir)
@@ -96,34 +124,77 @@ object InvertedIndex {
   }
 
   private def postingsOf(docs: DataFrame): (DataFrame, DataFrame) =
-    postingsOfWith(docs, t => split(trim(t), "\\s+"))
+    postingsOfWith(docs, tokenizerOf("word"))
 
   /** Build the index if absent. */
   def ensure(spark: SparkSession, dir: String): Layout =
-    ensureWith(spark, dir, IndexName, t => split(trim(t), "\\s+"))
+    ensureWith(spark, dir, IndexName, "word")
 
   private def markerOf(base: String, name: String) =
     Paths.get(base, name, "_text_index.json")
 
+  /** The on-disk layout generation this code writes. Bumped when the
+    * physical layout changes shape (v2: tbucket-partitioned dict); an
+    * older marker self-heals by rebuild, so a stale cache can never feed
+    * new readers a layout they no longer parse. */
+  private val DictFormatVersion = 2
+
+  /** The tokenizer REGISTRY: every feature extractor an index can be
+    * built with, keyed by the name recorded in `_text_index.json`.
+    * Maintenance (upsert, streaming, CDC) dispatches from the MARKER, not
+    * a caller parameter — so attaching a word-tokenizing maintenance
+    * pipeline to the gram index (or vice versa) is structurally
+    * impossible, instead of a silent df/stats corruption discovered by an
+    * incremental==rebuild hash much later. */
+  private[graft] def tokenizerOf(kind: String)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = kind match {
+    case "word" => t => split(trim(t), "\\s+")
+    case "gram3" => t => graft.operators.Dedup.shingles3(t)
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer kind '$other' (registry: word, gram3)")
+  }
+
+  /** The tokenizer kind an index was BUILT with, read from its marker.
+    * Clones carry the marker (copyTree copies the whole index dir), so a
+    * lifecycle query's maintenance dispatches identically to the shared
+    * cache's. Markers predating the `tok` field were all word indexes. */
+  private[graft] def tokKindOf(layout: Layout): String = {
+    val marker = Paths.get(layout.dataPath).getParent.resolve("_text_index.json")
+    if (!Files.exists(marker)) "word"
+    else """"tok":\s*"(\w+)"""".r.findFirstMatchIn(Files.readString(marker))
+      .map(_.group(1)).getOrElse("word")
+  }
+
   private[graft] def ensureWith(spark: SparkSession, dir: String, name: String,
-                                tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : Layout = {
+                                tokKind: String): Layout = {
     val base = IndexCatalog.cacheBase(dir)
     val layout = Layout(
       Paths.get(base, name, "data").toString,
       Paths.get(base, name, "dict").toString,
       Paths.get(base, name, "stats").toString)
+    // a marker from an older layout generation (flat dict) self-heals:
+    // wipe and rebuild, exactly as if the build had been killed half-way
+    if (Files.exists(markerOf(base, name)) &&
+        !Files.readString(markerOf(base, name))
+          .contains(s""""dictv": $DictFormatVersion""")) {
+      Maintenance.deleteRecursively(Paths.get(base, name))
+    }
     if (!Files.exists(markerOf(base, name))) {
       Files.createDirectories(Paths.get(base, name))
-      val (postings, lens) = postingsOfWith(Tables.documents(spark, dir), tok)
+      val (postings, lens) =
+        postingsOfWith(Tables.documents(spark, dir), tokenizerOf(tokKind))
       // (n, total_dl), NOT (n, avgdl): the average is one double division
       // away, and storing the EXACT integer total is what lets an upsert
       // update the stats incrementally without FP drift (n·avgdl does not
       // round-trip to the exact token total)
       lens.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
         .coalesce(1).write.mode("overwrite").parquet(layout.statsPath)
+      // dict partitioned by the SAME term hash as the postings — the
+      // touched-bucket merge discipline needs both stores on one key
       postings.groupBy(col("w")).agg(count(lit(1)).as("df"))
-        .coalesce(1).write.mode("overwrite").parquet(layout.dictPath)
+        .withColumn("tbucket", bucketCol(col("w")))
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(layout.dictPath)
       lens.coalesce(1).write.mode("overwrite").parquet(lensPathOf(layout))
       postings
         .withColumn("tbucket", bucketCol(col("w")))
@@ -131,8 +202,18 @@ object InvertedIndex {
         // (the createIfAbsent small-files discipline)
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket").parquet(layout.dataPath)
+      // footprint sidecar: the doc→tbucket map delete-side discovery reads
+      // (tbucket cast long: the partition-inferred int must match the
+      // upsert append path, which derives it as a long hash)
+      spark.read.parquet(layout.dataPath)
+        .select(col("doc_id"), col("tbucket").cast("long").as("tbucket")).distinct()
+        .withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(footprintPathOf(layout))
       Files.writeString(markerOf(base, name),
-        s"""{"name": "$name", "kind": "inverted", "buckets": $TermBuckets}""")
+        s"""{"name": "$name", "kind": "inverted", "buckets": $TermBuckets, """ +
+          s""""tok": "$tokKind", "dictv": $DictFormatVersion}""")
     }
     layout
   }
@@ -182,8 +263,11 @@ object InvertedIndex {
       .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(post0)
       .filter(excludeDoc.map(col("doc_id") =!= _).getOrElse(lit(true)))
+    // dict read rides the same partition pruning as the postings: the
+    // query terms' tbuckets are already plan-time metadata
     val dict0 = spark.read.parquet(layout.dictPath)
-      .filter(col("w").isin(terms: _*))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .select(col("w"), col("df"))
     val dict = tombOpt.map { t =>
       val dead = post0.join(broadcast(t), Seq("doc_id"))
         .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
@@ -219,42 +303,36 @@ object InvertedIndex {
   val UpsertIdOffset = 1000000L
 
   /** Incremental DOCUMENT ADD into an existing index — the maintenance
-    * path the dict layout exists for. Three moves, each touching only
-    * what changed:
+    * path the dict layout exists for. The tokenizer dispatches from the
+    * index's own marker ([[tokKindOf]]) — word for `docs-inverted`,
+    * shingles for `docs-gram-inverted` — so ONE maintenance pipeline
+    * serves both indexes and a mismatched attach cannot corrupt either.
+    * Three moves, each touching only what changed:
     *  - postings: pure APPEND of the new docs' (w, doc_id, tf, dl) rows
     *    into their term-bucket directories — new doc_ids add part files,
     *    zero read-modify-write, I/O ∝ the new batch (REPLACING an
     *    existing doc_id is the partition-rewrite path of
     *    [[IndexCatalog.upsertInto]], not this)
-    *  - dict: term-level df merge (full-outer + coalesce-sum) through a
-    *    staging directory and swap — never read-and-overwrite (the
-    *    rebuildIvf discipline); this single term-level rewrite is exactly
-    *    the cost denormalizing df would multiply onto every posting
+    *  - dict: TOUCHED-BUCKET df merge ([[mergeDictBuckets]]): only the
+    *    batch terms' tbucket partitions read, merge, and dynamic-
+    *    overwrite — I/O ∝ the batch's term buckets even when the
+    *    vocabulary itself is corpus-scale (the gram index). This bounded
+    *    term-level rewrite is exactly the cost denormalizing df would
+    *    multiply onto every posting
     *  - stats: exact-integer increments (n += Δn, total_dl += Δdl) —
     *    no FP drift, so an upserted index serves the SAME avgdl a fresh
-    *    build over the grown corpus would
-    * At 100 TB the dict rewrite shards by the same term hash as the
-    * postings; everything else is already new-batch-proportional. */
-  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame,
-                 tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                   t => split(trim(t), "\\s+")): Unit = {
+    *    build over the grown corpus would */
+  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit = {
     // backfill BEFORE the posting append: a pre-sidecar index derives its
     // lens from the stored postings, which must not yet include this batch
-    // (the tokenizer must match the index's build tokenizer — word for
-    // docs-inverted, shingles for docs-gram-inverted; deleteDocs and
-    // vacuum are feature-agnostic and need no parameter)
     ensureLens(spark, layout)
-    val (postings, lens) = postingsOfWith(docs, tok)
+    val (postings, lens) = postingsOfWith(docs, tokenizerOf(tokKindOf(layout)))
     val newPost = postings.withColumn("tbucket", bucketCol(col("w")))
       .localCheckpoint(eager = true) // consumed twice: data append + df delta
     newPost.repartition(col("tbucket"))
       .write.mode("append").partitionBy("tbucket").parquet(layout.dataPath)
-    val delta = newPost.groupBy(col("w")).agg(count(lit(1)).as("ddf"))
-    val mergedDict = spark.read.parquet(layout.dictPath)
-      .join(delta, Seq("w"), "full_outer")
-      .select(col("w"),
-        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
-    stagedSwap(mergedDict.coalesce(1), layout.dictPath)
+    mergeDictBuckets(spark, layout,
+      newPost.groupBy(col("w")).agg(count(lit(1)).as("ddf")))
     val d = lens.agg(count(lit(1)).as("dn"), sum(col("dl")).as("ddl")).head()
     val mergedStats = spark.read.parquet(layout.statsPath)
       .select((col("n") + d.getLong(0)).as("n"),
@@ -263,6 +341,52 @@ object InvertedIndex {
     // lens follows the corpus: the batch's (doc_id, dl) rows append, so a
     // later DELETE of an upserted doc finds its length
     lens.coalesce(1).write.mode("append").parquet(lensPathOf(layout))
+    // footprint follows too: new doc_ids append their (doc_id, tbucket)
+    // pairs into their dbucket shards — delete-side discovery stays
+    // batch-proportional for docs added after the build
+    newPost.select(col("doc_id"), col("tbucket")).distinct()
+      .withColumn("dbucket", dbucketCol(col("doc_id")))
+      .repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(footprintPathOf(layout))
+  }
+
+  /** TOUCHED-BUCKET dictionary merge — the maintenance move that keeps
+    * dict I/O ∝ the batch when the vocabulary is corpus-scale. `delta` is
+    * a SIGNED per-term df adjustment (w, ddf): upsert passes increments,
+    * vacuum negative decrements. Only the delta terms' tbucket partitions
+    * are read (partition-pruned scan), merged (full-outer: new terms
+    * appear, zeroed terms drop), and dynamic-overwritten; a bucket whose
+    * every term died has its directory removed explicitly (the postings'
+    * overwritePartitions discipline, one directory over). The merge frame
+    * is checkpointed before the write — dynamic overwrite must never
+    * consume lineage over the files it is replacing. */
+  private def mergeDictBuckets(spark: SparkSession, layout: Layout,
+                               delta: DataFrame): Unit = {
+    import spark.implicits._
+    val d = delta.withColumn("tbucket", bucketCol(col("w")))
+      .localCheckpoint(eager = true)
+    val touched = d.select(col("tbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(layout.dictPath)
+      .filter(col("tbucket").isin(touched: _*))
+      .select(col("w"), col("df"))
+      .join(d.select(col("w"), col("ddf")), Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+      .withColumn("tbucket", bucketCol(col("w")))
+      .repartition(col("tbucket"))
+      .localCheckpoint(eager = true) // cut lineage off the overwritten files
+    val written = merged.select(col("tbucket")).distinct()
+      .as[Long].collect().toSet
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbucket").parquet(layout.dictPath)
+    touched.filterNot(written.contains).foreach { b =>
+      Maintenance.deleteRecursively(
+        Paths.get(layout.dictPath).resolve(s"tbucket=$b"))
+    }
   }
 
   /** Backfill the doc-length sidecar for an index built before it existed:
@@ -276,6 +400,25 @@ object InvertedIndex {
       spark.read.parquet(layout.dataPath)
         .select(col("doc_id"), col("dl")).distinct()
         .coalesce(1).write.mode("overwrite").parquet(lensPath.toString)
+  }
+
+  /** Backfill the footprint sidecar for an index built before it
+    * existed: one column-pruned scan over (doc_id, tbucket) recovers the
+    * exact map — the full-store discovery cost, paid ONCE instead of on
+    * every vacuum. Written through a staged move so a killed backfill is
+    * invisible (re-derived next call). */
+  private def ensureFootprint(spark: SparkSession, layout: Layout): Unit = {
+    val footPath = footprintPathOf(layout)
+    if (!Files.exists(Paths.get(footPath))) {
+      val staged = footPath + ".staged"
+      Maintenance.deleteRecursively(Paths.get(staged))
+      spark.read.parquet(layout.dataPath)
+        .select(col("doc_id"), col("tbucket").cast("long").as("tbucket")).distinct()
+        .withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(staged)
+      Files.move(Paths.get(staged), Paths.get(footPath))
+    }
   }
 
   /** Incremental DOCUMENT DELETE — the lexical twin of
@@ -331,28 +474,46 @@ object InvertedIndex {
     *    only their tbucket partitions rewrite (dynamic partition
     *    overwrite, directories the rewrite emptied removed explicitly —
     *    the [[IndexCatalog]] overwritePartitions discipline)
-    *  - dict: term-level df decrements from the dead postings' counts,
-    *    staged swap; terms whose every doc died drop entirely (a rebuild
-    *    would never see them)
+    *  - dict: term-level df decrements from the dead postings' counts
+    *    through the touched-bucket merge ([[mergeDictBuckets]] — only the
+    *    dead terms' dict buckets rewrite); terms whose every doc died
+    *    drop entirely (a rebuild would never see them)
     *  - lens: tombstoned docs drop, restoring the invariant that lens
     *    rows == docs contributing to stats (so a post-vacuum delete of a
     *    re-added id decrements correctly)
     *  - `deletes/` clears — stats were already exact at delete time
-    * Cost: the discovery scan reads (doc_id, tbucket[, w]) of the whole
-    * posting store (the upsertInto honest-cost note applies — at true
-    * 100 TB a doc→tbucket-footprint sidecar would make discovery ∝
-    * batch); the REWRITE is ∝ the touched term buckets only. */
+    *  - footprint: the dead docs' rows drop (touched-dbucket dynamic
+    *    overwrite — ∝ the batch's dbucket shards)
+    * Cost: DISCOVERY reads the footprint sidecar pruned to the batch
+    * ids' dbucket shards (doc-level metadata — never the posting store),
+    * yielding the touched term buckets; the posting scan that extracts
+    * the dead (w, tbucket) rows and the REWRITE are both pruned to those
+    * buckets. Every step is ∝ the batch's bucket footprint, none ∝ the
+    * corpus. */
   def vacuum(spark: SparkSession, layout: Layout): Unit = {
     import spark.implicits._
     val tombDir = tombDirOf(layout)
     if (!hasParquet(tombDir)) return
+    ensureFootprint(spark, layout)
     val tomb = spark.read.parquet(tombDir.toString).select(col("doc_id"))
       .localCheckpoint(eager = true)
+    // the batch's dbucket shards — ≤ DocBuckets values, plan-time metadata
+    val dbuckets = tomb.select(dbucketCol(col("doc_id")).as("b")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    val footPath = footprintPathOf(layout)
+    val deadFoot = spark.read.parquet(footPath)
+      .filter(col("dbucket").isin(dbuckets: _*))
+      .join(broadcast(tomb), Seq("doc_id"))
+      .localCheckpoint(eager = true) // (doc_id, tbucket) of the dead docs
+    val touched = deadFoot.select(col("tbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    // dead postings from the TOUCHED buckets only — the footprint already
+    // proved no other bucket holds a dead row
     val post = spark.read.parquet(layout.dataPath)
-    val dead = post.join(broadcast(tomb), Seq("doc_id"))
+    val dead = post.filter(col("tbucket").isin(touched: _*))
+      .join(broadcast(tomb), Seq("doc_id"))
       .select(col("tbucket"), col("w"))
-      .localCheckpoint(eager = true) // postings of the deleted docs only
-    val touched = dead.select(col("tbucket")).distinct().as[Long].collect().sorted.toIndexedSeq
+      .localCheckpoint(eager = true)
     if (touched.nonEmpty) {
       val survivors = post.filter(col("tbucket").isin(touched: _*))
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -369,16 +530,33 @@ object InvertedIndex {
         Maintenance.deleteRecursively(
           Paths.get(layout.dataPath).resolve(s"tbucket=$b"))
       }
-      val ddf = dead.groupBy(col("w")).agg(count(lit(1)).as("ddf"))
-      val mergedDict = spark.read.parquet(layout.dictPath)
-        .join(ddf, Seq("w"), "left")
-        .select(col("w"), (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-        .filter(col("df") > 0L)
-      stagedSwap(mergedDict.coalesce(1), layout.dictPath)
+      // signed decrement through the touched-bucket merge: only the dead
+      // terms' dict buckets rewrite; terms whose every doc died drop
+      mergeDictBuckets(spark, layout,
+        dead.groupBy(col("w")).agg((-count(lit(1))).as("ddf")))
     }
     val mergedLens = spark.read.parquet(lensPathOf(layout))
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     stagedSwap(mergedLens.coalesce(1), lensPathOf(layout))
+    // footprint fold: the dead docs' rows drop from their dbucket shards
+    // (dynamic overwrite of the batch's dbuckets; shards the fold emptied
+    // removed explicitly — same discipline as postings and dict)
+    if (dbuckets.nonEmpty) {
+      val survFoot = spark.read.parquet(footPath)
+        .filter(col("dbucket").isin(dbuckets: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("dbucket"))
+        .localCheckpoint(eager = true)
+      val writtenD = survFoot.select(col("dbucket")).distinct()
+        .as[Long].collect().toSet
+      survFoot.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket").parquet(footPath)
+      dbuckets.filterNot(writtenD.contains).foreach { b =>
+        Maintenance.deleteRecursively(
+          Paths.get(footPath).resolve(s"dbucket=$b"))
+      }
+    }
     Maintenance.deleteRecursively(tombDir)
   }
 
@@ -425,7 +603,7 @@ object InvertedIndex {
     * (content-hash tie-break — an at-least-once upstream can duplicate a
     * doc with different payloads, and a retry must pick the SAME
     * winner), then merge via [[upsertDocs]] (posting append I/O ∝ the
-    * batch's term buckets, term-level staged dict swap, exact-integer
+    * batch's term buckets, touched-bucket dict merge, exact-integer
     * stats — per trigger). A `_stream_commits/<batchId>` marker written
     * AFTER the merge makes a REDELIVERED micro-batch (the
     * foreachBatch restart contract) a no-op — the standard
@@ -451,13 +629,17 @@ object InvertedIndex {
     }
   }
 
-  /** Attach a document ADD stream (`doc_id, text`) to a persisted
+  /** Attach a document ADD stream (`doc_id, text`) to ANY persisted
     * inverted index as a foreachBatch maintenance sink — the lexical
     * twin of [[graft.streaming.VectorStream.maintainIndex]]: one CDC
-    * pipeline can now keep BOTH retrieval indexes fresh. Caller
-    * starts/stops the returned query. Replacing an existing doc_id is
-    * the partition-rewrite path ([[IndexCatalog.upsertInto]]'s
-    * discipline over a forward index), not this. */
+    * pipeline can keep BOTH retrieval indexes fresh, and since the
+    * tokenizer dispatches from the target index's own marker
+    * ([[tokKindOf]]), attaching this sink to the GRAM index maintains it
+    * with shingle features — a word/gram mix-up is structurally
+    * impossible. Caller starts/stops the returned query. Replacing an
+    * existing doc_id is the partition-rewrite path
+    * ([[IndexCatalog.upsertInto]]'s discipline over a forward index),
+    * not this. */
   def maintainIndex(stream: DataFrame, layout: Layout)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append")

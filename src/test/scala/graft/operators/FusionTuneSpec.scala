@@ -99,7 +99,7 @@ class FusionTuneSpec extends SparkSpecBase with Matchers {
     val twins = docs.filter(col("doc_id") < 3)
       .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
     // upsert MUST use the index's build tokenizer (gram shingles)
-    InvertedIndex.upsertDocs(spark, layout, twins, t => Dedup.shingles3(t))
+    InvertedIndex.upsertDocs(spark, layout, twins) // tokenizer from the marker
     val post1 = spark.read.parquet(layout.dataPath)
     post1.filter(col("doc_id") === 9000001L).count() should be > 0L
     InvertedIndex.deleteDocs(spark, layout,

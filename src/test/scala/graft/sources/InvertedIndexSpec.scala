@@ -250,6 +250,124 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
     streamed.toSeq shouldBe batch.toSeq
   }
 
+  test("dict maintenance is touched-bucket-only: upsert and vacuum rewrite ONLY the batch terms' tbuckets") {
+    import org.apache.spark.sql.functions.{col, explode, lit, split, trim}
+    import spark.implicits._
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-dict-io"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    // per-bucket file inventory (names + sizes): dynamic overwrite gives
+    // touched partitions fresh part files; untouched ones must be
+    // byte-stable, not merely row-equal
+    def dictFiles(): Map[String, Set[(String, Long)]] = {
+      val s = Files.list(Paths.get(layout.dictPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p => p.getFileName.toString.startsWith("tbucket="))
+          .map { d =>
+            val fs = Files.list(d)
+            try d.getFileName.toString -> fs.iterator().asScala
+              .filter(_.toString.endsWith(".parquet"))
+              .map(f => (f.getFileName.toString, Files.size(f))).toSet
+            finally fs.close()
+          }.toMap
+      } finally s.close()
+    }
+    val before = dictFiles()
+    before.size should be > 1 // the claim below needs multiple buckets
+    // a three-word batch touches at most three term buckets
+    val batch = Seq((InvertedIndex.UpsertIdOffset, "zetor quovax mibble"))
+      .toDF("doc_id", "text")
+    val touched = batch
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(InvertedIndex.bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().map(b => s"tbucket=$b").toSet
+    touched.size should be <= 3
+    InvertedIndex.upsertDocs(spark, layout, batch)
+    val afterUpsert = dictFiles()
+    (before.keySet ++ afterUpsert.keySet).foreach { b =>
+      withClue(s"$b after upsert (touched=$touched):") {
+        if (touched(b)) afterUpsert(b) should not be before.getOrElse(b, Set.empty)
+        else afterUpsert.getOrElse(b, Set.empty) shouldBe before.getOrElse(b, Set.empty)
+      }
+    }
+    // the delete→vacuum cycle's dict decrement is equally bounded
+    InvertedIndex.deleteDocs(spark, layout,
+      spark.range(1).select(lit(InvertedIndex.UpsertIdOffset).as("doc_id")))
+    InvertedIndex.vacuum(spark, layout)
+    val afterVacuum = dictFiles()
+    (afterUpsert.keySet ++ afterVacuum.keySet).foreach { b =>
+      // a touched bucket whose every term died loses its DIRECTORY (the
+      // emptied-partition removal) — "absent" counts as rewritten
+      withClue(s"$b after vacuum (touched=$touched):") {
+        if (touched(b)) afterVacuum.getOrElse(b, Set.empty) should not be afterUpsert(b)
+        else afterVacuum.getOrElse(b, Set.empty) shouldBe afterUpsert.getOrElse(b, Set.empty)
+      }
+    }
+    // and the fold is exact: the synthetic terms are gone from the dict
+    spark.read.parquet(layout.dictPath)
+      .filter(col("w").isin("zetor", "quovax", "mibble")).count() shouldBe 0L
+  }
+
+  test("footprint sidecar tracks the doc→tbucket map exactly through build, upsert, delete+vacuum, and backfill") {
+    import org.apache.spark.sql.functions.col
+    InvertedIndex.ensure(spark, sfDir)
+    val cloneRoot = Paths.get(graft.Scratch.dir("bm25-footprint"))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName), cloneRoot)
+    val layout = InvertedIndex.Layout(
+      cloneRoot.resolve("data").toString,
+      cloneRoot.resolve("dict").toString,
+      cloneRoot.resolve("stats").toString)
+    def footSet() = spark.read.parquet(cloneRoot.resolve("footprint").toString)
+      .select(col("doc_id"), col("tbucket").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def postSet() = spark.read.parquet(layout.dataPath)
+      .select(col("doc_id"), col("tbucket").cast("long")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    footSet() shouldBe postSet() // written at build
+    val docs = graft.Tables.documents(spark, sfDir)
+    InvertedIndex.upsertDocs(spark, layout,
+      docs.filter(col("doc_id") < 3)
+        .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+          col("text")))
+    footSet() shouldBe postSet() // appended by upsert
+    InvertedIndex.deleteDocs(spark, layout,
+      docs.filter(col("doc_id") % 13 === 2).select(col("doc_id")))
+    InvertedIndex.vacuum(spark, layout)
+    footSet() shouldBe postSet() // folded by vacuum
+    // a pre-sidecar index (footprint dir absent) backfills once and the
+    // vacuum still lands on the exact reduced state
+    Maintenance.deleteRecursively(cloneRoot.resolve("footprint"))
+    InvertedIndex.deleteDocs(spark, layout,
+      docs.filter(col("doc_id") % 13 === 5).select(col("doc_id")))
+    InvertedIndex.vacuum(spark, layout)
+    footSet() shouldBe postSet()
+    spark.read.parquet(layout.dataPath)
+      .filter(col("doc_id") % 13 === 5 && col("doc_id") < 1000000L)
+      .count() shouldBe 0L
+  }
+
+  test("an index persisted under an older layout generation self-heals on ensure()") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val marker = Paths.get(IndexCatalog.cacheBase(sfDir),
+      InvertedIndex.IndexName, "_text_index.json")
+    // simulate a round-12 marker: no tok field, no dictv
+    Files.writeString(marker,
+      s"""{"name": "${InvertedIndex.IndexName}", "kind": "inverted", "buckets": ${InvertedIndex.TermBuckets}}""")
+    InvertedIndex.ensure(spark, sfDir)
+    val healed = Files.readString(marker)
+    healed should include(""""dictv": 2""")
+    healed should include(""""tok": "word"""")
+    // the rebuilt dict is the partitioned layout
+    spark.read.parquet(layout.dictPath).columns should contain("tbucket")
+  }
+
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val dataBefore = Files.getLastModifiedTime(Paths.get(layout.dataPath))
