@@ -928,35 +928,82 @@ object GraphOps {
     *     nodes — incremental == rebuild over the reduced corpus is a
     *     construction property, and the oracle states it directly.
     *
-    * Scale shape: the affected-set discovery is one semi-join of the
-    * stored EDGE frame (two id columns, column-pruned) against the
-    * broadcast dead-id batch; the recompute is the per-bucket-quadratic
-    * join restricted query-side to the affected srcs — proportional to
-    * the deleted nodes' in-degree (graph churn), never the corpus. The
-    * honest cost note from [[graft.sources.IndexCatalog.upsertInto]]
-    * applies to discovery: a dst-keyed reverse-edge sidecar would make
-    * it ∝ batch at true 100 TB. */
+    * Scale shape: the affected-set discovery reads the REVERSE-EDGE
+    * sidecar ([[writeReverseEdges]]) pruned to the dead nodes' storage
+    * buckets — dst-keyed (dst, src) pairs, partitioned by the dst's
+    * bucket, so "who points at the dead nodes?" is a partition-pruned
+    * metadata read ∝ the batch's bucket footprint, never a scan of the
+    * full edge store. The recompute is the per-bucket-quadratic join
+    * restricted query-side to the affected srcs — proportional to the
+    * deleted nodes' in-degree (graph churn), never the corpus. */
   def graphAnnDelete(spark: SparkSession, dir: String): DataFrame = {
     val isDead = col("vec_id") % AnnDeleteMod === AnnDeleteRes
     val asgFull = ivfTop2Assignments(spark, dir)
     // the edge frame a deployment has on disk: built over the full corpus
     val stored = graphAnnEdges(asgFull).localCheckpoint(eager = true)
+    // ... and its reverse sidecar, persisted WITH the edge store
+    val root = java.nio.file.Paths.get(graft.Scratch.dir("graph-ann-delete"))
+    writeReverseEdges(root, stored, asgFull)
     val deadIds = asgFull.filter(isDead && col("rn") === 1)
       .select(col("vec_id")).localCheckpoint(eager = true)
-    graphAnnApplyDelete(asgFull, stored, deadIds)
+    val affected = reverseAffectedFrame(spark, root, asgFull, deadIds)
+      .localCheckpoint(eager = true)
+    graphAnnApplyDelete(asgFull, stored, deadIds, Some(affected))
       .orderBy(col("src"), col("dst"))
+  }
+
+  /** Persist the REVERSE-EDGE sidecar: (dst, src) pairs partitioned by
+    * the DST's storage bucket — the structure that makes delete-side
+    * affected-src discovery a partition-pruned read instead of a full
+    * edge-store semi-join (the footprint-sidecar discipline of
+    * [[graft.sources.InvertedIndex]], applied to the graph). Written with
+    * the edge store, maintained trigger-by-trigger by
+    * [[applyGraphCdcBatch]]. */
+  private[operators] def writeReverseEdges(root: java.nio.file.Path,
+                                           edges: DataFrame,
+                                           asg: DataFrame): Unit = {
+    val a1d = asg.filter(col("rn") === 1)
+      .select(col("vec_id").as("dst"), col("cent_id").cast("int").as("dbucket"))
+    edges.select(col("src"), col("dst")).join(a1d, Seq("dst"))
+      .select(col("dst"), col("src"), col("dbucket"))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(root.resolve("redges").toString)
+  }
+
+  /** Affected-src discovery from the reverse sidecar: the dead ids'
+    * storage buckets are plan-time metadata (≤ #centroids — the probe-
+    * selection discipline), the reverse scan prunes to exactly those
+    * directories, and the dead-id join is a broadcast of the batch.
+    * Exposed for the plan gate (PartitionFilters on dbucket). */
+  private[operators] def reverseAffectedFrame(spark: SparkSession,
+                                              root: java.nio.file.Path,
+                                              asg: DataFrame,
+                                              deadIds: DataFrame): DataFrame = {
+    val deadBuckets = asg.join(broadcast(deadIds), Seq("vec_id"))
+      .filter(col("rn") === 1).select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0).toInt).toIndexedSeq
+    spark.read.parquet(root.resolve("redges").toString)
+      .filter(col("dbucket").isin(deadBuckets: _*))
+      .join(broadcast(deadIds.withColumnRenamed("vec_id", "dst")), Seq("dst"))
+      .select(col("src")).distinct()
   }
 
   /** The delete maintenance CORE as a DELTA, shared like
     * [[upsertDelta]]. `asgState` covers the members BEFORE removal (dead
     * included — the recompute side filters them out itself). dropSrcs =
-    * dead ∪ affected (srcs that lost a list member). */
+    * dead ∪ affected (srcs that lost a list member). `affectedOpt` lets
+    * the caller supply the affected-src set from the reverse-edge
+    * sidecar ([[reverseAffectedFrame]] — partition-pruned discovery);
+    * absent, discovery falls back to the stored-frame semi-join. */
   private def deleteDelta(asgState: DataFrame, stored: DataFrame,
-                          deadIds: DataFrame): (DataFrame, DataFrame) = {
-    val affected = stored
+                          deadIds: DataFrame,
+                          affectedOpt: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val affected = affectedOpt.getOrElse(stored
       .join(broadcast(deadIds.withColumnRenamed("vec_id", "dst")), Seq("dst"))
       .select(col("src")).distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = true))
     val live = asgState
       .join(broadcast(deadIds), Seq("vec_id"), "left_anti")
     val fresh = graphAnnEdgesFrom(
@@ -971,8 +1018,10 @@ object GraphOps {
   }
 
   private def graphAnnApplyDelete(asgState: DataFrame, stored: DataFrame,
-                                  deadIds: DataFrame): DataFrame = {
-    val (drop, fresh) = deleteDelta(asgState, stored, deadIds)
+                                  deadIds: DataFrame,
+                                  affectedOpt: Option[DataFrame] = None)
+      : DataFrame = {
+    val (drop, fresh) = deleteDelta(asgState, stored, deadIds, affectedOpt)
     stored.join(broadcast(drop), Seq("src"), "left_anti").unionByName(fresh)
   }
 
@@ -1011,6 +1060,11 @@ object GraphOps {
     val membersPath = root.resolve("members").toString
     var members = spark.read.parquet(membersPath)
     val stored = spark.read.parquet(edgesPath)
+    // backfill the reverse sidecar for an edge store persisted before it
+    // existed — the one full-store pass, paid once (the InvertedIndex
+    // footprint-backfill discipline)
+    if (!Files.exists(root.resolve("redges")))
+      writeReverseEdges(root, stored, asgAll)
     // in-batch per-key resolution FIRST (the lexical applyCdcBatch
     // discipline): a vec_id carrying both U and D in one micro-batch must
     // take exactly ONE branch — without this the delete branch removed the
@@ -1033,7 +1087,11 @@ object GraphOps {
       // members is corpus-sized — a plain semi-join, never a broadcast
       // (only the BATCH-sized frames ride broadcast hints here)
       val asgState = asgAll.join(members, Seq("vec_id"), "left_semi")
-      deltas += deleteDelta(asgState, stored, dead)
+      // affected-src discovery from the reverse sidecar: partition-pruned
+      // to the dead ids' storage buckets, never a full-edge-store semi-join
+      val affected = reverseAffectedFrame(spark, root, asgAll, dead)
+        .localCheckpoint(eager = true)
+      deltas += deleteDelta(asgState, stored, dead, Some(affected))
       members = members.join(broadcast(dead), Seq("vec_id"), "left_anti")
     }
     if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0) {
@@ -1056,6 +1114,12 @@ object GraphOps {
         .collect().map(_.getInt(0)).sorted.toIndexedSeq
       if (touched.nonEmpty) {
         val current = spark.read.parquet(edgesPath)
+        // the rows about to be superseded — captured BEFORE the overwrite,
+        // they key the reverse sidecar's touched dst-buckets
+        val droppedEdges = current.filter(col("sbucket").isin(touched: _*))
+          .join(broadcast(drop), Seq("src"))
+          .select(col("src"), col("dst"))
+          .localCheckpoint(eager = true)
         val out = current
           .filter(col("sbucket").isin(touched: _*))
           .join(broadcast(drop), Seq("src"), "left_anti")
@@ -1072,6 +1136,37 @@ object GraphOps {
         touched.filterNot(written.contains).foreach { b =>
           graft.sources.Maintenance.deleteRecursively(
             root.resolve("edges").resolve(s"sbucket=$b"))
+        }
+        // reverse sidecar follows the edge store: every changed edge's
+        // reverse row lives in its DST's bucket, so the rewrite is a
+        // dynamic overwrite of the changed edges' dst-buckets — the same
+        // ∝-batch bound as the forward rewrite, one partition key over
+        val a1d = asgAll.filter(col("rn") === 1)
+          .select(col("vec_id").as("dst"), col("cent_id").cast("int").as("dbucket"))
+        val revPath = root.resolve("redges").toString
+        val revTouched = droppedEdges
+          .unionByName(freshEdges.select(col("src"), col("dst")))
+          .join(a1d, Seq("dst"))
+          .select(col("dbucket")).distinct()
+          .collect().map(_.getInt(0)).sorted.toIndexedSeq
+        if (revTouched.nonEmpty) {
+          val revOut = spark.read.parquet(revPath)
+            .filter(col("dbucket").isin(revTouched: _*))
+            .join(broadcast(drop), Seq("src"), "left_anti")
+            .select(col("dst"), col("src"), col("dbucket"))
+            .unionByName(freshEdges.join(a1d, Seq("dst"))
+              .select(col("dst"), col("src"), col("dbucket")))
+            .repartition(col("dbucket"))
+            .localCheckpoint(eager = true)
+          val revWritten = revOut.select(col("dbucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          revOut.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("dbucket").parquet(revPath)
+          revTouched.filterNot(revWritten.contains).foreach { b =>
+            graft.sources.Maintenance.deleteRecursively(
+              root.resolve("redges").resolve(s"dbucket=$b"))
+          }
         }
       }
     }
@@ -1094,7 +1189,11 @@ object GraphOps {
     * corpus must agree edge-for-edge. With this, every index artifact
     * the engine ships has BOTH batch and streaming maintenance: vector
     * index, inverted index, kNN graph, serving graph. */
-  def streamGraphCdc(spark: SparkSession, dir: String): DataFrame = {
+  def streamGraphCdc(spark: SparkSession, dir: String): DataFrame =
+    streamGraphCdcWithRoot(spark, dir)._1
+
+  private[operators] def streamGraphCdcWithRoot(spark: SparkSession, dir: String)
+      : (DataFrame, java.nio.file.Path) = {
     import java.nio.file.Paths
     val isNew = col("vec_id") % AnnUpsertMod === AnnUpsertRes
     val isDead = col("vec_id") % AnnDeleteMod === AnnDeleteRes
@@ -1128,9 +1227,9 @@ object GraphOps {
       q.processAllAvailable()
       graft.streaming.TriggerStats.record("q_stream_graph_cdc", q)
     } finally q.stop()
-    spark.read.parquet(root.resolve("edges").toString)
+    (spark.read.parquet(root.resolve("edges").toString)
       .select(col("src"), col("dst"))
-      .orderBy(col("src"), col("dst"))
+      .orderBy(col("src"), col("dst")), root)
   }
 
   /** Hierarchy dials for [[graphAnnHier]]: layer membership is

@@ -230,6 +230,29 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
     plan should include ("sbucket")
   }
 
+  test("reverse-edge sidecar: CDC keeps it the exact mirror of the edge store; discovery partition-prunes") {
+    import org.apache.spark.sql.functions.col
+    // run the full CDC lifecycle to a fresh root and inspect both stores
+    val (result, root) = GraphOps.streamGraphCdcWithRoot(spark, sfDir)
+    result.collect()
+    val edges = spark.read.parquet(root.resolve("edges").toString)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val redges = spark.read.parquet(root.resolve("redges").toString)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    redges shouldBe edges // same pair set, dst-keyed layout
+    // discovery over the sidecar is a partition-pruned scan of the dead
+    // ids' storage buckets (the IO gate the sidecar exists for)
+    val asg = GraphOps.ivfTop2Assignments(spark, sfDir)
+    val dead = asg.filter(col("vec_id") % GraphOps.AnnDeleteMod === GraphOps.AnnDeleteRes &&
+        col("rn") === 1).select(col("vec_id")).limit(5)
+      .localCheckpoint(true)
+    val disc = GraphOps.reverseAffectedFrame(spark, root, asg, dead)
+    val plan = disc.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[dbucket#\\d+ IN"
+  }
+
   test("graph CDC resolves same-key U+D per key: one branch fires, end state deterministic and redelivery-stable") {
     import org.apache.spark.sql.functions.{col, lit, xxhash64}
     val asgAll = GraphOps.ivfTop2Assignments(spark, sfDir).localCheckpoint(true)
