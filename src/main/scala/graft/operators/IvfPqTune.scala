@@ -40,6 +40,15 @@ object IvfPqTune {
     * cells must equal q_pq_tune's). */
   val Nprobes: Seq[Int] = Seq(1, 2, 4, 8, 16)
 
+  /** The chosen cell of the live sweep — the measured side of the
+    * serving-dial pin ([[PqIndex.TunedNprobe]]/[[PqIndex.TunedM]];
+    * IvfPqTuneSpec gates the equality). */
+  private[operators] def chosenCell(spark: SparkSession, dir: String): (Int, Int) = {
+    val r = ivfPqTune(spark, dir).filter(col("chosen"))
+      .select(col("nprobe"), col("m")).head()
+    (r.getInt(0), r.getInt(1))
+  }
+
   /** Q-ivfpq-tune: the joint frontier. Output one row per cell —
     * (nprobe, m, code_bytes, n_q, n_hits, recall_10, scan_frac, chosen). */
   def ivfPqTune(spark: SparkSession, dir: String): DataFrame = {

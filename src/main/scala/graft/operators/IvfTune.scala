@@ -50,6 +50,23 @@ object IvfTune {
   /** Mean-recall@10 target the chosen nprobe must clear. */
   val TuneTarget = 0.9
 
+  /** The depth q_nprobe_tune CHOOSES on this corpus, pinned as the
+    * serving constant the tuned-serving query dials in (q_knn_auto_tuned
+    * — the q_fusion_tune → q_fusion_serve measurement→deployment
+    * precedent). IvfTuneSpec gates this constant against the LIVE sweep,
+    * so a corpus or ladder change that moves the choice fails the pin
+    * instead of silently serving a stale dial. On the deterministic seed
+    * centroids the honest choice is the FULL fanout (the sweep measures
+    * ~0.4–0.5 mean recall at the latency-default nprobe=4) — exactly the
+    * verdict the measurement exists to surface; a trained coarse
+    * quantizer moves the frontier (q_nprobe_tune_trained). */
+  val TunedNprobe = 16
+
+  /** The chosen row of the live sweep — the spec-pin's measured side. */
+  private[operators] def chosenNprobe(spark: SparkSession, dir: String): Int =
+    nprobeTune(spark, dir).filter(col("chosen"))
+      .select(col("nprobe")).head().getInt(0)
+
   /** Deterministic query sample: vec_id ≡ 5 (mod 37), excluding the 16
     * seed-centroid vectors (each sits in its own bucket — sampling them
     * would flatter recall at nprobe=1). */

@@ -164,19 +164,21 @@ object PqIndex {
     * elements to FLOAT, sequential double dot), so the two paths produce
     * bit-identical tables; dropped-cluster slots (+∞ sentinel) stay 0.0
     * exactly as the relational join leaves them absent. */
-  private[operators] def lutFromFlat(qVec: Array[Float], flat: Array[Double]): Array[Array[Double]] = {
+  private[operators] def lutFromFlat(qVec: Array[Float], flat: Array[Double],
+                                     m: Int = M, subDim: Int = SubDim)
+      : Array[Array[Double]] = {
     val vals = qVec.map(_.toDouble)
     var ss = 0.0
     vals.foreach(v => ss += v * v)
     val inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 0.0
     val nq = vals.map(v => (v * inv).toFloat)
-    Array.tabulate(M, K) { (mm, kk) =>
-      val base = (mm * K + kk) * SubDim
+    Array.tabulate(m, K) { (mm, kk) =>
+      val base = (mm * K + kk) * subDim
       if (flat(base).isPosInfinity) 0.0
       else {
         var s = 0.0
         var d = 0
-        while (d < SubDim) { s += nq(mm * SubDim + d).toDouble * flat(base + d); d += 1 }
+        while (d < subDim) { s += nq(mm * subDim + d).toDouble * flat(base + d); d += 1 }
         s
       }
     }
@@ -271,11 +273,37 @@ object PqIndex {
     * the amortized-build claim. A pre-codebook cache entry (index present,
     * codebook file absent) retrains once and backfills — training is
     * deterministic, so the stored codes always agree. */
-  def ivfPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+  def ivfPqPersisted(spark: SparkSession, dir: String): DataFrame =
+    ivfPqPersistedWith(spark, dir, "emb-ivfpq-bucketed",
+      nprobe = 4, m = M, subDim = SubDim)
+
+  /** Serving dials for the TUNED coded index — pinned to q_ivfpq_tune's
+    * CHOSEN cell on this corpus (IvfPqTuneSpec gates the equality against
+    * the live sweep, the q_fusion_serve pin discipline): the recall-0.9
+    * target on untrained seed centroids demands the full probe fanout and
+    * the widest code, and q_ivfpq_tuned serves exactly that instead of
+    * leaving the measurement unconsumed. The latency-default index
+    * (q_ivfpq_persisted: nprobe 4, m 8) remains the budget choice a
+    * deployment makes when it accepts the measured ~0.38 recall. */
+  val TunedNprobe = 16
+  val TunedM = 16
+  val TunedSubDim: Int = M * SubDim / TunedM // same 64-dim vectors
+
+  /** Q-ivfpq-tuned: the coded index BUILT AND SERVED at q_ivfpq_tune's
+    * chosen (nprobe, m) — measurement→deployment closed for the
+    * quantized family. A separate cache entry (its stored codes are
+    * [[TunedM]]-byte); rows-only like every k-means query, spec-gated:
+    * recall@10 ≥ the tune target vs brute, and the dial pin itself. */
+  def ivfPqTuned(spark: SparkSession, dir: String): DataFrame =
+    ivfPqPersistedWith(spark, dir, "emb-ivfpq-tuned",
+      nprobe = TunedNprobe, m = TunedM, subDim = TunedSubDim)
+
+  private def ivfPqPersistedWith(spark: SparkSession, dir: String,
+                                 name: String, nprobe: Int, m: Int,
+                                 subDim: Int): DataFrame = {
     import graft.sources.IndexCatalog
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = IndexCatalog.cacheBase(dir)
-    val name = "emb-ivfpq-bucketed"
     val emb = Tables.embeddings(spark, dir)
     val cent = KnnSearch.withNorm(
       emb.filter(col("vec_id") < 16)
@@ -292,12 +320,12 @@ object PqIndex {
         StandardCopyOption.REPLACE_EXISTING)
     }
     if (!IndexCatalog.exists(base, name)) {
-      val flat = collectCodebook(trainCodebooks(emb))
+      val flat = collectCodebook(trainCodebooks(emb, m, subDim), m, subDim)
       val data = IvfIndex.assign(KnnSearch.withNorm(emb), cent)
         .withColumnRenamed("cent_id", "bucket")
         .drop("vec_norm") // createIfAbsent recomputes it via withNorm
         .withColumn("code", PqEncode.encode(
-          VectorFunctions.normalize(col("embedding")), flat, M, K, SubDim))
+          VectorFunctions.normalize(col("embedding")), flat, m, K, subDim))
       IndexCatalog.createIfAbsent(spark, base,
         IndexCatalog.IndexDescriptor(name, 64, "cosine"), data,
         partitionCols = Seq("bucket"))
@@ -307,11 +335,11 @@ object PqIndex {
       if (Files.exists(cbFile))
         Files.readString(cbFile).split(",").map(_.toDouble)
       else {
-        val f = collectCodebook(trainCodebooks(emb))
+        val f = collectCodebook(trainCodebooks(emb, m, subDim), m, subDim)
         writeCodebook(f)
         f
       }
-    ivfPqServe(spark, base, name, flat, cent, emb)
+    ivfPqServe(spark, base, name, flat, cent, emb, nprobe, m, subDim)
   }
 
   /** The steady-state IVF-PQ query against a persisted coded index:
@@ -322,17 +350,19 @@ object PqIndex {
     * one path. */
   private def ivfPqServe(spark: SparkSession, base: String, name: String,
                          flat: Array[Double], cent: DataFrame,
-                         corpus: DataFrame): DataFrame = {
+                         corpus: DataFrame, nprobe: Int = 4,
+                         m: Int = M, subDim: Int = SubDim): DataFrame = {
     import graft.sources.IndexCatalog
     val q = corpus.filter(col("vec_id") === 0)
     val qVec = q.select(col("embedding")).head().getSeq[Float](0).toArray
     val qn = KnnSearch.withNorm(
       q.select(col("vec_id").as("q_id"), col("embedding").as("q_embedding")),
       "q_embedding").withColumnRenamed("vec_norm", "q_norm")
-    val probeIds = IvfIndex.probes(cent, qn, nprobe = 4)
+    val probeIds = IvfIndex.probes(cent, qn, nprobe)
       .collect().map(_.getLong(0)).toSeq
     val shortlist = IndexCatalog.loadBuckets(spark, base, name, probeIds)
-      .withColumn("approx_dot", adcScore(lutLiteral(lutFromFlat(qVec, flat))))
+      .withColumn("approx_dot",
+        adcScore(lutLiteral(lutFromFlat(qVec, flat, m, subDim))))
       .filter(col("vec_id") =!= 0)
       .orderBy(col("approx_dot").desc, col("vec_id"))
       .limit(Shortlist)
@@ -407,6 +437,7 @@ object PqIndex {
     "q_pq_knn" -> (pqKnn _),
     "q_ivfpq_knn" -> (ivfPqKnn _),
     "q_ivfpq_persisted" -> (ivfPqPersisted _),
+    "q_ivfpq_tuned" -> (ivfPqTuned _),
     "q_ivfpq_upsert" -> (ivfPqUpsert _))
 
   /** Iterative k-means has no SQL twin — rows-only by design; recall,

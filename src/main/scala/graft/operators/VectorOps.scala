@@ -256,7 +256,7 @@ object VectorOps {
     * single candidate predicate, so both gates always state identical
     * assignment/probe/rank semantics (a fix to the shared CTEs can never
     * reach one oracle and miss the other). */
-  private def ivfOracleSql(extraPredicate: String): String = {
+  private def ivfOracleSql(extraPredicate: String, nprobe: Int = 4): String = {
     import VectorSql.{cosine => cos}
     s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
        |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -267,7 +267,7 @@ object VectorOps {
        |  FROM embeddings e, cent c),
        |a1 AS (SELECT vec_id, label, embedding, cent_id FROM asg WHERE rn = 1),
        |pr AS (SELECT cent_id FROM cent, q
-       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT 4),
+       |       ORDER BY ${cos("cent.ce", "q.qe")} DESC, cent_id LIMIT $nprobe),
        |res AS (SELECT a.vec_id, a.label, a.cent_id,
        |          ROUND(${cos("a.embedding", "q.qe")}, 6) AS score
        |        FROM a1 a JOIN pr ON a.cent_id = pr.cent_id CROSS JOIN q
@@ -475,6 +475,26 @@ object VectorOps {
     graft.plans.AnnRouting.withRoute(spark, base, name, nprobe = 4)(
       knnAutoFrame(spark, dir))
   }
+
+  /** Q-knn-auto-tuned: MEASUREMENT→DEPLOYMENT closed for the routed IVF
+    * family — the q_knn_auto query served at the depth q_nprobe_tune
+    * CHOSE ([[IvfTune.TunedNprobe]], spec-pinned to the live sweep in
+    * IvfTuneSpec) instead of the latency-default nprobe=4. Same naive
+    * frame, same routing rule; only the registered probe config differs,
+    * exactly how a recall-targeted deployment consumes the tune (the
+    * q_fusion_tune → q_fusion_serve precedent). The oracle replays the
+    * probed semantics AT THE CHOSEN DEPTH through the identical
+    * assign/probe/rank CTEs ([[ivfOracleSql]] parameterized by depth) —
+    * on this corpus the chosen depth is the full fanout, so the replay
+    * degenerates to exact search, which is precisely the tune's honest
+    * verdict on untrained seed centroids. */
+  def knnAutoTuned(spark: SparkSession, dir: String): DataFrame = {
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    graft.plans.AnnRouting.withRoute(spark, base, name,
+      nprobe = IvfTune.TunedNprobe)(knnAutoFrame(spark, dir))
+  }
+
+  val knnAutoTunedSql: String = ivfOracleSql("", IvfTune.TunedNprobe)
 
   /** Q-l2-auto: OPTIMIZER-ROUTED EUCLIDEAN ANN — the q_knn_auto contract
     * under the reference's other first-class metric (`upsert/upsert.go:27`
@@ -1744,6 +1764,7 @@ object VectorOps {
     "q_ann_ivf" -> (annIvf _),
     "q_ann_ivf_persisted" -> (annIvfPersisted _),
     "q_knn_auto" -> (knnAuto _),
+    "q_knn_auto_tuned" -> (knnAutoTuned _),
     "q_l2_auto" -> (l2Auto _),
     "q_dot_auto" -> (dotAuto _),
     "q_knn_auto_filtered" -> (knnAutoFiltered _),
@@ -1820,6 +1841,9 @@ object VectorOps {
     // and the optimizer-routed form must land on the identical result —
     // naive SQL in, probed-IVF plan out (AnnRouting)
     "q_knn_auto" -> annIvfSql,
+    // the tuned depth's probed replay (degenerates to exact at full fanout
+    // — the sweep's honest choice on seed centroids, spec-pinned)
+    "q_knn_auto_tuned" -> knnAutoTunedSql,
     // the euclidean route replays its own probe geometry (L2 probes, L2
     // ranking) over the same cosine-built layout
     "q_l2_auto" -> l2AutoSql,

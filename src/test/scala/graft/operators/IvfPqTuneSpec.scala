@@ -56,4 +56,24 @@ class IvfPqTuneSpec extends SparkSpecBase with Matchers {
         Seq((minProbe, minM))
     } else chosen shouldBe empty
   }
+
+  test("serving pin: PqIndex's tuned dials equal the live sweep's chosen cell (measurement→deployment wiring)") {
+    // q_ivfpq_tuned serves exactly what q_ivfpq_tune chose — a corpus or
+    // ladder change that moves the choice fails this pin instead of
+    // silently serving stale dials (the q_fusion_serve pin discipline)
+    IvfPqTune.chosenCell(spark, sfDir) shouldBe
+      (PqIndex.TunedNprobe, PqIndex.TunedM)
+  }
+
+  test("q_ivfpq_tuned clears the tune's recall target against exact brute force") {
+    val got = PqIndex.ivfPqTuned(spark, sfDir).collect().map(_.getLong(0))
+    got should have length 10
+    val exact = VectorOps.knn(spark, sfDir).collect().map(_.getLong(0)).toSet
+    // ADC shortlist (Shortlist=100, full fanout at the chosen cell) +
+    // exact rerank: recall@10 must clear the target the cell was chosen
+    // for (the cell's sweep recall was 0.96 before reranking)
+    got.count(exact) / 10.0 should be >= IvfTune.TuneTarget
+    // determinism: the served ranking is stable across runs
+    PqIndex.ivfPqTuned(spark, sfDir).collect().map(_.getLong(0)).toSeq shouldBe got.toSeq
+  }
 }

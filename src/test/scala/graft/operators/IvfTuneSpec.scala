@@ -46,6 +46,25 @@ class IvfTuneSpec extends SparkSpecBase with Matchers {
       Seq(meeting.map(_.getAs[Int]("nprobe")).min)
   }
 
+  test("serving pin: TunedNprobe equals the live sweep's chosen depth (measurement→deployment wiring)") {
+    // the constant q_knn_auto_tuned dials in must BE what the tune
+    // chooses — a corpus/ladder change that moves the choice fails here
+    // instead of silently serving a stale dial (the q_fusion_serve pin)
+    IvfTune.chosenNprobe(spark, sfDir) shouldBe IvfTune.TunedNprobe
+    // ...and on this corpus the chosen depth is the FULL fanout, which is
+    // the measured precondition that lets q_knn_auto_tuned share the
+    // exact-search oracle form (probed replay at full depth ≡ brute)
+    IvfTune.TunedNprobe shouldBe IvfTune.TuneNprobes.max
+  }
+
+  test("q_knn_auto_tuned serves the exact top-10 (full-fanout route) and routes through the registry") {
+    val tuned = VectorOps.knnAutoTuned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    val exact = VectorOps.knn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    tuned.toSeq shouldBe exact.toSeq
+  }
+
   test("trained sweep keeps the theorem gates: ladder order, monotone recall, exact full-depth anchor") {
     val tr = IvfTune.nprobeTuneTrained(spark, sfDir).collect()
     tr.map(_.getAs[Int]("nprobe")).toSeq shouldBe IvfTune.TuneNprobes
