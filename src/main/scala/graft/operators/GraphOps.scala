@@ -548,8 +548,15 @@ object GraphOps {
   /** Top-2 centroid assignments per node: rn=1 is the storage bucket
     * (identical to IvfIndex.assign's argmax), rn=2 adds the cross-bucket
     * query-side membership [[graphAnnEdges]]'s navigability comes from. */
-  private[operators] def ivfTop2Assignments(spark: SparkSession, dir: String): DataFrame = {
-    val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
+  private[operators] def ivfTop2Assignments(spark: SparkSession, dir: String): DataFrame =
+    ivfTop2AssignmentsOf(spark, dir, Tables.embeddings(spark, dir))
+
+  /** The same assignment frame over a CALLER-SUPPLIED corpus — the
+    * single-feed CDC (q_stream_all_cdc) assigns corpus ∪ arriving twins
+    * in one pass so adds are routable the trigger they arrive. */
+  private[graft] def ivfTop2AssignmentsOf(spark: SparkSession, dir: String,
+                                          corpus: DataFrame): DataFrame = {
+    val emb = KnnSearch.withNorm(corpus)
     val cent = VectorOps.seedCentroids(spark, dir)
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_score").desc, col("cent_id"))
@@ -562,11 +569,28 @@ object GraphOps {
         col("cent_id"), col("rn"))
   }
 
+  /** Initialize the persisted serving-graph store a CDC feed maintains —
+    * edges partitioned by the src's storage bucket plus the members
+    * sidecar, ready for [[applyGraphCdcBatch]] (the reverse sidecar
+    * backfills on first use). `member` restricts the initial population
+    * (ids that "arrive" later are excluded here and added by the feed). */
+  private[graft] def initGraphStore(root: java.nio.file.Path, asgAll: DataFrame,
+                                    member: org.apache.spark.sql.Column): Unit = {
+    val a1 = asgAll.filter(col("rn") === 1)
+      .select(col("vec_id").as("src"), col("cent_id").cast("int").as("sbucket"))
+    graphAnnEdges(asgAll.filter(member))
+      .join(a1, Seq("src"))
+      .repartition(col("sbucket"))
+      .write.partitionBy("sbucket").parquet(root.resolve("edges").toString)
+    asgAll.filter(member && col("rn") === 1).select(col("vec_id"))
+      .coalesce(1).write.parquet(root.resolve("members").toString)
+  }
+
   /** The serving graph: per-node top-[[GraphAnnDegree]] directed edges of
     * the IVF-bucketed corpus join, query side carrying its top-2
     * assignments (see [[graphAnn]]'s scaladoc for why top-2 is the
     * navigability property). */
-  private[operators] def graphAnnEdges(asg: DataFrame,
+  private[graft] def graphAnnEdges(asg: DataFrame,
                                        degree: Int = GraphAnnDegree): DataFrame =
     graphAnnEdgesFrom(asg.filter(col("rn") === 1), annQside(asg), degree)
 
@@ -1046,7 +1070,7 @@ object GraphOps {
     * `_stream_commits/<batchId>` marker. The members sidecar (the ids
     * currently in the graph — metadata the primary vector index already
     * holds) swaps whole per trigger like the inverted index's dict. */
-  private[operators] def applyGraphCdcBatch(root: java.nio.file.Path,
+  private[graft] def applyGraphCdcBatch(root: java.nio.file.Path,
                                             asgAll: DataFrame,
                                             batch: DataFrame,
                                             batchId: Long): Unit = {
@@ -1200,14 +1224,7 @@ object GraphOps {
     // the assignment frame is reused by every trigger — checkpoint once
     val asgAll = ivfTop2Assignments(spark, dir).localCheckpoint(eager = true)
     val root = Paths.get(graft.Scratch.dir("graph-cdc"))
-    val a1 = asgAll.filter(col("rn") === 1)
-      .select(col("vec_id").as("src"), col("cent_id").cast("int").as("sbucket"))
-    graphAnnEdges(asgAll.filter(!isNew))
-      .join(a1, Seq("src"))
-      .repartition(col("sbucket"))
-      .write.partitionBy("sbucket").parquet(root.resolve("edges").toString)
-    asgAll.filter(!isNew && col("rn") === 1).select(col("vec_id"))
-      .coalesce(1).write.parquet(root.resolve("members").toString)
+    initGraphStore(root, asgAll, !isNew)
     val b1 = asgAll.filter(isNew && col("rn") === 1)
       .select(col("vec_id")).withColumn("op", lit("U"))
     val b2 = asgAll.filter(isDead && col("rn") === 1)

@@ -692,7 +692,7 @@ object InvertedIndex {
       .filter(col("doc_id") % DeleteMod === DeleteRes && col("doc_id") < DeleteMax)
       .select(col("doc_id"))
 
-  private def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout = {
+  private[graft] def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout = {
     ensure(spark, dir)
     val cloneRoot = Paths.get(graft.Scratch.dir(tag))
     Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)

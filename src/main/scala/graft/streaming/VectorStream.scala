@@ -178,7 +178,7 @@ object VectorStream {
     * q_stream_cdc) — a layout change applied to one copy and not the
     * other would silently desynchronize queries that claim "same
     * layout". */
-  private def cloneWarmIndex(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def cloneWarmIndex(spark: org.apache.spark.sql.SparkSession,
                              dir: String, scratchLabel: String): (String, String) = {
     import graft.Tables
     val warmBase = IndexCatalog.cacheBase(dir)
@@ -382,7 +382,7 @@ object VectorStream {
     * `ups.isEmpty`/`dels.isEmpty`, and per-trigger scheduling latency is
     * the dominant CDC cost at small batch sizes). Upserts merge
     * version-aware; deletes append a VERSIONED tombstone. */
-  private def applyCdcBatch(batch: DataFrame, base: String, name: String,
+  private[graft] def applyCdcBatch(batch: DataFrame, base: String, name: String,
                             dim: Int): Unit = {
     val resolved = Upsert.lastWriteWins(batch, Seq("vec_id"), "version",
         tieBreak = Seq(xxhash64(col("embedding"), col("label"), col("op"))))
