@@ -648,7 +648,17 @@ object GraphOps {
 
   def graphAnn(spark: SparkSession, dir: String,
                beam: Int = GraphAnnBeam, hops: Int = GraphAnnHops,
-               seedProbes: Int = GraphAnnSeedProbes): DataFrame = {
+               seedProbes: Int = GraphAnnSeedProbes): DataFrame =
+    graphAnnVisited(spark, dir, beam, hops, seedProbes)
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+
+  /** The full VISITED set of the deterministic beam walk — factored so
+    * the plain and the metadata-FILTERED servings share one walk
+    * verbatim (same seeds, same hops, same tie-breaks). */
+  private def graphAnnVisited(spark: SparkSession, dir: String,
+                              beam: Int = GraphAnnBeam,
+                              hops: Int = GraphAnnHops,
+                              seedProbes: Int = GraphAnnSeedProbes): DataFrame = {
     val emb = KnnSearch.withNorm(Tables.embeddings(spark, dir))
     val cent = VectorOps.seedCentroids(spark, dir)
     val q = broadcast(KnnSearch.withNorm(
@@ -669,8 +679,31 @@ object GraphOps {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(beam)
     beamWalk(edges, emb, visited0, beam, hops, scoreAgainstQuery)
-      .orderBy(col("score").desc, col("vec_id")).limit(10)
   }
+
+  /** The predicate the filtered serving restricts results to — a label
+    * equality, the metadata-filter shape the reference's platform exposes
+    * (Pinecone queries accept a metadata filter; q_knn_filtered is the
+    * exact-search twin). */
+  val GraphAnnFilterLabel = 3
+
+  /** Q-graph-ann-filtered: METADATA-FILTERED graph-ANN serving — the walk
+    * navigates the UNFILTERED graph (pruning edges by predicate would
+    * fragment navigability: a filtered-out node still ROUTES the search —
+    * the standard filtered-HNSW discipline), and the predicate restricts
+    * only the RESULT collection: the top-10 by score among the visited
+    * nodes carrying the label. Correctness is exact walk-replay equality
+    * — the oracle runs the identical hop-by-hop expansion and applies the
+    * identical final predicate — not a recall bound, so the filtered
+    * serving inherits every determinism property of q_graph_ann. At low
+    * predicate selectivity a deployment widens the beam (the
+    * candidate-pool ∝ 1/selectivity rule of filtered ANN search); the
+    * dials here stay q_graph_ann's so the two walks are literally the
+    * same frame. */
+  def graphAnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    graphAnnVisited(spark, dir)
+      .filter(col("label") === GraphAnnFilterLabel)
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
 
   /** The query-BLOCK walk: [[beamWalk]] keyed by q_id — per-query beams
     * via ranking windows instead of global sort+limit, every hop ONE
@@ -1369,7 +1402,11 @@ object GraphOps {
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  val graphAnnSql: String = {
+  /** ONE builder for the walk-replay oracle — the filtered variant
+    * differs by a single final-collection predicate over the SAME
+    * hop-by-hop expansion, so both gates always replay identical walk
+    * semantics (the ivfOracleSql builder discipline). */
+  private def graphAnnSqlWith(finalPredicate: String): String = {
     import VectorSql.{cosine => cos}
     def round_(prev: String, k: Int): String =
       s"""f$k AS (SELECT vec_id FROM $prev ORDER BY score DESC, vec_id LIMIT $GraphAnnBeam),
@@ -1400,9 +1437,15 @@ object GraphOps {
        |       WHERE a.vec_id <> 0
        |       ORDER BY score DESC, vec_id LIMIT $GraphAnnBeam),
        |${(1 to GraphAnnHops).map(k => round_(s"v${k - 1}", k)).mkString(",\n")}
-       |SELECT vec_id, label, score FROM v$GraphAnnHops
+       |SELECT vec_id, label, score FROM v$GraphAnnHops$finalPredicate
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  val graphAnnSql: String = graphAnnSqlWith("")
+
+  /** The identical walk replay, results restricted to the filter label. */
+  val graphAnnFilteredSql: String =
+    graphAnnSqlWith(s" WHERE label = $GraphAnnFilterLabel")
 
   /** Fixed label-propagation round count — constant so the oracle can
     * unroll the rounds as chained CTEs (the [[PagerankIters]] rule). */
@@ -1482,6 +1525,7 @@ object GraphOps {
     "q_knn_graph_incr" -> (knnGraphIncr _),
     "q_knn_graph_clusters" -> (knnGraphClusters _),
     "q_graph_ann" -> ((s: SparkSession, d: String) => graphAnn(s, d)),
+    "q_graph_ann_filtered" -> (graphAnnFiltered _),
     "q_graph_ann_hier" -> ((s: SparkSession, d: String) => graphAnnHier(s, d)),
     "q_graph_ann_batch" -> ((s: SparkSession, d: String) => graphAnnBatch(s, d)),
     "q_graph_ann_upsert" -> (graphAnnUpsert _),
@@ -1499,6 +1543,8 @@ object GraphOps {
     "q_knn_graph_incr" -> knnGraphSql,
     "q_knn_graph_clusters" -> knnGraphClustersSql,
     "q_graph_ann" -> graphAnnSql,
+    // the same walk replay, one more final-collection predicate
+    "q_graph_ann_filtered" -> graphAnnFilteredSql,
     "q_graph_ann_hier" -> graphAnnHierSql,
     "q_graph_ann_batch" -> graphAnnBatchSql,
     "q_graph_ann_upsert" -> graphAnnUpsertSql,

@@ -284,6 +284,25 @@ class KnnGraphSpec extends SparkSpecBase with Matchers {
       .filter(col("src") === x).count() > 0 shouldBe !dWins
   }
 
+  test("q_graph_ann_filtered: same walk, predicate restricts only collection; non-vacuous at this SF") {
+    val got = GraphOps.graphAnnFiltered(spark, sfDir).collect()
+    got should not be empty // the walk visits enough label-3 nodes here
+    all(got.map(_.getInt(1))) shouldBe GraphOps.GraphAnnFilterLabel
+    // the filtered top-10 is exactly the label-3 restriction of the plain
+    // walk's visited ranking: every returned row must appear in the
+    // UNRESTRICTED serving's visited set ranking order — cross-checked by
+    // scoring: the filtered scores are a subsequence of a deterministic
+    // walk, so a rerun is bit-identical
+    GraphOps.graphAnnFiltered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq shouldBe
+      got.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // the plain serving's top-10 restricted to label 3 is a PREFIX of the
+    // filtered result (both rank the same visited set)
+    val plainL3 = GraphOps.graphAnn(spark, sfDir).collect()
+      .filter(_.getInt(1) == GraphOps.GraphAnnFilterLabel).map(_.getLong(0))
+    got.map(_.getLong(0)).take(plainL3.length).toSeq shouldBe plainL3.toSeq
+  }
+
   test("q_graph_ann: cross-bucket edges exist, degree bound, query node never visited") {
     import org.apache.spark.sql.functions.col
     val got = GraphOps.graphAnn(spark, sfDir).collect()
