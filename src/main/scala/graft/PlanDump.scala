@@ -120,7 +120,12 @@ object PlanDump {
     "q_ivfpq_tune",
     // the fusion deployment: pruned gram-bucket scan + broadcast block
     // features, exact-integer ranking
-    "q_fusion_serve")
+    "q_fusion_serve",
+    // round-13: the tuned-depth routed plan (the sweep's chosen fanout as
+    // PartitionFilters), the tuned coded index (16-byte codes, full-probe
+    // ADC + exact rerank), and the filtered graph walk (predicate on the
+    // collection side only)
+    "q_knn_auto_tuned", "q_ivfpq_tuned", "q_graph_ann_filtered")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

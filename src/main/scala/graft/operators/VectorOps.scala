@@ -1778,14 +1778,16 @@ object VectorOps {
     * frame so the dumped plan shows the injected probe PartitionFilters,
     * and leave unregistration to the dumper. */
   private[graft] def planFrames: Map[String, (SparkSession, String) => DataFrame] = {
-    def routed(frame: (SparkSession, String) => DataFrame)
+    def routed(frame: (SparkSession, String) => DataFrame,
+               nprobe: Int = 4)
         : (SparkSession, String) => DataFrame = (s, d) => {
       val (base, name, _) = ensureIvfBucketed(s, d)
-      graft.plans.AnnRouting.register(s, base, name, nprobe = 4)
+      graft.plans.AnnRouting.register(s, base, name, nprobe)
       frame(s, d) // route dropped by PlanDump after the dump completes
     }
     Map(
       "q_knn_auto" -> routed(knnAutoFrame),
+      "q_knn_auto_tuned" -> routed(knnAutoFrame, nprobe = IvfTune.TunedNprobe),
       "q_l2_auto" -> routed(l2AutoFrame),
       "q_dot_auto" -> routed(dotAutoFrame),
       "q_knn_auto_filtered" -> routed(knnAutoFilteredFrame),
