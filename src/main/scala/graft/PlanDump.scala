@@ -125,7 +125,12 @@ object PlanDump {
     // PartitionFilters), the tuned coded index (16-byte codes, full-probe
     // ADC + exact rerank), and the filtered graph walk (predicate on the
     // collection side only)
-    "q_knn_auto_tuned", "q_ivfpq_tuned", "q_graph_ann_filtered")
+    "q_knn_auto_tuned", "q_ivfpq_tuned", "q_graph_ann_filtered",
+    // round-13 second wave: the pruned band-bucket batch-dedup lookup
+    // (bbucket PartitionFilters both sides of the candidate join), the
+    // MaxScore candidate-restricted rank plan (semi-join before the
+    // pivot aggregation), and the persisted-band corpus self-join
+    "q_minhash_upsert", "q_bm25_maxscore", "q_minhash_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -94,6 +94,19 @@ object InvertedIndex {
   private def footprintPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("footprint").toString
 
+  /** Per-term IMPACT-BOUND sidecar — `impacts/tbucket=<b>/` rows of
+    * (w, tf_max, dl_min), the Lucene per-segment max-impact metadata that
+    * makes MaxScore/WAND-style top-k pruning possible ([[bm25MaxScore]]):
+    * the BM25 tf-saturation part is monotone increasing in tf and
+    * decreasing in dl, so impact(tf_max, dl_min) upper-bounds every
+    * posting's contribution UNDER ANY avgdl. Maintained at build, max/min-
+    * merged by upsert (exact for add-only), left VALID-but-stale by delete
+    * (an upper bound over a superset still bounds the subset), refreshed
+    * exactly for the touched buckets by vacuum — the per-segment-static
+    * impact discipline. */
+  private def impactsPathOf(layout: Layout): String =
+    Paths.get(layout.dataPath).getParent.resolve("impacts").toString
+
   private def hasParquet(dir: java.nio.file.Path): Boolean =
     Files.exists(dir) && {
       val s = Files.list(dir)
@@ -236,7 +249,8 @@ object InvertedIndex {
     * "every doc but the query doc" contract). */
   private[graft] def bm25Over(spark: SparkSession, layout: Layout,
                               k: Int = 10,
-                              excludeDoc: Option[Long] = None): DataFrame = {
+                              excludeDoc: Option[Long] = None,
+                              restrictTo: Option[DataFrame] = None): DataFrame = {
     val terms = TextOps.Bm25Terms
     import spark.implicits._
     val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
@@ -259,10 +273,16 @@ object InvertedIndex {
       if (hasParquet(tombDirOf(layout)))
         Some(spark.read.parquet(tombDirOf(layout).toString).select(col("doc_id")))
       else None
-    val post = tombOpt
+    val post1 = tombOpt
       .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(post0)
       .filter(excludeDoc.map(col("doc_id") =!= _).getOrElse(lit(true)))
+    // candidate restriction (the MaxScore path): applied AFTER masking
+    // and AFTER the df-correction inputs are fixed — restriction narrows
+    // which docs get SCORED, never what df/idf mean
+    val post = restrictTo
+      .map(c => post1.join(c.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
+      .getOrElse(post1)
     // dict read rides the same partition pruning as the postings: the
     // query terms' tbuckets are already plan-time metadata
     val dict0 = spark.read.parquet(layout.dictPath)
@@ -294,6 +314,103 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** MaxScore-pruned BM25 top-k (Turtle & Flood's MaxScore, the
+    * block-max/WAND family's simplest member) served relationally:
+    *
+    *  1. per-term score UPPER BOUNDS from the impacts sidecar —
+    *     ub(t) = idf(t) · sat(tf_max, dl_min), valid under any avgdl
+    *     because the saturation is monotone ↑tf, ↓dl. ≤|terms| rows of
+    *     (df, tf_max, dl_min) metadata cross the driver, never postings;
+    *  2. a THRESHOLD θ = the k-th full score among docs containing the
+    *     highest-ub term (one restricted scoring pass over that term's
+    *     posting list);
+    *  3. the ESSENTIAL prefix E of the ub-descending term order — the
+    *     smallest prefix with Σ_{t∉E} ub(t) < θ − ε. A doc containing
+    *     only non-essential terms scores ≤ that sum, strictly below the
+    *     k-th achieved score, so it cannot enter the top-k (ε = 1e-6
+    *     absorbs the served scores' 6-decimal rounding);
+    *  4. full scoring RESTRICTED to docs holding ≥1 essential term.
+    *
+    * Exactness: every true top-k doc scores ≥ θ (θ is achieved by k
+    * docs), a non-candidate scores < θ, and all candidates are ranked by
+    * the same (score, doc_id) order as the unpruned plan — so the result
+    * equals [[bm25Over]] bit-for-bit and SHARES q_bm25's oracle. The win
+    * at scale: the rank/pivot aggregation consumes only the essential
+    * terms' doc set instead of every query term's postings — on a long
+    * query the non-essential tail (stopword-grade terms with huge
+    * postings but tiny ub) never reaches the aggregation. Falls back to
+    * the unpruned plan when fewer than k docs hold the top term.
+    * Tombstone-safe: ubs use the corrected df and bounds remain upper
+    * bounds over the masked subset. */
+  private[graft] def maxScorePlan(spark: SparkSession, layout: Layout,
+                                  k: Int = 10): (Seq[String], DataFrame) = {
+    val terms = TextOps.Bm25Terms
+    import spark.implicits._
+    val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().toSeq
+    ensureImpacts(spark, layout)
+    // corrected per-term df — the bm25Over read path's exact arithmetic
+    val dict0 = spark.read.parquet(layout.dictPath)
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .select(col("w"), col("df"))
+    val tombOpt =
+      if (hasParquet(tombDirOf(layout)))
+        Some(spark.read.parquet(tombDirOf(layout).toString).select(col("doc_id")))
+      else None
+    val post0 = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    val dict = tombOpt.map { t =>
+      val dead = post0.join(broadcast(t), Seq("doc_id"))
+        .groupBy(col("w")).agg(count(lit(1)).as("ddf"))
+      dict0.join(dead, Seq("w"), "left")
+        .select(col("w"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+    }.getOrElse(dict0)
+    val imp = spark.read.parquet(impactsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+      .select(col("w"), col("tf_max"), col("dl_min"))
+    val statsRow = spark.read.parquet(layout.statsPath)
+      .select(col("n"),
+        (col("total_dl").cast("double") / col("n").cast("double")).as("avgdl"))
+      .head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1)
+    val ubs = dict.join(imp, "w").collect().map { r =>
+      val w = r.getString(0)
+      val df = r.getLong(1)
+      val tfMax = r.getLong(2).toDouble
+      val dlMin = r.getInt(3).toDouble
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      w -> idf * (tfMax * 2.2) /
+        (tfMax + 1.2 * (0.25 + 0.75 * dlMin / avgdl))
+    }.toMap
+    // ub-descending order, term as the deterministic tie-break; terms the
+    // corpus never saw contribute 0 to every score and drop out
+    val ordered = terms.filter(ubs.contains).sortBy(t => (-ubs(t), t))
+    if (ordered.isEmpty) return (terms, bm25Over(spark, layout, k))
+    def livePost = tombOpt
+      .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(post0)
+    val topDocs = livePost.filter(col("w") === ordered.head).select(col("doc_id"))
+    val thetaRows = bm25Over(spark, layout, k, restrictTo = Some(topDocs)).collect()
+    val theta =
+      if (thetaRows.length < k) Double.NegativeInfinity
+      else thetaRows.last.getDouble(1)
+    val e = (1 to ordered.size)
+      .find(e0 => ordered.drop(e0).map(ubs).sum < theta - 1e-6)
+      .getOrElse(ordered.size)
+    val essential = ordered.take(e)
+    val cand = livePost.filter(col("w").isin(essential: _*))
+      .select(col("doc_id")).distinct()
+    (essential, bm25Over(spark, layout, k, restrictTo = Some(cand)))
+  }
+
+  /** Q-bm25-maxscore: [[maxScorePlan]] over the shared persisted index —
+    * result-identical to q_bm25/q_bm25_indexed (shared oracle), computed
+    * with the pruned candidate set. */
+  def bm25MaxScore(spark: SparkSession, dir: String): DataFrame =
+    maxScorePlan(spark, ensure(spark, dir))._2
+
   /** New-doc derivation for the declared upsert query: the first
     * [[UpsertSrcCount]] docs re-keyed past the id domain by
     * [[UpsertIdOffset]] (the MAX()+1 discipline with a fixed headroom
@@ -324,8 +441,10 @@ object InvertedIndex {
     *    build over the grown corpus would */
   def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit = {
     // backfill BEFORE the posting append: a pre-sidecar index derives its
-    // lens from the stored postings, which must not yet include this batch
+    // lens (and impact bounds) from the stored postings, which must not
+    // yet include this batch
     ensureLens(spark, layout)
+    ensureImpacts(spark, layout)
     val (postings, lens) = postingsOfWith(docs, tokenizerOf(tokKindOf(layout)))
     val newPost = postings.withColumn("tbucket", bucketCol(col("w")))
       .localCheckpoint(eager = true) // consumed twice: data append + df delta
@@ -333,6 +452,12 @@ object InvertedIndex {
       .write.mode("append").partitionBy("tbucket").parquet(layout.dataPath)
     mergeDictBuckets(spark, layout,
       newPost.groupBy(col("w")).agg(count(lit(1)).as("ddf")))
+    // impact bounds: max/min-merge of the batch's per-term extremes into
+    // the touched buckets — EXACT for add-only maintenance (the max of two
+    // true maxima is the true maximum of the union)
+    mergeImpactBuckets(spark, layout,
+      newPost.groupBy(col("w")).agg(max(col("tf")).as("tf_max"),
+        min(col("dl")).as("dl_min")))
     val d = lens.agg(count(lit(1)).as("dn"), sum(col("dl")).as("ddl")).head()
     val mergedStats = spark.read.parquet(layout.statsPath)
       .select((col("n") + d.getLong(0)).as("n"),
@@ -387,6 +512,57 @@ object InvertedIndex {
       Maintenance.deleteRecursively(
         Paths.get(layout.dictPath).resolve(s"tbucket=$b"))
     }
+  }
+
+  /** Backfill the impact-bound sidecar for an index that predates it: one
+    * column-pruned pass over the stored postings computes each term's
+    * exact (tf_max, dl_min). Written through a staged move so a killed
+    * backfill is invisible (re-derived next call). */
+  private def ensureImpacts(spark: SparkSession, layout: Layout): Unit = {
+    val impPath = impactsPathOf(layout)
+    if (!Files.exists(Paths.get(impPath))) {
+      val staged = impPath + ".staged"
+      Maintenance.deleteRecursively(Paths.get(staged))
+      spark.read.parquet(layout.dataPath)
+        .groupBy(col("w")).agg(max(col("tf")).as("tf_max"),
+          min(col("dl")).as("dl_min"))
+        .withColumn("tbucket", bucketCol(col("w")))
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket").parquet(staged)
+      Files.move(Paths.get(staged), Paths.get(impPath))
+    }
+  }
+
+  /** TOUCHED-BUCKET impact merge — [[mergeDictBuckets]]' discipline with
+    * max/min combine: only the batch terms' tbucket partitions read,
+    * merge (greatest tf_max, least dl_min), and dynamic-overwrite. Exact
+    * for adds; deletes leave bounds valid-but-stale (vacuum refreshes the
+    * touched buckets exactly). */
+  private def mergeImpactBuckets(spark: SparkSession, layout: Layout,
+                                 batchImp: DataFrame): Unit = {
+    import spark.implicits._
+    val d = batchImp
+      .select(col("w"), col("tf_max").as("btf"), col("dl_min").as("bdl"))
+      .withColumn("tbucket", bucketCol(col("w")))
+      .localCheckpoint(eager = true)
+    val touched = d.select(col("tbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (touched.isEmpty) return
+    val merged = spark.read.parquet(impactsPathOf(layout))
+      .filter(col("tbucket").isin(touched: _*))
+      .select(col("w"), col("tf_max"), col("dl_min"))
+      .join(d.select(col("w"), col("btf"), col("bdl")), Seq("w"), "full_outer")
+      .select(col("w"),
+        greatest(coalesce(col("tf_max"), lit(0L)),
+          coalesce(col("btf"), lit(0L))).as("tf_max"),
+        least(coalesce(col("dl_min"), lit(Int.MaxValue)),
+          coalesce(col("bdl"), lit(Int.MaxValue))).as("dl_min"))
+      .withColumn("tbucket", bucketCol(col("w")))
+      .repartition(col("tbucket"))
+      .localCheckpoint(eager = true) // cut lineage off the overwritten files
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbucket").parquet(impactsPathOf(layout))
   }
 
   /** Backfill the doc-length sidecar for an index built before it existed:
@@ -534,6 +710,29 @@ object InvertedIndex {
       // terms' dict buckets rewrite; terms whose every doc died drop
       mergeDictBuckets(spark, layout,
         dead.groupBy(col("w")).agg((-count(lit(1))).as("ddf")))
+      // impact bounds: deletes left them valid-but-stale; refresh the
+      // touched buckets EXACTLY from the surviving postings (the
+      // per-segment-static impact discipline — recompute at compaction).
+      // A pre-sidecar index skips this: its eventual backfill reads the
+      // already-vacuumed postings, which is the same exact state.
+      if (Files.exists(Paths.get(impactsPathOf(layout)))) {
+        val freshImp = spark.read.parquet(layout.dataPath)
+          .filter(col("tbucket").isin(touched: _*))
+          .groupBy(col("w")).agg(max(col("tf")).as("tf_max"),
+            min(col("dl")).as("dl_min"))
+          .withColumn("tbucket", bucketCol(col("w")))
+          .repartition(col("tbucket"))
+          .localCheckpoint(eager = true)
+        val writtenI = freshImp.select(col("tbucket")).distinct()
+          .as[Long].collect().toSet
+        freshImp.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tbucket").parquet(impactsPathOf(layout))
+        touched.filterNot(writtenI.contains).foreach { b =>
+          Maintenance.deleteRecursively(
+            Paths.get(impactsPathOf(layout)).resolve(s"tbucket=$b"))
+        }
+      }
     }
     val mergedLens = spark.read.parquet(lensPathOf(layout))
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
@@ -581,10 +780,38 @@ object InvertedIndex {
     * with the new docs, so a stale or drifting stat fails the hash). */
   def bm25Upsert(spark: SparkSession, dir: String): DataFrame = {
     val layout = cloneIndex(spark, dir, "bm25-upsert")
-    val newDocs = Tables.documents(spark, dir)
+    upsertDocs(spark, layout, upsertTwins(spark, dir))
+    bm25Over(spark, layout)
+  }
+
+  /** The standard corpus-growth batch every upsert-lifecycle query
+    * shares: docs 0..[[UpsertSrcCount]] re-keyed past the id domain. */
+  private def upsertTwins(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .filter(col("doc_id") < UpsertSrcCount)
       .select((col("doc_id") + UpsertIdOffset).as("doc_id"), col("text"))
-    upsertDocs(spark, layout, newDocs)
+
+  /** Q-bm25-compact: SEGMENT-MERGE for the inverted index — the Lucene
+    * compaction story applied to the posting store. Incremental adds are
+    * pure appends ([[upsertDocs]]), so a bucket directory accumulates one
+    * file per trigger; after enough churn the per-query open-file cost
+    * dominates and a merge pays for itself. The lifecycle here: clone the
+    * warm index, apply the standard corpus growth as TWO upsert batches
+    * (guaranteeing multi-file buckets), fold every fragmented bucket —
+    * postings and footprint sidecar both — through
+    * [[Maintenance.compactPartitions]] (crash-safe manifest protocol,
+    * compact partitions untouched), and serve the fixed query from the
+    * compacted layout. Shares q_bm25_upsert's from-scratch oracle: a
+    * file-level rewrite must be invisible in every served statistic.
+    * Fragmentation-before / one-file-after is spec-gated. */
+  def bm25Compact(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "bm25-compact")
+    val twins = upsertTwins(spark, dir)
+    val half = UpsertIdOffset + UpsertSrcCount / 2
+    upsertDocs(spark, layout, twins.filter(col("doc_id") < half))
+    upsertDocs(spark, layout, twins.filter(col("doc_id") >= half))
+    Maintenance.compactPartitions(spark, layout.dataPath, Seq("tbucket"))
+    Maintenance.compactPartitions(spark, footprintPathOf(layout), Seq("dbucket"))
     bm25Over(spark, layout)
   }
 
@@ -1007,7 +1234,9 @@ object InvertedIndex {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_indexed" -> (bm25Indexed _),
+    "q_bm25_maxscore" -> (bm25MaxScore _),
     "q_bm25_upsert" -> (bm25Upsert _),
+    "q_bm25_compact" -> (bm25Compact _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
     "q_bm25_delete" -> (bm25Delete _),
     "q_bm25_vacuum" -> (bm25Vacuum _),
@@ -1019,9 +1248,15 @@ object InvertedIndex {
   // q_stream_bm25_upsert: same oracle as q_bm25_upsert — multi-trigger
   // streaming maintenance and one-shot batch maintenance must land on the
   // identical rebuilt-from-scratch state.
+  // q_bm25_maxscore: ALSO q_bm25's oracle — MaxScore pruning is an exact
+  // optimization, so the pruned and unpruned plans must hash-match.
   def oracles: Map[String, String] = Map(
     "q_bm25_indexed" -> TextOps.bm25Sql,
+    "q_bm25_maxscore" -> TextOps.bm25Sql,
     "q_bm25_upsert" -> bm25UpsertSql,
+    // q_bm25_compact: same oracle — a file-level segment merge must be
+    // invisible in every served statistic
+    "q_bm25_compact" -> bm25UpsertSql,
     "q_stream_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_delete/q_bm25_vacuum share one oracle: masked reads over
     // pending tombstones and the post-vacuum physical layout must both

@@ -1,0 +1,420 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH near-duplicate index — the dedup family's index
+  * ARTIFACT, completing the maintenance symmetry the other three retrieval
+  * structures already have (vector index, inverted index, serving graph:
+  * each persisted, each with batch + streaming maintenance). Before this,
+  * every near-dup query recomputed signatures and bands from the raw
+  * corpus; at 100 TB that is a full tokenize+hash pass per question asked.
+  * The index persists the two frames those queries share:
+  *
+  *  - `sigs/sbucket=<b>/` — (doc_id, sig[16]) partitioned by a doc-id
+  *    hash. The signature store doubles as the DELETE-discovery sidecar:
+  *    a doc's band hashes are a pure function of its signature, so the
+  *    dead docs' band rows are FOUND by re-deriving bands from their sigs
+  *    (read ∝ the batch's sbucket shards) — no scan of the band store,
+  *    exactly the role the footprint sidecar plays for the inverted index
+  *    ([[InvertedIndex]]), except here the mapping rides an existing
+  *    artifact for free.
+  *  - `bands/bbucket=<b>/` — (doc_id, band_idx, band_hash) partitioned by
+  *    a band-hash hash. Candidate discovery for a batch of docs reads ONLY
+  *    the batch's band-hash buckets (collision requires hash equality, and
+  *    equal hashes land in equal buckets — the pruning is lossless by
+  *    construction), so batch-vs-corpus near-dup lookup is ∝ the batch's
+  *    bucket footprint, never the corpus.
+  *
+  * Maintenance discipline (the [[InvertedIndex]] playbook):
+  *  - upsert: pure APPEND of the batch's sig/band rows into their bucket
+  *    directories — zero read-modify-write, I/O ∝ batch;
+  *  - delete: physical fold in ONE move — discovery via the sig store,
+  *    then dynamic partition overwrite of ONLY the touched buckets
+  *    (emptied directories removed explicitly). No tombstone phase: unlike
+  *    BM25's df/avgdl, the minhash index carries NO corpus statistics, so
+  *    a delete has no cross-doc bookkeeping to defer — the tombstone/
+  *    vacuum split would buy nothing;
+  *  - streaming: the same Debezium-shaped (op ∈ {U, D}) CDC contract as
+  *    the other three artifacts, behind `_stream_commits/<batchId>`
+  *    redelivery markers.
+  *
+  * Reference capability analog: the reference dedups nothing — Pinecone
+  * upserts overwrite by id (`upsert/upsert.go:167-190`) and near-identical
+  * chat lines each get their own vector. This family is the "training-data
+  * pipeline at scale" extension the survey grades first-class.
+  */
+object MinhashIndex {
+
+  val IndexName = "docs-minhash"
+
+  /** Partition fanout of both stores. 32 keeps directory counts civil at
+    * test scale; production raises them so each shard stays executor-sized
+    * (the [[InvertedIndex.TermBuckets]] sizing rule). */
+  val SigBuckets = 32
+  val BandBuckets = 32
+
+  /** On-disk locations of the two stores. */
+  case class Layout(sigsPath: String, bandsPath: String)
+
+  private val FormatVersion = 1
+
+  private def markerOf(base: String) =
+    Paths.get(base, IndexName, "_minhash_index.json")
+
+  private[graft] def sbucketCol(docId: Column): Column =
+    pmod(xxhash64(docId), lit(SigBuckets.toLong))
+
+  private[graft] def bbucketCol(bandHash: Column): Column =
+    pmod(xxhash64(bandHash), lit(BandBuckets.toLong))
+
+  /** Signatures + banded rows for a batch of documents — the one feature
+    * pipeline build, upsert, and delete-discovery all share (a drift
+    * between them would silently desynchronize the two stores). Bands are
+    * derived FROM the signature frame, so sigs and bands can never
+    * disagree on a doc. */
+  private def featuresOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignatures(docs)
+    (sigs, Dedup.lshBands(sigs))
+  }
+
+  /** Build the index under the shared per-SF cache if absent. */
+  def ensure(spark: SparkSession, dir: String): Layout = {
+    val base = IndexCatalog.cacheBase(dir)
+    val layout = Layout(
+      Paths.get(base, IndexName, "sigs").toString,
+      Paths.get(base, IndexName, "bands").toString)
+    if (Files.exists(markerOf(base)) &&
+        !Files.readString(markerOf(base)).contains(s""""v": $FormatVersion""")) {
+      Maintenance.deleteRecursively(Paths.get(base, IndexName))
+    }
+    if (!Files.exists(markerOf(base))) {
+      Files.createDirectories(Paths.get(base, IndexName))
+      val (sigs, bands) = featuresOf(Tables.documents(spark, dir))
+      sigs.withColumn("sbucket", sbucketCol(col("doc_id")))
+        .repartition(col("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket").parquet(layout.sigsPath)
+      bands.withColumn("bbucket", bbucketCol(col("band_hash")))
+        .repartition(col("bbucket"))
+        .write.mode("overwrite").partitionBy("bbucket").parquet(layout.bandsPath)
+      Files.writeString(markerOf(base),
+        s"""{"name": "$IndexName", "kind": "minhash-lsh", """ +
+          s""""fns": ${Dedup.MinhashFns}, "bands": ${Dedup.LshBands}, """ +
+          s""""v": $FormatVersion}""")
+    }
+    layout
+  }
+
+  private[graft] def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout = {
+    ensure(spark, dir)
+    val cloneRoot = Paths.get(graft.Scratch.dir(tag))
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
+    Layout(cloneRoot.resolve("sigs").toString, cloneRoot.resolve("bands").toString)
+  }
+
+  /** Signature-agreement estimate over a candidate pair frame — the exact
+    * arithmetic of [[Dedup.minhashLshPairs]], shared so the indexed and
+    * from-scratch paths serve bit-identical scores. */
+  private def estimate(cand: DataFrame, sigs: DataFrame, minEst: Double): DataFrame =
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+          .cast("double") / lit(Dedup.MinhashFns.toDouble))
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+  /** Corpus-wide near-dup pairs served FROM the persisted stores — the
+    * batch-dedup-over-index shape (both sides of the band join are the
+    * stored frame). Must equal [[Dedup.minhashLshPairs]] over the same
+    * corpus bit-for-bit: persisted build and in-memory compute share one
+    * arithmetic. */
+  def pairsFromIndex(spark: SparkSession, layout: Layout,
+                     minEst: Double): DataFrame = {
+    val bands = spark.read.parquet(layout.bandsPath)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = spark.read.parquet(layout.sigsPath).select(col("doc_id"), col("sig"))
+    estimate(cand, sigs, minEst)
+  }
+
+  /** Incremental DOCUMENT ADD: append the batch's sig/band rows into their
+    * bucket directories — I/O ∝ batch, untouched buckets byte-stable
+    * (spec-gated). Returns the checkpointed batch band frame so the caller
+    * can derive the batch's bucket footprint without recomputing. */
+  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): DataFrame = {
+    val (sigs0, _) = featuresOf(docs)
+    val sigs = sigs0.localCheckpoint(eager = true) // consumed twice: store + bands
+    val bands = Dedup.lshBands(sigs)
+      .withColumn("bbucket", bbucketCol(col("band_hash")))
+      .localCheckpoint(eager = true) // consumed twice: store + footprint
+    sigs.withColumn("sbucket", sbucketCol(col("doc_id")))
+      .repartition(col("sbucket"))
+      .write.mode("append").partitionBy("sbucket").parquet(layout.sigsPath)
+    bands.repartition(col("bbucket"))
+      .write.mode("append").partitionBy("bbucket").parquet(layout.bandsPath)
+    bands
+  }
+
+  /** Incremental DOCUMENT DELETE, folded physically in one move (no
+    * tombstone phase — scaladoc header explains why this index affords
+    * it). Every step is ∝ the batch's bucket footprint:
+    *  - discovery: the dead docs' signatures read from their sbucket
+    *    shards (partition-pruned), bands re-derived from those sigs —
+    *    the band store is never scanned to find its own dead rows;
+    *  - band fold: dynamic overwrite of ONLY the touched bbuckets,
+    *    emptied directories removed explicitly;
+    *  - sig fold: same discipline over the batch's sbuckets.
+    * Ids the index never held simply have no sig rows — the delete is
+    * idempotent. */
+  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit = {
+    import spark.implicits._
+    val tomb = ids.select(col("doc_id")).distinct().localCheckpoint(eager = true)
+    val sbuckets = tomb.select(sbucketCol(col("doc_id")).as("b")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (sbuckets.isEmpty) return
+    val sigStore = spark.read.parquet(layout.sigsPath)
+    val deadSigs = sigStore.filter(col("sbucket").isin(sbuckets: _*))
+      .join(broadcast(tomb), Seq("doc_id"))
+      .select(col("doc_id"), col("sig"))
+      .localCheckpoint(eager = true)
+    val touched = Dedup.lshBands(deadSigs)
+      .select(bbucketCol(col("band_hash")).as("b")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (touched.nonEmpty) {
+      val bandStore = spark.read.parquet(layout.bandsPath)
+      val surv = bandStore.filter(col("bbucket").isin(touched: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("bbucket"))
+        .localCheckpoint(eager = true) // cut lineage off the overwritten files
+      val written = surv.select(col("bbucket")).distinct().as[Long].collect().toSet
+      surv.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bbucket").parquet(layout.bandsPath)
+      touched.filterNot(written.contains).foreach { b =>
+        Maintenance.deleteRecursively(
+          Paths.get(layout.bandsPath).resolve(s"bbucket=$b"))
+      }
+    }
+    val survSigs = sigStore.filter(col("sbucket").isin(sbuckets: _*))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .repartition(col("sbucket"))
+      .localCheckpoint(eager = true)
+    val writtenS = survSigs.select(col("sbucket")).distinct().as[Long].collect().toSet
+    survSigs.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sbucket").parquet(layout.sigsPath)
+    sbuckets.filterNot(writtenS.contains).foreach { b =>
+      Maintenance.deleteRecursively(
+        Paths.get(layout.sigsPath).resolve(s"sbucket=$b"))
+    }
+  }
+
+  /** Q-minhash-index: the persisted build SERVED — corpus-wide LSH
+    * near-dup pairs from the stored bands/sigs, which must hash-match the
+    * from-scratch q_dedup_minhash oracle exactly (shared SQL): the
+    * persisted artifact adds nothing and loses nothing. */
+  def minhashIndex(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    pairsFromIndex(spark, layout, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Q-minhash-upsert: incremental maintenance end-to-end, then the
+    * index's raison d'être — near-dups OF THE BATCH against the grown
+    * corpus as a PRUNED read. Clone the shared warm index, append
+    * [[InvertedIndex.UpsertSrcCount]] twin docs (re-keyed copies of docs
+    * 0..9 — each guaranteed an est=1.0 partner), then:
+    *  - candidate discovery reads ONLY the batch's band-hash buckets
+    *    (plan-time `bbucket IN (...)`, lossless: a pair sharing a band
+    *    with a batch doc shares that band's bucket by construction);
+    *  - batch membership is the literal predicate `doc_id >= offset`
+    *    (the batch id domain), so the pair filter is declarative;
+    *  - verification reads signatures pruned to the CANDIDATES' sbucket
+    *    shards (bounded driver-side bucket collect — the vacuum-discovery
+    *    discipline of [[InvertedIndex.vacuum]]).
+    * The oracle recomputes everything from scratch over the grown corpus —
+    * incremental == rebuild, and the pruning provably lossless. */
+  def minhashUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "minhash-upsert")
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val batchBands = upsertDocs(spark, layout, twins)
+    batchNearDups(spark, layout, batchBands,
+      InvertedIndex.UpsertIdOffset, minEst = 0.5)
+  }
+
+  /** Batch-vs-corpus near-dup lookup through the pruned stores — shared by
+    * the batch and streaming upsert queries. `batchBands` is the batch's
+    * checkpointed band frame (its bucket footprint); `idFloor` is the
+    * batch id domain's lower bound (batch membership as a literal
+    * predicate). */
+  private def batchNearDups(spark: SparkSession, layout: Layout,
+                            batchBands: DataFrame, idFloor: Long,
+                            minEst: Double): DataFrame = {
+    import spark.implicits._
+    val bbuckets = batchBands.select(col("bbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    val pruned = spark.read.parquet(layout.bandsPath)
+      .filter(col("bbucket").isin(bbuckets: _*))
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.doc_id") >= idFloor || col("b.doc_id") >= idFloor)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint(eager = true) // bounded: banding keeps candidates small
+    val sbuckets = cand
+      .select(explode(array(sbucketCol(col("doc_a")), sbucketCol(col("doc_b"))))
+        .as("b"))
+      .distinct().as[Long].collect().sorted.toIndexedSeq
+    val sigs = spark.read.parquet(layout.sigsPath)
+      .filter(col("sbucket").isin(sbuckets: _*))
+      .select(col("doc_id"), col("sig"))
+    estimate(cand, sigs, minEst)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** CDC transitions for [[streamMinhashCdc]] — the same residue algebra
+    * as the lexical CDC ([[InvertedIndex.CdcDelMod1]] etc.: mod-7
+    * incompatible residues ⇒ provably disjoint delete sets). On this
+    * corpus the batch-1 set contains planted-pair members (e.g. 447 of
+    * the (70, 447) pair at sf0.01) and batch 2 deletes 45 of (45, 413)/
+    * (45, 267) — the gate fails if a dead doc's band rows linger, because
+    * its pairs would still be served. */
+  val CdcDelMod1 = 21
+  val CdcDelRes1 = 6
+  val CdcDelMod2 = 35
+  val CdcDelRes2 = 10
+
+  /** One CDC trigger (op ∈ {U, D}): per-key LWW resolution first
+    * (content-hash tie-break — a redelivered duplicate picks the same
+    * winner), deletes folded before adds, the whole trigger behind the
+    * `_stream_commits/<batchId>` marker so redelivery is a no-op. */
+  private[graft] def applyCdcBatch(layout: Layout, batch: DataFrame,
+                                   batchId: Long): Unit = {
+    val commits = Paths.get(layout.sigsPath).getParent.resolve("_stream_commits")
+    Files.createDirectories(commits)
+    val marker = commits.resolve(batchId.toString)
+    if (!Files.exists(marker)) {
+      val resolved = graft.operators.Upsert.lastWriteWins(
+          batch.withColumn("version", lit(0L)), Seq("doc_id"), "version",
+          tieBreak = Seq(xxhash64(col("text"), col("op"))))
+        .drop("version")
+        .localCheckpoint(true)
+      val opCounts = resolved.groupBy(col("op")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val spark = batch.sparkSession
+      if (opCounts.contains("D"))
+        deleteDocs(spark, layout,
+          resolved.filter(col("op") === "D").select(col("doc_id")))
+      if (opCounts.collect { case (op, n) if op != "D" => n }.sum > 0)
+        upsertDocs(spark, layout,
+          resolved.filter(col("op") =!= "D").select(col("doc_id"), col("text")))
+      Files.writeString(marker, "")
+    }
+  }
+
+  /** Q-stream-minhash-cdc: the full changelog lifecycle for the dedup
+    * index — one Debezium-shaped stream of mixed adds and deletes applied
+    * over two micro-batch triggers against a cloned warm index, then the
+    * corpus-wide pair set served from the end state. Transitions: plain
+    * adds (twin docs split across triggers), plain deletes (two provably
+    * disjoint residue sets, both containing planted-pair members), and
+    * add-then-delete across triggers (twin 0). The oracle states the flat
+    * end state: from-scratch signatures/bands/pairs over
+    * (documents − both delete sets) ∪ (surviving adds) — streaming apply,
+    * physical delete folds, and redelivery machinery must be invisible in
+    * the result. */
+  def streamMinhashCdc(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "minhash-cdc")
+    val docs = Tables.documents(spark, dir)
+    val twins = docs.filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val half = InvertedIndex.UpsertIdOffset + InvertedIndex.UpsertSrcCount / 2
+    val b1 = twins.filter(col("doc_id") < half)
+      .withColumn("op", lit("U"))
+      .unionByName(docs
+        .filter(col("doc_id") % CdcDelMod1 === CdcDelRes1)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("D")))
+    val b2 = twins.filter(col("doc_id") >= half)
+      .withColumn("op", lit("U"))
+      .unionByName(docs
+        .filter(col("doc_id") % CdcDelMod2 === CdcDelRes2)
+        .select(col("doc_id"), col("text")).withColumn("op", lit("D")))
+      .unionByName(twins.filter(col("doc_id") === InvertedIndex.UpsertIdOffset)
+        .withColumn("op", lit("D")))
+    val staged = graft.Scratch.dir("minhash-cdc-in")
+    b1.coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.streaming.DocStream.stampAscendingMtimes(staged)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(layout, batch, batchId)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      graft.streaming.TriggerStats.record("q_stream_minhash_cdc", q)
+    } finally q.stop()
+    pairsFromIndex(spark, layout, 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- oracles -----------------------------------------------------------
+
+  /** Grown corpus: documents ∪ re-keyed twins (the bm25UpsertSql
+    * replacement applied to the minhash pipeline). */
+  val minhashUpsertSql: String = graft.operators.DedupOps.dedupMinhashSql
+    .replace("WITH toks AS",
+      s"WITH d2 AS (SELECT doc_id, text FROM documents UNION ALL " +
+        s"SELECT doc_id + ${InvertedIndex.UpsertIdOffset} AS doc_id, text " +
+        s"FROM documents WHERE doc_id < ${InvertedIndex.UpsertSrcCount}),\ntoks AS")
+    .replace("FROM documents)", "FROM d2)")
+    .replace("WHERE est >= 0.5 ORDER BY",
+      s"WHERE est >= 0.5 AND (doc_a >= ${InvertedIndex.UpsertIdOffset} " +
+        s"OR doc_b >= ${InvertedIndex.UpsertIdOffset}) ORDER BY")
+
+  /** Flat end state of the CDC lifecycle: reduced corpus ∪ surviving
+    * adds (twin 0 re-deleted by trigger 2). */
+  val streamMinhashCdcSql: String = graft.operators.DedupOps.dedupMinhashSql
+    .replace("WITH toks AS",
+      s"WITH d2 AS (SELECT doc_id, text FROM documents " +
+        s"WHERE NOT (doc_id % $CdcDelMod1 = $CdcDelRes1 " +
+        s"OR doc_id % $CdcDelMod2 = $CdcDelRes2) " +
+        s"UNION ALL SELECT doc_id + ${InvertedIndex.UpsertIdOffset} AS doc_id, text " +
+        s"FROM documents WHERE doc_id < ${InvertedIndex.UpsertSrcCount} " +
+        s"AND doc_id <> 0),\ntoks AS")
+    .replace("FROM documents)", "FROM d2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_index" -> (minhashIndex _),
+    "q_minhash_upsert" -> (minhashUpsert _),
+    "q_stream_minhash_cdc" -> (streamMinhashCdc _))
+
+  def oracles: Map[String, String] = Map(
+    "q_minhash_index" -> graft.operators.DedupOps.dedupMinhashSql,
+    "q_minhash_upsert" -> minhashUpsertSql,
+    "q_stream_minhash_cdc" -> streamMinhashCdcSql)
+}

@@ -382,4 +382,39 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
     rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq should not be
       base.map(r => (r.getLong(0), r.getDouble(1))).toSeq
   }
+
+  test("q_bm25_compact: fragmented buckets fold to one file each; serving unchanged") {
+    import org.apache.spark.sql.functions.col
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "bm25-compact-spec")
+    val twins = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val half = InvertedIndex.UpsertIdOffset + InvertedIndex.UpsertSrcCount / 2
+    InvertedIndex.upsertDocs(spark, layout, twins.filter(col("doc_id") < half))
+    InvertedIndex.upsertDocs(spark, layout, twins.filter(col("doc_id") >= half))
+    def fileCounts(root: String): Seq[Int] = {
+      val p = Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      val dirs = Files.list(p)
+      try dirs.iterator().asScala.filter(Files.isDirectory(_)).map { d =>
+        val fs = Files.list(d)
+        try fs.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally fs.close()
+      }.toSeq
+      finally dirs.close()
+    }
+    // two appends on top of the build: at least one bucket is fragmented
+    fileCounts(layout.dataPath).max should be > 1
+    val before = spark.read.parquet(layout.dataPath).count()
+    Maintenance.compactPartitions(spark, layout.dataPath, Seq("tbucket"))
+    fileCounts(layout.dataPath).max shouldBe 1
+    spark.read.parquet(layout.dataPath).count() shouldBe before
+    // the declared query lands on q_bm25_upsert's exact ranking
+    val compacted = InvertedIndex.bm25Compact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val upserted = InvertedIndex.bm25Upsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    compacted shouldBe upserted
+  }
 }
