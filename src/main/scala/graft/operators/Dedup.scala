@@ -393,8 +393,20 @@ object Dedup {
     * deliberately different estimators — capped-set Jaccard discounts
     * stopword phrases, full-set Jaccard counts them. */
   def nearDupPairs(docs: DataFrame, threshold: Double,
-                   minEstimate: Double = 0.5): DataFrame = {
-    val cand = minhashLshPairs(docs, minEstimate).select(col("doc_a"), col("doc_b"))
+                   minEstimate: Double = 0.5): DataFrame =
+    verifyCandidates(docs,
+      minhashLshPairs(docs, minEstimate).select(col("doc_a"), col("doc_b")),
+      threshold)
+
+  /** The exact-Jaccard VERIFICATION stage of the gated pipeline, over any
+    * candidate pair frame — shared by the from-scratch composition above
+    * and the persisted-index path
+    * ([[graft.sources.MinhashIndex]].dedupGatedIndexed), so both serve
+    * literally the same arithmetic. Joins the (small) candidate set back
+    * to per-doc gram arrays and intersects per pair — work ∝ candidates,
+    * never corpus². */
+  def verifyCandidates(docs: DataFrame, cand: DataFrame,
+                       threshold: Double): DataFrame = {
     val grams = docs.select(col("doc_id"), shingles3(col("text")).as("grams"))
     cand
       .join(grams.select(col("doc_id").as("doc_a"), col("grams").as("grams_a")), "doc_a")

@@ -147,10 +147,31 @@ object InvertedIndex {
     Paths.get(base, name, "_text_index.json")
 
   /** The on-disk layout generation this code writes. Bumped when the
-    * physical layout changes shape (v2: tbucket-partitioned dict); an
-    * older marker self-heals by rebuild, so a stale cache can never feed
-    * new readers a layout they no longer parse. */
-  private val DictFormatVersion = 2
+    * physical layout changes shape (v2: tbucket-partitioned dict; v3:
+    * positional sidecar for word indexes); an older marker self-heals by
+    * rebuild, so a stale cache can never feed new readers a layout they
+    * no longer parse. */
+  private val DictFormatVersion = 3
+
+  /** Positional-posting sidecar — `positions/tbucket=<b>/` rows of
+    * (w, doc_id, pos), the Lucene positions file: what PHRASE queries
+    * need and the tf-only postings cannot answer. Word indexes carry it
+    * from build (v3); the gram index skips it (phrase-over-shingles is
+    * meaningless). Token-occurrence-proportional by nature — the
+    * documented cost every positional index pays. Maintained by upsert
+    * (pure append ∝ batch) and vacuum (touched-bucket fold: a doc's
+    * positions live in the same term buckets as its postings, so the
+    * footprint-derived touched set covers both stores). */
+  private def positionsPathOf(layout: Layout): String =
+    Paths.get(layout.dataPath).getParent.resolve("positions").toString
+
+  /** (w, doc_id, pos) occurrence stream for a batch — posexplode indices
+    * ARE the token positions (0-based). */
+  private def positionsOf(docs: DataFrame,
+                          tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame =
+    docs.select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "w")))
+      .select(col("w"), col("doc_id"), col("pos").cast("long").as("pos"))
 
   /** The tokenizer REGISTRY: every feature extractor an index can be
     * built with, keyed by the name recorded in `_text_index.json`.
@@ -224,6 +245,13 @@ object InvertedIndex {
         .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(footprintPathOf(layout))
+      // positional sidecar (word indexes only — see positionsPathOf)
+      if (tokKind == "word")
+        positionsOf(Tables.documents(spark, dir), tokenizerOf(tokKind))
+          .withColumn("tbucket", bucketCol(col("w")))
+          .repartition(col("tbucket"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(positionsPathOf(layout))
       Files.writeString(markerOf(base, name),
         s"""{"name": "$name", "kind": "inverted", "buckets": $TermBuckets, """ +
           s""""tok": "$tokKind", "dictv": $DictFormatVersion}""")
@@ -411,6 +439,60 @@ object InvertedIndex {
   def bm25MaxScore(spark: SparkSession, dir: String): DataFrame =
     maxScorePlan(spark, ensure(spark, dir))._2
 
+  /** The fixed two-word phrase the declared query serves — both words are
+    * [[TextOps.Bm25Terms]] members, so q_phrase is literally the phrase
+    * refinement of the keyword query (matches at every SF: 28–303 docs). */
+  val PhraseW1 = "vector"
+  val PhraseW2 = "hash"
+
+  /** Exact PHRASE match over the positional sidecar — the query class
+    * tf-only postings cannot answer (Lucene PhraseQuery; the capability
+    * keyword retrieval engines add positions to their postings FOR).
+    * Access path: both words' tbuckets are plan-time metadata (pruned
+    * scan + pushed term filter, the bm25Over discipline), tombstoned docs
+    * masked, then adjacency is ONE equi-join on (doc_id, pos) — w2's
+    * positions shifted by −1, so "pos and pos+1" is a hash join key, not
+    * a range condition. phrase_tf = matched-adjacency count per doc.
+    * Work ∝ the two words' position lists, never the corpus. */
+  private[graft] def phraseOver(spark: SparkSession, layout: Layout,
+                                w1: String, w2: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val buckets = Seq(w1, w2).toDF("w").select(bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(w1, w2))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("w") === w2)
+      .select(col("doc_id"), (col("pos") - 1L).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q-phrase: exact phrase search served from the shared persisted
+    * index's positional sidecar. The oracle replays token positions from
+    * raw text — the sidecar must add nothing and lose nothing. */
+  def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
+    phraseOver(spark, ensure(spark, dir), PhraseW1, PhraseW2)
+
+  val phraseSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(list_filter(range(1, len(t)),
+       |              i -> t[i] = '$PhraseW1' AND t[i+1] = '$PhraseW2')) AS phrase_tf
+       |      FROM toks)
+       |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+
   /** New-doc derivation for the declared upsert query: the first
     * [[UpsertSrcCount]] docs re-keyed past the id domain by
     * [[UpsertIdOffset]] (the MAX()+1 discipline with a fixed headroom
@@ -473,6 +555,13 @@ object InvertedIndex {
       .withColumn("dbucket", dbucketCol(col("doc_id")))
       .repartition(col("dbucket"))
       .write.mode("append").partitionBy("dbucket").parquet(footprintPathOf(layout))
+    // positional sidecar follows (word indexes carry it from build):
+    // pure append of the batch's occurrence stream — I/O ∝ batch
+    if (Files.exists(Paths.get(positionsPathOf(layout))))
+      positionsOf(docs, tokenizerOf(tokKindOf(layout)))
+        .withColumn("tbucket", bucketCol(col("w")))
+        .repartition(col("tbucket"))
+        .write.mode("append").partitionBy("tbucket").parquet(positionsPathOf(layout))
   }
 
   /** TOUCHED-BUCKET dictionary merge — the maintenance move that keeps
@@ -710,6 +799,25 @@ object InvertedIndex {
       // terms' dict buckets rewrite; terms whose every doc died drop
       mergeDictBuckets(spark, layout,
         dead.groupBy(col("w")).agg((-count(lit(1))).as("ddf")))
+      // positional sidecar: the dead docs' occurrence rows live in the
+      // SAME term buckets as their postings (one tokenizer, one hash), so
+      // the footprint-derived touched set covers this fold too
+      if (Files.exists(Paths.get(positionsPathOf(layout)))) {
+        val survPos = spark.read.parquet(positionsPathOf(layout))
+          .filter(col("tbucket").isin(touched: _*))
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .repartition(col("tbucket"))
+          .localCheckpoint(eager = true)
+        val writtenP = survPos.select(col("tbucket")).distinct()
+          .as[Long].collect().toSet
+        survPos.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("tbucket").parquet(positionsPathOf(layout))
+        touched.filterNot(writtenP.contains).foreach { b =>
+          Maintenance.deleteRecursively(
+            Paths.get(positionsPathOf(layout)).resolve(s"tbucket=$b"))
+        }
+      }
       // impact bounds: deletes left them valid-but-stale; refresh the
       // touched buckets EXACTLY from the surviving postings (the
       // per-segment-static impact discipline — recompute at compaction).
@@ -1235,6 +1343,7 @@ object InvertedIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_bm25_maxscore" -> (bm25MaxScore _),
+    "q_phrase" -> (phraseIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
@@ -1253,6 +1362,7 @@ object InvertedIndex {
   def oracles: Map[String, String] = Map(
     "q_bm25_indexed" -> TextOps.bm25Sql,
     "q_bm25_maxscore" -> TextOps.bm25Sql,
+    "q_phrase" -> phraseSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be
     // invisible in every served statistic

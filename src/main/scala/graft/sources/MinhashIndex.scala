@@ -293,6 +293,23 @@ object MinhashIndex {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Q-dedup-gated-indexed: the scale-safe near-dup pipeline
+    * (LSH candidates → exact Jaccard on candidates only — q_dedup_gated's
+    * composition) with its CANDIDATE stage served from the persisted
+    * index instead of recomputed: at 100 TB the signature/banding pass is
+    * the expensive half, and it is exactly what the index already holds.
+    * Verification re-tokenizes ONLY the candidate docs' texts (work ∝
+    * candidates — [[Dedup.verifyCandidates]], the literal code path
+    * q_dedup_gated runs). Shares q_dedup_gated's oracle verbatim: the
+    * persisted candidate stage must change nothing. */
+  def dedupGatedIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    val cand = pairsFromIndex(spark, layout, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.verifyCandidates(Tables.documents(spark, dir), cand, 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** CDC transitions for [[streamMinhashCdc]] — the same residue algebra
     * as the lexical CDC ([[InvertedIndex.CdcDelMod1]] etc.: mod-7
     * incompatible residues ⇒ provably disjoint delete sets). On this
@@ -411,10 +428,14 @@ object MinhashIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_index" -> (minhashIndex _),
     "q_minhash_upsert" -> (minhashUpsert _),
+    "q_dedup_gated_indexed" -> (dedupGatedIndexed _),
     "q_stream_minhash_cdc" -> (streamMinhashCdc _))
 
+  // q_dedup_gated_indexed: q_dedup_gated's oracle verbatim — a persisted
+  // candidate stage must be invisible in the verified pair set
   def oracles: Map[String, String] = Map(
     "q_minhash_index" -> graft.operators.DedupOps.dedupMinhashSql,
     "q_minhash_upsert" -> minhashUpsertSql,
+    "q_dedup_gated_indexed" -> graft.operators.DedupOps.dedupGatedSql,
     "q_stream_minhash_cdc" -> streamMinhashCdcSql)
 }

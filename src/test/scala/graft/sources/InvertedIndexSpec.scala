@@ -362,7 +362,7 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       s"""{"name": "${InvertedIndex.IndexName}", "kind": "inverted", "buckets": ${InvertedIndex.TermBuckets}}""")
     InvertedIndex.ensure(spark, sfDir)
     val healed = Files.readString(marker)
-    healed should include(""""dictv": 2""")
+    healed should include(""""dictv": 3""")
     healed should include(""""tok": "word"""")
     // the rebuilt dict is the partitioned layout
     spark.read.parquet(layout.dictPath).columns should contain("tbucket")
