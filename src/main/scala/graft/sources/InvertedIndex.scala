@@ -493,6 +493,84 @@ object InvertedIndex {
        |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** PHYSICAL-LAYER self-audit of one inverted-index layout — one row per
+    * invariant with its violation count (0 on a healthy store). The
+    * invariants are exactly the cross-store redundancies the maintenance
+    * code is trusted to keep in lockstep; each is one aggregation over
+    * the stores, so the audit is runnable at fleet scale:
+    *  - dict_df_matches_postings: every term's dict df equals its stored
+    *    posting count (and neither store has a term the other lacks);
+    *  - lens_matches_postings: the lens sidecar holds exactly the
+    *    distinct (doc_id, dl) pairs the postings denormalize;
+    *  - stats_match_lens: (n, total_dl) equal the lens aggregate;
+    *  - footprint_matches_postings: the doc→tbucket sidecar mirrors the
+    *    postings' distinct (doc_id, tbucket) pairs;
+    *  - impacts_bound_postings: every term's stored (tf_max, dl_min)
+    *    BOUNDS its postings (≥ max tf, ≤ min dl; missing term = violation)
+    *    — validity, not equality, because deletes legitimately leave
+    *    bounds stale until vacuum;
+    *  - positions_match_tf: per (w, doc_id), the positional sidecar holds
+    *    exactly tf occurrences (word indexes; absent store = skipped).
+    * The audit reads the PHYSICAL layer: pending tombstones are the read
+    * path's masking business and do not violate any of these. */
+  private[graft] def auditFrame(spark: SparkSession, layout: Layout): DataFrame = {
+    ensureLens(spark, layout)
+    ensureFootprint(spark, layout)
+    ensureImpacts(spark, layout)
+    val post = spark.read.parquet(layout.dataPath)
+    def row(inv: String, violations: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+      from.agg(coalesce(violations, lit(0L)).as("violations"))
+        .select(lit("inverted").as("artifact"), lit(inv).as("invariant"),
+          col("violations"))
+    val dictCmp = post.groupBy(col("w")).agg(count(lit(1)).as("adf"))
+      .join(spark.read.parquet(layout.dictPath).select(col("w"), col("df")),
+        Seq("w"), "full_outer")
+    val d1 = row("dict_df_matches_postings",
+      sum(when(col("adf").isNull || col("df").isNull ||
+        col("adf") =!= col("df"), 1L).otherwise(0L)), dictCmp)
+    val lensCmp = post.select(col("doc_id"), col("dl")).distinct()
+      .withColumn("p", lit(1))
+      .join(spark.read.parquet(lensPathOf(layout)).withColumn("l", lit(1)),
+        Seq("doc_id", "dl"), "full_outer")
+    val d2 = row("lens_matches_postings",
+      sum(when(col("p").isNull || col("l").isNull, 1L).otherwise(0L)), lensCmp)
+    val statsCmp = spark.read.parquet(lensPathOf(layout))
+      .agg(count(lit(1)).as("cn"), sum(col("dl")).as("cdl"))
+      .crossJoin(spark.read.parquet(layout.statsPath))
+    val d3 = row("stats_match_lens",
+      sum(when(col("cn") =!= col("n") || col("cdl") =!= col("total_dl"),
+        1L).otherwise(0L)), statsCmp)
+    val footCmp = post
+      .select(col("doc_id"), col("tbucket").cast("long").as("tbucket")).distinct()
+      .withColumn("p", lit(1))
+      .join(spark.read.parquet(footprintPathOf(layout))
+          .select(col("doc_id"), col("tbucket"), lit(1).as("f")),
+        Seq("doc_id", "tbucket"), "full_outer")
+    val d4 = row("footprint_matches_postings",
+      sum(when(col("p").isNull || col("f").isNull, 1L).otherwise(0L)), footCmp)
+    val impCmp = post.groupBy(col("w"))
+      .agg(max(col("tf")).as("atf"), min(col("dl")).as("adl"))
+      .join(spark.read.parquet(impactsPathOf(layout))
+          .select(col("w"), col("tf_max"), col("dl_min")),
+        Seq("w"), "left")
+    val d5 = row("impacts_bound_postings",
+      sum(when(col("tf_max").isNull || col("tf_max") < col("atf") ||
+        col("dl_min") > col("adl"), 1L).otherwise(0L)), impCmp)
+    val base = d1.unionByName(d2).unionByName(d3).unionByName(d4).unionByName(d5)
+    if (!Files.exists(Paths.get(positionsPathOf(layout)))) base
+    else {
+      val posCmp = spark.read.parquet(positionsPathOf(layout))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("ptf"))
+        .join(post.select(col("w"), col("doc_id"), col("tf")),
+          Seq("w", "doc_id"), "full_outer")
+      val d6 = row("positions_match_tf",
+        sum(when(col("ptf").isNull || col("tf").isNull ||
+          col("ptf") =!= col("tf"), 1L).otherwise(0L)), posCmp)
+      base.unionByName(d6)
+    }
+  }
+
   /** New-doc derivation for the declared upsert query: the first
     * [[UpsertSrcCount]] docs re-keyed past the id domain by
     * [[UpsertIdOffset]] (the MAX()+1 discipline with a fixed headroom

@@ -310,6 +310,53 @@ object MinhashIndex {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** PHYSICAL-LAYER self-audit of one minhash layout — the
+    * [[InvertedIndex.auditFrame]] discipline applied to the two stores:
+    *  - bands_match_sigs: the band store holds EXACTLY the rows
+    *    re-derived from the signature store (band hashes are a pure
+    *    function of sigs — any drift means a maintenance move touched one
+    *    store and not the other);
+    *  - sig_width: every signature carries [[Dedup.MinhashFns]] slots. */
+  private[graft] def auditFrame(spark: SparkSession, layout: Layout): DataFrame = {
+    val sigs = spark.read.parquet(layout.sigsPath).select(col("doc_id"), col("sig"))
+    def row(inv: String, violations: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+      from.agg(coalesce(violations, lit(0L)).as("violations"))
+        .select(lit("minhash").as("artifact"), lit(inv).as("invariant"),
+          col("violations"))
+    val bandCmp = Dedup.lshBands(sigs).withColumn("d", lit(1))
+      .join(spark.read.parquet(layout.bandsPath)
+          .select(col("doc_id"), col("band_idx"), col("band_hash"), lit(1).as("s")),
+        Seq("doc_id", "band_idx", "band_hash"), "full_outer")
+    val m1 = row("bands_match_sigs",
+      sum(when(col("d").isNull || col("s").isNull, 1L).otherwise(0L)), bandCmp)
+    val m2 = row("sig_width",
+      sum(when(size(col("sig")) =!= Dedup.MinhashFns, 1L).otherwise(0L)), sigs)
+    m1.unionByName(m2)
+  }
+
+  /** Q-index-audit: the engine auditing its own index fleet — one query,
+    * one row per (artifact, invariant) with violation counts, all zero on
+    * a healthy cache. Sensitivity (a planted corruption flags exactly its
+    * invariant) is spec-gated; the oracle pins the healthy state. */
+  def indexAudit(spark: SparkSession, dir: String): DataFrame =
+    InvertedIndex.auditFrame(spark, InvertedIndex.ensure(spark, dir))
+      .unionByName(auditFrame(spark, ensure(spark, dir)))
+      .orderBy(col("artifact"), col("invariant"))
+
+  val indexAuditSql: String =
+    """SELECT * FROM (VALUES
+      |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'lens_matches_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'stats_match_lens', CAST(0 AS BIGINT)),
+      |  ('inverted', 'footprint_matches_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
+      |  ('minhash', 'bands_match_sigs', CAST(0 AS BIGINT)),
+      |  ('minhash', 'sig_width', CAST(0 AS BIGINT))
+      |) t(artifact, invariant, violations)
+      |ORDER BY artifact, invariant""".stripMargin
+
   /** CDC transitions for [[streamMinhashCdc]] — the same residue algebra
     * as the lexical CDC ([[InvertedIndex.CdcDelMod1]] etc.: mod-7
     * incompatible residues ⇒ provably disjoint delete sets). On this
@@ -429,6 +476,7 @@ object MinhashIndex {
     "q_minhash_index" -> (minhashIndex _),
     "q_minhash_upsert" -> (minhashUpsert _),
     "q_dedup_gated_indexed" -> (dedupGatedIndexed _),
+    "q_index_audit" -> (indexAudit _),
     "q_stream_minhash_cdc" -> (streamMinhashCdc _))
 
   // q_dedup_gated_indexed: q_dedup_gated's oracle verbatim — a persisted
@@ -437,5 +485,6 @@ object MinhashIndex {
     "q_minhash_index" -> graft.operators.DedupOps.dedupMinhashSql,
     "q_minhash_upsert" -> minhashUpsertSql,
     "q_dedup_gated_indexed" -> graft.operators.DedupOps.dedupGatedSql,
+    "q_index_audit" -> indexAuditSql,
     "q_stream_minhash_cdc" -> streamMinhashCdcSql)
 }
