@@ -393,15 +393,24 @@ object TextOps {
       .limit(10)
   }
 
-  val bm25Sql: String = {
-    val Seq(t1, t2, t3) = Seq("vector", "hash", "join")
+  /** The BM25 oracle for ANY term set — the parameterized twin of the
+    * engine's term-parameterized serve ([[graft.sources.InvertedIndex]]'s
+    * bm25Over(terms)): same CTE chain, same fixed-order pivot assembly
+    * (one FILTER column per term so the double additions associate
+    * identically on both engines), n pivot columns instead of three. */
+  private[graft] def bm25SqlFor(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val pivCols = terms.zipWithIndex.map { case (t, i) =>
+      s"    COALESCE(SUM(s) FILTER (WHERE w = '$t'), 0.0) AS s${i + 1}"
+    }.mkString(",\n")
+    val total = terms.indices.map(i => s"s${i + 1}").mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents),
        |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
        |tf AS (SELECT doc_id, w, COUNT(*) AS tf
        |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
-       |       WHERE w IN ('$t1', '$t2', '$t3') GROUP BY 1, 2),
+       |       WHERE w IN ($inList) GROUP BY 1, 2),
        |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
        |contrib AS (SELECT tf.doc_id, tf.w,
        |    ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
@@ -409,13 +418,13 @@ object TextOps {
        |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
        |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
        |piv AS (SELECT doc_id,
-       |    COALESCE(SUM(s) FILTER (WHERE w = '$t1'), 0.0) AS s1,
-       |    COALESCE(SUM(s) FILTER (WHERE w = '$t2'), 0.0) AS s2,
-       |    COALESCE(SUM(s) FILTER (WHERE w = '$t3'), 0.0) AS s3
+       |$pivCols
        |  FROM contrib GROUP BY doc_id)
-       |SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv
+       |SELECT doc_id, ROUND($total, 6) AS score FROM piv
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
+
+  val bm25Sql: String = bm25SqlFor(Bm25Terms)
 
   /** GPT-2-style pre-tokenizer pattern, ASCII-simplified so Java regex and
     * RE2 agree: contractions, space-prefixed letter runs, space-prefixed

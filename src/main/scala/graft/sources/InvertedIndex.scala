@@ -278,8 +278,8 @@ object InvertedIndex {
   private[graft] def bm25Over(spark: SparkSession, layout: Layout,
                               k: Int = 10,
                               excludeDoc: Option[Long] = None,
-                              restrictTo: Option[DataFrame] = None): DataFrame = {
-    val terms = TextOps.Bm25Terms
+                              restrictTo: Option[DataFrame] = None,
+                              terms: Seq[String] = TextOps.Bm25Terms): DataFrame = {
     import spark.implicits._
     val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
       .distinct().as[Long].collect().toSeq
@@ -371,8 +371,9 @@ object InvertedIndex {
     * Tombstone-safe: ubs use the corrected df and bounds remain upper
     * bounds over the masked subset. */
   private[graft] def maxScorePlan(spark: SparkSession, layout: Layout,
-                                  k: Int = 10): (Seq[String], DataFrame) = {
-    val terms = TextOps.Bm25Terms
+                                  k: Int = 10,
+                                  terms: Seq[String] = TextOps.Bm25Terms)
+      : (Seq[String], DataFrame) = {
     import spark.implicits._
     val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
       .distinct().as[Long].collect().toSeq
@@ -415,12 +416,13 @@ object InvertedIndex {
     // ub-descending order, term as the deterministic tie-break; terms the
     // corpus never saw contribute 0 to every score and drop out
     val ordered = terms.filter(ubs.contains).sortBy(t => (-ubs(t), t))
-    if (ordered.isEmpty) return (terms, bm25Over(spark, layout, k))
+    if (ordered.isEmpty) return (terms, bm25Over(spark, layout, k, terms = terms))
     def livePost = tombOpt
       .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(post0)
     val topDocs = livePost.filter(col("w") === ordered.head).select(col("doc_id"))
-    val thetaRows = bm25Over(spark, layout, k, restrictTo = Some(topDocs)).collect()
+    val thetaRows = bm25Over(spark, layout, k, restrictTo = Some(topDocs),
+      terms = terms).collect()
     val theta =
       if (thetaRows.length < k) Double.NegativeInfinity
       else thetaRows.last.getDouble(1)
@@ -430,7 +432,7 @@ object InvertedIndex {
     val essential = ordered.take(e)
     val cand = livePost.filter(col("w").isin(essential: _*))
       .select(col("doc_id")).distinct()
-    (essential, bm25Over(spark, layout, k, restrictTo = Some(cand)))
+    (essential, bm25Over(spark, layout, k, restrictTo = Some(cand), terms = terms))
   }
 
   /** Q-bm25-maxscore: [[maxScorePlan]] over the shared persisted index —
@@ -438,6 +440,18 @@ object InvertedIndex {
     * with the pruned candidate set. */
   def bm25MaxScore(spark: SparkSession, dir: String): DataFrame =
     maxScorePlan(spark, ensure(spark, dir))._2
+
+  /** A SECOND, four-term query set — the generality witness: q_bm25 and
+    * its index-served twins are not a hard-wired demo, the same persisted
+    * layout answers ANY term set through the same parameterized plan
+    * (bucket selection, df correction, pivot parity all term-driven). */
+  val Bm25Terms2 = Seq("merge", "group", "customer", "scan")
+
+  /** Q-bm25-query2: the second query set served from the SHARED index —
+    * one build, any query. Oracle = the parameterized builder
+    * ([[TextOps.bm25SqlFor]]) instantiated for this set. */
+  def bm25Query2(spark: SparkSession, dir: String): DataFrame =
+    bm25Over(spark, ensure(spark, dir), terms = Bm25Terms2)
 
   /** The fixed two-word phrase the declared query serves — both words are
     * [[TextOps.Bm25Terms]] members, so q_phrase is literally the phrase
@@ -455,12 +469,13 @@ object InvertedIndex {
     * a range condition. phrase_tf = matched-adjacency count per doc.
     * Work ∝ the two words' position lists, never the corpus. */
   private[graft] def phraseOver(spark: SparkSession, layout: Layout,
-                                w1: String, w2: String, k: Int = 10): DataFrame = {
+                                words: Seq[String], k: Int = 10): DataFrame = {
+    require(words.size >= 2, "a phrase is at least two words")
     import spark.implicits._
-    val buckets = Seq(w1, w2).toDF("w").select(bucketCol(col("w")).as("b"))
+    val buckets = words.distinct.toDF("w").select(bucketCol(col("w")).as("b"))
       .distinct().as[Long].collect().toSeq
     val pos0 = spark.read.parquet(positionsPathOf(layout))
-      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(w1, w2))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(words.distinct: _*))
     val tombDir = tombDirOf(layout)
     val pos =
       if (hasParquet(tombDir))
@@ -468,10 +483,16 @@ object InvertedIndex {
           spark.read.parquet(tombDir.toString).select(col("doc_id"))),
           Seq("doc_id"), "left_anti")
       else pos0
-    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos"))
-    val b = pos.filter(col("w") === w2)
-      .select(col("doc_id"), (col("pos") - 1L).as("pos"))
-    a.join(b, Seq("doc_id", "pos"))
+    // word i's positions shifted by −i: a doc holds the phrase at start p
+    // iff every word agrees on the shifted key — n−1 equi-joins on
+    // (doc_id, pos), each a hash join over the pruned position lists.
+    // Duplicate words compose correctly (the shifted self-join finds
+    // adjacent repeats).
+    words.zipWithIndex.map { case (w, i) =>
+        pos.filter(col("w") === w)
+          .select(col("doc_id"), (col("pos") - i.toLong).as("pos"))
+      }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("doc_id"))
       .limit(k)
@@ -481,7 +502,7 @@ object InvertedIndex {
     * index's positional sidecar. The oracle replays token positions from
     * raw text — the sidecar must add nothing and lose nothing. */
   def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
-    phraseOver(spark, ensure(spark, dir), PhraseW1, PhraseW2)
+    phraseOver(spark, ensure(spark, dir), Seq(PhraseW1, PhraseW2))
 
   val phraseSql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1421,6 +1442,7 @@ object InvertedIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25_indexed" -> (bm25Indexed _),
     "q_bm25_maxscore" -> (bm25MaxScore _),
+    "q_bm25_query2" -> (bm25Query2 _),
     "q_phrase" -> (phraseIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
@@ -1440,6 +1462,7 @@ object InvertedIndex {
   def oracles: Map[String, String] = Map(
     "q_bm25_indexed" -> TextOps.bm25Sql,
     "q_bm25_maxscore" -> TextOps.bm25Sql,
+    "q_bm25_query2" -> TextOps.bm25SqlFor(Bm25Terms2),
     "q_phrase" -> phraseSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be

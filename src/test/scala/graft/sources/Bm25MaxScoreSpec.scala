@@ -30,6 +30,15 @@ class Bm25MaxScoreSpec extends SparkSpecBase with Matchers {
     essential should not be empty
   }
 
+  test("term generality: the 4-term query set serves exactly through both plans") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    rows(InvertedIndex.maxScorePlan(spark, layout,
+        terms = InvertedIndex.Bm25Terms2)._2) shouldBe
+      rows(InvertedIndex.bm25Over(spark, layout,
+        terms = InvertedIndex.Bm25Terms2))
+    rows(InvertedIndex.bm25Query2(spark, sfDir)) should not be empty
+  }
+
   test("maxscore stays exact through upsert (bounds max/min-merged exactly)") {
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "maxscore-upsert")
     val newDocs = graft.Tables.documents(spark, sfDir)

@@ -28,7 +28,7 @@ class PhraseSpec extends SparkSpecBase with Matchers {
 
   private def served(layout: InvertedIndex.Layout): Seq[(Long, Long)] =
     InvertedIndex.phraseOver(spark, layout,
-        InvertedIndex.PhraseW1, InvertedIndex.PhraseW2).collect()
+        Seq(InvertedIndex.PhraseW1, InvertedIndex.PhraseW2)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
 
   test("q_phrase equals the from-raw-text recompute and is non-empty") {
@@ -46,6 +46,31 @@ class PhraseSpec extends SparkSpecBase with Matchers {
     plan should include regex "In\\(w, \\[hash,vector\\]"
     plan should include ("EqualTo(w,vector)")
     plan should include ("EqualTo(w,hash)")
+  }
+
+  test("n-word generality: a 3-word phrase equals its from-raw-text recompute") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    // derive the probe phrase from the data (doc 0's first three tokens),
+    // so the test is corpus-independent and a match is guaranteed
+    val words = docs.filter(col("doc_id") === 0L)
+      .select(split(trim(col("text")), "\\s+")).head().getSeq[String](0).take(3)
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val got = InvertedIndex.phraseOver(spark, layout, words).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // naive: count window starts where all three tokens line up
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val expected = words.zipWithIndex.map { case (w, i) =>
+        pos.filter(col("w") === w)
+          .select(col("doc_id"), (col("pos") - i.toLong).as("pos"))
+      }
+      .reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe expected
+    got.map(_._1) should contain (0L)
   }
 
   test("phrase stays exact through upsert, pending tombstones, and vacuum") {
