@@ -130,7 +130,10 @@ object PlanDump {
     // (bbucket PartitionFilters both sides of the candidate join), the
     // MaxScore candidate-restricted rank plan (semi-join before the
     // pivot aggregation), and the persisted-band corpus self-join
-    "q_minhash_upsert", "q_bm25_maxscore", "q_minhash_index")
+    "q_minhash_upsert", "q_bm25_maxscore", "q_minhash_index",
+    // the positional adjacency join: two pruned scans, (doc_id, pos)
+    // hash join, EqualTo(w, ...) pushed per branch
+    "q_phrase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
