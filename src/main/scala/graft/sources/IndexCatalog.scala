@@ -227,6 +227,171 @@ object IndexCatalog {
     buckets.map(b => col("bucket") === lit(b).cast(bt)).reduce(_ || _)
   }
 
+  // ---------------------------------------------------------------- keymap
+
+  /** Key-bucket fanout of the keymap sidecar. 64 shards keep each
+    * directory executor-sized at test scale; raise at production scale
+    * the same way as InvertedIndex.DocBuckets — the shard count bounds
+    * how much of the sidecar a maintenance batch reads (a batch's keys
+    * hash into ≤ KeyBuckets directories, and tiny CDC batches into far
+    * fewer). */
+  val KeyBuckets = 64
+
+  private def kbucketCol(key: org.apache.spark.sql.Column) =
+    pmod(xxhash64(key), lit(KeyBuckets.toLong))
+
+  private def keymapDir(basePath: String, name: String) =
+    Paths.get(basePath, name, "keymap")
+
+  private def keymapMarker(basePath: String, name: String) =
+    keymapDir(basePath, name).resolve("_keymap.json")
+
+  /** KEY→PARTITION sidecar — `keymap/kbucket=<b>/` rows of
+    * (keyCol, partition values as strings), partitioned by a key hash.
+    * It answers the one question a value-partitioned index cannot answer
+    * cheaply: "which partitions hold rows for this batch of keys?" — the
+    * touched-partition DISCOVERY step of [[upsertInto]] and
+    * [[vacuumTombstones]]. Without it, discovery column-scanned the WHOLE
+    * index's (key, partitionCols) per call; with it, discovery reads
+    * key-level metadata pruned to the batch keys' kbucket shards (the
+    * doc→tbucket footprint discipline from InvertedIndex, applied to the
+    * vector index — Pinecone keeps the same id→shard map inside its
+    * serving tier).
+    *
+    * Crash discipline — the invariant every write preserves is
+    * keymap ⊇ {(k, p) : data physically holds a row for key k in p}.
+    * EXTRA entries are always safe (discovery treats the partition as
+    * touched and rewrites identical content; the next maintenance of the
+    * key compacts the entry away); a MISSING entry would leave a stale
+    * duplicate row undiscovered, so additions land BEFORE the data write
+    * (phase A: old ∪ new locations) and compaction strictly AFTER it
+    * (phase C: surviving locations only). A kill between the phases
+    * leaves a superset — self-healing, never corrupt.
+    *
+    * Partition values are stored as STRINGS: partition-directory
+    * inference reads small values back as int while batches carry long
+    * (or wider) types, and a type that widens as the index grows would
+    * split one location into two rows. Discovery casts back to the
+    * index's current column type before building the partition
+    * predicate (the loadBuckets probe-side-cast rule).
+    *
+    * The `_keymap.json` marker records the key column (the
+    * tokenizer-marker precedent from the inverted index): maintenance
+    * against the wrong key fails fast instead of corrupting discovery.
+    * The marker is written AFTER the parquet commit, so a killed
+    * backfill leaves no marker and the next call rebuilds. */
+  def hasKeymap(basePath: String, name: String): Boolean =
+    Files.exists(keymapMarker(basePath, name))
+
+  private def keymapKey(basePath: String, name: String): Option[String] = {
+    if (!hasKeymap(basePath, name)) return None
+    """"key":\s*"([^"]+)"""".r
+      .findFirstMatchIn(Files.readString(keymapMarker(basePath, name)))
+      .map(_.group(1))
+  }
+
+  /** Invalidate the keymap — REQUIRED after any rewrite that reassigns
+    * partitions wholesale outside [[upsertInto]]/[[vacuumTombstones]]
+    * (Maintenance.rebuildIvf re-buckets every row): a keymap missing the
+    * new locations would hide stale rows from later discovery. The next
+    * maintenance call backfills from the rewritten data. */
+  def dropKeymap(basePath: String, name: String): Unit =
+    deleteTree(keymapDir(basePath, name))
+
+  /** Backfill the keymap for an index built before it existed (or whose
+    * backfill was killed mid-write) — ONE column-pruned scan of the
+    * index, exactly what a single discovery used to cost, paid once;
+    * every later discovery is kbucket-pruned. Idempotent. */
+  def ensureKeymap(spark: SparkSession, basePath: String, name: String,
+                   keyCol: String): Unit = {
+    keymapKey(basePath, name) match {
+      case Some(k) =>
+        require(k == keyCol,
+          s"index $name has a keymap keyed by '$k', but maintenance is " +
+            s"merging by '$keyCol' — one index, one key column")
+      case None =>
+        val partitionCols = partitionLayout(basePath, name)
+        require(!partitionCols.contains(keyCol),
+          s"index $name is partitioned by its key column '$keyCol' — " +
+            "the keymap would duplicate the layout; partition by derived " +
+            "columns (label/bucket), never the unique key")
+        val idx = loadRaw(spark, basePath, name)
+        idx.select((keyCol +: partitionCols).map(col): _*)
+          .select(col(keyCol) +: partitionCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct()
+          .withColumn("kbucket", kbucketCol(col(keyCol)))
+          .repartition(col("kbucket"))
+          .write.mode("overwrite").partitionBy("kbucket")
+          .parquet(keymapDir(basePath, name).toString)
+        Files.writeString(keymapMarker(basePath, name),
+          s"""{"key": "$keyCol", "buckets": $KeyBuckets}""")
+    }
+  }
+
+  /** The kbucket shards a key frame hashes into — ≤ KeyBuckets values,
+    * plan-time metadata (the InvertedIndex dbucket-collect discipline). */
+  private def kbucketsOf(keys: DataFrame, keyCol: String): Seq[Long] =
+    keys.select(kbucketCol(col(keyCol)).as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+
+  /** Probe keys cast to the keymap's STORED key type before hashing:
+    * xxhash64 hashes int and long to different values, so an int-typed
+    * batch key probing a long-keyed keymap would look in the wrong
+    * shard — the silent-miss failure the loadBuckets cast rule exists
+    * to prevent, applied to the hash instead of the comparison. */
+  private def alignKeys(keys: DataFrame, keyCol: String,
+                        km: DataFrame): DataFrame =
+    keys.select(col(keyCol).cast(km.schema(keyCol).dataType).as(keyCol))
+
+  /** Discovery read: the keymap rows for `keys`, pruned to their kbucket
+    * directories (PartitionFilters on kbucket — plan-asserted in
+    * KeymapSpec). Returns (keyCol, partitionCols...) with partition
+    * values still as stored strings. Package-private so the spec can
+    * assert the plan shape of the exact frame maintenance collects. */
+  private[sources] def keymapLocations(spark: SparkSession, basePath: String,
+                                       name: String, keys: DataFrame,
+                                       keyCol: String): DataFrame = {
+    val km = spark.read.parquet(keymapDir(basePath, name).toString)
+    val k = alignKeys(keys, keyCol, km)
+    km.filter(col("kbucket").isin(kbucketsOf(k, keyCol): _*))
+      .join(broadcast(k), Seq(keyCol), "left_semi")
+      .drop("kbucket")
+  }
+
+  /** Dynamic-overwrite the `keys` keys' kbucket shards with
+    * `rest ∪ locations` where rest = the shards' rows for OTHER keys —
+    * i.e. set the keymap's view of `keys` to exactly `locations`
+    * (strings). ∝ the batch's kbucket footprint, never the keymap size. */
+  private def rewriteKeymapFor(spark: SparkSession, basePath: String,
+                               name: String, keys: DataFrame, keyCol: String,
+                               locations: DataFrame): Unit = {
+    val km = spark.read.parquet(keymapDir(basePath, name).toString)
+    val k = alignKeys(keys, keyCol, km)
+    val bks = kbucketsOf(k, keyCol)
+    if (bks.isEmpty) return
+    // locations' key is cast to the keymap's stored type BEFORE the
+    // union: a wider union type would re-hash every key into different
+    // shards than the ones stored (the alignKeys rule, write side)
+    val locs = locations.select(
+      col(keyCol).cast(km.schema(keyCol).dataType).as(keyCol) +:
+        locations.columns.filterNot(_ == keyCol).toIndexedSeq.map(col): _*)
+    val merged = km.filter(col("kbucket").isin(bks: _*)).drop("kbucket")
+      .join(broadcast(k), Seq(keyCol), "left_anti")
+      .unionByName(locs)
+      .distinct()
+      .withColumn("kbucket", kbucketCol(col(keyCol)))
+    dynamicOverwrite(keymapDir(basePath, name), Seq("kbucket"),
+      bks.map(b => Seq[Any](b)).toArray, merged)
+  }
+
+  /** Partition values of `locs` (stored strings) cast back to the
+    * index's CURRENT column types — the literal probe values for the
+    * touched-partition predicate. */
+  private def castLocations(locs: DataFrame, idx: DataFrame,
+                            partitionCols: Seq[String]): DataFrame =
+    locs.select(partitionCols.map(c =>
+      col(c).cast(idx.schema(c).dataType).as(c)): _*)
+
   private def tombstoneDir(basePath: String, name: String) =
     Paths.get(basePath, name, "tombstones")
 
@@ -325,26 +490,58 @@ object IndexCatalog {
     // touched-partition discovery and the survivor anti-join use the SAME
     // condition the read path does, so vacuum folds exactly what load hides
     val versioned = ts.columns.length == 2
+    val tsKeys = ts.select(col(keyCol)).distinct().localCheckpoint(true)
     val probe =
       if (versioned) broadcast(versionedTombstoneMax(ts))
-      else broadcast(ts.select(col(keyCol)))
+      else broadcast(tsKeys)
     def hiddenCond(d: DataFrame) =
       if (versioned) hiddenByVersioned(d, keyCol, ts.columns(1))
       else d(keyCol) === probe(keyCol)
-    val touchedValues = idx.join(probe, hiddenCond(idx), "left_semi")
-      .select(partitionCols.map(col): _*)
-      .distinct()
-      .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
-      .collect().map(_.toSeq)
-    if (touchedValues.nonEmpty) {
-      val touchedPred = touchedValues.map { values =>
+    // DISCOVERY: candidate partitions from the keymap pruned to the
+    // tombstone keys' kbucket shards — never a full-index scan. The
+    // candidates are then tightened by the EXACT hidden-row condition
+    // (restricted to the candidate partitions): a versioned index can
+    // hold a candidate key at a version the tombstone does not cover, and
+    // that partition must keep its files byte-for-byte.
+    ensureKeymap(spark, basePath, name, keyCol)
+    val candValues = castLocations(
+      keymapLocations(spark, basePath, name, tsKeys, keyCol),
+      idx, partitionCols)
+      .distinct().collect().map(_.toSeq)
+    if (candValues.nonEmpty) {
+      val candPred = candValues.map { values =>
         partitionCols.zip(values)
           .map { case (c, v) => col(c) <=> lit(v) }
           .reduce(_ && _)
       }.reduce(_ || _)
-      val scoped = idx.filter(touchedPred)
-      val survivors = scoped.join(probe, hiddenCond(scoped), "left_anti")
-      overwritePartitions(basePath, name, partitionCols, touchedValues, survivors)
+      val cand = idx.filter(candPred)
+      val touchedValues = cand.join(probe, hiddenCond(cand), "left_semi")
+        .select(partitionCols.map(col): _*)
+        .distinct()
+        .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
+        .collect().map(_.toSeq)
+      if (touchedValues.nonEmpty) {
+        val touchedPred = touchedValues.map { values =>
+          partitionCols.zip(values)
+            .map { case (c, v) => col(c) <=> lit(v) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        val scoped = idx.filter(touchedPred)
+        val survivors = scoped.join(probe, hiddenCond(scoped), "left_anti")
+        overwritePartitions(basePath, name, partitionCols, touchedValues, survivors)
+      }
+      // keymap compaction: set the tombstone keys' entries to the rows
+      // that physically remain (post-rewrite pruned re-read of the
+      // candidate partitions — a versioned vacuum can keep covered keys
+      // alive at higher versions; an unversioned one removes them all).
+      // Removal never ADDS locations, so no phase-A superset is needed:
+      // a kill before this line leaves extra entries, which are safe.
+      rewriteKeymapFor(spark, basePath, name, tsKeys, keyCol,
+        loadRaw(spark, basePath, name).filter(candPred)
+          .join(broadcast(tsKeys), Seq(keyCol), "left_semi")
+          .select(col(keyCol) +:
+            partitionCols.map(c => col(c).cast("string").as(c)): _*)
+          .distinct())
     }
     deleteTree(tombstoneDir(basePath, name))
   }
@@ -411,13 +608,13 @@ object IndexCatalog {
     * (Spark refuses to overwrite a path it is reading from) and its
     * footprint is the touched partitions only.
     *
-    * Honest cost note: the touched-partition DISCOVERY scan reads the
-    * whole index's (keyCol, partitionCols) columns per call — old
-    * versions of a key can live in any partition, so it cannot be
-    * partition-pruned. Column pruning keeps it cheap next to the rewrite,
-    * but at true 100 TB a steady trickle of tiny batches would motivate a
-    * persisted key→partition sidecar (or batches that carry their prior
-    * bucket) to make discovery ∝ batch as well. */
+    * Touched-partition DISCOVERY reads the keymap sidecar pruned to the
+    * batch keys' kbucket shards (see [[ensureKeymap]]) — key-level
+    * metadata, never the index — so a steady trickle of tiny batches
+    * costs I/O ∝ batch on BOTH the discovery and the rewrite side. An
+    * index built before the sidecar existed pays one column-pruned
+    * backfill scan (exactly what every discovery used to cost) on its
+    * first maintenance call. */
   def upsertInto(spark: SparkSession, basePath: String, name: String,
                  batch: DataFrame, keyCol: String,
                  versionCol: Option[String] = None,
@@ -437,7 +634,7 @@ object IndexCatalog {
     // knownNonEmpty to skip this extra driver action — per-trigger job
     // count is the dominant streaming-merge cost at small batch sizes.
     if (!knownNonEmpty && batch.isEmpty) return
-    val keys = batch.select(col(keyCol)).distinct()
+    val keys = batch.select(col(keyCol)).distinct().localCheckpoint(true)
     // Re-upserting a deleted key REVIVES it: drop the batch keys' pending
     // tombstones first, or load()'s anti-join would hide the fresh row
     // (and the key's hidden old row must become visible to discovery so
@@ -446,23 +643,33 @@ object IndexCatalog {
       versionedUpsert = versionCol.isDefined)
     val idx = load(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.toIndexedSeq.map(col): _*)
-    // Touched-partition values are cast to the INDEX column's type before
-    // the semi-join: partition-value inference reads small buckets back as
-    // int while callers compute long signatures, and a casted partition
-    // ATTRIBUTE would not prune (same rule as loadBuckets) — the cast must
-    // land on the probe side, never on idx's column.
-    // The batch's partition footprint is collected FIRST (it is tiny by
-    // construction — one tuple per touched partition) and turned into a
-    // LITERAL partition predicate, so the survivor scan is statically
-    // partition-pruned (the loadBuckets pattern) and the index is scanned
-    // exactly once more (the footprint scan) instead of re-running the
-    // semi-join plan per consumer.
-    val touchedValues = idx.join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(partitionCols.map(col): _*)
-      .unionByName(newRows.select(partitionCols.map(col): _*))
+    // Touched-partition DISCOVERY: old locations of the batch keys come
+    // from the keymap sidecar pruned to their kbucket shards — never from
+    // a scan of the index itself. Values are cast to the INDEX column's
+    // current type before the predicate is built: partition-value
+    // inference reads small buckets back as int while callers compute
+    // long signatures, and a casted partition ATTRIBUTE would not prune
+    // (same rule as loadBuckets) — the cast lands on the probe side,
+    // never on idx's column. The footprint is collected (tiny — one tuple
+    // per touched partition) into a LITERAL partition predicate so the
+    // survivor scan is statically partition-pruned.
+    ensureKeymap(spark, basePath, name, keyCol)
+    // The batch's NEW locations, keyed — written into the keymap BEFORE
+    // the data write (phase A: superset), compacted after (phase C), so a
+    // kill between the writes can only leave extra entries, never hide a
+    // stale row from a later discovery (invariant in the keymap scaladoc).
+    val newLocs = newRows
+      .select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol) +:
+        partitionCols.map(c => col(c).cast(idx.schema(c).dataType).cast("string").as(c)): _*)
+      .distinct().localCheckpoint(true)
+    val oldLocs = keymapLocations(spark, basePath, name, keys, keyCol)
+      .localCheckpoint(true)
+    val touchedValues = castLocations(oldLocs, idx, partitionCols)
+      .unionByName(castLocations(newLocs, idx, partitionCols))
       .distinct()
-      .select(partitionCols.map(c => col(c).cast(idx.schema(c).dataType).as(c)): _*)
       .collect().map(_.toSeq)
+    rewriteKeymapFor(spark, basePath, name, keys, keyCol,
+      oldLocs.unionByName(newLocs)) // phase A: old ∪ new
     val touchedPred = touchedValues.map { values =>
       partitionCols.zip(values)
         .map { case (c, v) => col(c) <=> lit(v) }
@@ -485,16 +692,38 @@ object IndexCatalog {
           idx.filter(touchedPred).unionByName(newRows), Seq(keyCol), v,
           tieBreak = Seq(xxhash64(idx.columns.toIndexedSeq.map(col): _*)))
     }
-    overwritePartitions(basePath, name, partitionCols, touchedValues, merged)
+    val out = overwritePartitions(basePath, name, partitionCols, touchedValues, merged)
+    // keymap phase C: compact the batch keys' entries to their SURVIVING
+    // locations (from the materialized rewrite output — under a versioned
+    // merge the stored row can win, so the surviving location is not
+    // always the batch's). Runs strictly after the data write: a kill
+    // before this point leaves phase A's superset, which the next
+    // maintenance of these keys self-heals.
+    rewriteKeymapFor(spark, basePath, name, keys, keyCol,
+      out.join(broadcast(keys), Seq(keyCol), "left_semi")
+        .select(col(keyCol) +:
+          partitionCols.map(c => col(c).cast("string").as(c)): _*)
+        .distinct())
   }
 
   /** Shared rewrite tail of [[upsertInto]] and [[vacuumTombstones]]:
-    * dynamic-overwrite the touched partitions with `merged`, then remove
-    * touched directories the write left empty. */
+    * dynamic-overwrite the touched data partitions with `merged`, then
+    * remove touched directories the write left empty. Returns the
+    * materialized output so the caller can derive the batch keys'
+    * surviving locations (keymap phase C) without re-reading. */
   private def overwritePartitions(basePath: String, name: String,
                                   partitionCols: Seq[String],
                                   touchedValues: Array[Seq[Any]],
-                                  merged: DataFrame): Unit = {
+                                  merged: DataFrame): DataFrame =
+    dynamicOverwrite(Paths.get(basePath, name, "data"), partitionCols,
+      touchedValues, merged)
+
+  /** Dynamic partition overwrite of `target` with emptied-directory
+    * cleanup — shared by the data rewrite and the keymap shard rewrite. */
+  private def dynamicOverwrite(target: java.nio.file.Path,
+                               partitionCols: Seq[String],
+                               touchedValues: Array[Seq[Any]],
+                               merged: DataFrame): DataFrame = {
     val out = merged
       .repartition(partitionCols.map(col): _*)
       .localCheckpoint(true)
@@ -503,7 +732,7 @@ object IndexCatalog {
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
-      .parquet(Paths.get(basePath, name, "data").toString)
+      .parquet(target.toString)
     // Dynamic overwrite only rewrites partitions PRESENT in `out`. A
     // touched partition whose every row was superseded (all its keys moved
     // elsewhere, nothing new landed — or every row deleted) is absent from
@@ -520,9 +749,10 @@ object IndexCatalog {
           else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .getPartitionPathString(c, String.valueOf(v))
         }
-        .foldLeft(Paths.get(basePath, name, "data"))(_ resolve _)
+        .foldLeft(target)(_ resolve _)
       deleteTree(dir)
     }
+    out
   }
 
   /** Remove pending tombstones for `keys` (the upsert revival path). The
@@ -568,6 +798,53 @@ object IndexCatalog {
         oldFiles.foreach(Files.deleteIfExists(_))
       }
     }
+
+  /** Physical-layer invariants for a persisted vector index — the
+    * InvertedIndex.auditFrame discipline applied to the catalog's own
+    * artifact (artifact column `vector`), one row per invariant with a
+    * violation count, each ONE aggregation over the stores:
+    *  - keymap_mirrors_data: the key→partition sidecar holds exactly the
+    *    data's distinct (key, partition values) relation — the steady-
+    *    state form of the superset invariant (extra entries are legal
+    *    only inside a crash window, so a standing surplus is drift);
+    *  - one_row_per_key: at most one physical row per key (both merge
+    *    modes keep a single winner — a duplicate means a discovery miss
+    *    let a stale row survive a move);
+    *  - norm_matches_embedding: the stored vec_norm equals the same
+    *    kernel recomputed over the stored vector (exact equality — one
+    *    sequential per-row pass, bit-deterministic for equal input).
+    * Reads the PHYSICAL layer: pending tombstones are the read path's
+    * masking business and violate none of these. */
+  def auditFrame(spark: SparkSession, basePath: String, name: String,
+                 keyCol: String = "vec_id"): DataFrame = {
+    ensureKeymap(spark, basePath, name, keyCol)
+    val partitionCols = partitionLayout(basePath, name)
+    val data = loadRaw(spark, basePath, name)
+    def row(inv: String, violations: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+      from.agg(coalesce(violations, lit(0L)).as("violations"))
+        .select(lit("vector").as("artifact"), lit(inv).as("invariant"),
+          col("violations"))
+    val dataLocs = data
+      .select(col(keyCol) +:
+        partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().withColumn("d", lit(1))
+    val kmLocs = spark.read.parquet(keymapDir(basePath, name).toString)
+      .drop("kbucket").withColumn("m", lit(1))
+    val mirrorCmp = dataLocs.join(kmLocs,
+      (keyCol +: partitionCols).toIndexedSeq, "full_outer")
+    val a1 = row("keymap_mirrors_data",
+      sum(when(col("d").isNull || col("m").isNull, 1L).otherwise(0L)), mirrorCmp)
+    val a2 = row("one_row_per_key",
+      sum(when(col("cnt") > 1, 1L).otherwise(0L)),
+      data.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")))
+    val renormed = KnnSearch.withNorm(
+      data.withColumnRenamed("vec_norm", "stored_norm"))
+    val a3 = row("norm_matches_embedding",
+      sum(when(col("stored_norm") =!= col("vec_norm"), 1L).otherwise(0L)),
+      renormed)
+    a1.unionByName(a2).unionByName(a3)
+  }
 
   /** `describe_index_stats` (`debug-commands.txt:10-12`): vector counts per
     * namespace — partition pruning makes this a metadata-sized scan; with

@@ -225,6 +225,10 @@ object Maintenance {
     Files.move(dataDir, retired)
     Files.move(staging, dataDir)
     deleteRecursively(retired)
+    // every row was re-bucketed: a keymap built against the old layout
+    // would hide the new locations from later upsert/vacuum discovery —
+    // drop it; the next maintenance call backfills from the new tree
+    IndexCatalog.dropKeymap(basePath, name)
     // the sidecar must carry the ROUND-11 residual column or MIPS (dot)
     // routing silently declines on every rebuilt index: recompute the
     // per-bucket max member-to-centroid L2 distance from the tree just

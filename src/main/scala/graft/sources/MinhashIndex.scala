@@ -339,10 +339,16 @@ object MinhashIndex {
     * one row per (artifact, invariant) with violation counts, all zero on
     * a healthy cache. Sensitivity (a planted corruption flags exactly its
     * invariant) is spec-gated; the oracle pins the healthy state. */
-  def indexAudit(spark: SparkSession, dir: String): DataFrame =
+  def indexAudit(spark: SparkSession, dir: String): DataFrame = {
+    // the vector artifact: the shared persisted IVF-bucketed index — the
+    // same store q_ann_ivf_persisted / the routed family serve from
+    val (vecBase, vecName, _) =
+      graft.operators.VectorOps.ensureIvfBucketed(spark, dir)
     InvertedIndex.auditFrame(spark, InvertedIndex.ensure(spark, dir))
       .unionByName(auditFrame(spark, ensure(spark, dir)))
+      .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
       .orderBy(col("artifact"), col("invariant"))
+  }
 
   val indexAuditSql: String =
     """SELECT * FROM (VALUES
@@ -353,7 +359,10 @@ object MinhashIndex {
       |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_match_sigs', CAST(0 AS BIGINT)),
-      |  ('minhash', 'sig_width', CAST(0 AS BIGINT))
+      |  ('minhash', 'sig_width', CAST(0 AS BIGINT)),
+      |  ('vector', 'keymap_mirrors_data', CAST(0 AS BIGINT)),
+      |  ('vector', 'one_row_per_key', CAST(0 AS BIGINT)),
+      |  ('vector', 'norm_matches_embedding', CAST(0 AS BIGINT))
       |) t(artifact, invariant, violations)
       |ORDER BY artifact, invariant""".stripMargin
 

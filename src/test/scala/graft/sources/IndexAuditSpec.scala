@@ -24,8 +24,37 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 8
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(8)(0L)
+    rows should have length 11
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(11)(0L)
+  }
+
+  test("a planted keymap drift flags exactly keymap_mirrors_data") {
+    import spark.implicits._
+    import graft.sources.IndexCatalog.IndexDescriptor
+    val base = Files.createTempDirectory("graft-audit-km").toString
+    val data = Seq(
+      (1L, Array(1f, 0f), 0, 0L),
+      (2L, Array(0f, 1f), 0, 1L)
+    ).toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("akm", 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    IndexCatalog.ensureKeymap(spark, base, "akm", "vec_id")
+    auditMap(IndexCatalog.auditFrame(spark, base, "akm"))
+      .values.foreach(_ shouldBe 0L)
+    // plant a phantom location — the standing surplus only a crash
+    // window may leave transiently
+    val b9 = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(9L)),
+        org.apache.spark.sql.functions.lit(64L))).head().getLong(0)
+    Seq((9L, "3")).toDF("vec_id", "bucket")
+      .coalesce(1).write.mode("append")
+      .parquet(Paths.get(base, "akm", "keymap", s"kbucket=$b9").toString)
+    val audit = auditMap(IndexCatalog.auditFrame(spark, base, "akm"))
+    audit("keymap_mirrors_data") shouldBe 1L
+    (audit - "keymap_mirrors_data").values.foreach(_ shouldBe 0L)
   }
 
   test("a planted dict corruption flags exactly dict_df_matches_postings") {

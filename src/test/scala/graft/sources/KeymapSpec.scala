@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.sources.IndexCatalog.IndexDescriptor
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** The key→partition keymap sidecar — batch-proportional DISCOVERY for
+  * index maintenance (the last full-scan discovery path, closed): where
+  * old rows of a maintenance batch's keys live is answered from
+  * `keymap/kbucket=<b>/` shards pruned to the batch keys' hash buckets,
+  * never from a scan of the index itself. Gates: the sidecar mirrors the
+  * data exactly in the steady state, the discovery read partition-prunes
+  * (plan evidence), untouched shards keep their files byte-for-byte,
+  * the crash-window superset self-heals, vacuum compacts entries with
+  * versioned-survivor awareness, and a wrong key column fails fast.
+  */
+class KeymapSpec extends SparkSpecBase with Matchers {
+
+  private def buildIndex(base: String, name: String, n: Int = 50) = {
+    import spark.implicits._
+    val data = (0 until n).map { i =>
+      (i.toLong, Array(i.toFloat, 1f), i % 3, (i % 5).toLong)
+    }.toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor(name, 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+  }
+
+  private def keymapRows(base: String, name: String): Set[(Long, String)] =
+    spark.read.parquet(java.nio.file.Paths.get(base, name, "keymap").toString)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def dataLocations(base: String, name: String): Set[(Long, String)] =
+    spark.read.parquet(java.nio.file.Paths.get(base, name, "data").toString)
+      .select(col("vec_id"), col("bucket").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def shardFiles(base: String, name: String): Map[String, Long] = {
+    val dir = java.nio.file.Paths.get(base, name, "keymap")
+    val s = java.nio.file.Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    } finally s.close()
+  }
+
+  test("first maintenance backfills the keymap; it mirrors the data and discovery partition-prunes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap").toString
+    buildIndex(base, "km")
+    IndexCatalog.hasKeymap(base, "km") shouldBe false
+
+    val batch = Seq((0L, Array(9f, 9f), 0, 4L)) // moves 0 from bucket 0 to 4
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.upsertInto(spark, base, "km", batch, "vec_id")
+
+    IndexCatalog.hasKeymap(base, "km") shouldBe true
+    // steady state: the sidecar IS the data's (key → partition) relation
+    keymapRows(base, "km") shouldBe dataLocations(base, "km")
+    keymapRows(base, "km") should contain(0L -> "4")
+
+    // discovery evidence: the keymap read the maintenance collects is
+    // partition-pruned to the probe keys' kbucket shards
+    val probe = Seq(1L, 2L).toDF("vec_id")
+    val locs = IndexCatalog.keymapLocations(spark, base, "km", probe, "vec_id")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(locs.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    pf.exists(f => f.contains("kbucket") && f.trim.nonEmpty) shouldBe true
+    locs.collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("an upsert rewrites only the batch keys' kbucket shards; untouched shards keep their files") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-io").toString
+    buildIndex(base, "io", n = 400) // 400 keys spread across all 64 shards
+    // build the sidecar with a first upsert, then snapshot the shards
+    IndexCatalog.upsertInto(spark, base, "io",
+      Seq((0L, Array(9f, 9f), 0, 0L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    val before = shardFiles(base, "io")
+
+    // a one-key batch touches exactly one kbucket shard
+    IndexCatalog.upsertInto(spark, base, "io",
+      Seq((7L, Array(8f, 8f), 1, 2L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    val after = shardFiles(base, "io")
+    val touchedShard = "kbucket=(\\d+)".r
+    def shardOf(p: String) = touchedShard.findFirstMatchIn(p).map(_.group(1).toLong)
+    val changed = before.keySet.filter(p => after.get(p) != before.get(p)) ++
+      (after.keySet -- before.keySet)
+    val changedShards = changed.flatMap(shardOf)
+    changedShards.size should be <= 1 // the single key hashes into one shard
+    // every other shard's files are byte-for-byte the snapshot's
+    val untouched = before.filter { case (p, _) => !changedShards.exists(shardOf(p).contains) }
+    untouched.foreach { case (p, m) => after.get(p) shouldBe Some(m) }
+    untouched should not be empty
+    // and the mirror invariant still holds after the partial rewrite
+    keymapRows(base, "io") shouldBe dataLocations(base, "io")
+  }
+
+  test("a crash-window stale entry (superset) is harmless and self-heals on the key's next upsert") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-heal").toString
+    buildIndex(base, "heal")
+    IndexCatalog.upsertInto(spark, base, "heal",
+      Seq((3L, Array(9f, 9f), 0, 3L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id") // builds the sidecar
+    // plant a phantom location for key 3 — what a kill between keymap
+    // phase A and the data write leaves behind (invariant: superset-safe)
+    val b3 = spark.range(1)
+      .select(pmod(xxhash64(lit(3L)), lit(64L))).head().getLong(0)
+    Seq((3L, "9999")).toDF("vec_id", "bucket")
+      .coalesce(1).write.mode("append")
+      .parquet(java.nio.file.Paths.get(base, "heal", "keymap", s"kbucket=$b3").toString)
+    keymapRows(base, "heal") should contain(3L -> "9999")
+
+    // the key's next upsert runs correctly THROUGH the stale entry
+    // (the phantom partition matches no data) and compacts it away
+    IndexCatalog.upsertInto(spark, base, "heal",
+      Seq((3L, Array(7f, 7f), 0, 1L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    val after = IndexCatalog.load(spark, base, "heal")
+    after.filter(col("vec_id") === 3L).count() shouldBe 1
+    after.filter(col("vec_id") === 3L).head().getAs[Number]("bucket").longValue shouldBe 1L
+    keymapRows(base, "heal") shouldBe dataLocations(base, "heal")
+  }
+
+  test("vacuum compacts deleted keys' entries; a versioned survivor keeps its location") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-vac").toString
+    val data = Seq(
+      (1L, Array(1f, 0f), 0, 0L, 5L),
+      (2L, Array(0f, 1f), 0, 1L, 5L),
+      (3L, Array(1f, 1f), 0, 1L, 9L) // survives: stored version above the delete's
+    ).toDF("vec_id", "embedding", "label", "bucket", "v")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("vac", 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    // versioned deletes at v=7: covers 1 and 2, NOT the v=9 row of key 3
+    IndexCatalog.tombstone(spark, base, "vac",
+      Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("vec_id", "v"),
+      versionCol = Some("v"))
+    IndexCatalog.vacuumTombstones(spark, base, "vac")
+
+    val remaining = IndexCatalog.load(spark, base, "vac")
+    remaining.collect().map(_.getLong(0)).toSet shouldBe Set(3L)
+    // the keymap dropped the vacuumed keys and kept the survivor exactly
+    keymapRows(base, "vac") shouldBe Set(3L -> "1")
+    keymapRows(base, "vac") shouldBe dataLocations(base, "vac")
+  }
+
+  test("maintenance against the wrong key column fails fast via the marker") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-key").toString
+    buildIndex(base, "kc")
+    IndexCatalog.upsertInto(spark, base, "kc",
+      Seq((1L, Array(9f, 9f), 0, 0L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    val err = intercept[IllegalArgumentException] {
+      IndexCatalog.ensureKeymap(spark, base, "kc", "label")
+    }
+    err.getMessage should include("keyed by 'vec_id'")
+  }
+
+  test("rebuildIvf invalidates the keymap; the next upsert rebuilds it against the new layout") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-rb").toString
+    buildIndex(base, "rb")
+    IndexCatalog.upsertInto(spark, base, "rb",
+      Seq((1L, Array(9f, 9f), 0, 0L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    IndexCatalog.hasKeymap(base, "rb") shouldBe true
+    // re-bucket everything: two antipodal centroids
+    Maintenance.rebuildIvf(spark, base, "rb",
+      Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
+        .toDF("cent_id", "c_embedding"))
+    IndexCatalog.hasKeymap(base, "rb") shouldBe false // stale map dropped
+    IndexCatalog.upsertInto(spark, base, "rb",
+      Seq((1L, Array(-9f, 0f), 0, 1L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    keymapRows(base, "rb") shouldBe dataLocations(base, "rb")
+  }
+}
