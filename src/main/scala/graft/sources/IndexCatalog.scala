@@ -347,13 +347,19 @@ object IndexCatalog {
     * directories (PartitionFilters on kbucket — plan-asserted in
     * KeymapSpec). Returns (keyCol, partitionCols...) with partition
     * values still as stored strings. Package-private so the spec can
-    * assert the plan shape of the exact frame maintenance collects. */
+    * assert the plan shape of the exact frame maintenance collects.
+    * `bks` is the keys' precomputed kbucket set when the caller already
+    * collected it — one trigger computes it ONCE and shares it across
+    * discovery and both keymap writes (driver-job count is the dominant
+    * small-batch streaming cost). */
   private[sources] def keymapLocations(spark: SparkSession, basePath: String,
                                        name: String, keys: DataFrame,
-                                       keyCol: String): DataFrame = {
+                                       keyCol: String,
+                                       bks: Seq[Long] = null): DataFrame = {
     val km = spark.read.parquet(keymapDir(basePath, name).toString)
     val k = alignKeys(keys, keyCol, km)
-    km.filter(col("kbucket").isin(kbucketsOf(k, keyCol): _*))
+    val buckets = if (bks != null) bks else kbucketsOf(k, keyCol)
+    km.filter(col("kbucket").isin(buckets: _*))
       .join(broadcast(k), Seq(keyCol), "left_semi")
       .drop("kbucket")
   }
@@ -361,27 +367,41 @@ object IndexCatalog {
   /** Dynamic-overwrite the `keys` keys' kbucket shards with
     * `rest ∪ locations` where rest = the shards' rows for OTHER keys —
     * i.e. set the keymap's view of `keys` to exactly `locations`
-    * (strings). ∝ the batch's kbucket footprint, never the keymap size. */
+    * (strings). ∝ the batch's kbucket footprint, never the keymap size.
+    * `mayEmpty = false` skips the emptied-shard cleanup collect: an
+    * upsert's shards always keep ≥1 row per batch key (its surviving
+    * location lands in the SAME shard — kbucket is a function of the
+    * key), so only vacuum, which removes keys outright, can empty one. */
   private def rewriteKeymapFor(spark: SparkSession, basePath: String,
                                name: String, keys: DataFrame, keyCol: String,
-                               locations: DataFrame): Unit = {
+                               locations: DataFrame,
+                               bks: Seq[Long] = null,
+                               mayEmpty: Boolean = true): Unit = {
     val km = spark.read.parquet(keymapDir(basePath, name).toString)
     val k = alignKeys(keys, keyCol, km)
-    val bks = kbucketsOf(k, keyCol)
-    if (bks.isEmpty) return
+    val buckets = if (bks != null) bks else kbucketsOf(k, keyCol)
+    if (buckets.isEmpty) return
     // locations' key is cast to the keymap's stored type BEFORE the
     // union: a wider union type would re-hash every key into different
     // shards than the ones stored (the alignKeys rule, write side)
     val locs = locations.select(
       col(keyCol).cast(km.schema(keyCol).dataType).as(keyCol) +:
         locations.columns.filterNot(_ == keyCol).toIndexedSeq.map(col): _*)
-    val merged = km.filter(col("kbucket").isin(bks: _*)).drop("kbucket")
+    val merged = km.filter(col("kbucket").isin(buckets: _*)).drop("kbucket")
       .join(broadcast(k), Seq(keyCol), "left_anti")
       .unionByName(locs)
       .distinct()
       .withColumn("kbucket", kbucketCol(col(keyCol)))
-    dynamicOverwrite(keymapDir(basePath, name), Seq("kbucket"),
-      bks.map(b => Seq[Any](b)).toArray, merged)
+    if (mayEmpty)
+      dynamicOverwrite(keymapDir(basePath, name), Seq("kbucket"),
+        buckets.map(b => Seq[Any](b)).toArray, merged)
+    else {
+      val out = merged.repartition(col("kbucket")).localCheckpoint(true)
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kbucket")
+        .parquet(keymapDir(basePath, name).toString)
+    }
   }
 
   /** Partition values of `locs` (stored strings) cast back to the
@@ -504,8 +524,11 @@ object IndexCatalog {
     // hold a candidate key at a version the tombstone does not cover, and
     // that partition must keep its files byte-for-byte.
     ensureKeymap(spark, basePath, name, keyCol)
+    val tsBks = kbucketsOf(
+      tsKeys.select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol)),
+      keyCol)
     val candValues = castLocations(
-      keymapLocations(spark, basePath, name, tsKeys, keyCol),
+      keymapLocations(spark, basePath, name, tsKeys, keyCol, tsBks),
       idx, partitionCols)
       .distinct().collect().map(_.toSeq)
     if (candValues.nonEmpty) {
@@ -541,7 +564,8 @@ object IndexCatalog {
           .join(broadcast(tsKeys), Seq(keyCol), "left_semi")
           .select(col(keyCol) +:
             partitionCols.map(c => col(c).cast("string").as(c)): _*)
-          .distinct())
+          .distinct(),
+        bks = tsBks) // mayEmpty stays true: deletes can empty a shard
     }
     deleteTree(tombstoneDir(basePath, name))
   }
@@ -654,6 +678,11 @@ object IndexCatalog {
     // per touched partition) into a LITERAL partition predicate so the
     // survivor scan is statically partition-pruned.
     ensureKeymap(spark, basePath, name, keyCol)
+    // one trigger computes the batch's kbucket set ONCE and shares it
+    // across discovery and both keymap writes (job-count discipline)
+    val batchBks = kbucketsOf(
+      keys.select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol)),
+      keyCol)
     // The batch's NEW locations, keyed — written into the keymap BEFORE
     // the data write (phase A: superset), compacted after (phase C), so a
     // kill between the writes can only leave extra entries, never hide a
@@ -662,14 +691,15 @@ object IndexCatalog {
       .select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol) +:
         partitionCols.map(c => col(c).cast(idx.schema(c).dataType).cast("string").as(c)): _*)
       .distinct().localCheckpoint(true)
-    val oldLocs = keymapLocations(spark, basePath, name, keys, keyCol)
+    val oldLocs = keymapLocations(spark, basePath, name, keys, keyCol, batchBks)
       .localCheckpoint(true)
     val touchedValues = castLocations(oldLocs, idx, partitionCols)
       .unionByName(castLocations(newLocs, idx, partitionCols))
       .distinct()
       .collect().map(_.toSeq)
     rewriteKeymapFor(spark, basePath, name, keys, keyCol,
-      oldLocs.unionByName(newLocs)) // phase A: old ∪ new
+      oldLocs.unionByName(newLocs), // phase A: old ∪ new
+      bks = batchBks, mayEmpty = false)
     val touchedPred = touchedValues.map { values =>
       partitionCols.zip(values)
         .map { case (c, v) => col(c) <=> lit(v) }
@@ -703,7 +733,8 @@ object IndexCatalog {
       out.join(broadcast(keys), Seq(keyCol), "left_semi")
         .select(col(keyCol) +:
           partitionCols.map(c => col(c).cast("string").as(c)): _*)
-        .distinct())
+        .distinct(),
+      bks = batchBks, mayEmpty = false)
   }
 
   /** Shared rewrite tail of [[upsertInto]] and [[vacuumTombstones]]:
