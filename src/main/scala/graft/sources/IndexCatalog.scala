@@ -283,7 +283,7 @@ object IndexCatalog {
   def hasKeymap(basePath: String, name: String): Boolean =
     Files.exists(keymapMarker(basePath, name))
 
-  private def keymapKey(basePath: String, name: String): Option[String] = {
+  private[sources] def keymapKey(basePath: String, name: String): Option[String] = {
     if (!hasKeymap(basePath, name)) return None
     """"key":\s*"([^"]+)"""".r
       .findFirstMatchIn(Files.readString(keymapMarker(basePath, name)))
@@ -310,22 +310,32 @@ object IndexCatalog {
           s"index $name has a keymap keyed by '$k', but maintenance is " +
             s"merging by '$keyCol' — one index, one key column")
       case None =>
-        val partitionCols = partitionLayout(basePath, name)
-        require(!partitionCols.contains(keyCol),
-          s"index $name is partitioned by its key column '$keyCol' — " +
-            "the keymap would duplicate the layout; partition by derived " +
-            "columns (label/bucket), never the unique key")
-        val idx = loadRaw(spark, basePath, name)
-        idx.select((keyCol +: partitionCols).map(col): _*)
-          .select(col(keyCol) +: partitionCols.map(c => col(c).cast("string").as(c)): _*)
-          .distinct()
-          .withColumn("kbucket", kbucketCol(col(keyCol)))
-          .repartition(col("kbucket"))
-          .write.mode("overwrite").partitionBy("kbucket")
-          .parquet(keymapDir(basePath, name).toString)
-        Files.writeString(keymapMarker(basePath, name),
-          s"""{"key": "$keyCol", "buckets": $KeyBuckets}""")
+        writeKeymap(spark, basePath, name,
+          loadRaw(spark, basePath, name), keyCol)
     }
+  }
+
+  /** Write the keymap wholesale from `rows` (any frame carrying the key
+    * and the partition columns — the index itself at backfill, the
+    * reassigned frame at a rebuild). Marker written AFTER the parquet
+    * commit (killed-build discipline). */
+  private[sources] def writeKeymap(spark: SparkSession, basePath: String,
+                                   name: String, rows: DataFrame,
+                                   keyCol: String): Unit = {
+    val partitionCols = partitionLayout(basePath, name)
+    require(!partitionCols.contains(keyCol),
+      s"index $name is partitioned by its key column '$keyCol' — " +
+        "the keymap would duplicate the layout; partition by derived " +
+        "columns (label/bucket), never the unique key")
+    rows.select((keyCol +: partitionCols).map(col): _*)
+      .select(col(keyCol) +: partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct()
+      .withColumn("kbucket", kbucketCol(col(keyCol)))
+      .repartition(col("kbucket"))
+      .write.mode("overwrite").partitionBy("kbucket")
+      .parquet(keymapDir(basePath, name).toString)
+    Files.writeString(keymapMarker(basePath, name),
+      s"""{"key": "$keyCol", "buckets": $KeyBuckets}""")
   }
 
   /** The kbucket shards a key frame hashes into — ≤ KeyBuckets values,

@@ -226,9 +226,16 @@ object Maintenance {
     Files.move(staging, dataDir)
     deleteRecursively(retired)
     // every row was re-bucketed: a keymap built against the old layout
-    // would hide the new locations from later upsert/vacuum discovery —
-    // drop it; the next maintenance call backfills from the new tree
-    IndexCatalog.dropKeymap(basePath, name)
+    // would hide the new locations from later upsert/vacuum discovery.
+    // If one existed, rebuild it from the swapped-in tree (one
+    // column-pruned scan, amortized into the full rewrite this op
+    // already is — saves the next maintenance call's backfill); if the
+    // index was never maintained, just clear any committed-less residue.
+    IndexCatalog.keymapKey(basePath, name) match {
+      case Some(k) => IndexCatalog.writeKeymap(spark, basePath, name,
+        spark.read.parquet(dataDir.toString), k)
+      case None => IndexCatalog.dropKeymap(basePath, name)
+    }
     // the sidecar must carry the ROUND-11 residual column or MIPS (dot)
     // routing silently declines on every rebuilt index: recompute the
     // per-bucket max member-to-centroid L2 distance from the tree just

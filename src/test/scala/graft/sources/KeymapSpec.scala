@@ -167,7 +167,7 @@ class KeymapSpec extends SparkSpecBase with Matchers {
     err.getMessage should include("keyed by 'vec_id'")
   }
 
-  test("rebuildIvf invalidates the keymap; the next upsert rebuilds it against the new layout") {
+  test("rebuildIvf rebuilds the keymap against the new bucket layout in the same op") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-keymap-rb").toString
     buildIndex(base, "rb")
@@ -175,14 +175,24 @@ class KeymapSpec extends SparkSpecBase with Matchers {
       Seq((1L, Array(9f, 9f), 0, 0L)).toDF("vec_id", "embedding", "label", "bucket"),
       "vec_id")
     IndexCatalog.hasKeymap(base, "rb") shouldBe true
-    // re-bucket everything: two antipodal centroids
+    // re-bucket everything: two antipodal centroids — a keymap frozen on
+    // the old layout would hide every new location from discovery
     Maintenance.rebuildIvf(spark, base, "rb",
       Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
         .toDF("cent_id", "c_embedding"))
-    IndexCatalog.hasKeymap(base, "rb") shouldBe false // stale map dropped
+    IndexCatalog.hasKeymap(base, "rb") shouldBe true
+    keymapRows(base, "rb") shouldBe dataLocations(base, "rb") // new layout
+    // and maintenance keeps flowing through the rebuilt map
     IndexCatalog.upsertInto(spark, base, "rb",
       Seq((1L, Array(-9f, 0f), 0, 1L)).toDF("vec_id", "embedding", "label", "bucket"),
       "vec_id")
     keymapRows(base, "rb") shouldBe dataLocations(base, "rb")
+
+    // an index never maintained keeps NOT having a keymap after a rebuild
+    buildIndex(base, "rb2")
+    Maintenance.rebuildIvf(spark, base, "rb2",
+      Seq((0L, Array(1f, 0f)), (1L, Array(-1f, 0f)))
+        .toDF("cent_id", "c_embedding"))
+    IndexCatalog.hasKeymap(base, "rb2") shouldBe false
   }
 }
