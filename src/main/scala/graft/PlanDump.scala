@@ -133,7 +133,10 @@ object PlanDump {
     "q_minhash_upsert", "q_bm25_maxscore", "q_minhash_index",
     // the positional adjacency join: two pruned scans, (doc_id, pos)
     // hash join, EqualTo(w, ...) pushed per branch
-    "q_phrase")
+    "q_phrase",
+    // round-13 third wave: the keymap-served point lookup — the fetch
+    // ids' locations become a literal PartitionFilter on the index scan
+    "q_fetch_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -192,6 +192,32 @@ object VectorOps {
        |FROM embeddings e JOIN top USING (vec_id)
        |ORDER BY e.vec_id""".stripMargin
 
+  /** Q-fetch-indexed: [[fetchBatch]]'s id set served from the PERSISTED
+    * bucket-partitioned index through the keymap sidecar
+    * ([[graft.sources.IndexCatalog.fetchByIds]]) — identical rows,
+    * different access path. The IN-filter form prunes ROW GROUPS but
+    * still lists every partition directory's files and footers; the
+    * keymap form turns the ids into a literal partition predicate, so
+    * the scan lists only the directories that hold them — at 100 TB the
+    * difference between a metadata pass over the whole index and K
+    * directory reads (the reference's per-id fetch loop, `main.go:
+    * 141-180`, served at K-ids-per-listing cost). The norm comes back
+    * from the index's STORED vec_norm — auxiliary per-row state riding
+    * the fetch for free, bit-equal to recomputation (same kernel at
+    * build). Shares q_fetch_batch's oracle semantics. */
+  def fetchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexCatalog
+    import spark.implicits._
+    val (base, name, _) = ensureIvfBucketed(spark, dir)
+    val ids = knn(spark, dir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSeq
+    IndexCatalog.fetchByIds(spark, base, name, ids.toDF("vec_id"))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(col("vec_norm"), 6).as("norm"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Q-index-stats: per-namespace vector counts — the reference's
     * `describe_index_stats` (`debug-commands.txt:10-12`), with `label`
     * standing in for the namespace partition. */
@@ -1758,6 +1784,7 @@ object VectorOps {
     "q_knn_join_large" -> (knnJoinLarge _),
     "q_fetch" -> (fetch _),
     "q_fetch_batch" -> (fetchBatch _),
+    "q_fetch_indexed" -> (fetchIndexed _),
     "q_index_stats" -> (indexStats _),
     "q_upsert" -> (upsert _),
     "q_sparse" -> (sparse _),
@@ -1833,6 +1860,7 @@ object VectorOps {
     "q_knn_join_large" -> knnJoinLargeSql,
     "q_fetch" -> fetchSql,
     "q_fetch_batch" -> fetchBatchSql,
+    "q_fetch_indexed" -> fetchBatchSql,
     "q_index_stats" -> indexStatsSql,
     "q_upsert" -> upsertSql,
     "q_sparse" -> sparseSql,

@@ -840,6 +840,35 @@ object IndexCatalog {
       }
     }
 
+  /** Point lookup by id through the keymap — the reference's FETCH
+    * (`main.go:141-180` fetches each matched id with its own HTTPS GET;
+    * Pinecone's fetch endpoint) as a PARTITION-PRUNED read: the batch
+    * ids' locations come from the kbucket-pruned keymap read, become a
+    * literal partition predicate, and the data scan lists ONLY the
+    * directories that hold the ids — at fleet scale the difference
+    * between touching every partition's listing/footers (an id
+    * IN-filter prunes row groups but not directories) and touching K of
+    * them. Tombstone-hidden ids stay hidden ([[load]] semantics); ids
+    * absent from the index return no rows. */
+  def fetchByIds(spark: SparkSession, basePath: String, name: String,
+                 keys: DataFrame, keyCol: String = "vec_id"): DataFrame = {
+    ensureKeymap(spark, basePath, name, keyCol)
+    val partitionCols = partitionLayout(basePath, name)
+    val idx = load(spark, basePath, name)
+    val locValues = castLocations(
+      keymapLocations(spark, basePath, name, keys, keyCol),
+      idx, partitionCols)
+      .distinct().collect().map(_.toSeq)
+    if (locValues.isEmpty) return idx.filter(lit(false))
+    val pred = locValues.map { values =>
+      partitionCols.zip(values)
+        .map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    idx.filter(pred)
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+  }
+
   /** Physical-layer invariants for a persisted vector index — the
     * InvertedIndex.auditFrame discipline applied to the catalog's own
     * artifact (artifact column `vector`), one row per invariant with a

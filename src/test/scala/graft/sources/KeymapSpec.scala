@@ -154,6 +154,29 @@ class KeymapSpec extends SparkSpecBase with Matchers {
     keymapRows(base, "vac") shouldBe dataLocations(base, "vac")
   }
 
+  test("fetchByIds partition-prunes to the ids' directories, equals the filter path, hides tombstoned ids") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-fetch").toString
+    buildIndex(base, "fb", n = 50)
+    val ids = Seq(3L, 17L, 42L, 99999L).toDF("vec_id") // 99999 absent
+    val fetched = IndexCatalog.fetchByIds(spark, base, "fb", ids)
+    // same rows as the unpruned id filter on the logical view
+    val viaFilter = IndexCatalog.load(spark, base, "fb")
+      .filter(col("vec_id").isin(3L, 17L, 42L))
+    fetched.orderBy(col("vec_id")).collect().map(_.toString) shouldBe
+      viaFilter.orderBy(col("vec_id")).collect().map(_.toString)
+    // evidence: the ids' locations reach the scan as a PartitionFilter
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(fetched.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    pf.exists(f => f.contains("bucket") && f.trim.nonEmpty) shouldBe true
+
+    // a tombstoned id vanishes from the fetch without any rewrite
+    IndexCatalog.tombstone(spark, base, "fb", Seq(17L).toDF("vec_id"))
+    IndexCatalog.fetchByIds(spark, base, "fb", ids)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(3L, 42L)
+  }
+
   test("maintenance against the wrong key column fails fast via the marker") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-keymap-key").toString
