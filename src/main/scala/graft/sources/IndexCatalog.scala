@@ -290,6 +290,16 @@ object IndexCatalog {
       .map(_.group(1))
   }
 
+  /** REPAIR: re-derive the keymap from the data (the primary) — the
+    * recovery op for an audit-flagged keymap_mirrors_data. Requires an
+    * existing marker (the key column is not guessable); an index without
+    * a keymap has nothing to repair. */
+  def rebuildKeymap(spark: SparkSession, basePath: String, name: String): Unit = {
+    val k = keymapKey(basePath, name).getOrElse(throw new IllegalArgumentException(
+      s"index $name has no keymap to rebuild (no _keymap.json marker)"))
+    writeKeymap(spark, basePath, name, loadRaw(spark, basePath, name), k)
+  }
+
   /** Invalidate the keymap — REQUIRED after any rewrite that reassigns
     * partitions wholesale outside [[upsertInto]]/[[vacuumTombstones]]
     * (Maintenance.rebuildIvf re-buckets every row): a keymap missing the

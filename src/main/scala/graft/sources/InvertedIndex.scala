@@ -976,6 +976,49 @@ object InvertedIndex {
     Files.move(Paths.get(tmp), Paths.get(destPath))
   }
 
+  /** REPAIR: re-derive every DERIVED store from the postings (the
+    * primary) — the recovery op [[auditFrame]]'s findings point at. Dict,
+    * lens, stats, footprint, and impacts are each pure functions of the
+    * posting rows, so one primary-store pass restores derived == primary
+    * no matter which sidecar drifted (a production fleet would repair
+    * only the flagged artifacts with the same derivations; the blanket
+    * form is the simplest correct recovery and is idempotent on healthy
+    * stores). POSITIONS are a primary store themselves (occurrence order
+    * is not derivable from tf) — a damaged positional sidecar needs the
+    * corpus, i.e. a rebuild, not a repair. Pending delete tombstones
+    * must be vacuumed first: stats are decremented at delete time while
+    * postings still hold the dead rows, so a repair under pending
+    * deletes would resurrect pre-delete statistics. */
+  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit = {
+    require(!hasParquet(tombDirOf(layout)),
+      "pending delete tombstones: vacuum before repair — rebuilding " +
+        "stats from postings would resurrect the deleted docs' counts")
+    val post = spark.read.parquet(layout.dataPath)
+    // dict: full overwrite from posting counts (the build's definition)
+    val dictStaged = layout.dictPath + ".staged"
+    Maintenance.deleteRecursively(Paths.get(dictStaged))
+    post.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .withColumn("tbucket", bucketCol(col("w")))
+      .repartition(col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket").parquet(dictStaged)
+    Maintenance.deleteRecursively(Paths.get(layout.dictPath))
+    Files.move(Paths.get(dictStaged), Paths.get(layout.dictPath))
+    // lens, footprint, impacts: drop + the existing backfill derivations
+    // (each ensure* IS the audit's source-of-truth definition)
+    Maintenance.deleteRecursively(Paths.get(lensPathOf(layout)))
+    ensureLens(spark, layout)
+    Maintenance.deleteRecursively(Paths.get(footprintPathOf(layout)))
+    ensureFootprint(spark, layout)
+    Maintenance.deleteRecursively(Paths.get(impactsPathOf(layout)))
+    ensureImpacts(spark, layout)
+    // stats from the REBUILT lens (exact integers, the build's rule)
+    stagedSwap(
+      spark.read.parquet(lensPathOf(layout))
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+        .coalesce(1),
+      layout.statsPath)
+  }
+
   /** Q-bm25-upsert: index MAINTENANCE end-to-end — clone the shared
     * cached index (a lifecycle query must leave the cache untouched and
     * stay re-runnable: the q_stream_upsert discipline), add

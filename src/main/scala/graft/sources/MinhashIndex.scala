@@ -335,6 +335,24 @@ object MinhashIndex {
     m1.unionByName(m2)
   }
 
+  /** REPAIR: re-derive the band store from the signature store — bands
+    * are a pure function of sigs ([[featuresOf]]'s invariant), so a
+    * drifted band store (the audit's bands_match_sigs) restores from one
+    * sig-store pass. Signatures are primary (min-hashes are not
+    * derivable from bands); a damaged sig store needs the corpus. */
+  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit = {
+    val sigs = spark.read.parquet(layout.sigsPath)
+      .select(col("doc_id"), col("sig"))
+    val staged = layout.bandsPath + ".staged"
+    Maintenance.deleteRecursively(Paths.get(staged))
+    Dedup.lshBands(sigs)
+      .withColumn("bbucket", bbucketCol(col("band_hash")))
+      .repartition(col("bbucket"))
+      .write.mode("overwrite").partitionBy("bbucket").parquet(staged)
+    Maintenance.deleteRecursively(Paths.get(layout.bandsPath))
+    Files.move(Paths.get(staged), Paths.get(layout.bandsPath))
+  }
+
   /** Q-index-audit: the engine auditing its own index fleet — one query,
     * one row per (artifact, invariant) with violation counts, all zero on
     * a healthy cache. Sensitivity (a planted corruption flags exactly its
@@ -349,6 +367,84 @@ object MinhashIndex {
       .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
       .orderBy(col("artifact"), col("invariant"))
   }
+
+  /** Q-index-repair: the audit's companion — REPAIR rebuilds every
+    * derived store from its primary and the audit returns to all-zeros.
+    * One planted corruption per artifact, each on a CLONED/scratch copy
+    * (the shared cache is never touched): a dropped dict term bucket
+    * (inverted), a dropped band bucket (minhash), a phantom keymap entry
+    * (vector — the stale-surplus shape a crash window leaves). The
+    * result row per invariant carries flagged_before (did the audit SEE
+    * the corruption — an audit that cannot fail is decoration) and
+    * violations_after (did the repair restore derived == primary). The
+    * oracle pins both: exactly the three planted invariants flag, and
+    * every row reads zero after. Primary stores (postings, positions,
+    * signatures, vectors) are deliberately NOT repaired — their recovery
+    * is a rebuild from the corpus, a different op with a different cost.
+    * Each audit snapshot is COLLECTED before the repairs mutate files
+    * (the frames are lazy; metadata-sized — 11 rows). */
+  def indexRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dropFirstPartition(root: String): Unit = {
+      val s = Files.list(Paths.get(root))
+      val first =
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(Files.isDirectory(_))
+            .toSeq.minBy(_.getFileName.toString)
+        } finally s.close()
+      Maintenance.deleteRecursively(first)
+    }
+    val inv = InvertedIndex.cloneIndex(spark, dir, "repair-inv")
+    dropFirstPartition(inv.dictPath)
+    val mh = cloneIndex(spark, dir, "repair-mh")
+    dropFirstPartition(mh.bandsPath)
+    val vBase = graft.Scratch.dir("repair-vec")
+    val vName = "repair-index"
+    IndexCatalog.createIfAbsent(spark, vBase,
+      IndexCatalog.IndexDescriptor(vName, 64, "cosine"),
+      Tables.embeddings(spark, dir))
+    IndexCatalog.ensureKeymap(spark, vBase, vName, "vec_id")
+    val b0 = spark.range(1)
+      .select(pmod(xxhash64(lit(0L)), lit(IndexCatalog.KeyBuckets.toLong)))
+      .head().getLong(0)
+    Seq((0L, "999")).toDF("vec_id", "label").coalesce(1)
+      .write.mode("append")
+      .parquet(Paths.get(vBase, vName, "keymap", s"kbucket=$b0").toString)
+
+    def snapshot(): Map[(String, String), Long] =
+      InvertedIndex.auditFrame(spark, inv)
+        .unionByName(auditFrame(spark, mh))
+        .unionByName(IndexCatalog.auditFrame(spark, vBase, vName))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val before = snapshot()
+    InvertedIndex.rebuildDerived(spark, inv)
+    rebuildDerived(spark, mh)
+    IndexCatalog.rebuildKeymap(spark, vBase, vName)
+    val after = snapshot()
+    before.keys.toSeq.sorted
+      .map { case (a, i) =>
+        (a, i, if (before((a, i)) > 0) 1 else 0, after((a, i))) }
+      .toDF("artifact", "invariant", "flagged_before", "violations_after")
+      .orderBy(col("artifact"), col("invariant"))
+  }
+
+  val indexRepairSql: String =
+    """SELECT * FROM (VALUES
+      |  ('inverted', 'dict_df_matches_postings', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'lens_matches_postings', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'stats_match_lens', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'footprint_matches_postings', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'impacts_bound_postings', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'positions_match_tf', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('minhash', 'bands_match_sigs', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('minhash', 'sig_width', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('vector', 'keymap_mirrors_data', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('vector', 'one_row_per_key', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('vector', 'norm_matches_embedding', CAST(0 AS INTEGER), CAST(0 AS BIGINT))
+      |) t(artifact, invariant, flagged_before, violations_after)
+      |ORDER BY artifact, invariant""".stripMargin
 
   val indexAuditSql: String =
     """SELECT * FROM (VALUES
@@ -486,6 +582,7 @@ object MinhashIndex {
     "q_minhash_upsert" -> (minhashUpsert _),
     "q_dedup_gated_indexed" -> (dedupGatedIndexed _),
     "q_index_audit" -> (indexAudit _),
+    "q_index_repair" -> (indexRepair _),
     "q_stream_minhash_cdc" -> (streamMinhashCdc _))
 
   // q_dedup_gated_indexed: q_dedup_gated's oracle verbatim — a persisted
@@ -495,5 +592,6 @@ object MinhashIndex {
     "q_minhash_upsert" -> minhashUpsertSql,
     "q_dedup_gated_indexed" -> graft.operators.DedupOps.dedupGatedSql,
     "q_index_audit" -> indexAuditSql,
+    "q_index_repair" -> indexRepairSql,
     "q_stream_minhash_cdc" -> streamMinhashCdcSql)
 }

@@ -74,6 +74,24 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
     (audit - "positions_match_tf").values.foreach(_ shouldBe 0L)
   }
 
+  test("rebuildDerived is idempotent on a healthy index and refuses pending deletes") {
+    import spark.implicits._
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "repair-idem")
+    InvertedIndex.rebuildDerived(spark, layout)
+    auditMap(InvertedIndex.auditFrame(spark, layout)).values.foreach(_ shouldBe 0L)
+    // a second repair changes nothing either
+    InvertedIndex.rebuildDerived(spark, layout)
+    auditMap(InvertedIndex.auditFrame(spark, layout)).values.foreach(_ shouldBe 0L)
+    // with pending deletes, repair refuses: stats were decremented at
+    // delete time while postings still hold the dead rows — a rebuild
+    // from postings would resurrect the deleted docs' counts
+    InvertedIndex.deleteDocs(spark, layout, Seq(0L).toDF("doc_id"))
+    val err = intercept[IllegalArgumentException] {
+      InvertedIndex.rebuildDerived(spark, layout)
+    }
+    err.getMessage should include("vacuum before repair")
+  }
+
   test("a planted band-store drift flags exactly bands_match_sigs") {
     val layout = MinhashIndex.cloneIndex(spark, sfDir, "audit-bands")
     Maintenance.deleteRecursively(firstPartitionDir(layout.bandsPath))
