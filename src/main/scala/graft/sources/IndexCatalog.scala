@@ -685,7 +685,18 @@ object IndexCatalog {
     // its partition is rewritten without it).
     clearTombstonesFor(spark, basePath, name, keys, keyCol,
       versionedUpsert = versionCol.isDefined)
-    val idx = load(spark, basePath, name)
+    // The merge reads the PHYSICAL view: rows hidden by OTHER keys'
+    // pending tombstones must survive the rewrite untouched — dropping
+    // them opportunistically (the load() view) would desynchronize the
+    // keymap (their entries outlive their rows until vacuum) and make
+    // an upsert's physical outcome depend on which unrelated deletes
+    // happen to be pending. Tombstoned rows are removed by vacuum, and
+    // only by vacuum. Batch keys are unaffected: their unversioned
+    // tombstones were just cleared, and under a versioned merge a
+    // hidden stored row participates in last-write-wins exactly as the
+    // version rule dictates (the read path's version mask still
+    // applies to whichever row wins).
+    val idx = loadRaw(spark, basePath, name)
     val newRows = KnnSearch.withNorm(batch).select(idx.columns.toIndexedSeq.map(col): _*)
     // Touched-partition DISCOVERY: old locations of the batch keys come
     // from the keymap sidecar pruned to their kbucket shards — never from

@@ -190,6 +190,70 @@ class KeymapSpec extends SparkSpecBase with Matchers {
     err.getMessage should include("keyed by 'vec_id'")
   }
 
+  test("randomized lifecycle: keymap mirrors data and load matches the model after every op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-rand").toString
+    val name = "rand"
+    import graft.sources.IndexCatalog.IndexDescriptor
+    val init = (0L until 8L).map(k => (k, Array(k.toFloat, 1f), 0, (k % 3)))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor(name, 2, "cosine"), init,
+      partitionCols = Seq("bucket")) shouldBe true
+
+    // driver-side model: key -> bucket (physical), plus the pending
+    // tombstone set; visible = physical minus tombstoned
+    val physical = scala.collection.mutable.Map((0L until 8L).map(k => k -> (k % 3)): _*)
+    val tombstoned = scala.collection.mutable.Set.empty[Long]
+    val rnd = new scala.util.Random(13) // seeded: failures reproduce
+
+    def check(op: String): Unit = {
+      val visible = IndexCatalog.load(spark, base, name)
+        .select(col("vec_id"), col("bucket").cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expectVisible = physical.toMap -- tombstoned
+      assert(visible == expectVisible, s"after $op: load() != model")
+      if (IndexCatalog.hasKeymap(base, name)) {
+        val km = spark.read.parquet(
+          java.nio.file.Paths.get(base, name, "keymap").toString)
+          .select(col("vec_id"), col("bucket"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+        val data = spark.read.parquet(
+          java.nio.file.Paths.get(base, name, "data").toString)
+          .select(col("vec_id"), col("bucket").cast("string"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+        assert(km == data, s"after $op: keymap != data locations")
+      }
+    }
+
+    for (step <- 1 to 30) {
+      val keys = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(12).toLong).distinct
+      rnd.nextInt(4) match {
+        case 0 | 1 => // upsert (revives tombstoned keys, can move buckets)
+          val rows = keys.map { k =>
+            val b = rnd.nextInt(4).toLong
+            physical(k) = b; tombstoned -= k
+            (k, Array(rnd.nextFloat(), rnd.nextFloat()), 0, b)
+          }
+          IndexCatalog.upsertInto(spark, base, name,
+            rows.toDF("vec_id", "embedding", "label", "bucket"), "vec_id")
+          check(s"upsert#$step($keys)")
+        case 2 => // tombstone: hides immediately, no rewrite
+          val live = keys.filter(k => physical.contains(k) && !tombstoned(k))
+          if (live.nonEmpty) {
+            IndexCatalog.tombstone(spark, base, name, live.toDF("vec_id"))
+            tombstoned ++= live
+            check(s"tombstone#$step($live)")
+          }
+        case 3 => // vacuum folds the pending set physically
+          IndexCatalog.vacuumTombstones(spark, base, name)
+          tombstoned.foreach(physical.remove)
+          tombstoned.clear()
+          check(s"vacuum#$step")
+      }
+    }
+  }
+
   test("rebuildIvf rebuilds the keymap against the new bucket layout in the same op") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-keymap-rb").toString
