@@ -190,6 +190,95 @@ class KeymapSpec extends SparkSpecBase with Matchers {
     err.getMessage should include("keyed by 'vec_id'")
   }
 
+  test("randomized VERSIONED lifecycle: out-of-order upserts/deletes match the version-rule model after every op") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-keymap-vrand").toString
+    val name = "vrand"
+    import graft.sources.IndexCatalog.IndexDescriptor
+    val init = (0L until 6L).map(k => (k, Array(k.toFloat, 1f), 0, (k % 3), k + 1))
+      .toDF("vec_id", "embedding", "label", "bucket", "v")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor(name, 2, "cosine"), init,
+      partitionCols = Seq("bucket")) shouldBe true
+
+    // model: per-key stored (version, bucket); per-key binding tombstone
+    // version (max); per-key GC floor — after a vacuum, replaying ops at
+    // or below the vacuumed delete versions is OUT OF CONTRACT (the
+    // documented tombstone-GC watermark), so the generator never does
+    val stored = scala.collection.mutable.Map((0L until 6L).map(k => k -> (k + 1, k % 3)): _*)
+    val tsMax = scala.collection.mutable.Map.empty[Long, Long]
+    val floor = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val rnd = new scala.util.Random(29)
+    // upsert versions are unique per key: an EQUAL-version stored-vs-batch
+    // tie resolves by content hash (deterministic for the engine, but not
+    // modelable here); tombstone-vs-row equality is well-defined (>=
+    // hides) and needs no such care
+    val usedUp = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    def freshVersion(k: Long, forUpsert: Boolean): Long = {
+      var v = floor(k) + 1 + rnd.nextInt(40)
+      while (forUpsert && usedUp(k).contains(v)) v = floor(k) + 1 + rnd.nextInt(40)
+      if (forUpsert) usedUp(k) += v
+      v
+    }
+    (0L until 6L).foreach(k => usedUp(k) += (k + 1)) // the build's versions
+
+    def check(op: String): Unit = {
+      // visible = stored rows NOT covered by a tombstone at >= their version
+      val visible = IndexCatalog.load(spark, base, name)
+        .select(col("vec_id"), col("bucket").cast("long"), col("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(1)))).toMap
+      val expect = stored.toMap.filter { case (k, (v, _)) =>
+        !tsMax.get(k).exists(_ >= v) }
+      assert(visible == expect, s"after $op: load() != version model")
+      if (IndexCatalog.hasKeymap(base, name)) {
+        val km = spark.read.parquet(
+          java.nio.file.Paths.get(base, name, "keymap").toString)
+          .select(col("vec_id"), col("bucket"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+        val data = spark.read.parquet(
+          java.nio.file.Paths.get(base, name, "data").toString)
+          .select(col("vec_id"), col("bucket").cast("string"))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+        assert(km == data, s"after $op: keymap != data locations")
+      }
+    }
+
+    for (step <- 1 to 25) {
+      val keys = (0 until 1 + rnd.nextInt(2)).map(_ => rnd.nextInt(9).toLong).distinct
+      rnd.nextInt(4) match {
+        case 0 | 1 => // version-aware upsert: HIGHEST version wins per key,
+          // so a randomly-drawn LOWER version is a stale redelivery no-op
+          val rows = keys.map { k =>
+            val v = freshVersion(k, forUpsert = true); val b = rnd.nextInt(4).toLong
+            if (!stored.get(k).exists(_._1 > v)) stored(k) = (v, b)
+            (k, Array(rnd.nextFloat(), rnd.nextFloat()), 0, b, v)
+          }
+          IndexCatalog.upsertInto(spark, base, name,
+            rows.toDF("vec_id", "embedding", "label", "bucket", "v"),
+            "vec_id", versionCol = Some("v"))
+          check(s"vupsert#$step($rows)")
+        case 2 => // versioned delete: hides rows its version covers
+          val rows = keys.map(k => (k, freshVersion(k, forUpsert = false)))
+          IndexCatalog.tombstone(spark, base, name,
+            rows.toDF("vec_id", "v"), versionCol = Some("v"))
+          rows.foreach { case (k, v) =>
+            tsMax(k) = math.max(tsMax.getOrElse(k, 0L), v) }
+          check(s"vdelete#$step($rows)")
+        case 3 => // vacuum: fold covered rows physically, GC tombstones;
+          // replays at or below the vacuumed versions become out of
+          // contract -> raise the per-key floor
+          IndexCatalog.vacuumTombstones(spark, base, name)
+          tsMax.foreach { case (k, v) =>
+            if (stored.get(k).exists(_._1 <= v)) stored.remove(k)
+            floor(k) = math.max(floor(k), v)
+          }
+          tsMax.clear()
+          check(s"vacuum#$step")
+      }
+    }
+  }
+
   test("randomized lifecycle: keymap mirrors data and load matches the model after every op") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-keymap-rand").toString
