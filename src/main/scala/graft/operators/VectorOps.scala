@@ -209,6 +209,10 @@ object VectorOps {
     import graft.sources.IndexCatalog
     import spark.implicits._
     val (base, name, _) = ensureIvfBucketed(spark, dir)
+    // keymap ensured at PUBLISH time (this query owns the serving
+    // artifact) — fetchByIds itself is read-only and would fall back to
+    // the unpruned semi-join scan on a keymap-less index (ADVICE r13)
+    IndexCatalog.ensureKeymap(spark, base, name, "vec_id")
     val ids = knn(spark, dir).select(col("vec_id"))
       .collect().map(_.getLong(0)).toSeq
     IndexCatalog.fetchByIds(spark, base, name, ids.toDF("vec_id"))

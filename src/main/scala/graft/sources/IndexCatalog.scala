@@ -354,6 +354,20 @@ object IndexCatalog {
     keys.select(kbucketCol(col(keyCol)).as("b")).distinct()
       .collect().map(_.getLong(0)).sorted.toIndexedSeq
 
+  /** The keymap's STORED key type — the hash domain every precomputed
+    * kbucket set must share. Stored shard assignments were hashed at
+    * THIS type, and xxhash64 hashes int and long to different values;
+    * precomputing a bucket set at the index's CURRENT key type (which a
+    * wider-typed batch can have widened) would filter the wrong shards
+    * and silently miss old locations — the exact mismatch [[alignKeys]]
+    * exists to prevent, applied to the shared-set fast path too. One
+    * footer read per trigger (schema inference only). */
+  private def keymapKeyType(spark: SparkSession, basePath: String,
+                            name: String,
+                            keyCol: String): org.apache.spark.sql.types.DataType =
+    spark.read.parquet(keymapDir(basePath, name).toString)
+      .schema(keyCol).dataType
+
   /** Probe keys cast to the keymap's STORED key type before hashing:
     * xxhash64 hashes int and long to different values, so an int-typed
     * batch key probing a long-keyed keymap would look in the wrong
@@ -545,7 +559,8 @@ object IndexCatalog {
     // that partition must keep its files byte-for-byte.
     ensureKeymap(spark, basePath, name, keyCol)
     val tsBks = kbucketsOf(
-      tsKeys.select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol)),
+      tsKeys.select(col(keyCol)
+        .cast(keymapKeyType(spark, basePath, name, keyCol)).as(keyCol)),
       keyCol)
     val candValues = castLocations(
       keymapLocations(spark, basePath, name, tsKeys, keyCol, tsBks),
@@ -710,9 +725,12 @@ object IndexCatalog {
     // survivor scan is statically partition-pruned.
     ensureKeymap(spark, basePath, name, keyCol)
     // one trigger computes the batch's kbucket set ONCE and shares it
-    // across discovery and both keymap writes (job-count discipline)
+    // across discovery and both keymap writes (job-count discipline);
+    // hashed at the KEYMAP's stored key type, the same domain the
+    // stored shard assignments were hashed at (see keymapKeyType)
     val batchBks = kbucketsOf(
-      keys.select(col(keyCol).cast(idx.schema(keyCol).dataType).as(keyCol)),
+      keys.select(col(keyCol)
+        .cast(keymapKeyType(spark, basePath, name, keyCol)).as(keyCol)),
       keyCol)
     // The batch's NEW locations, keyed — written into the keymap BEFORE
     // the data write (phase A: superset), compacted after (phase C), so a
@@ -870,12 +888,21 @@ object IndexCatalog {
     * between touching every partition's listing/footers (an id
     * IN-filter prunes row groups but not directories) and touching K of
     * them. Tombstone-hidden ids stay hidden ([[load]] semantics); ids
-    * absent from the index return no rows. */
+    * absent from the index return no rows.
+    *
+    * READ-ONLY: a fetch against an index with no keymap falls back to
+    * the id semi-join scan (directory-unpruned but correct) instead of
+    * backfilling one — a read must never write (it would throw on a
+    * read-only mount, and two concurrent first readers would race on
+    * the keymap directory). Backfill belongs to the maintenance entry
+    * points ([[upsertInto]]/[[vacuumTombstones]]/[[ensureKeymap]]);
+    * a serving deployment ensures the keymap once at publish time. */
   def fetchByIds(spark: SparkSession, basePath: String, name: String,
                  keys: DataFrame, keyCol: String = "vec_id"): DataFrame = {
-    ensureKeymap(spark, basePath, name, keyCol)
-    val partitionCols = partitionLayout(basePath, name)
     val idx = load(spark, basePath, name)
+    if (!hasKeymap(basePath, name))
+      return idx.join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val partitionCols = partitionLayout(basePath, name)
     val locValues = castLocations(
       keymapLocations(spark, basePath, name, keys, keyCol),
       idx, partitionCols)
@@ -905,10 +932,16 @@ object IndexCatalog {
     *    kernel recomputed over the stored vector (exact equality — one
     *    sequential per-row pass, bit-deterministic for equal input).
     * Reads the PHYSICAL layer: pending tombstones are the read path's
-    * masking business and violate none of these. */
+    * masking business and violate none of these.
+    *
+    * READ-ONLY (the fetchByIds rule): an index with no keymap has no
+    * sidecar to drift — keymap_mirrors_data reports 0 against the
+    * data-derived relation itself instead of backfilling one as a side
+    * effect of a read. [[graft.sources.MinhashIndex.indexAudit]]
+    * ensures the fleet's keymap explicitly first, so the declared audit
+    * always checks a REAL sidecar. */
   def auditFrame(spark: SparkSession, basePath: String, name: String,
                  keyCol: String = "vec_id"): DataFrame = {
-    ensureKeymap(spark, basePath, name, keyCol)
     val partitionCols = partitionLayout(basePath, name)
     val data = loadRaw(spark, basePath, name)
     def row(inv: String, violations: org.apache.spark.sql.Column,
@@ -920,8 +953,11 @@ object IndexCatalog {
       .select(col(keyCol) +:
         partitionCols.map(c => col(c).cast("string").as(c)): _*)
       .distinct().withColumn("d", lit(1))
-    val kmLocs = spark.read.parquet(keymapDir(basePath, name).toString)
-      .drop("kbucket").withColumn("m", lit(1))
+    val kmLocs =
+      if (hasKeymap(basePath, name))
+        spark.read.parquet(keymapDir(basePath, name).toString)
+          .drop("kbucket").withColumn("m", lit(1))
+      else dataLocs.withColumnRenamed("d", "m") // no sidecar, nothing drifted
     val mirrorCmp = dataLocs.join(kmLocs,
       (keyCol +: partitionCols).toIndexedSeq, "full_outer")
     val a1 = row("keymap_mirrors_data",

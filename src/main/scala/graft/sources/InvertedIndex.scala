@@ -58,11 +58,17 @@ object InvertedIndex {
 
   val IndexName = "docs-inverted"
 
-  /** Doc-length sidecar (doc_id, dl) — one long per doc, the Lucene
-    * norms-file analog. It exists so a DELETE by id can decrement the
-    * exact-integer corpus stats without scanning postings (a doc's
-    * length is unreachable from a term-partitioned layout without a full
-    * scan). Maintained at build, appended by upsert, pruned by vacuum. */
+  /** Doc-length sidecar — `lens/dbucket=<b>/` rows of (doc_id, dl), one
+    * per doc, the Lucene norms-file analog. It exists so a DELETE by id
+    * can decrement the exact-integer corpus stats without scanning
+    * postings (a doc's length is unreachable from a term-partitioned
+    * layout without a full scan). Partitioned by the SAME doc-id hash as
+    * the footprint sidecar (v4 — it was a flat directory before, read in
+    * full by every delete batch: a corpus-sized store scanned per batch
+    * while the dbucket discipline sat one directory over): delete-time
+    * reads prune to the batch ids' dbucket shards, vacuum folds only the
+    * touched shards, and upsert appends ∝ batch into its shards.
+    * Maintained at build, appended by upsert, folded by vacuum. */
   private def lensPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("lens").toString
 
@@ -148,10 +154,10 @@ object InvertedIndex {
 
   /** The on-disk layout generation this code writes. Bumped when the
     * physical layout changes shape (v2: tbucket-partitioned dict; v3:
-    * positional sidecar for word indexes); an older marker self-heals by
-    * rebuild, so a stale cache can never feed new readers a layout they
-    * no longer parse. */
-  private val DictFormatVersion = 3
+    * positional sidecar for word indexes; v4: dbucket-partitioned lens
+    * sidecar); an older marker self-heals by rebuild, so a stale cache
+    * can never feed new readers a layout they no longer parse. */
+  private val DictFormatVersion = 4
 
   /** Positional-posting sidecar — `positions/tbucket=<b>/` rows of
     * (w, doc_id, pos), the Lucene positions file: what PHRASE queries
@@ -229,7 +235,9 @@ object InvertedIndex {
         .withColumn("tbucket", bucketCol(col("w")))
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket").parquet(layout.dictPath)
-      lens.coalesce(1).write.mode("overwrite").parquet(lensPathOf(layout))
+      lens.withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(lensPathOf(layout))
       postings
         .withColumn("tbucket", bucketCol(col("w")))
         // one task per bucket value → one file per partition directory
@@ -552,7 +560,8 @@ object InvertedIndex {
         col("adf") =!= col("df"), 1L).otherwise(0L)), dictCmp)
     val lensCmp = post.select(col("doc_id"), col("dl")).distinct()
       .withColumn("p", lit(1))
-      .join(spark.read.parquet(lensPathOf(layout)).withColumn("l", lit(1)),
+      .join(spark.read.parquet(lensPathOf(layout))
+          .select(col("doc_id"), col("dl")).withColumn("l", lit(1)),
         Seq("doc_id", "dl"), "full_outer")
     val d2 = row("lens_matches_postings",
       sum(when(col("p").isNull || col("l").isNull, 1L).otherwise(0L)), lensCmp)
@@ -644,9 +653,12 @@ object InvertedIndex {
       .select((col("n") + d.getLong(0)).as("n"),
         (col("total_dl") + d.getLong(1)).as("total_dl"))
     stagedSwap(mergedStats.coalesce(1), layout.statsPath)
-    // lens follows the corpus: the batch's (doc_id, dl) rows append, so a
-    // later DELETE of an upserted doc finds its length
-    lens.coalesce(1).write.mode("append").parquet(lensPathOf(layout))
+    // lens follows the corpus: the batch's (doc_id, dl) rows append into
+    // their dbucket shards (∝ batch), so a later DELETE of an upserted
+    // doc finds its length in a pruned read
+    lens.withColumn("dbucket", dbucketCol(col("doc_id")))
+      .repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(lensPathOf(layout))
     // footprint follows too: new doc_ids append their (doc_id, tbucket)
     // pairs into their dbucket shards — delete-side discovery stays
     // batch-proportional for docs added after the build
@@ -757,14 +769,32 @@ object InvertedIndex {
     * dl rides denormalized on every posting, so one column-pruned scan +
     * distinct recovers the exact per-doc lengths (one-time, deterministic
     * — every doc has ≥1 posting because even empty text tokenizes to a
-    * single empty-string term). */
+    * single empty-string term). Written through a staged move so a killed
+    * backfill is invisible (re-derived next call). */
   private def ensureLens(spark: SparkSession, layout: Layout): Unit = {
-    val lensPath = Paths.get(lensPathOf(layout))
-    if (!hasParquet(lensPath))
+    val lensPath = lensPathOf(layout)
+    if (!Files.exists(Paths.get(lensPath))) {
+      val staged = lensPath + ".staged"
+      Maintenance.deleteRecursively(Paths.get(staged))
       spark.read.parquet(layout.dataPath)
         .select(col("doc_id"), col("dl")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(lensPath.toString)
+        .withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(staged)
+      Files.move(Paths.get(staged), Paths.get(lensPath))
+    }
   }
+
+  /** The lens rows for a batch of doc ids, pruned to the ids' dbucket
+    * shards — the delete path's discovery read (∝ batch, never the
+    * corpus). `dbuckets` is the batch's precomputed shard set.
+    * Package-private so the spec can assert the plan shape (dbucket
+    * PartitionFilters) of the exact frame deleteDocs joins. */
+  private[graft] def lensFor(spark: SparkSession, layout: Layout,
+                             dbuckets: Seq[Long]): DataFrame =
+    spark.read.parquet(lensPathOf(layout))
+      .filter(col("dbucket").isin(dbuckets: _*))
+      .select(col("doc_id"), col("dl"))
 
   /** Backfill the footprint sidecar for an index built before it
     * existed: one column-pruned scan over (doc_id, tbucket) recovers the
@@ -813,10 +843,15 @@ object InvertedIndex {
     val existing =
       if (hasParquet(tombDir)) spark.read.parquet(tombDir.toString)
       else spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-    val lens = spark.read.parquet(lensPathOf(layout))
-    val fresh = ids.select(col("doc_id")).distinct()
+    val batch = ids.select(col("doc_id")).distinct().localCheckpoint(eager = true)
+    // the lens read prunes to the batch ids' dbucket shards (≤ DocBuckets
+    // values, plan-time metadata) — delete-time discovery ∝ batch, never
+    // a full scan of the corpus-sized sidecar
+    val dbuckets = batch.select(dbucketCol(col("doc_id")).as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val fresh = batch
       .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(lens, Seq("doc_id")) // only docs actually in the index
+      .join(lensFor(spark, layout, dbuckets), Seq("doc_id")) // only docs in the index
       .localCheckpoint(eager = true)
     val d = fresh.agg(count(lit(1)).as("dn"),
       coalesce(sum(col("dl")), lit(0L)).as("ddl")).head()
@@ -941,9 +976,26 @@ object InvertedIndex {
         }
       }
     }
-    val mergedLens = spark.read.parquet(lensPathOf(layout))
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-    stagedSwap(mergedLens.coalesce(1), lensPathOf(layout))
+    // lens fold: the dead docs' rows drop from their dbucket shards —
+    // the same touched-dbucket dynamic overwrite as the footprint fold
+    // below (the flat-store full rewrite this replaced was the last
+    // corpus-proportional step in the delete lifecycle)
+    if (dbuckets.nonEmpty) {
+      val survLens = spark.read.parquet(lensPathOf(layout))
+        .filter(col("dbucket").isin(dbuckets: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("dbucket"))
+        .localCheckpoint(eager = true)
+      val writtenL = survLens.select(col("dbucket")).distinct()
+        .as[Long].collect().toSet
+      survLens.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket").parquet(lensPathOf(layout))
+      dbuckets.filterNot(writtenL.contains).foreach { b =>
+        Maintenance.deleteRecursively(
+          Paths.get(lensPathOf(layout)).resolve(s"dbucket=$b"))
+      }
+    }
     // footprint fold: the dead docs' rows drop from their dbucket shards
     // (dynamic overwrite of the batch's dbuckets; shards the fold emptied
     // removed explicitly — same discipline as postings and dict)
@@ -1047,22 +1099,39 @@ object InvertedIndex {
     * file per trigger; after enough churn the per-query open-file cost
     * dominates and a merge pays for itself. The lifecycle here: clone the
     * warm index, apply the standard corpus growth as TWO upsert batches
-    * (guaranteeing multi-file buckets), fold every fragmented bucket —
-    * postings and footprint sidecar both — through
+    * (guaranteeing multi-file buckets), fold EVERY fragmented append-only
+    * store — postings, footprint, positional sidecar, and lens — through
     * [[Maintenance.compactPartitions]] (crash-safe manifest protocol,
     * compact partitions untouched), and serve the fixed query from the
-    * compacted layout. Shares q_bm25_upsert's from-scratch oracle: a
-    * file-level rewrite must be invisible in every served statistic.
-    * Fragmentation-before / one-file-after is spec-gated. */
+    * compacted layout. Every appender the upsert path touches is covered:
+    * without this, streaming maintenance grows one file per trigger per
+    * touched partition FOREVER on add-only workloads, and at 100 TB the
+    * listing/footer cost degrades every read (the r13 verdict's one
+    * structural scale item). Shares q_bm25_upsert's from-scratch oracle:
+    * a file-level rewrite must be invisible in every served statistic.
+    * Fragmentation-before / one-file-after is spec-gated per store. */
   def bm25Compact(spark: SparkSession, dir: String): DataFrame = {
     val layout = cloneIndex(spark, dir, "bm25-compact")
     val twins = upsertTwins(spark, dir)
     val half = UpsertIdOffset + UpsertSrcCount / 2
     upsertDocs(spark, layout, twins.filter(col("doc_id") < half))
     upsertDocs(spark, layout, twins.filter(col("doc_id") >= half))
+    compactStores(spark, layout)
+    bm25Over(spark, layout)
+  }
+
+  /** Fold every fragmented partition of the index's append-only stores —
+    * the one maintenance move a long-running ingest schedules when the
+    * [[Maintenance.fileCounts]] census crosses its threshold. Dict and
+    * impacts are NOT here: their maintenance is already a touched-bucket
+    * dynamic overwrite (one file per bucket by construction, never an
+    * append). */
+  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit = {
     Maintenance.compactPartitions(spark, layout.dataPath, Seq("tbucket"))
     Maintenance.compactPartitions(spark, footprintPathOf(layout), Seq("dbucket"))
-    bm25Over(spark, layout)
+    Maintenance.compactPartitions(spark, lensPathOf(layout), Seq("dbucket"))
+    if (Files.exists(Paths.get(positionsPathOf(layout))))
+      Maintenance.compactPartitions(spark, positionsPathOf(layout), Seq("tbucket"))
   }
 
   // the oracle replays the grown corpus as a UNION and re-derives every

@@ -222,19 +222,28 @@ object Maintenance {
       .repartition(layout.map(col): _*) // one file per partition directory
       .write.mode("overwrite").partitionBy(layout: _*).parquet(staging.toString)
     deleteRecursively(retired)
+    // every row is about to be re-bucketed: a keymap built against the
+    // old layout would describe pre-rebuild bucket assignments. Drop it
+    // BEFORE promoting staging to data — a kill between the swap and a
+    // post-swap keymap rewrite would otherwise leave the OLD keymap
+    // intact and later discovery would silently miss the moved rows'
+    // real partitions (stale duplicates survive, vacuum resurrects
+    // hidden rows). With the drop first, a crash anywhere in the window
+    // leaves NO keymap, and ensureKeymap backfills from the swapped-in
+    // tree on the next maintenance call — the same self-healing path
+    // the backfill discipline already provides.
+    val kmKey = IndexCatalog.keymapKey(basePath, name)
+    IndexCatalog.dropKeymap(basePath, name)
     Files.move(dataDir, retired)
     Files.move(staging, dataDir)
     deleteRecursively(retired)
-    // every row was re-bucketed: a keymap built against the old layout
-    // would hide the new locations from later upsert/vacuum discovery.
-    // If one existed, rebuild it from the swapped-in tree (one
-    // column-pruned scan, amortized into the full rewrite this op
-    // already is — saves the next maintenance call's backfill); if the
-    // index was never maintained, just clear any committed-less residue.
-    IndexCatalog.keymapKey(basePath, name) match {
-      case Some(k) => IndexCatalog.writeKeymap(spark, basePath, name,
+    // if the index was maintained before, rebuild the keymap from the
+    // swapped-in tree now (one column-pruned scan, amortized into the
+    // full rewrite this op already is — saves the next maintenance
+    // call's backfill); a never-maintained index stays keymap-less.
+    kmKey.foreach { k =>
+      IndexCatalog.writeKeymap(spark, basePath, name,
         spark.read.parquet(dataDir.toString), k)
-      case None => IndexCatalog.dropKeymap(basePath, name)
     }
     // the sidecar must carry the ROUND-11 residual column or MIPS (dot)
     // routing silently declines on every rebuilt index: recompute the

@@ -259,6 +259,40 @@ object MinhashIndex {
       InvertedIndex.UpsertIdOffset, minEst = 0.5)
   }
 
+  /** Q-minhash-compact: SEGMENT-MERGE for the dedup index — the
+    * q_bm25_compact lifecycle applied to the minhash stores. Incremental
+    * adds are pure appends ([[upsertDocs]]), so sigs/ and bands/ each
+    * accumulate one file per trigger per touched shard forever on
+    * add-only workloads; the fold rewrites every fragmented shard to one
+    * file through [[Maintenance.compactPartitions]] (crash-safe manifest
+    * protocol, compact shards untouched — spec-gated per store). The
+    * lifecycle: clone the warm index, apply the standard corpus growth
+    * as TWO upsert batches (guaranteeing multi-file shards), compact
+    * both stores, then serve the SAME batch-vs-corpus lookup as
+    * q_minhash_upsert — shared oracle: a file-level rewrite must be
+    * invisible in the served pair set. */
+  def minhashCompact(spark: SparkSession, dir: String): DataFrame = {
+    val layout = cloneIndex(spark, dir, "minhash-compact")
+    val twins = Tables.documents(spark, dir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val half = InvertedIndex.UpsertIdOffset + InvertedIndex.UpsertSrcCount / 2
+    val b1 = upsertDocs(spark, layout, twins.filter(col("doc_id") < half))
+    val b2 = upsertDocs(spark, layout, twins.filter(col("doc_id") >= half))
+    compactStores(spark, layout)
+    batchNearDups(spark, layout, b1.unionByName(b2),
+      InvertedIndex.UpsertIdOffset, minEst = 0.5)
+  }
+
+  /** Fold every fragmented shard of both append-only stores ­— the
+    * census-gated maintenance move ([[InvertedIndex.compactStores]]'
+    * twin for the dedup artifact). */
+  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit = {
+    Maintenance.compactPartitions(spark, layout.sigsPath, Seq("sbucket"))
+    Maintenance.compactPartitions(spark, layout.bandsPath, Seq("bbucket"))
+  }
+
   /** Batch-vs-corpus near-dup lookup through the pruned stores — shared by
     * the batch and streaming upsert queries. `batchBands` is the batch's
     * checkpointed band frame (its bucket footprint); `idFloor` is the
@@ -359,9 +393,14 @@ object MinhashIndex {
     * invariant) is spec-gated; the oracle pins the healthy state. */
   def indexAudit(spark: SparkSession, dir: String): DataFrame = {
     // the vector artifact: the shared persisted IVF-bucketed index — the
-    // same store q_ann_ivf_persisted / the routed family serve from
+    // same store q_ann_ivf_persisted / the routed family serve from.
+    // The keymap is ensured EXPLICITLY here (the audit is a maintenance
+    // entry point by declaration) so the fleet audit always checks a
+    // real sidecar — auditFrame itself never writes (ADVICE r13: reads
+    // must not backfill).
     val (vecBase, vecName, _) =
       graft.operators.VectorOps.ensureIvfBucketed(spark, dir)
+    IndexCatalog.ensureKeymap(spark, vecBase, vecName, "vec_id")
     InvertedIndex.auditFrame(spark, InvertedIndex.ensure(spark, dir))
       .unionByName(auditFrame(spark, ensure(spark, dir)))
       .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
@@ -580,6 +619,7 @@ object MinhashIndex {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_index" -> (minhashIndex _),
     "q_minhash_upsert" -> (minhashUpsert _),
+    "q_minhash_compact" -> (minhashCompact _),
     "q_dedup_gated_indexed" -> (dedupGatedIndexed _),
     "q_index_audit" -> (indexAudit _),
     "q_index_repair" -> (indexRepair _),
@@ -590,6 +630,9 @@ object MinhashIndex {
   def oracles: Map[String, String] = Map(
     "q_minhash_index" -> graft.operators.DedupOps.dedupMinhashSql,
     "q_minhash_upsert" -> minhashUpsertSql,
+    // q_minhash_compact: q_minhash_upsert's oracle verbatim — a
+    // file-level segment merge must be invisible in the served pair set
+    "q_minhash_compact" -> minhashUpsertSql,
     "q_dedup_gated_indexed" -> graft.operators.DedupOps.dedupGatedSql,
     "q_index_audit" -> indexAuditSql,
     "q_index_repair" -> indexRepairSql,

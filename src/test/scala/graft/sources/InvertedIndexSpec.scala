@@ -183,6 +183,47 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe statsBefore
   }
 
+  test("lens sidecar is dbucket-partitioned: delete discovery partition-prunes; vacuum leaves untouched shards byte-stable") {
+    import org.apache.spark.sql.functions.col
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "bm25-lens-prune")
+    val lensRoot = Paths.get(layout.dataPath).getParent.resolve("lens")
+    // the exact frame deleteDocs joins reads ONLY the batch's dbucket
+    // shards — dbucket PartitionFilters in the executed plan (the
+    // KeymapSpec kbucket discipline applied to the lexical delete path)
+    val ids = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 3).select(col("doc_id"))
+    val dbuckets = ids
+      .select(InvertedIndex.dbucketCol(col("doc_id")).as("b")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    dbuckets.size should be < InvertedIndex.DocBuckets // a pruned set, or the gate is vacuous
+    val pruned = InvertedIndex.lensFor(spark, layout, dbuckets)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(pruned.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+    pf.exists(f => f.contains("dbucket") && f.trim.nonEmpty) shouldBe true
+    // write side: a full delete+vacuum lifecycle rewrites only the dead
+    // docs' dbucket shards — every other lens shard keeps its files
+    def shardFiles(): Map[String, Seq[String]] = {
+      import scala.jdk.CollectionConverters._
+      val dirs = Files.list(lensRoot)
+      try dirs.iterator().asScala.filter(Files.isDirectory(_)).map { d =>
+        val fs = Files.list(d)
+        try d.getFileName.toString -> fs.iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+        finally fs.close()
+      }.toMap
+      finally dirs.close()
+    }
+    val before = shardFiles()
+    InvertedIndex.deleteDocs(spark, layout, ids)
+    InvertedIndex.vacuum(spark, layout)
+    val after = shardFiles()
+    val untouched = before.keySet.filterNot(s =>
+      dbuckets.contains(s.stripPrefix("dbucket=").toLong))
+    untouched should not be empty
+    untouched.foreach { s => after(s) shouldBe before(s) }
+  }
+
   test("delete of an upserted doc decrements exactly (lens follows the corpus)") {
     import org.apache.spark.sql.functions.col
     InvertedIndex.ensure(spark, sfDir)
@@ -362,10 +403,12 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       s"""{"name": "${InvertedIndex.IndexName}", "kind": "inverted", "buckets": ${InvertedIndex.TermBuckets}}""")
     InvertedIndex.ensure(spark, sfDir)
     val healed = Files.readString(marker)
-    healed should include(""""dictv": 3""")
+    healed should include(""""dictv": 4""")
     healed should include(""""tok": "word"""")
-    // the rebuilt dict is the partitioned layout
+    // the rebuilt dict and lens are the partitioned layouts
     spark.read.parquet(layout.dictPath).columns should contain("tbucket")
+    spark.read.parquet(Paths.get(layout.dataPath).getParent
+      .resolve("lens").toString).columns should contain("dbucket")
   }
 
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {
@@ -383,9 +426,10 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       base.map(r => (r.getLong(0), r.getDouble(1))).toSeq
   }
 
-  test("q_bm25_compact: fragmented buckets fold to one file each; serving unchanged") {
+  test("q_bm25_compact: EVERY fragmented append-only store folds to one file per shard; serving unchanged") {
     import org.apache.spark.sql.functions.col
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "bm25-compact-spec")
+    val root = Paths.get(layout.dataPath).getParent
     val twins = graft.Tables.documents(spark, sfDir)
       .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
       .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
@@ -404,12 +448,47 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       }.toSeq
       finally dirs.close()
     }
-    // two appends on top of the build: at least one bucket is fragmented
-    fileCounts(layout.dataPath).max should be > 1
-    val before = spark.read.parquet(layout.dataPath).count()
-    Maintenance.compactPartitions(spark, layout.dataPath, Seq("tbucket"))
-    fileCounts(layout.dataPath).max shouldBe 1
-    spark.read.parquet(layout.dataPath).count() shouldBe before
+    // every appender the upsert path touches — postings, positions,
+    // lens, footprint — is fragmented after two appended batches
+    val stores = Seq(
+      layout.dataPath,
+      root.resolve("positions").toString,
+      root.resolve("lens").toString,
+      root.resolve("footprint").toString)
+    stores.foreach { s =>
+      withClue(s"$s before: ") { fileCounts(s).max should be > 1 }
+    }
+    val counts = stores.map(s => spark.read.parquet(s).count())
+    // byte-stability evidence: an already-compact shard (one file) is
+    // never rewritten — its file mtime survives the fold
+    def singleFileShards(s: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val dirs = Files.list(Paths.get(s))
+      try dirs.iterator().asScala.filter(Files.isDirectory(_)).flatMap { d =>
+        val fs = Files.list(d)
+        val pq = try fs.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq finally fs.close()
+        if (pq.length == 1)
+          Some(pq.head.toString -> Files.getLastModifiedTime(pq.head).toMillis)
+        else None
+      }.toMap
+      finally dirs.close()
+    }
+    val compactBefore = stores.map(singleFileShards)
+    InvertedIndex.compactStores(spark, layout)
+    stores.foreach { s =>
+      withClue(s"$s after: ") { fileCounts(s).max shouldBe 1 }
+    }
+    stores.zip(counts).foreach { case (s, n) =>
+      spark.read.parquet(s).count() shouldBe n
+    }
+    stores.zip(compactBefore).foreach { case (s, shards) =>
+      shards.foreach { case (f, mtime) =>
+        withClue(s"untouched shard rewritten: $f ") {
+          Files.getLastModifiedTime(Paths.get(f)).toMillis shouldBe mtime
+        }
+      }
+    }
     // the declared query lands on q_bm25_upsert's exact ranking
     val compacted = InvertedIndex.bm25Compact(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq

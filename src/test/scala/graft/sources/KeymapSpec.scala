@@ -159,6 +159,18 @@ class KeymapSpec extends SparkSpecBase with Matchers {
     val base = java.nio.file.Files.createTempDirectory("graft-keymap-fetch").toString
     buildIndex(base, "fb", n = 50)
     val ids = Seq(3L, 17L, 42L, 99999L).toDF("vec_id") // 99999 absent
+    // READ-ONLY gate (ADVICE r13): with no keymap, the fetch serves the
+    // same rows through the semi-join fallback and writes NOTHING — a
+    // read must never backfill a sidecar into the index directory
+    IndexCatalog.hasKeymap(base, "fb") shouldBe false
+    IndexCatalog.fetchByIds(spark, base, "fb", ids)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(3L, 17L, 42L)
+    IndexCatalog.hasKeymap(base, "fb") shouldBe false
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "fb", "keymap")) shouldBe false
+    // publish the keymap explicitly (the serving deployment's move) —
+    // from here the fetch is the directory-pruned path
+    IndexCatalog.ensureKeymap(spark, base, "fb", "vec_id")
     val fetched = IndexCatalog.fetchByIds(spark, base, "fb", ids)
     // same rows as the unpruned id filter on the logical view
     val viaFilter = IndexCatalog.load(spark, base, "fb")

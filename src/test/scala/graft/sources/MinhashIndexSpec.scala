@@ -173,4 +173,43 @@ class MinhashIndexSpec extends SparkSpecBase with Matchers {
         p._2 >= InvertedIndex.UpsertIdOffset)
     }
   }
+
+  test("q_minhash_compact: fragmented sig/band shards fold to one file each; untouched shards byte-stable; serving unchanged") {
+    val layout = cloneFor("minhash-compact-spec")
+    val twins = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    val half = InvertedIndex.UpsertIdOffset + InvertedIndex.UpsertSrcCount / 2
+    MinhashIndex.upsertDocs(spark, layout, twins.filter(col("doc_id") < half))
+    MinhashIndex.upsertDocs(spark, layout, twins.filter(col("doc_id") >= half))
+    def maxFiles(root: String): Int = inventory(root).values.map(_.length).max
+    maxFiles(layout.sigsPath) should be > 1
+    maxFiles(layout.bandsPath) should be > 1
+    val counts = Seq(layout.sigsPath, layout.bandsPath)
+      .map(s => spark.read.parquet(s).count())
+    // an already-compact shard (one file) must survive the fold untouched
+    def singleFileShards(root: String): Map[String, Seq[String]] =
+      inventory(root).filter(_._2.length == 1)
+    val stableSigs = singleFileShards(layout.sigsPath)
+    val stableBands = singleFileShards(layout.bandsPath)
+    MinhashIndex.compactStores(spark, layout)
+    maxFiles(layout.sigsPath) shouldBe 1
+    maxFiles(layout.bandsPath) shouldBe 1
+    Seq(layout.sigsPath, layout.bandsPath).zip(counts).foreach { case (s, n) =>
+      spark.read.parquet(s).count() shouldBe n
+    }
+    stableSigs.foreach { case (shard, files) =>
+      inventory(layout.sigsPath)(shard) shouldBe files
+    }
+    stableBands.foreach { case (shard, files) =>
+      inventory(layout.bandsPath)(shard) shouldBe files
+    }
+    // the declared query lands on q_minhash_upsert's exact pair set
+    val compacted = MinhashIndex.minhashCompact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val upserted = MinhashIndex.minhashUpsert(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    compacted shouldBe upserted
+  }
 }
