@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL index self-audit — the production arm of q_index_audit.
+  *
+  * The deep audit ([[InvertedIndex.auditFrame]] /
+  * [[MinhashIndex.auditFrame]]) recomputes every invariant over the full
+  * physical stores: correct, but corpus-proportional — at fleet scale an
+  * audit that costs a full scan per run gets scheduled monthly and
+  * corruption lives undetected for weeks. This arm costs ∝ churn: a
+  * per-artifact WATERMARK file records the last-audited file inventory
+  * (partition dir → sorted part-file names); an audit run diffs the
+  * current inventory against it, recomputes invariants ONLY over the
+  * buckets whose file lists changed (+ one deterministic refresher
+  * bucket per store per epoch, so even a churn-free store is fully
+  * re-audited every |buckets| epochs — the sampled-refresher discipline),
+  * then advances the watermark. The deep pass remains the periodic
+  * backstop: an in-place byte corruption that preserves a file's NAME is
+  * invisible to an inventory diff by construction (the spec proves both
+  * sides: a touched-bucket corruption flags here, a name-preserving swap
+  * in an untouched bucket is caught only by the deep audit — and the
+  * incremental scan provably never opens that file).
+  *
+  * Soundness of the restriction: every audited invariant compares stores
+  * that share the restricted partition key by the SAME hash —
+  * dict/impacts/positions vs postings per tbucket (a term's rows live in
+  * one tbucket in all four stores), footprint vs lens per dbucket, and
+  * the minhash stores through derived-bucket pruning (a sig's band rows
+  * are findable from the sig alone; a band row's sig from its doc_id) —
+  * so a drift between two stores is always visible from whichever side
+  * changed.
+  *
+  * The VECTOR artifact has no incremental arm: its two maintenance entry
+  * points write the keymap transactionally around every data rewrite
+  * (phase A superset / phase C compact — [[IndexCatalog.upsertInto]]),
+  * so keymap drift outside a crash window is a code bug the lifecycle
+  * gates catch; the deep audit covers the crash-residue case. Its
+  * incremental form would follow this exact inventory-diff recipe.
+  */
+object IncrementalAudit {
+
+  private val WatermarkName = "_audit_watermark.txt"
+
+  /** (store name → partition dir name → sorted part-file names) for the
+    * given store roots. A missing store contributes an empty map. */
+  private def inventory(stores: Map[String, String]): Map[String, Map[String, Seq[String]]] =
+    stores.map { case (store, root) =>
+      val p = Paths.get(root)
+      val parts =
+        if (!Files.exists(p)) Map.empty[String, Seq[String]]
+        else {
+          val dirs = Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            dirs.iterator().asScala
+              .filter(d => Files.isDirectory(d) && d.getFileName.toString.contains("="))
+              .map { d =>
+                val fs = Files.list(d)
+                try d.getFileName.toString -> fs.iterator().asScala
+                  .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+                  .toSeq.sorted
+                finally fs.close()
+              }.toMap
+          } finally dirs.close()
+        }
+      store -> parts
+    }
+
+  /** Parse a watermark file: epoch plus the recorded inventory. */
+  private def readWatermark(root: Path): Option[(Long, Map[String, Map[String, Seq[String]]])] = {
+    val f = root.resolve(WatermarkName)
+    if (!Files.exists(f)) return None
+    val lines = Files.readString(f).split("\n").filter(_.nonEmpty)
+    val epoch = lines.head.stripPrefix("epoch=").toLong
+    val inv = lines.tail.map { l =>
+      val Array(store, part, files) = l.split("\t", 3)
+      (store, part, if (files.isEmpty) Seq.empty[String] else files.split(",").toSeq)
+    }.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => r._2 -> r._3).toMap
+    }
+    Some((epoch, inv))
+  }
+
+  /** Write the watermark atomically (tmp + ATOMIC_MOVE): a killed audit
+    * leaves the PREVIOUS watermark, so the next run re-audits this run's
+    * buckets — at-least-once, never a silent skip. */
+  private def writeWatermark(root: Path, epoch: Long,
+                             inv: Map[String, Map[String, Seq[String]]]): Unit = {
+    val body = s"epoch=$epoch\n" + inv.toSeq.sortBy(_._1).flatMap { case (s, parts) =>
+      parts.toSeq.sortBy(_._1).map { case (d, fs) => s"$s\t$d\t${fs.mkString(",")}" }
+    }.mkString("", "\n", "\n")
+    val tmp = root.resolve(WatermarkName + ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, root.resolve(WatermarkName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Bucket ids of partition dirs whose file list changed since `prev`
+    * (new dirs included; removed dirs have nothing left to read). */
+  private def touched(store: String,
+                      cur: Map[String, Map[String, Seq[String]]],
+                      prev: Map[String, Map[String, Seq[String]]]): Seq[Long] = {
+    val c = cur.getOrElse(store, Map.empty)
+    val p = prev.getOrElse(store, Map.empty)
+    c.collect {
+      case (dir, files) if p.get(dir) != Some(files) =>
+        dir.dropWhile(_ != '=').drop(1).toLong
+    }.toSeq.distinct.sorted
+  }
+
+  /** Baseline the watermark for an INVERTED layout: records the current
+    * inventory without auditing (epoch 0) — the "audited up to here"
+    * starting point a fleet writes when an artifact is first published. */
+  def baselineInverted(layout: InvertedIndex.Layout): Unit = {
+    val root = Paths.get(layout.dataPath).getParent
+    writeWatermark(root, 0L, inventory(invertedStores(layout)))
+  }
+
+  def baselineMinhash(layout: MinhashIndex.Layout): Unit = {
+    val root = Paths.get(layout.sigsPath).getParent
+    writeWatermark(root, 0L, inventory(minhashStores(layout)))
+  }
+
+  private def invertedStores(layout: InvertedIndex.Layout): Map[String, String] = Map(
+    "data" -> layout.dataPath,
+    "dict" -> layout.dictPath,
+    "impacts" -> InvertedIndex.impactsPathOf(layout),
+    "positions" -> InvertedIndex.positionsPathOf(layout),
+    "footprint" -> InvertedIndex.footprintPathOf(layout),
+    "lens" -> InvertedIndex.lensPathOf(layout))
+
+  private def minhashStores(layout: MinhashIndex.Layout): Map[String, String] = Map(
+    "sigs" -> layout.sigsPath,
+    "bands" -> layout.bandsPath)
+
+  private def zeroRow(spark: SparkSession, artifact: String, inv: String): DataFrame = {
+    import spark.implicits._
+    Seq((artifact, inv, 0L)).toDF("artifact", "invariant", "violations")
+  }
+
+  private def countRow(artifact: String, inv: String,
+                       violations: org.apache.spark.sql.Column,
+                       from: DataFrame): DataFrame =
+    from.agg(coalesce(violations, lit(0L)).as("violations"))
+      .select(lit(artifact).as("artifact"), lit(inv).as("invariant"),
+        col("violations"))
+
+  /** Incremental audit of one inverted layout: term-side invariants over
+    * the tbuckets whose postings/dict/impacts/positions shards changed,
+    * doc-side over the dbuckets whose footprint/lens shards changed —
+    * each set extended by the epoch's refresher bucket. Advances the
+    * watermark on completion. */
+  def auditInverted(spark: SparkSession, layout: InvertedIndex.Layout): DataFrame = {
+    val root = Paths.get(layout.dataPath).getParent
+    val stores = invertedStores(layout)
+    val cur = inventory(stores)
+    val (epoch, prev) = readWatermark(root).getOrElse((0L, Map.empty[String, Map[String, Seq[String]]]))
+    val refreshT = epoch % InvertedIndex.TermBuckets
+    val refreshD = epoch % InvertedIndex.DocBuckets
+    val tb = (Seq("data", "dict", "impacts", "positions").flatMap(touched(_, cur, prev))
+      :+ refreshT).distinct.sorted
+    val db = (Seq("footprint", "lens").flatMap(touched(_, cur, prev))
+      :+ refreshD).distinct.sorted
+    val post = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(tb: _*))
+    val dictCmp = post.groupBy(col("w")).agg(count(lit(1)).as("adf"))
+      .join(spark.read.parquet(layout.dictPath)
+          .filter(col("tbucket").isin(tb: _*)).select(col("w"), col("df")),
+        Seq("w"), "full_outer")
+    val d1 = countRow("inverted", "dict_df_matches_postings",
+      sum(when(col("adf").isNull || col("df").isNull ||
+        col("adf") =!= col("df"), 1L).otherwise(0L)), dictCmp)
+    // an index that never served MaxScore has no impacts sidecar yet —
+    // nothing to audit until the first backfill creates it (the deep
+    // audit backfills; this arm must stay read-only)
+    val d2 =
+      if (!Files.exists(Paths.get(InvertedIndex.impactsPathOf(layout))))
+        zeroRow(spark, "inverted", "impacts_bound_postings")
+      else {
+        val impCmp = post.groupBy(col("w"))
+          .agg(max(col("tf")).as("atf"), min(col("dl")).as("adl"))
+          .join(spark.read.parquet(InvertedIndex.impactsPathOf(layout))
+              .filter(col("tbucket").isin(tb: _*))
+              .select(col("w"), col("tf_max"), col("dl_min")),
+            Seq("w"), "left")
+        countRow("inverted", "impacts_bound_postings",
+          sum(when(col("tf_max").isNull || col("tf_max") < col("atf") ||
+            col("dl_min") > col("adl"), 1L).otherwise(0L)), impCmp)
+      }
+    val d3 =
+      if (!Files.exists(Paths.get(InvertedIndex.positionsPathOf(layout))))
+        zeroRow(spark, "inverted", "positions_match_tf")
+      else {
+        val posCmp = spark.read.parquet(InvertedIndex.positionsPathOf(layout))
+          .filter(col("tbucket").isin(tb: _*))
+          .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("ptf"))
+          .join(post.select(col("w"), col("doc_id"), col("tf")),
+            Seq("w", "doc_id"), "full_outer")
+        countRow("inverted", "positions_match_tf",
+          sum(when(col("ptf").isNull || col("tf").isNull ||
+            col("ptf") =!= col("tf"), 1L).otherwise(0L)), posCmp)
+      }
+    // doc-side: footprint and lens are both one-row-per-doc relations
+    // sharded by the same doc hash — per touched dbucket their doc sets
+    // must coincide (a doc with postings but no length, or a length for
+    // a doc no posting mentions, is exactly the delete/upsert half-apply
+    // shape)
+    val footDocs = spark.read.parquet(InvertedIndex.footprintPathOf(layout))
+      .filter(col("dbucket").isin(db: _*)).select(col("doc_id")).distinct()
+      .withColumn("f", lit(1))
+    val lensDocs = spark.read.parquet(InvertedIndex.lensPathOf(layout))
+      .filter(col("dbucket").isin(db: _*)).select(col("doc_id")).distinct()
+      .withColumn("l", lit(1))
+    val d4 = countRow("inverted", "footprint_docs_match_lens",
+      sum(when(col("f").isNull || col("l").isNull, 1L).otherwise(0L)),
+      footDocs.join(lensDocs, Seq("doc_id"), "full_outer"))
+    val out = d1.unionByName(d2).unionByName(d3).unionByName(d4)
+      .localCheckpoint(true) // materialize BEFORE the watermark advances
+    writeWatermark(root, epoch + 1, cur)
+    out
+  }
+
+  /** Incremental audit of one minhash layout: sig-side derivation checked
+    * into the band store pruned by the DERIVED band-hash buckets, band-
+    * side rows checked against re-derivation from their docs' sigs pruned
+    * by the docs' sig buckets — both directions ∝ churn. */
+  def auditMinhash(spark: SparkSession, layout: MinhashIndex.Layout): DataFrame = {
+    val root = Paths.get(layout.sigsPath).getParent
+    val stores = minhashStores(layout)
+    val cur = inventory(stores)
+    val (epoch, prev) = readWatermark(root).getOrElse((0L, Map.empty[String, Map[String, Seq[String]]]))
+    val sb = (touched("sigs", cur, prev) :+ epoch % MinhashIndex.SigBuckets)
+      .distinct.sorted
+    val bb = (touched("bands", cur, prev) :+ epoch % MinhashIndex.BandBuckets)
+      .distinct.sorted
+    val sigsS = spark.read.parquet(layout.sigsPath)
+      .filter(col("sbucket").isin(sb: _*)).select(col("doc_id"), col("sig"))
+      .localCheckpoint(true) // consumed for derivation + width + bucket collect
+    val m3 = countRow("minhash", "sig_width",
+      sum(when(size(col("sig")) =!= Dedup.MinhashFns, 1L).otherwise(0L)), sigsS)
+    // sig → band direction: the touched sigs' derived band rows must all
+    // exist in the band store; the read prunes to the DERIVED bbuckets
+    // (≤ BandBuckets values — plan-time metadata)
+    val derived = Dedup.lshBands(sigsS)
+      .withColumn("bbucket", MinhashIndex.bbucketCol(col("band_hash")))
+      .localCheckpoint(true)
+    val derivedBb = derived.select(col("bbucket")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val storeForDerived = spark.read.parquet(layout.bandsPath)
+      .filter(col("bbucket").isin(derivedBb: _*))
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val m1 = countRow("minhash", "bands_cover_sigs",
+      count(lit(1)),
+      derived.select(col("doc_id"), col("band_idx"), col("band_hash"))
+        .join(storeForDerived, Seq("doc_id", "band_idx", "band_hash"), "left_anti"))
+    // band → sig direction: the touched band rows must equal a row
+    // re-derived from their doc's stored signature (orphans AND
+    // hash-drifted rows both fail); the sig read prunes to the rows'
+    // docs' sbuckets
+    val bandB = spark.read.parquet(layout.bandsPath)
+      .filter(col("bbucket").isin(bb: _*))
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      .localCheckpoint(true)
+    val bandSb = bandB.select(MinhashIndex.sbucketCol(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val sigsForBand = spark.read.parquet(layout.sigsPath)
+      .filter(col("sbucket").isin(bandSb: _*)).select(col("doc_id"), col("sig"))
+    val m2 = countRow("minhash", "bands_have_sigs",
+      count(lit(1)),
+      bandB.join(
+        Dedup.lshBands(sigsForBand)
+          .select(col("doc_id"), col("band_idx"), col("band_hash")),
+        Seq("doc_id", "band_idx", "band_hash"), "left_anti"))
+    val out = m1.unionByName(m2).unionByName(m3).localCheckpoint(true)
+    writeWatermark(root, epoch + 1, cur)
+    out
+  }
+
+  /** Q-index-audit-incr: the churn-proportional audit end-to-end — clone
+    * the two richest artifacts warm, BASELINE their watermarks (the
+    * publish-time move), apply the standard corpus-growth batch to each
+    * (real churn touching a strict subset of buckets), then run the
+    * incremental audit: every invariant zero over exactly the touched
+    * subset. The deep q_index_audit stays the periodic full pass; the
+    * sensitivity and read-pruning proofs (a touched-bucket corruption
+    * flags; a name-preserving corruption in an UNTOUCHED bucket is
+    * never even read) are spec-gated in IncrementalAuditSpec. */
+  def indexAuditIncr(spark: SparkSession, dir: String): DataFrame = {
+    val inv = InvertedIndex.cloneIndex(spark, dir, "audit-incr-inv")
+    baselineInverted(inv)
+    val twins = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.upsertDocs(spark, inv, twins)
+    val mh = MinhashIndex.cloneIndex(spark, dir, "audit-incr-mh")
+    baselineMinhash(mh)
+    MinhashIndex.upsertDocs(spark, mh, twins)
+    auditInverted(spark, inv)
+      .unionByName(auditMinhash(spark, mh))
+      .orderBy(col("artifact"), col("invariant"))
+  }
+
+  val indexAuditIncrSql: String =
+    """SELECT * FROM (VALUES
+      |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
+      |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
+      |  ('minhash', 'bands_cover_sigs', CAST(0 AS BIGINT)),
+      |  ('minhash', 'bands_have_sigs', CAST(0 AS BIGINT)),
+      |  ('minhash', 'sig_width', CAST(0 AS BIGINT))
+      |) t(artifact, invariant, violations)
+      |ORDER BY artifact, invariant""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_index_audit_incr" -> (indexAuditIncr _))
+
+  def oracles: Map[String, String] = Map(
+    "q_index_audit_incr" -> indexAuditIncrSql)
+}

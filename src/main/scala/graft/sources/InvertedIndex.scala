@@ -69,7 +69,7 @@ object InvertedIndex {
     * reads prune to the batch ids' dbucket shards, vacuum folds only the
     * touched shards, and upsert appends ∝ batch into its shards.
     * Maintained at build, appended by upsert, folded by vacuum. */
-  private def lensPathOf(layout: Layout): String =
+  private[sources] def lensPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("lens").toString
 
   /** Doc-level tombstones (doc_id) — the Lucene deleted-docs discipline:
@@ -97,7 +97,7 @@ object InvertedIndex {
     * term buckets. Maintained at build, appended by upsert (batch-
     * proportional), folded by vacuum (touched-dbucket dynamic
     * overwrite). The Lucene analog is the per-doc term-vector file. */
-  private def footprintPathOf(layout: Layout): String =
+  private[sources] def footprintPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("footprint").toString
 
   /** Per-term IMPACT-BOUND sidecar — `impacts/tbucket=<b>/` rows of
@@ -110,7 +110,7 @@ object InvertedIndex {
     * (an upper bound over a superset still bounds the subset), refreshed
     * exactly for the touched buckets by vacuum — the per-segment-static
     * impact discipline. */
-  private def impactsPathOf(layout: Layout): String =
+  private[sources] def impactsPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("impacts").toString
 
   private def hasParquet(dir: java.nio.file.Path): Boolean =
@@ -168,7 +168,7 @@ object InvertedIndex {
     * (pure append ∝ batch) and vacuum (touched-bucket fold: a doc's
     * positions live in the same term buckets as its postings, so the
     * footprint-derived touched set covers both stores). */
-  private def positionsPathOf(layout: Layout): String =
+  private[sources] def positionsPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("positions").toString
 
   /** (w, doc_id, pos) occurrence stream for a batch — posexplode indices

@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the churn-proportional audit arm (IncrementalAudit):
+  *  - the declared lifecycle is all-zeros after real churn;
+  *  - SENSITIVITY: a corruption planted in a TOUCHED bucket flags its
+  *    invariant (an audit that cannot fail is decoration);
+  *  - READ PRUNING: a name-preserving corruption in an UNTOUCHED bucket
+  *    is not flagged AND provably never read — the untouched shard's
+  *    parquet is replaced by garbage bytes, which would abort any scan
+  *    that opened it; the deep audit, which does read everything, sees
+  *    the drift (the division of labor the watermark design states);
+  *  - the refresher bucket walks the full store over |buckets| epochs.
+  */
+class IncrementalAuditSpec extends SparkSpecBase with Matchers {
+
+  private def auditMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => (r.getString(1), r.getLong(2))).toMap
+
+  private def twins = graft.Tables.documents(spark, sfDir)
+    .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+    .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+      col("text"))
+
+  test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
+    val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
+    rows should have length 7
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(7)(0L)
+  }
+
+  test("sensitivity: a dict corruption in a TOUCHED tbucket flags dict_df_matches_postings") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "aincr-sens")
+    IncrementalAudit.baselineInverted(layout)
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    // drop one TOUCHED dict shard wholesale — every term in it now has
+    // postings but no dict row
+    val touchedBucket = spark.read.parquet(layout.dataPath)
+      .filter(col("doc_id") >= InvertedIndex.UpsertIdOffset)
+      .select(col("tbucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).min
+    Maintenance.deleteRecursively(
+      Paths.get(layout.dictPath).resolve(s"tbucket=$touchedBucket"))
+    val audit = auditMap(IncrementalAudit.auditInverted(spark, layout))
+    audit("dict_df_matches_postings") should be > 0L
+    (audit - "dict_df_matches_postings").values.foreach(_ shouldBe 0L)
+  }
+
+  test("read pruning: a garbage file in an UNTOUCHED tbucket is never opened; the deep audit still catches a name-preserving swap") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "aincr-prune")
+    IncrementalAudit.baselineInverted(layout)
+    // NO churn: the only shards the audit may read are epoch 0's
+    // refresher buckets (tbucket 0 / dbucket 0) — every other bucket is
+    // untouched by construction. The victim is the PATH-ORDER-last
+    // populated dict bucket so schema inference (which reads the first
+    // file footer in path order) never lands on the garbage either.
+    val untouched = {
+      val s = Files.list(Paths.get(layout.dictPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).filter(_ != "tbucket=0")
+          .toSeq.max.stripPrefix("tbucket=").toLong
+      } finally s.close()
+    }
+    val dictShard = Paths.get(layout.dictPath).resolve(s"tbucket=$untouched")
+    val victim = {
+      val s = Files.list(dictShard)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally s.close()
+    }
+    // name-preserving corruption: same file name, garbage bytes — any
+    // scan that opens it throws, so a green incremental audit PROVES the
+    // shard was pruned, not merely tolerated
+    Files.write(victim, "not a parquet file".getBytes)
+    val audit = auditMap(IncrementalAudit.auditInverted(spark, layout))
+    audit.values.foreach(_ shouldBe 0L)
+    // the deep audit reads everything — it must abort on the garbage
+    // (a real fleet's deep pass surfaces the corruption loudly)
+    intercept[Throwable] {
+      InvertedIndex.auditFrame(spark, layout).collect()
+    }
+  }
+
+  test("minhash sensitivity: a band row dropped from a TOUCHED bbucket flags bands_cover_sigs") {
+    val layout = MinhashIndex.cloneIndex(spark, sfDir, "aincr-mh-sens")
+    IncrementalAudit.baselineMinhash(layout)
+    val batchBands = MinhashIndex.upsertDocs(spark, layout, twins)
+    // rewrite one touched band shard WITHOUT one of the batch's rows —
+    // a sig now derives a band row the store lacks
+    val bb = batchBands.select(col("bbucket")).distinct()
+      .collect().map(_.getLong(0)).min
+    val shard = Paths.get(layout.bandsPath).resolve(s"bbucket=$bb")
+    val surviving = spark.read.parquet(shard.toString)
+      .filter(col("doc_id") < InvertedIndex.UpsertIdOffset)
+      .localCheckpoint(true)
+    Maintenance.deleteRecursively(shard)
+    surviving.write.parquet(shard.toString)
+    val audit = auditMap(IncrementalAudit.auditMinhash(spark, layout))
+    audit("bands_cover_sigs") should be > 0L
+  }
+
+  test("the refresher bucket covers the full store over TermBuckets epochs without churn") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "aincr-refresh")
+    IncrementalAudit.baselineInverted(layout)
+    // corrupt a shard by a name-preserving swap (invisible to the
+    // inventory diff): copy bucket A's dict file over bucket B's — B's
+    // dict rows now describe A's terms, a df mismatch on every term
+    def dictFile(b: Long) = {
+      val s = Files.list(Paths.get(layout.dictPath).resolve(s"tbucket=$b"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally s.close()
+    }
+    // pick two POPULATED dict buckets (a small vocabulary leaves some
+    // empty); the target is the smaller positive one so the epoch walk
+    // stays short
+    val populated = {
+      val s = Files.list(Paths.get(layout.dictPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_))
+          .map(_.getFileName.toString.stripPrefix("tbucket=").toLong)
+          .toSeq.sorted
+      } finally s.close()
+    }
+    val target = populated.find(_ > 0L).get
+    val src = populated.find(b => b != target).get
+    val (srcF, dstF) = (dictFile(src), dictFile(target))
+    Files.copy(srcF, dstF, StandardCopyOption.REPLACE_EXISTING)
+    // carry the Hadoop checksum sidecar too: the swap must read as WRONG
+    // DATA (a df mismatch), not as an I/O error
+    val srcCrc = srcF.resolveSibling("." + srcF.getFileName + ".crc")
+    val dstCrc = dstF.resolveSibling("." + dstF.getFileName + ".crc")
+    if (Files.exists(srcCrc))
+      Files.copy(srcCrc, dstCrc, StandardCopyOption.REPLACE_EXISTING)
+    else Files.deleteIfExists(dstCrc)
+    // epochs 0..target-1 refresh earlier tbuckets: the swap at `target`
+    // stays invisible (no churn, not yet refreshed)...
+    (0L until target).foreach { _ =>
+      auditMap(IncrementalAudit.auditInverted(spark, layout))
+        .apply("dict_df_matches_postings") shouldBe 0L
+    }
+    // ...and epoch `target`'s refresher reaches it and flags
+    auditMap(IncrementalAudit.auditInverted(spark, layout))
+      .apply("dict_df_matches_postings") should be > 0L
+  }
+}
