@@ -101,9 +101,122 @@ object EmbedOps {
         count(when(size(col("back")) === size(col("embedding")), 1)).as("n_dim_preserved"))
   }
 
+  /** Dimension / modulus of the SQL-REPLAYABLE embedding kernel (see
+    * [[embedKnnSql]]). 16 dims keeps the sparse (doc, dim, count)
+    * relation ≤16 rows per doc; the modulus is prime so the polynomial
+    * hash mixes (the §7.3 recipe verbatim). */
+  val SqlEmbedDim = 16
+  val SqlHashMod = 1000003L
+
+  /** The flagship's fixed query text (`main.go:96` reads it from stdin;
+    * the declared query pins one). */
+  val FlagshipQuery = "fast vector query engine"
+
+  /** Per-token polynomial rolling hash over character codes, reduced to
+    * an embedding dimension — integer arithmetic BOTH engines compute
+    * bit-identically (`aggregate`/`ascii` here, `list_reduce`/`ascii`
+    * in DuckDB), the §7.3 "oracle-portable embedding" named alternative
+    * realized. Stays inside whole-stage codegen (HOF over a split — no
+    * UDF). */
+  private def tokenBucket(w: Column): Column =
+    aggregate(split(w, ""), lit(0L),
+      (a, c) => (a * 31 + ascii(c)) % SqlHashMod) % SqlEmbedDim
+
+  /** The sparse (doc_id, d, v) bucket-count embedding of a token frame —
+    * shared by the corpus and query sides so both ride one arithmetic. */
+  private def sparseEmbed(toks: DataFrame): DataFrame =
+    toks.filter(col("w") =!= "")
+      .select(col("doc_id"), tokenBucket(col("w")).as("d"))
+      .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("v"))
+
+  /** Q-embed-knn-sql: the FLAGSHIP pipeline with a FULL DuckDB oracle —
+    * normalize → embed → score → top-K → fetch-join, end-to-end
+    * (`main.go:89-184`), every stage SQL-replayable. Where q_embed_knn
+    * embeds with the engine-local codegen kernel ([[FeatureHashEmbed]],
+    * rows-only by the §7.3 decision), this twin embeds with the
+    * polynomial-hash bucket counts: integers until one double division,
+    * so the oracle re-derives corpus embeddings from documents.parquet
+    * and hash-matches the complete reference query shape. Cosine over
+    * the sparse counts = Σ q_d·e_d / (‖q‖‖e‖); zero-norm docs (no
+    * tokens) are excluded exactly as a zero vector can never rank.
+    *
+    * 100 TB: one tokenize-explode + a (doc, dim) count shuffle for the
+    * corpus side (the build pass, amortizable into a persisted index);
+    * the query side is a ≤[[SqlEmbedDim]]-row broadcast — scoring is a
+    * map-side broadcast join + per-doc aggregation, no corpus-sized
+    * shuffle beyond the embed itself. */
+  def embedKnnSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val norm = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextFunctions.normalizeText(col("text")).as("ntext"))
+    val emb = sparseEmbed(
+      norm.select(col("doc_id"), explode(split(col("ntext"), " ")).as("w")))
+    val qemb = sparseEmbed(
+        spark.range(1).select(col("id").as("doc_id"),
+          explode(split(lit(FlagshipQuery), " ")).as("w")))
+      .select(col("d"), col("v").as("qv"))
+    val qn2 = qemb.agg(sum(col("qv") * col("qv")).as("qn2"))
+    val dots = emb.join(broadcast(qemb), Seq("d"))
+      .groupBy(col("doc_id")).agg(sum(col("v") * col("qv")).as("dot"))
+    val norms = emb.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
+    val top = norms.join(dots, Seq("doc_id"), "left")
+      .crossJoin(broadcast(qn2))
+      .select(col("doc_id"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))),
+          6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(5)
+    // fetch-join (J3): tiny match set broadcast back against the corpus
+    broadcast(top)
+      .join(norm.select(col("doc_id"), col("lang"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("score"),
+        substring(col("text"), 1, 80).as("text_head"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val embedKnnSql: String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang, text,
+       |         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ntext
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, w FROM
+       |    (SELECT doc_id, unnest(string_split(ntext, ' ')) AS w FROM norm)
+       |  WHERE w <> ''),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % $SqlHashMod) % $SqlEmbedDim AS d
+       |  FROM toks),
+       |emb AS (SELECT doc_id, d, COUNT(*) AS v FROM hashed GROUP BY 1, 2),
+       |qtok AS (SELECT unnest(string_split('$FlagshipQuery', ' ')) AS w),
+       |qh AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % $SqlHashMod) % $SqlEmbedDim AS d
+       |  FROM qtok WHERE w <> ''),
+       |qemb AS (SELECT d, COUNT(*) AS qv FROM qh GROUP BY 1),
+       |dots AS (SELECT e.doc_id, SUM(e.v * q.qv) AS dot
+       |         FROM emb e JOIN qemb q USING (d) GROUP BY 1),
+       |norms AS (SELECT doc_id, SUM(v * v) AS n2 FROM emb GROUP BY 1),
+       |qn AS (SELECT SUM(qv * qv) AS qn2 FROM qemb),
+       |top AS (
+       |  SELECT n.doc_id,
+       |    ROUND(CAST(COALESCE(d.dot, 0) AS DOUBLE)
+       |          / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(qn.qn2 AS DOUBLE))),
+       |      6) AS score
+       |  FROM norms n LEFT JOIN dots d USING (doc_id) CROSS JOIN qn
+       |  ORDER BY score DESC, doc_id LIMIT 5)
+       |SELECT t.doc_id, m.lang, t.score, substring(m.text, 1, 80) AS text_head
+       |FROM top t JOIN norm m USING (doc_id)
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed" -> (embed _),
     "q_embed_knn" -> (embedKnn _),
+    "q_embed_knn_sql" -> (embedKnnSqlQuery _),
     "q_csv_roundtrip" -> (csvRoundtrip _))
 
   /** Embedding VALUES are engine-local by design (FNV-1a has no SQL
@@ -120,6 +233,10 @@ object EmbedOps {
     * shipped SFs) — for a sanity surface that alarm is information, not
     * noise: search quality genuinely degrades for zero vectors. */
   def oracles: Map[String, String] = Map(
+    // q_embed_knn_sql: the flagship shape with a FULL oracle — the
+    // DuckDB side re-derives every corpus embedding from raw text with
+    // the identical integer arithmetic and replays score/top-K/fetch
+    "q_embed_knn_sql" -> embedKnnSql,
     "q_embed" ->
       s"""SELECT doc_id,
          |  CASE WHEN text IS NULL THEN NULL ELSE $Dim END AS dim,

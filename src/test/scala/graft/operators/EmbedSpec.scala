@@ -99,6 +99,20 @@ class EmbedSpec extends SparkSpecBase with Matchers {
     out(3L) shouldBe ((64, 1.0))
   }
 
+  test("q_embed_knn_sql: the SQL-replayable flagship twin serves 5 ranked matches with positive overlap scores") {
+    val rows = EmbedOps.embedKnnSqlQuery(spark, sfDir).collect()
+    rows should have length 5
+    // scores strictly descending-with-tiebreak and within (0, 1]
+    val scores = rows.map(_.getDouble(2)).toSeq
+    scores shouldBe scores.sorted.reverse
+    all(scores) should (be > 0.0 and be <= 1.0)
+    // the fetch-join really happened: every match carries its text head
+    rows.foreach(r => r.getString(3).nonEmpty shouldBe true)
+    // determinism: a second run is bit-identical (pure integer kernel)
+    EmbedOps.embedKnnSqlQuery(spark, sfDir).collect()
+      .map(_.toString).toSeq shouldBe rows.map(_.toString).toSeq
+  }
+
   test("malformed CSV floats become NULL elements (intended semantics for ref bug B7)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv-bad").toString
     java.nio.file.Files.writeString(
