@@ -512,6 +512,132 @@ object InvertedIndex {
   def phraseIndexed(spark: SparkSession, dir: String): DataFrame =
     phraseOver(spark, ensure(spark, dir), Seq(PhraseW1, PhraseW2))
 
+  /** Token-gap window of the declared proximity query: w2 within
+    * [[PhraseSlop]] intervening tokens after w1 (slop 0 ≡ exact
+    * phrase — the degeneracy is spec-gated). */
+  val PhraseSlop = 2
+
+  /** PROXIMITY search over the positional sidecar — Lucene's
+    * PhraseQuery~n for the two-word case: count ordered occurrence
+    * pairs (p1, p2) with w1 at p1, w2 at p2, 0 < p2 − p1 ≤ slop + 1.
+    * Same pruned access path as [[phraseOver]] (both words' tbuckets
+    * are plan-time metadata, tombstones masked); the pair match is a
+    * doc_id hash join with the gap window as a residual range
+    * predicate — per-doc position lists of two SPECIFIC terms are
+    * term-selectivity-bounded, so the residual never sees a corpus-
+    * sized cross product. Work ∝ the two words' position lists. */
+  private[graft] def proximityOver(spark: SparkSession, layout: Layout,
+                                   w1: String, w2: String, slop: Int,
+                                   k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val words = Seq(w1, w2).distinct
+    val buckets = words.toDF("w").select(bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(words: _*))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val p1 = pos.filter(col("w") === w1)
+      .select(col("doc_id").as("doc_a"), col("pos").as("p1"))
+    val p2 = pos.filter(col("w") === w2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    p1.join(p2, col("doc_a") === col("doc_b") &&
+        col("p2") - col("p1") >= 1L && col("p2") - col("p1") <= (slop + 1).toLong)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("prox_tf"))
+      .orderBy(col("prox_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q-phrase-slop: within-[[PhraseSlop]] proximity for the fixed word
+    * pair, served from the positional sidecar. The oracle replays the
+    * gap-window pair count from raw text (the q_phrase discipline). */
+  def phraseSlop(spark: SparkSession, dir: String): DataFrame =
+    proximityOver(spark, ensure(spark, dir), PhraseW1, PhraseW2, PhraseSlop)
+
+  val phraseSlopSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(list_sum(list_transform(range(1, len(t)+1),
+       |          i -> CASE WHEN t[i] = '$PhraseW1'
+       |               THEN len(list_filter(
+       |                 range(i+1, least(i+${PhraseSlop + 2}, len(t)+1)),
+       |                 j -> t[j] = '$PhraseW2'))
+       |               ELSE 0 END)) AS BIGINT) AS prox_tf
+       |      FROM toks)
+       |SELECT doc_id, prox_tf FROM m WHERE prox_tf > 0
+       |ORDER BY prox_tf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The declared boolean query: (vector AND hash) AND NOT merge —
+    * both positives are [[TextOps.Bm25Terms]] members, the negative is
+    * [[Bm25Terms2]]'s head, so the composition reuses corpus terms with
+    * non-trivial hit sets at every SF. */
+  val BoolMust = Seq("vector", "hash")
+  val BoolMustNot = "merge"
+
+  /** BOOLEAN-composed BM25 over the persisted index — the Lucene
+    * BooleanQuery shape (MUST / MUST_NOT) the flat term-set scorer
+    * cannot express: docs holding ALL `must` terms and NONE of the
+    * `mustNot` terms, ranked by BM25 over the `must` terms (idf stays
+    * corpus-level — a boolean FILTER narrows who gets scored, never
+    * what df means, exactly [[bm25Over]]'s restrictTo contract).
+    * Access path: must + mustNot tbuckets are plan-time metadata; the
+    * presence test is a distinct-count over the must terms' pruned
+    * postings, the exclusion one anti-join against the negative term's
+    * pruned postings — cost ∝ the query terms' posting lists. */
+  private[graft] def bm25Bool(spark: SparkSession, layout: Layout,
+                              must: Seq[String], mustNot: Seq[String],
+                              k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val all = (must ++ mustNot).distinct
+    val buckets = all.toDF("w").select(bucketCol(col("w")).as("b"))
+      .distinct().as[Long].collect().toSeq
+    val post0 = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(all: _*))
+    val tombOpt =
+      if (hasParquet(tombDirOf(layout)))
+        Some(spark.read.parquet(tombDirOf(layout).toString).select(col("doc_id")))
+      else None
+    val post = tombOpt
+      .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .getOrElse(post0)
+    val withAll = post.filter(col("w").isin(must: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("w")).as("nw"))
+      .filter(col("nw") === must.size).select(col("doc_id"))
+    val cand =
+      if (mustNot.isEmpty) withAll
+      else withAll.join(
+        post.filter(col("w").isin(mustNot: _*)).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    bm25Over(spark, layout, k, restrictTo = Some(cand), terms = must)
+  }
+
+  /** Q-bm25-bool: the fixed MUST/MUST_NOT composition served from the
+    * shared index. Oracle: the parameterized BM25 replay filtered by
+    * the same presence/exclusion predicates over raw text. */
+  def bm25BoolIndexed(spark: SparkSession, dir: String): DataFrame =
+    bm25Bool(spark, ensure(spark, dir), BoolMust, Seq(BoolMustNot))
+
+  val bm25BoolSql: String = {
+    val base = TextOps.bm25SqlFor(BoolMust)
+    val tail = "SELECT doc_id, ROUND(s1 + s2, 6) AS score FROM piv\nORDER BY"
+    require(base.contains(tail), "bm25SqlFor tail shape changed — update bm25BoolSql")
+    base.replace(tail,
+      s"""SELECT doc_id, ROUND(s1 + s2, 6) AS score FROM piv
+         |WHERE doc_id IN (SELECT doc_id FROM tf
+         |                 GROUP BY doc_id HAVING COUNT(DISTINCT w) = ${BoolMust.size})
+         |  AND doc_id NOT IN (SELECT doc_id
+         |                     FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+         |                     WHERE u.w = '$BoolMustNot')
+         |ORDER BY""".stripMargin)
+  }
+
   val phraseSql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents),
@@ -1556,6 +1682,8 @@ object InvertedIndex {
     "q_bm25_maxscore" -> (bm25MaxScore _),
     "q_bm25_query2" -> (bm25Query2 _),
     "q_phrase" -> (phraseIndexed _),
+    "q_phrase_slop" -> (phraseSlop _),
+    "q_bm25_bool" -> (bm25BoolIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
@@ -1576,6 +1704,8 @@ object InvertedIndex {
     "q_bm25_maxscore" -> TextOps.bm25Sql,
     "q_bm25_query2" -> TextOps.bm25SqlFor(Bm25Terms2),
     "q_phrase" -> phraseSql,
+    "q_phrase_slop" -> phraseSlopSql,
+    "q_bm25_bool" -> bm25BoolSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be
     // invisible in every served statistic

@@ -73,6 +73,85 @@ class PhraseSpec extends SparkSpecBase with Matchers {
     got.map(_._1) should contain (0L)
   }
 
+  /** From-scratch proximity pair counts — the referee for the slop form
+    * (gap-window join over raw tokenization). */
+  private def naiveProx(docs: DataFrame, w1: String, w2: String,
+                        slop: Int): Seq[(Long, Long)] = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos").as("p1"))
+    val b = pos.filter(col("w") === w2).select(col("doc_id"), col("pos").as("p2"))
+    a.join(b, a("doc_id") === b("doc_id") &&
+        col("p2") - col("p1") >= 1L && col("p2") - col("p1") <= (slop + 1).toLong)
+      .groupBy(a("doc_id").as("doc_id")).agg(count(lit(1)).as("prox_tf"))
+      .orderBy(col("prox_tf").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  test("q_phrase_slop equals the from-raw-text gap-window recompute; slop 0 degenerates to the exact phrase") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val got = InvertedIndex.phraseSlop(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    got shouldBe naiveProx(docs, InvertedIndex.PhraseW1,
+      InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+    got should not be empty
+    // widening the window can only add matches (monotone in slop) —
+    // and at this corpus it strictly does, or the slop arm is vacuous
+    got.toMap.values.sum should be >= served(layout).toMap.values.sum
+    // slop=0 is EXACTLY the phrase query
+    InvertedIndex.proximityOver(spark, layout,
+        InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe served(layout)
+  }
+
+  test("proximity stays exact through upsert, pending tombstones, and vacuum") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "prox-lifecycle")
+    val docs = graft.Tables.documents(spark, sfDir)
+    val twins = docs.filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    def servedProx() = InvertedIndex.proximityOver(spark, layout,
+        InvertedIndex.PhraseW1, InvertedIndex.PhraseW2,
+        InvertedIndex.PhraseSlop).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val grown = docs.select(col("doc_id"), col("text")).unionByName(twins)
+    servedProx() shouldBe naiveProx(grown,
+      InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+    val dead = docs.filter(col("doc_id") % 13 === 2).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, layout, dead)
+    val reduced = grown.join(dead, Seq("doc_id"), "left_anti")
+    servedProx() shouldBe naiveProx(reduced,
+      InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+    InvertedIndex.vacuum(spark, layout)
+    servedProx() shouldBe naiveProx(reduced,
+      InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+  }
+
+  test("q_bm25_bool: every served doc holds ALL must terms and no must-not term; scores ride the shared BM25 arithmetic") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val rows = InvertedIndex.bm25BoolIndexed(spark, sfDir).collect()
+    rows should have length 10
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    rows.foreach { r =>
+      val t = toks(r.getLong(0))
+      InvertedIndex.BoolMust.foreach(w => assert(t.contains(w),
+        s"doc ${r.getLong(0)} misses must term '$w'"))
+      assert(!t.contains(InvertedIndex.BoolMustNot),
+        s"doc ${r.getLong(0)} holds excluded term")
+    }
+    // the filter narrows WHO is scored, never the arithmetic: each
+    // served score equals the flat two-term scorer's for the same doc
+    val flat = InvertedIndex.bm25Over(spark, layout, k = Int.MaxValue,
+        terms = InvertedIndex.BoolMust).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => flat(r.getLong(0)) shouldBe r.getDouble(1))
+  }
+
   test("phrase stays exact through upsert, pending tombstones, and vacuum") {
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "phrase-lifecycle")
     val docs = graft.Tables.documents(spark, sfDir)
