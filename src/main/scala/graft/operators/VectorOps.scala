@@ -948,16 +948,21 @@ object VectorOps {
     * integer sums are exact in binary32/64) so scoring reuses the native
     * codegen'd dot kernel. Exact cosine rides along for the
     * recall-vs-compression comparison. */
+  /** Per-vector INT8 scalar quantization (the q_sq8_knn kernel, shared
+    * with the persisted form): scale = 127/max|x| per vector, codes =
+    * round-half-up integers, qnorm = the code vector's own L2. The
+    * scale is materialized as a column FIRST: a lambda referencing an
+    * outer expression re-evaluates it per element (no CSE) — inlining
+    * the max|x| would be O(dim²) per row. */
+  private def sq8Quantized(emb: DataFrame): DataFrame = emb
+    .withColumn("s", lit(127.0) / greatest(
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-30)))
+    .withColumn("qv", transform(col("embedding"),
+      x => floor(x.cast("double") * col("s") + lit(0.5))).cast("array<float>"))
+    .withColumn("qnorm", sqrt(dotProduct(col("qv"), col("qv"))))
+
   def sq8Knn(spark: SparkSession, dir: String): DataFrame = {
-    def quantized(emb: DataFrame): DataFrame = emb
-      // materialize the scale as a column FIRST: a lambda referencing an
-      // outer expression re-evaluates it per element (no CSE) — inlining
-      // the max|x| here would be O(dim²) per row
-      .withColumn("s", lit(127.0) / greatest(
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-30)))
-      .withColumn("qv", transform(col("embedding"),
-        x => floor(x.cast("double") * col("s") + lit(0.5))).cast("array<float>"))
-      .withColumn("qnorm", sqrt(dotProduct(col("qv"), col("qv"))))
+    def quantized(emb: DataFrame): DataFrame = sq8Quantized(emb)
     val emb = quantized(Tables.embeddings(spark, dir))
     val q = quantized(Tables.embeddings(spark, dir).filter(col("vec_id") === 0))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
@@ -991,6 +996,67 @@ object VectorOps {
        |  ROUND(${VectorSql.cosine("b.embedding", "query.qe")}, 6) AS exact_cos
        |FROM n b, query WHERE b.vec_id <> 0
        |ORDER BY approx_cos DESC, b.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Build the PERSISTED SQ8 code store if absent: (vec_id, label,
+    * qcode array<tinyint>, qnorm) under the shared per-SF cache,
+    * label-partitioned. The codes are the 4×-smaller artifact scalar
+    * quantization exists for — INT8 parquet pages instead of float32
+    * (the PQ/BQ persisted stores' byte-budget story, completing the
+    * quantized family's persistence symmetry: IVF-PQ and BQ already
+    * serve from persisted codes; SQ8 was in-memory only). Unlike PQ
+    * there is NO codebook sidecar to train or retrain: a code row is a
+    * pure per-vector function, so maintenance is plain row add/delete
+    * (the lifecycle machinery [[graft.sources.IndexCatalog]] provides
+    * needs nothing SQ8-specific — spec-gated by code-roundtrip
+    * equality, not a new lifecycle family). */
+  private[graft] def ensureSq8(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = graft.sources.IndexCatalog.cacheBase(dir)
+    val root = Paths.get(base, "emb-sq8")
+    val marker = root.resolve("_sq8_index.json")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(root)
+      sq8Quantized(Tables.embeddings(spark, dir))
+        .select(col("vec_id"), col("label"),
+          col("qv").cast("array<tinyint>").as("qcode"), col("qnorm"))
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(root.resolve("data").toString)
+      Files.writeString(marker, """{"name": "emb-sq8", "kind": "sq8", "bits": 8}""")
+    }
+    root.resolve("data").toString
+  }
+
+  /** Q-sq8-persisted: [[sq8Knn]] served from the persisted INT8 store —
+    * identical results (SHARED oracle), different access path: the
+    * approximate ranking pass scans code pages a quarter the byte size
+    * of the float index, and only the 10 winners' full vectors are
+    * fetched for the exact-rerank column (broadcast fetch-join against
+    * the embeddings table — the PQ Shortlist discipline). Codes round-
+    * trip the tinyint cast exactly (integers in [−127, 127]), so
+    * persisted and in-memory arithmetic are bit-equal. */
+  def sq8Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val store = spark.read.parquet(ensureSq8(spark, dir))
+      .select(col("vec_id"), col("label"),
+        col("qcode").cast("array<float>").as("qv"), col("qnorm"))
+    val q = sq8Quantized(Tables.embeddings(spark, dir).filter(col("vec_id") === 0))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+        col("qv").as("q_qv"), col("qnorm").as("q_qnorm"))
+    val top = store.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_cos", round(
+        when(col("qnorm") * col("q_qnorm") === 0.0, 0.0)
+          .otherwise(dotProduct(col("qv"), col("q_qv")) / (col("qnorm") * col("q_qnorm"))), 6))
+      .select(col("vec_id"), col("label"), col("approx_cos"), col("q_embedding"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
+      .limit(10)
+    broadcast(top)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      .withColumn("exact_cos", round(cosineSim(col("embedding"), col("q_embedding")), 6))
+      .select(col("vec_id"), col("label"), col("approx_cos"), col("exact_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id"))
   }
 
   /** Per-vector BINARY signature: sign bit per dimension, packed into two
@@ -1776,6 +1842,7 @@ object VectorOps {
     "q_radius_dot" -> (radiusDot _),
     "q_mmr_rerank" -> (mmrRerank _),
     "q_sq8_knn" -> (sq8Knn _),
+    "q_sq8_persisted" -> (sq8Persisted _),
     "q_bq_knn" -> (bqKnn _),
     "q_recall_eval" -> (recallEval _),
     "q_stratified_sample" -> (stratifiedSample _),
@@ -1852,6 +1919,9 @@ object VectorOps {
     "q_radius_dot" -> radiusDotSql,
     "q_mmr_rerank" -> mmrRerankSql,
     "q_sq8_knn" -> sq8KnnSql,
+    // q_sq8_persisted: q_sq8_knn's oracle verbatim — the persisted INT8
+    // codes must serve the identical ranking
+    "q_sq8_persisted" -> sq8KnnSql,
     "q_bq_knn" -> bqKnnSql,
     "q_recall_eval" -> recallEvalSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -77,6 +77,20 @@ class KnnAndUpsertSpec extends SparkSpecBase with Matchers {
     rows.map(_.getAs[Long]("vec_id")).count(exact.contains) should be >= 8
   }
 
+  test("q_sq8_persisted: INT8 codes round-trip exactly and the persisted store serves q_sq8_knn's identical ranking") {
+    val persisted = VectorOps.sq8Persisted(spark, sfDir).collect().map(_.toString).toSeq
+    val inMemory = VectorOps.sq8Knn(spark, sfDir).collect().map(_.toString).toSeq
+    persisted shouldBe inMemory
+    // the stored artifact really is the 1-byte-per-dim page: tinyint
+    // element type, and every code within the symmetric int8 range
+    val store = spark.read.parquet(VectorOps.ensureSq8(spark, sfDir))
+    store.schema("qcode").dataType shouldBe
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true)
+    import org.apache.spark.sql.functions.{array_max, array_min, col, greatest, abs => sabs}
+    store.select(greatest(sabs(array_max(col("qcode"))), sabs(array_min(col("qcode")))).as("m"))
+      .agg(org.apache.spark.sql.functions.max(col("m"))).head().getByte(0).toInt should be <= 127
+  }
+
   test("fetch returns exactly the requested id (point lookup)") {
     val r = KnnSearch.fetch(emb, 42L).collect()
     r.length shouldBe 1
