@@ -182,7 +182,15 @@ object IncrementalAudit {
       if (!Files.exists(Paths.get(InvertedIndex.impactsPathOf(layout))))
         zeroRow(spark, "inverted", "impacts_bound_postings")
       else {
-        val impCmp = post.groupBy(col("w"))
+        // bounds cover the SCORABLE postings — tombstones masked, the
+        // deep audit's refreshImpacts-aware refinement
+        val scorable =
+          if (InvertedIndex.hasParquet(InvertedIndex.tombDirOf(layout)))
+            post.join(broadcast(
+              spark.read.parquet(InvertedIndex.tombDirOf(layout).toString)
+                .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          else post
+        val impCmp = scorable.groupBy(col("w"))
           .agg(max(col("tf")).as("atf"), min(col("dl")).as("adl"))
           .join(spark.read.parquet(InvertedIndex.impactsPathOf(layout))
               .filter(col("tbucket").isin(tb: _*))

@@ -75,7 +75,7 @@ object InvertedIndex {
   /** Doc-level tombstones (doc_id) — the Lucene deleted-docs discipline:
     * a delete writes ids here (batch-proportional metadata), the read
     * path masks them, vacuum folds them into the physical layout. */
-  private def tombDirOf(layout: Layout): java.nio.file.Path =
+  private[sources] def tombDirOf(layout: Layout): java.nio.file.Path =
     Paths.get(layout.dataPath).getParent.resolve("deletes")
 
   /** Doc-hash partition fanout of the FOOTPRINT sidecar — sized like
@@ -113,7 +113,7 @@ object InvertedIndex {
   private[sources] def impactsPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("impacts").toString
 
-  private def hasParquet(dir: java.nio.file.Path): Boolean =
+  private[sources] def hasParquet(dir: java.nio.file.Path): Boolean =
     Files.exists(dir) && {
       val s = Files.list(dir)
       try s.anyMatch(p => p.toString.endsWith(".parquet"))
@@ -705,7 +705,17 @@ object InvertedIndex {
         Seq("doc_id", "tbucket"), "full_outer")
     val d4 = row("footprint_matches_postings",
       sum(when(col("p").isNull || col("f").isNull, 1L).otherwise(0L)), footCmp)
-    val impCmp = post.groupBy(col("w"))
+    // impacts bound the SCORABLE postings (tombstones masked): the
+    // invariant's purpose is MaxScore validity, and the scorer masks
+    // tombstoned rows before ranking — so a [[refreshImpacts]] bound
+    // tighter than a dead row's tf is healthy, not drift. On a
+    // vacuumed store the masked and physical views coincide.
+    val scorable =
+      if (hasParquet(tombDirOf(layout)))
+        post.join(broadcast(spark.read.parquet(tombDirOf(layout).toString)
+          .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else post
+    val impCmp = scorable.groupBy(col("w"))
       .agg(max(col("tf")).as("atf"), min(col("dl")).as("adl"))
       .join(spark.read.parquet(impactsPathOf(layout))
           .select(col("w"), col("tf_max"), col("dl_min")),
@@ -988,6 +998,58 @@ object InvertedIndex {
       stagedSwap(mergedStats.coalesce(1), layout.statsPath)
       fresh.select(col("doc_id")).coalesce(1)
         .write.mode("append").parquet(tombDir.toString)
+    }
+  }
+
+  /** Exact TOUCHED-BUCKET refresh of the impact bounds under pending
+    * tombstones — the churn-era MaxScore maintenance op. Deletes leave
+    * (tf_max, dl_min) valid-but-stale (an upper bound over a superset
+    * still bounds the subset), which is correct but loosens pruning:
+    * if the deleted docs held a term's extremes, its ub stays inflated,
+    * the threshold-beating essential prefix grows, and the candidate
+    * set with it. Lucene's per-segment-static discipline refreshes at
+    * merge (our [[vacuum]]); this op is the between-vacuums form a
+    * deployment schedules when the measured pruning ratio degrades:
+    * discovery via the footprint sidecar (∝ the tombstones' dbucket
+    * shards), then an exact max/min recompute over ONLY the touched
+    * tbuckets' LIVE postings (tombstones masked), dynamic-overwritten.
+    * Never wired into [[deleteDocs]] itself — a delete stays O(batch)
+    * metadata; tightness is bought explicitly, like compaction.
+    * Serving results are bound-invariant either way (MaxScore is exact
+    * under any VALID bound — spec-gated); only the candidate volume
+    * changes. */
+  def refreshImpacts(spark: SparkSession, layout: Layout): Unit = {
+    import spark.implicits._
+    val tombDir = tombDirOf(layout)
+    if (!hasParquet(tombDir)) return // add-only merges keep bounds exact
+    if (!Files.exists(Paths.get(impactsPathOf(layout)))) return
+    ensureFootprint(spark, layout)
+    val tomb = spark.read.parquet(tombDir.toString).select(col("doc_id"))
+      .localCheckpoint(eager = true)
+    val dbuckets = tomb.select(dbucketCol(col("doc_id")).as("b")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    val touched = spark.read.parquet(footprintPathOf(layout))
+      .filter(col("dbucket").isin(dbuckets: _*))
+      .join(broadcast(tomb), Seq("doc_id"))
+      .select(col("tbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (touched.isEmpty) return
+    val freshImp = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(touched: _*))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .groupBy(col("w")).agg(max(col("tf")).as("tf_max"),
+        min(col("dl")).as("dl_min"))
+      .withColumn("tbucket", bucketCol(col("w")))
+      .repartition(col("tbucket"))
+      .localCheckpoint(eager = true)
+    val written = freshImp.select(col("tbucket")).distinct()
+      .as[Long].collect().toSet
+    freshImp.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("tbucket").parquet(impactsPathOf(layout))
+    touched.filterNot(written.contains).foreach { b =>
+      Maintenance.deleteRecursively(
+        Paths.get(impactsPathOf(layout)).resolve(s"tbucket=$b"))
     }
   }
 

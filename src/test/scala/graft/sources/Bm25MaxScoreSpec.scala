@@ -76,4 +76,55 @@ class Bm25MaxScoreSpec extends SparkSpecBase with Matchers {
     rows(InvertedIndex.maxScorePlan(spark, layout)._2) shouldBe
       rows(InvertedIndex.bm25Over(spark, layout))
   }
+
+  test("refreshImpacts tightens stale bounds exactly under pending tombstones; serving is bound-invariant; the audit accepts the tighter bounds") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "maxscore-refresh")
+    // force the impacts sidecar into existence BEFORE the delete so the
+    // staleness being refreshed is real
+    rows(InvertedIndex.maxScorePlan(spark, layout)._2)
+    val dead = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 1).select(col("doc_id"))
+    InvertedIndex.deleteDocs(spark, layout, dead)
+    def candidateVolume(): Long = {
+      val (essential, _) = InvertedIndex.maxScorePlan(spark, layout)
+      spark.read.parquet(layout.dataPath)
+        .filter(col("w").isin(essential: _*))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).distinct().count()
+    }
+    val before = rows(InvertedIndex.maxScorePlan(spark, layout)._2)
+    val volBefore = candidateVolume()
+    InvertedIndex.refreshImpacts(spark, layout)
+    // serving is exact under any VALID bound — identical before/after
+    rows(InvertedIndex.maxScorePlan(spark, layout)._2) shouldBe before
+    // tighter bounds can only shrink (never grow) the candidate set
+    candidateVolume() should be <= volBefore
+    // the refreshed bounds EQUAL the live-posting extremes in every
+    // touched bucket — exactness, not just validity
+    val live = spark.read.parquet(layout.dataPath)
+      .join(dead, Seq("doc_id"), "left_anti")
+      .groupBy(col("w")).agg(max(col("tf")).as("etf"), min(col("dl")).as("edl"))
+    val impRoot = java.nio.file.Paths.get(layout.dataPath).getParent
+      .resolve("impacts").toString
+    val drift = spark.read.parquet(impRoot)
+      .select(col("w"), col("tf_max"), col("dl_min"))
+      .join(live, Seq("w"))
+      .filter(col("tf_max") =!= col("etf") || col("dl_min") =!= col("edl"))
+    // only UNTOUCHED buckets may keep stale (still-valid) bounds: every
+    // drifted term must live in a bucket the dead docs never touched
+    val touched = spark.read.parquet(layout.dataPath)
+      .join(dead, Seq("doc_id"), "left_semi")
+      .select(col("tbucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    drift.select(InvertedIndex.bucketCol(col("w")).as("b")).distinct()
+      .collect().map(_.getLong(0)).foreach { b =>
+      withClue(s"touched bucket $b kept a stale bound: ") {
+        touched should not contain b
+      }
+    }
+    // the masked-postings audit invariant accepts the tighter bounds
+    InvertedIndex.auditFrame(spark, layout).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+      .apply("impacts_bound_postings") shouldBe 0L
+  }
 }
