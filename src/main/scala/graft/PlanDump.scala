@@ -136,7 +136,14 @@ object PlanDump {
     "q_phrase",
     // round-13 third wave: the keymap-served point lookup — the fetch
     // ids' locations become a literal PartitionFilter on the index scan
-    "q_fetch_indexed")
+    "q_fetch_indexed",
+    // round-14: the SQL-replayable flagship (sparse integer embed +
+    // broadcast query-side join, no UDF), the gap-window proximity join
+    // (two pruned positional scans, doc_id hash join + range residual),
+    // the boolean MUST/MUST_NOT composition (presence distinct-count +
+    // negative anti-join feeding the restricted rank), and the persisted
+    // INT8 code serve (tinyint pages scanned, winners-only exact rerank)
+    "q_embed_knn_sql", "q_phrase_slop", "q_bm25_bool", "q_sq8_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
