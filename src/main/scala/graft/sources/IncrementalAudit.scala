@@ -289,6 +289,88 @@ object IncrementalAudit {
     out
   }
 
+  /** Baseline the watermark for a persisted VECTOR index (data +
+    * keymap stores). Single-level partition layouts only — the shape
+    * every cataloged index in this engine uses; a multi-level layout
+    * falls back to the deep audit. */
+  def baselineVector(basePath: String, name: String): Unit = {
+    val root = Paths.get(basePath, name)
+    writeWatermark(root, 0L, inventory(vectorStores(basePath, name)))
+  }
+
+  private def vectorStores(basePath: String, name: String): Map[String, String] = Map(
+    "data" -> Paths.get(basePath, name, "data").toString,
+    "keymap" -> Paths.get(basePath, name, "keymap").toString)
+
+  /** Partition-dir NAMES (e.g. "bucket=3") whose file list changed. */
+  private def touchedDirs(store: String,
+                          cur: Map[String, Map[String, Seq[String]]],
+                          prev: Map[String, Map[String, Seq[String]]]): Seq[String] = {
+    val c = cur.getOrElse(store, Map.empty)
+    val p = prev.getOrElse(store, Map.empty)
+    c.collect { case (dir, files) if p.get(dir) != Some(files) => dir }
+      .toSeq.distinct.sorted
+  }
+
+  /** Incremental audit of one vector index: the deep
+    * keymap_mirrors_data invariant split into its two PRUNABLE
+    * directions —
+    *  - keymap_covers_data: every row in a TOUCHED data partition has
+    *    its (key, location) in the keymap, read pruned to those keys'
+    *    kbuckets (a miss is the corrupting direction: later discovery
+    *    would not find the row);
+    *  - keymap_entries_live: every entry in a TOUCHED kbucket shard
+    *    names a physical row, the data read pruned to the entries'
+    *    named partitions (a standing surplus is crash-residue drift).
+    * Each direction reads only churned shards plus the epoch's
+    * refresher (one data partition by dir order, one kbucket). */
+  def auditVector(spark: SparkSession, basePath: String, name: String,
+                  keyCol: String = "vec_id"): DataFrame = {
+    val root = Paths.get(basePath, name)
+    val partitionCols = IndexCatalog.partitionLayout(basePath, name)
+    require(partitionCols.length == 1,
+      s"incremental vector audit supports single-level layouts; $name has " +
+        partitionCols.mkString("/") + " — run the deep auditFrame instead")
+    val pc = partitionCols.head
+    val cur = inventory(vectorStores(basePath, name))
+    val (epoch, prev) = readWatermark(root).getOrElse((0L, Map.empty[String, Map[String, Seq[String]]]))
+    val allDataDirs = cur.getOrElse("data", Map.empty).keys.toSeq.sorted
+    val refreshDir =
+      if (allDataDirs.isEmpty) Nil
+      else Seq(allDataDirs((epoch % allDataDirs.size).toInt))
+    val tDirs = (touchedDirs("data", cur, prev) ++ refreshDir).distinct.sorted
+    val kb = (touched("keymap", cur, prev) :+ epoch % IndexCatalog.KeyBuckets)
+      .distinct.sorted
+    val idx = IndexCatalog.loadRaw(spark, basePath, name)
+    def dirPred(dirs: Seq[String]) = dirs
+      .map(d => col(pc) <=> lit(d.dropWhile(_ != '=').drop(1)).cast(idx.schema(pc).dataType))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val km = spark.read.parquet(Paths.get(basePath, name, "keymap").toString)
+    // data → keymap direction over the touched partitions
+    val dataT = idx.filter(dirPred(tDirs))
+      .select(col(keyCol), col(pc).cast("string").as(pc))
+      .distinct().localCheckpoint(true)
+    val dataKb = dataT
+      .select(pmod(xxhash64(col(keyCol).cast(km.schema(keyCol).dataType)),
+        lit(IndexCatalog.KeyBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+    val kmForData = km.filter(col("kbucket").isin(dataKb: _*)).drop("kbucket")
+    val v1 = countRow("vector", "keymap_covers_data", count(lit(1)),
+      dataT.join(kmForData, Seq(keyCol, pc), "left_anti"))
+    // keymap → data direction over the touched kbucket shards
+    val kmT = km.filter(col("kbucket").isin(kb: _*)).drop("kbucket")
+      .localCheckpoint(true)
+    val namedDirs = kmT.select(col(pc)).distinct()
+      .collect().map(r => s"$pc=${r.getString(0)}").toSeq
+    val dataForKm = idx.filter(dirPred(namedDirs))
+      .select(col(keyCol), col(pc).cast("string").as(pc)).distinct()
+    val v2 = countRow("vector", "keymap_entries_live", count(lit(1)),
+      kmT.join(dataForKm, Seq(keyCol, pc), "left_anti"))
+    val out = v1.unionByName(v2).localCheckpoint(true)
+    writeWatermark(root, epoch + 1, cur)
+    out
+  }
+
   /** Q-index-audit-incr: the churn-proportional audit end-to-end — clone
     * the two richest artifacts warm, BASELINE their watermarks (the
     * publish-time move), apply the standard corpus-growth batch to each
@@ -309,8 +391,23 @@ object IncrementalAudit {
     val mh = MinhashIndex.cloneIndex(spark, dir, "audit-incr-mh")
     baselineMinhash(mh)
     MinhashIndex.upsertDocs(spark, mh, twins)
+    // vector artifact: a scratch maintained index (the indexRepair
+    // lifecycle shape), churned by one real upsert batch
+    val vBase = graft.Scratch.dir("audit-incr-vec")
+    val vName = "aincr-index"
+    IndexCatalog.createIfAbsent(spark, vBase,
+      IndexCatalog.IndexDescriptor(vName, 64, "cosine"),
+      graft.Tables.embeddings(spark, dir))
+    IndexCatalog.ensureKeymap(spark, vBase, vName, "vec_id")
+    baselineVector(vBase, vName)
+    val vBatch = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select((col("vec_id") + InvertedIndex.UpsertIdOffset).as("vec_id"),
+        col("embedding"), col("label"))
+    IndexCatalog.upsertInto(spark, vBase, vName, vBatch, "vec_id")
     auditInverted(spark, inv)
       .unionByName(auditMinhash(spark, mh))
+      .unionByName(auditVector(spark, vBase, vName))
       .orderBy(col("artifact"), col("invariant"))
   }
 
@@ -322,7 +419,9 @@ object IncrementalAudit {
       |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_cover_sigs', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_have_sigs', CAST(0 AS BIGINT)),
-      |  ('minhash', 'sig_width', CAST(0 AS BIGINT))
+      |  ('minhash', 'sig_width', CAST(0 AS BIGINT)),
+      |  ('vector', 'keymap_covers_data', CAST(0 AS BIGINT)),
+      |  ('vector', 'keymap_entries_live', CAST(0 AS BIGINT))
       |) t(artifact, invariant, violations)
       |ORDER BY artifact, invariant""".stripMargin
 

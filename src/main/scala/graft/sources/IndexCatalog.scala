@@ -162,7 +162,7 @@ object IndexCatalog {
   /** The physical rows on disk, including rows hidden by pending
     * tombstones — maintenance paths (vacuum, upsert discovery) need the
     * physical view; every user-facing read goes through [[load]]. */
-  private def loadRaw(spark: SparkSession, basePath: String, name: String): DataFrame =
+  private[sources] def loadRaw(spark: SparkSession, basePath: String, name: String): DataFrame =
     spark.read.parquet(Paths.get(basePath, name, "data").toString)
 
   /** Logical view of the index: physical rows minus pending tombstones.

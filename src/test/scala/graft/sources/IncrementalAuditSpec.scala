@@ -29,8 +29,63 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
     val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
-    rows should have length 7
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(7)(0L)
+    rows should have length 9
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(9)(0L)
+  }
+
+  test("vector sensitivity: a phantom entry planted in a TOUCHED kbucket flags keymap_entries_live; a provably-unreachable garbage shard is never read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit => slit}
+    import graft.sources.IndexCatalog.IndexDescriptor
+    val base = Files.createTempDirectory("graft-aincr-vec").toString
+    val data = (0L until 80L).map(k => (k, Array(k.toFloat, 1f), 0, k % 8))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexDescriptor("vs", 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    IndexCatalog.ensureKeymap(spark, base, "vs", "vec_id")
+    IncrementalAudit.baselineVector(base, "vs")
+    // real churn: one upsert moving key 0 from bucket 0 to bucket 3
+    IndexCatalog.upsertInto(spark, base, "vs",
+      Seq((0L, Array(9f, 9f), 0, 3L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    // plant a phantom entry for key 0 (its kbucket WAS touched by the
+    // upsert) naming a location no physical row has
+    val b0 = spark.range(1)
+      .select(pmod(xxhash64(slit(0L)), slit(IndexCatalog.KeyBuckets.toLong)))
+      .head().getLong(0)
+    Seq((0L, "2")).toDF("vec_id", "bucket").coalesce(1)
+      .write.mode("append")
+      .parquet(Paths.get(base, "vs", "keymap", s"kbucket=$b0").toString)
+    // compute exactly which data partitions THIS audit may read:
+    // churned dirs (0 and 3) + the epoch-0 refresher (path-order first
+    // dir) + every bucket NAMED by an entry in a touched kbucket shard
+    // (b0's + the phantom's "2" + refresher kbucket 0's entries) — then
+    // corrupt a shard OUTSIDE that set with garbage bytes: a green run
+    // PROVES the scan never opened it
+    val kmAll = spark.read.parquet(Paths.get(base, "vs", "keymap").toString)
+    val named = kmAll
+      .withColumn("kb", pmod(xxhash64(org.apache.spark.sql.functions.col("vec_id")),
+        slit(IndexCatalog.KeyBuckets.toLong)))
+      .filter(org.apache.spark.sql.functions.col("kb").isin(b0, 0L))
+      .select("bucket").distinct().collect().map(_.getString(0)).toSet
+    val reachable = named.map(v => s"bucket=$v") ++
+      Set("bucket=0", "bucket=3") // churned + epoch-0 dir refresher
+    val victimDir = (0 until 8).map(b => s"bucket=$b")
+      .filterNot(reachable.contains).lastOption
+      .getOrElse(fail("every partition reachable — enlarge the fixture"))
+    val victim = {
+      val s = Files.list(Paths.get(base, "vs", "data", victimDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally s.close()
+    }
+    Files.write(victim, "garbage".getBytes)
+    val audit = IncrementalAudit.auditVector(spark, base, "vs").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    audit("keymap_entries_live") should be > 0L
+    audit("keymap_covers_data") shouldBe 0L
   }
 
   test("sensitivity: a dict corruption in a TOUCHED tbucket flags dict_df_matches_postings") {
