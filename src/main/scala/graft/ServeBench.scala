@@ -88,6 +88,14 @@ object ServeBench {
       IndexCatalog.fetchByIds(spark, vecBase, vecName, ids.toDF("vec_id"))
         .select(col("vec_id"), col("label")).collect()
     }
+    // the same lookup through the serving-tier keymap cache — the
+    // stateless-vs-resident latency delta IS the measurement
+    def fetchHotReq(i: Int): Unit = {
+      import spark.implicits._
+      val ids = Seq.tabulate(4)(j => ((i * 13 + j * 7) % 500).toLong)
+      IndexCatalog.fetchByIdsServing(spark, vecBase, vecName, ids.toDF("vec_id"))
+        .select(col("vec_id"), col("label")).collect()
+    }
     def annReq(i: Int): Unit = {
       import spark.implicits._
       val (qid, qv) = qBlock(i % qBlock.length)
@@ -106,7 +114,8 @@ object ServeBench {
         terms = termSets(i % termSets.size)).collect()
 
     val families: Seq[(String, Int => Unit)] =
-      Seq("fetch" -> (fetchReq _), "ann" -> (annReq _), "bm25" -> (bm25Req _))
+      Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
+        "ann" -> (annReq _), "bm25" -> (bm25Req _))
 
     // ---- drive ---------------------------------------------------------
     val results = for ((fam, req) <- families; n <- Levels) yield {

@@ -917,6 +917,36 @@ object IndexCatalog {
       .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
   }
 
+  /** [[fetchByIds]] through the SERVING-TIER keymap cache
+    * ([[ServingCache]]): identical rows, the per-request keymap
+    * listing/footer/scan job replaced by a broadcast semi-join against
+    * the memory-resident frame — the latency shape a serving deployment
+    * runs with (ServeBench's fetch_hot family measures the difference).
+    * Stateless correctness is preserved by the cache's filesystem stamp:
+    * any maintenance write to the keymap swaps the cached frame before
+    * the next request reads it. Falls back exactly like fetchByIds when
+    * no keymap exists. */
+  def fetchByIdsServing(spark: SparkSession, basePath: String, name: String,
+                        keys: DataFrame, keyCol: String = "vec_id"): DataFrame = {
+    val idx = load(spark, basePath, name)
+    if (!hasKeymap(basePath, name))
+      return idx.join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val partitionCols = partitionLayout(basePath, name)
+    val km = ServingCache.keymap(spark, basePath, name)
+    val locs = km.drop("kbucket")
+      .join(broadcast(alignKeys(keys, keyCol, km)), Seq(keyCol), "left_semi")
+    val locValues = castLocations(locs, idx, partitionCols)
+      .distinct().collect().map(_.toSeq)
+    if (locValues.isEmpty) return idx.filter(lit(false))
+    val pred = locValues.map { values =>
+      partitionCols.zip(values)
+        .map { case (c, v) => col(c) <=> lit(v) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    idx.filter(pred)
+      .join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
+  }
+
   /** Physical-layer invariants for a persisted vector index — the
     * InvertedIndex.auditFrame discipline applied to the catalog's own
     * artifact (artifact column `vector`), one row per invariant with a

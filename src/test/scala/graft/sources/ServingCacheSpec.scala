@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the serving-tier keymap cache (ServingCache +
+  * IndexCatalog.fetchByIdsServing): identical rows to the stateless
+  * fetch, and — the part a cache can get WRONG — staleness: any
+  * maintenance write (upsert move, tombstone, vacuum) must be visible
+  * to the very next cached request, enforced by the filesystem stamp,
+  * never by a TTL. */
+class ServingCacheSpec extends SparkSpecBase with Matchers {
+
+  private def buildIndex(base: String, name: String): Unit = {
+    import spark.implicits._
+    val data = (0 until 50).map { i =>
+      (i.toLong, Array(i.toFloat, 1f), i % 3, (i % 5).toLong)
+    }.toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexCatalog.IndexDescriptor(name, 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    IndexCatalog.ensureKeymap(spark, base, name, "vec_id")
+  }
+
+  test("cached fetch equals the stateless fetch; maintenance invalidates by stamp, not TTL") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-scache").toString
+    buildIndex(base, "sc")
+    val ids = Seq(3L, 17L, 42L, 99999L).toDF("vec_id")
+    def hot() = IndexCatalog.fetchByIdsServing(spark, base, "sc", ids)
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    def cold() = IndexCatalog.fetchByIds(spark, base, "sc", ids)
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    hot() shouldBe cold()
+    // the cache is primed; a second call must reuse the SAME frame
+    val km1 = ServingCache.keymap(spark, base, "sc")
+    ServingCache.keymap(spark, base, "sc") should be theSameInstanceAs km1
+    // maintenance moves key 3 from bucket 3 to bucket 4 — the keymap
+    // shards rewrote, so the stamp moves and the NEXT cached request
+    // serves the new location with no explicit invalidation call
+    IndexCatalog.upsertInto(spark, base, "sc",
+      Seq((3L, Array(8f, 8f), 0, 4L)).toDF("vec_id", "embedding", "label", "bucket"),
+      "vec_id")
+    ServingCache.keymap(spark, base, "sc") shouldNot be theSameInstanceAs km1
+    hot() shouldBe cold()
+    hot().exists(_.contains("8.0")) shouldBe true // the moved row, new payload
+    // tombstones hide through load() semantics — cache uninvolved, but
+    // the cached path must agree with the stateless one immediately
+    IndexCatalog.tombstone(spark, base, "sc", Seq(17L).toDF("vec_id"))
+    hot().count(_.contains("17")) shouldBe 0
+    hot() shouldBe cold()
+    // vacuum compacts the deleted key's entries (a keymap write): stamp
+    // moves again, both paths still agree
+    IndexCatalog.vacuumTombstones(spark, base, "sc")
+    hot() shouldBe cold()
+    ServingCache.invalidate(base, "sc")
+  }
+
+  test("a keymap-less index falls back to the semi-join scan without writing anything") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-scache-nokm").toString
+    val data = (0 until 10).map(i => (i.toLong, Array(i.toFloat, 1f), 0, (i % 2).toLong))
+      .toDF("vec_id", "embedding", "label", "bucket")
+    IndexCatalog.createIfAbsent(spark, base,
+      IndexCatalog.IndexDescriptor("nk", 2, "cosine"), data,
+      partitionCols = Seq("bucket")) shouldBe true
+    IndexCatalog.fetchByIdsServing(spark, base, "nk", Seq(1L, 7L).toDF("vec_id"))
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 7L)
+    IndexCatalog.hasKeymap(base, "nk") shouldBe false
+  }
+}
