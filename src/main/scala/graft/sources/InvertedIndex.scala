@@ -123,6 +123,27 @@ object InvertedIndex {
   private[graft] def bucketCol(term: org.apache.spark.sql.Column) =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
+  /** DRIVER-SIDE twin of [[bucketCol]] — the same Catalyst XxHash64
+    * kernel evaluated eagerly (seed 42, Spark's xxhash64 default), so a
+    * query's ≤|terms| bucket ids are computed in nanoseconds instead of
+    * a one-row Spark job per request. Bit-parity with the column form is
+    * spec-gated over every distinct corpus term (a divergence would make
+    * the pruned scan silently miss a term's bucket). Serving-latency
+    * math: the old `terms.toDF.collect()` cost one scheduler round-trip
+    * (~50–100 ms at local concurrency) before any data was touched — on
+    * the serve path that job WAS the floor. */
+  private[graft] def bucketOf(term: String): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    ((h % TermBuckets) + TermBuckets) % TermBuckets
+  }
+
+  private[graft] def bucketsOf(terms: Seq[String]): Seq[Long] =
+    terms.distinct.map(bucketOf).distinct.sorted
+
   /** The index's on-disk locations. */
   case class Layout(dataPath: String, dictPath: String, statsPath: String)
 
@@ -289,8 +310,7 @@ object InvertedIndex {
                               restrictTo: Option[DataFrame] = None,
                               terms: Seq[String] = TextOps.Bm25Terms): DataFrame = {
     import spark.implicits._
-    val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
-      .distinct().as[Long].collect().toSeq
+    val buckets = bucketsOf(terms)
     // term-filtered postings BEFORE tombstone/exclusion masking: the df
     // correction below must count every stored posting of a query term,
     // exactly as the dict's df counted them at build
@@ -383,8 +403,7 @@ object InvertedIndex {
                                   terms: Seq[String] = TextOps.Bm25Terms)
       : (Seq[String], DataFrame) = {
     import spark.implicits._
-    val buckets = terms.toDF("w").select(bucketCol(col("w")).as("b"))
-      .distinct().as[Long].collect().toSeq
+    val buckets = bucketsOf(terms)
     ensureImpacts(spark, layout)
     // corrected per-term df — the bm25Over read path's exact arithmetic
     val dict0 = spark.read.parquet(layout.dictPath)
@@ -480,8 +499,7 @@ object InvertedIndex {
                                 words: Seq[String], k: Int = 10): DataFrame = {
     require(words.size >= 2, "a phrase is at least two words")
     import spark.implicits._
-    val buckets = words.distinct.toDF("w").select(bucketCol(col("w")).as("b"))
-      .distinct().as[Long].collect().toSeq
+    val buckets = bucketsOf(words)
     val pos0 = spark.read.parquet(positionsPathOf(layout))
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(words.distinct: _*))
     val tombDir = tombDirOf(layout)
@@ -531,8 +549,7 @@ object InvertedIndex {
                                    k: Int = 10): DataFrame = {
     import spark.implicits._
     val words = Seq(w1, w2).distinct
-    val buckets = words.toDF("w").select(bucketCol(col("w")).as("b"))
-      .distinct().as[Long].collect().toSeq
+    val buckets = bucketsOf(Seq(w1, w2))
     val pos0 = spark.read.parquet(positionsPathOf(layout))
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(words: _*))
     val tombDir = tombDirOf(layout)
@@ -596,8 +613,7 @@ object InvertedIndex {
                               k: Int = 10): DataFrame = {
     import spark.implicits._
     val all = (must ++ mustNot).distinct
-    val buckets = all.toDF("w").select(bucketCol(col("w")).as("b"))
-      .distinct().as[Long].collect().toSeq
+    val buckets = bucketsOf(all)
     val post0 = spark.read.parquet(layout.dataPath)
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(all: _*))
     val tombOpt =

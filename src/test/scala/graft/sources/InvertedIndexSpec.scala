@@ -394,6 +394,35 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       .count() shouldBe 0L
   }
 
+  test("driver-side bucketOf bit-matches the in-plan bucketCol for every distinct corpus term") {
+    import org.apache.spark.sql.functions.{col, explode, split, trim}
+    // a divergence would make the pruned serve scan silently miss a
+    // term's bucket — gate it over the FULL vocabulary, not samples
+    val terms = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct()
+      .select(col("w"), InvertedIndex.bucketCol(col("w")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    terms.length should be > 20 // the synthetic corpus draws from a ~31-word pool
+    terms.foreach { case (w, b) =>
+      withClue(s"term '$w': ") { InvertedIndex.bucketOf(w) shouldBe b }
+    }
+    // widen past the corpus vocabulary: 500 seeded random strings
+    // (mixed lengths, unicode included) through both kernels
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val synth = (1 to 500).map { _ =>
+      val len = 1 + rnd.nextInt(24)
+      new String((1 to len).map(_ => (rnd.nextInt(0x2FF) + 1).toChar).toArray)
+    }
+    val viaPlan = synth.toDF("w")
+      .select(col("w"), InvertedIndex.bucketCol(col("w")).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    viaPlan.foreach { case (w, b) =>
+      withClue(s"synthetic term: ") { InvertedIndex.bucketOf(w) shouldBe b }
+    }
+  }
+
   test("an index persisted under an older layout generation self-heals on ensure()") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val marker = Paths.get(IndexCatalog.cacheBase(sfDir),
