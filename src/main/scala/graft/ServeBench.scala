@@ -125,20 +125,29 @@ object ServeBench {
       val t0 = System.nanoTime()
       (0 until n).foreach { tid =>
         pool.submit(new Runnable {
+          // per-REQUEST try/catch: a failure records ITS -1 sentinel and
+          // the loop continues, so the failed count equals lost requests
+          // and p50/p95/qps are never computed over a silently reduced
+          // sample (a thread-level abort under-counted by ReqsPerThread-1)
           def run(): Unit = try {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$tid")
-            req(tid * 1000) // warmup, untimed
+            try req(tid * 1000) // warmup, untimed
+            catch { case e: Throwable =>
+              System.err.println(s"[serve] $fam@$n thread $tid warmup failed: ${e.getMessage}")
+            }
             var i = 0
             while (i < ReqsPerThread) {
               val s = System.nanoTime()
-              req(tid * 1000 + i + 1)
-              latencies.add((System.nanoTime() - s) / 1e6)
+              try {
+                req(tid * 1000 + i + 1)
+                latencies.add((System.nanoTime() - s) / 1e6)
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[serve] $fam@$n thread $tid req $i failed: ${e.getMessage}")
+                  latencies.add(-1.0)
+              }
               i += 1
             }
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[serve] $fam@$n thread $tid failed: ${e.getMessage}")
-              latencies.add(-1.0)
           } finally done.countDown()
         })
       }

@@ -1017,13 +1017,27 @@ object VectorOps {
     val marker = root.resolve("_sq8_index.json")
     if (!Files.exists(marker)) {
       Files.createDirectories(root)
+      // STAGE + atomic publish (the ensureLens v4 protocol): two
+      // concurrent first callers — e.g. parallel sessions over the same
+      // shared SF cache — never interleave mode=overwrite writes into
+      // the final path; the loser's rename finds the store published and
+      // stands down, so a reader can never see a partial code store
+      val staged = root.resolve("data.staged")
+      graft.sources.Maintenance.deleteRecursively(staged)
       sq8Quantized(Tables.embeddings(spark, dir))
         .select(col("vec_id"), col("label"),
           col("qv").cast("array<tinyint>").as("qcode"), col("qnorm"))
         .repartition(col("label"))
         .write.mode("overwrite").partitionBy("label")
-        .parquet(root.resolve("data").toString)
-      Files.writeString(marker, """{"name": "emb-sq8", "kind": "sq8", "bits": 8}""")
+        .parquet(staged.toString)
+      try Files.move(staged, root.resolve("data"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          graft.sources.Maintenance.deleteRecursively(staged)
+      }
+      if (!Files.exists(marker))
+        Files.writeString(marker, """{"name": "emb-sq8", "kind": "sq8", "bits": 8}""")
     }
     root.resolve("data").toString
   }

@@ -35,12 +35,19 @@ import org.apache.spark.sql.functions._
   * so a drift between two stores is always visible from whichever side
   * changed.
   *
-  * The VECTOR artifact has no incremental arm: its two maintenance entry
-  * points write the keymap transactionally around every data rewrite
-  * (phase A superset / phase C compact — [[IndexCatalog.upsertInto]]),
-  * so keymap drift outside a crash window is a code bug the lifecycle
-  * gates catch; the deep audit covers the crash-residue case. Its
-  * incremental form would follow this exact inventory-diff recipe.
+  * The VECTOR artifact rides the same recipe ([[auditVector]]): the deep
+  * keymap_mirrors_data invariant split into its two prunable directions
+  * (keymap_covers_data over touched data partitions, keymap_entries_live
+  * over touched kbucket shards), each read pruned to the churned shards
+  * plus the epoch's refresher. The GRAPH artifact follows with
+  * [[auditGraph]] (redges-mirror and endpoint-liveness per touched
+  * storage bucket), so all five artifact kinds the engine persists have
+  * a churn-proportional arm.
+  *
+  * A run that FOUND violations does NOT advance the watermark over the
+  * flagged stores: the violating buckets stay in the touched set until
+  * they audit clean, so a dropped report never loses the signal (the
+  * at-least-once discipline extended from crash-kills to red runs).
   */
 object IncrementalAudit {
 
@@ -143,6 +150,22 @@ object IncrementalAudit {
     Seq((artifact, inv, 0L)).toDF("artifact", "invariant", "violations")
   }
 
+  /** Advance the watermark only when the MATERIALIZED result is clean:
+    * a run that flagged violations keeps the previous watermark, so the
+    * flagged buckets stay in every later run's touched set until they
+    * audit clean — a dropped report cannot silently mark a corrupt
+    * bucket 'audited' (it would otherwise be invisible to this arm until
+    * its refresher epoch or the deep pass). `out` is checkpointed by the
+    * callers, so the violation sum is a local fold, not a re-run. */
+  private def advanceIfClean(root: Path, epoch: Long,
+                             cur: Map[String, Map[String, Seq[String]]],
+                             out: DataFrame): DataFrame = {
+    val total = out.agg(coalesce(sum(col("violations")), lit(0L)))
+      .head().getLong(0)
+    if (total == 0L) writeWatermark(root, epoch + 1, cur)
+    out
+  }
+
   private def countRow(artifact: String, inv: String,
                        violations: org.apache.spark.sql.Column,
                        from: DataFrame): DataFrame =
@@ -229,8 +252,7 @@ object IncrementalAudit {
       footDocs.join(lensDocs, Seq("doc_id"), "full_outer"))
     val out = d1.unionByName(d2).unionByName(d3).unionByName(d4)
       .localCheckpoint(true) // materialize BEFORE the watermark advances
-    writeWatermark(root, epoch + 1, cur)
-    out
+    advanceIfClean(root, epoch, cur, out)
   }
 
   /** Incremental audit of one minhash layout: sig-side derivation checked
@@ -285,8 +307,7 @@ object IncrementalAudit {
           .select(col("doc_id"), col("band_idx"), col("band_hash")),
         Seq("doc_id", "band_idx", "band_hash"), "left_anti"))
     val out = m1.unionByName(m2).unionByName(m3).localCheckpoint(true)
-    writeWatermark(root, epoch + 1, cur)
-    out
+    advanceIfClean(root, epoch, cur, out)
   }
 
   /** Baseline the watermark for a persisted VECTOR index (data +
@@ -367,8 +388,7 @@ object IncrementalAudit {
     val v2 = countRow("vector", "keymap_entries_live", count(lit(1)),
       kmT.join(dataForKm, Seq(keyCol, pc), "left_anti"))
     val out = v1.unionByName(v2).localCheckpoint(true)
-    writeWatermark(root, epoch + 1, cur)
-    out
+    advanceIfClean(root, epoch, cur, out)
   }
 
   /** Q-index-audit-incr: the churn-proportional audit end-to-end — clone

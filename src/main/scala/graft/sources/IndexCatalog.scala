@@ -924,19 +924,34 @@ object IndexCatalog {
     * runs with (ServeBench's fetch_hot family measures the difference).
     * Stateless correctness is preserved by the cache's filesystem stamp:
     * any maintenance write to the keymap swaps the cached frame before
-    * the next request reads it. Falls back exactly like fetchByIds when
-    * no keymap exists. */
+    * the next request reads it. A request IN FLIGHT across a
+    * dynamic-overwrite (the same torn-read window the stateless path
+    * has — see [[ServingCache]]'s scaladoc) can lose a persisted block
+    * to eviction and recompute from deleted files: that one failure
+    * shape is closed with an invalidate-and-retry against the fresh
+    * stamp. Falls back exactly like fetchByIds when no keymap exists. */
   def fetchByIdsServing(spark: SparkSession, basePath: String, name: String,
                         keys: DataFrame, keyCol: String = "vec_id"): DataFrame = {
     val idx = load(spark, basePath, name)
     if (!hasKeymap(basePath, name))
       return idx.join(broadcast(keys.select(col(keyCol))), Seq(keyCol), "left_semi")
     val partitionCols = partitionLayout(basePath, name)
-    val km = ServingCache.keymap(spark, basePath, name)
-    val locs = km.drop("kbucket")
-      .join(broadcast(alignKeys(keys, keyCol, km)), Seq(keyCol), "left_semi")
-    val locValues = castLocations(locs, idx, partitionCols)
-      .distinct().collect().map(_.toSeq)
+    def lookup(): Array[Seq[Any]] = {
+      val km = ServingCache.keymap(spark, basePath, name)
+      val locs = km.drop("kbucket")
+        .join(broadcast(alignKeys(keys, keyCol, km)), Seq(keyCol), "left_semi")
+      castLocations(locs, idx, partitionCols).distinct().collect().map(_.toSeq)
+    }
+    def isFileGone(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        isFileGone(t.getCause))
+    val locValues =
+      try lookup()
+      catch {
+        case e: Throwable if isFileGone(e) =>
+          ServingCache.invalidate(basePath, name)
+          lookup()
+      }
     if (locValues.isEmpty) return idx.filter(lit(false))
     val pred = locValues.map { values =>
       partitionCols.zip(values)

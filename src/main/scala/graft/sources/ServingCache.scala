@@ -32,7 +32,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scope: this is a READ-side accelerator only. Maintenance
   * (upsertInto/vacuumTombstones) keeps reading the files directly —
-  * correctness there must never depend on cache coherence. */
+  * correctness there must never depend on cache coherence.
+  *
+  * IN-FLIGHT window: a request that obtained its frame just before a
+  * dynamic-overwrite can still execute against files the rewrite
+  * deleted (a persisted block evicted mid-request recomputes from
+  * now-missing files and fails). This is the SAME torn-read window the
+  * stateless path has — Spark snapshots a parquet read's file list at
+  * plan time, not its bytes — so the cache narrows nothing and widens
+  * nothing; [[IndexCatalog.fetchByIdsServing]] closes the common case
+  * with one invalidate-and-retry on FileNotFoundException. Requests
+  * that START after the maintenance write always see the new stamp. */
 object ServingCache {
 
   private case class Entry(stamp: String, df: DataFrame)
@@ -68,23 +78,42 @@ object ServingCache {
   }
 
   /** The keymap frame for (basePath, name), persisted in cluster memory
-    * and swapped on stamp change. Thread-safe: concurrent first readers
-    * may both build, the loser's frame is unpersisted by the winner's
-    * compute (ConcurrentHashMap#compute runs atomically per key). */
+    * and swapped on stamp change. The BUILD (read + persist + count — a
+    * Spark job) runs OUTSIDE the map's bin lock: holding a
+    * ConcurrentHashMap#compute lock across a cluster job would serialize
+    * every concurrent caller of this key behind one build. The SWAP then
+    * re-reads the stamp INSIDE the compute closure (filesystem metadata
+    * only — cheap under the lock) and publishes only when the fresh
+    * stamp still equals the one the build started from: a thread holding
+    * a pre-maintenance stamp that runs compute LAST can therefore never
+    * unpersist a just-refreshed entry and re-cache stale-stamped data.
+    * A build that lost the race (stamp moved mid-build, or another
+    * thread published first) serves its OWN frame to its caller —
+    * correct snapshot semantics, identical to a stateless read — without
+    * caching it. */
   def keymap(spark: SparkSession, basePath: String, name: String): DataFrame = {
     val dir = Paths.get(basePath, name, "keymap")
     val key = dir.toString
-    val stamp = stampOf(dir)
+    val stamp0 = stampOf(dir)
+    val cached = entries.get(key)
+    if (cached != null && cached.stamp == stamp0) return cached.df
+    // build outside any lock
+    val fresh = spark.read.parquet(dir.toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fresh.count() // materialize now: the first REQUEST must not pay the build
+    var out: Entry = null
     entries.compute(key, (_, old) => {
-      if (old != null && old.stamp == stamp) old
-      else {
+      val stampNow = stampOf(dir)
+      if (old != null && old.stamp == stampNow) { out = old; old }
+      else if (stampNow == stamp0) {
         if (old != null) old.df.unpersist(blocking = false)
-        val df = spark.read.parquet(dir.toString)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count() // materialize now: the first REQUEST must not pay the build
-        Entry(stamp, df)
-      }
-    }).df
+        out = Entry(stamp0, fresh)
+        out
+      } else { out = null; old } // stamp moved mid-build: don't publish
+    })
+    if (out == null) { fresh.unpersist(blocking = false); return fresh }
+    if (out.df ne fresh) fresh.unpersist(blocking = false)
+    out.df
   }
 
   /** Drop one index's cached keymap (tests; explicit retire). */

@@ -161,6 +161,33 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
     audit("bands_cover_sigs") should be > 0L
   }
 
+  test("a red run HOLDS the watermark: the flagged bucket stays in the touched set until it audits clean") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "aincr-hold")
+    IncrementalAudit.baselineInverted(layout)
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    val touchedBucket = spark.read.parquet(layout.dataPath)
+      .filter(col("doc_id") >= InvertedIndex.UpsertIdOffset)
+      .select(col("tbucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).min
+    Maintenance.deleteRecursively(
+      Paths.get(layout.dictPath).resolve(s"tbucket=$touchedBucket"))
+    // first run flags — and must NOT advance the watermark
+    auditMap(IncrementalAudit.auditInverted(spark, layout))
+      .apply("dict_df_matches_postings") should be > 0L
+    // a SECOND run with no new churn still sees the corrupt bucket (a
+    // dropped first report loses nothing) — the pre-fix behavior marked
+    // it 'audited' and went green here
+    auditMap(IncrementalAudit.auditInverted(spark, layout))
+      .apply("dict_df_matches_postings") should be > 0L
+    // repair (dict is derived — rebuild from postings), audit clean,
+    // watermark advances: the NEXT run is back to refresher-only scope
+    InvertedIndex.rebuildDerived(spark, layout)
+    auditMap(IncrementalAudit.auditInverted(spark, layout))
+      .values.foreach(_ shouldBe 0L)
+    auditMap(IncrementalAudit.auditInverted(spark, layout))
+      .values.foreach(_ shouldBe 0L)
+  }
+
   test("the refresher bucket covers the full store over TermBuckets epochs without churn") {
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "aincr-refresh")
     IncrementalAudit.baselineInverted(layout)
