@@ -118,9 +118,34 @@ object EmbedOps {
     * in DuckDB), the §7.3 "oracle-portable embedding" named alternative
     * realized. Stays inside whole-stage codegen (HOF over a split — no
     * UDF). */
-  private def tokenBucket(w: Column): Column =
+  private[graft] def tokenBucket(w: Column): Column =
     aggregate(split(w, ""), lit(0L),
       (a, c) => (a * 31 + ascii(c)) % SqlHashMod) % SqlEmbedDim
+
+  /** DRIVER-SIDE twin of [[tokenBucket]] — the [[graft.sources
+    * .InvertedIndex.bucketOf]] discipline applied to the embedding hash:
+    * a SERVE-path query's ≤|tokens| dimension ids are computed in
+    * nanoseconds instead of a one-row Spark job per request. Bit-parity
+    * with the column form is spec-gated over the corpus vocabulary plus
+    * seeded random strings (EmbedIndexSpec). */
+  private[graft] def tokenBucketOf(w: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < w.length) { a = (a * 31 + w.charAt(i).toInt) % SqlHashMod; i += 1 }
+    a % SqlEmbedDim
+  }
+
+  /** The embed16 TOKENIZER for the inverted-index registry
+    * ([[graft.sources.InvertedIndex.tokenizerOf]]): each whitespace
+    * token maps to its embedding dimension id (as a string term), empty
+    * tokens dropped exactly as [[sparseEmbed]] drops them — so an
+    * inverted index built with this tokenizer IS the persisted sparse
+    * (doc_id, d, v) relation of [[embedKnnSqlQuery]]: postings
+    * (w = dim id, tf = v), a 16-term vocabulary. */
+  private[graft] val embed16Tokenizer: Column => Column =
+    t => transform(
+      filter(split(trim(t), "\\s+"), w => w =!= ""),
+      w => tokenBucket(w).cast("string"))
 
   /** The sparse (doc_id, d, v) bucket-count embedding of a token frame —
     * shared by the corpus and query sides so both ride one arithmetic. */

@@ -192,6 +192,25 @@ object InvertedIndex {
   private[sources] def positionsPathOf(layout: Layout): String =
     Paths.get(layout.dataPath).getParent.resolve("positions").toString
 
+  /** Per-doc SQUARED-NORM sidecar — `norms/dbucket=<b>/` rows of
+    * (doc_id, n2 = Σ tf²), carried by EMBED-tokenized indexes only
+    * ([[graft.sources.EmbedIndex]]): cosine serving needs every doc's
+    * ‖e‖² and a term-partitioned layout cannot answer that per-doc
+    * question without a corpus-wide re-aggregation per query. The lens
+    * discipline applied to the L2 statistic: maintained at build,
+    * appended by upsert (a NEW doc's n2 is a pure per-doc batch
+    * aggregate), masked by tombstones at read, folded by vacuum,
+    * compacted with the other append-only stores, re-derivable from
+    * postings (repair). */
+  private[sources] def normsPathOf(layout: Layout): String =
+    Paths.get(layout.dataPath).getParent.resolve("norms").toString
+
+  /** (doc_id, n2) for a batch's postings — the one aggregation build,
+    * upsert, and repair share. */
+  private def normsOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+
   /** (w, doc_id, pos) occurrence stream for a batch — posexplode indices
     * ARE the token positions (0-based). */
   private def positionsOf(docs: DataFrame,
@@ -211,8 +230,9 @@ object InvertedIndex {
       : org.apache.spark.sql.Column => org.apache.spark.sql.Column = kind match {
     case "word" => t => split(trim(t), "\\s+")
     case "gram3" => t => graft.operators.Dedup.shingles3(t)
+    case "embed16" => graft.operators.EmbedOps.embed16Tokenizer
     case other => throw new IllegalArgumentException(
-      s"unknown tokenizer kind '$other' (registry: word, gram3)")
+      s"unknown tokenizer kind '$other' (registry: word, gram3, embed16)")
   }
 
   /** The tokenizer kind an index was BUILT with, read from its marker.
@@ -281,6 +301,13 @@ object InvertedIndex {
           .repartition(col("tbucket"))
           .write.mode("overwrite").partitionBy("tbucket")
           .parquet(positionsPathOf(layout))
+      // squared-norm sidecar (embed indexes only — see normsPathOf)
+      if (tokKind == "embed16")
+        normsOf(postings)
+          .withColumn("dbucket", dbucketCol(col("doc_id")))
+          .repartition(col("dbucket"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(normsPathOf(layout))
       Files.writeString(markerOf(base, name),
         s"""{"name": "$name", "kind": "inverted", "buckets": $TermBuckets, """ +
           s""""tok": "$tokKind", "dictv": $DictFormatVersion}""")
@@ -740,16 +767,30 @@ object InvertedIndex {
       sum(when(col("tf_max").isNull || col("tf_max") < col("atf") ||
         col("dl_min") > col("adl"), 1L).otherwise(0L)), impCmp)
     val base = d1.unionByName(d2).unionByName(d3).unionByName(d4).unionByName(d5)
-    if (!Files.exists(Paths.get(positionsPathOf(layout)))) base
+    val withPos =
+      if (!Files.exists(Paths.get(positionsPathOf(layout)))) base
+      else {
+        val posCmp = spark.read.parquet(positionsPathOf(layout))
+          .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("ptf"))
+          .join(post.select(col("w"), col("doc_id"), col("tf")),
+            Seq("w", "doc_id"), "full_outer")
+        val d6 = row("positions_match_tf",
+          sum(when(col("ptf").isNull || col("tf").isNull ||
+            col("ptf") =!= col("tf"), 1L).otherwise(0L)), posCmp)
+        base.unionByName(d6)
+      }
+    // embed indexes carry the squared-norm sidecar — a pure per-doc
+    // function of the postings, so drift is one full-outer recompute
+    if (!Files.exists(Paths.get(normsPathOf(layout)))) withPos
     else {
-      val posCmp = spark.read.parquet(positionsPathOf(layout))
-        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("ptf"))
-        .join(post.select(col("w"), col("doc_id"), col("tf")),
-          Seq("w", "doc_id"), "full_outer")
-      val d6 = row("positions_match_tf",
-        sum(when(col("ptf").isNull || col("tf").isNull ||
-          col("ptf") =!= col("tf"), 1L).otherwise(0L)), posCmp)
-      base.unionByName(d6)
+      val normCmp = normsOf(post).withColumnRenamed("n2", "an2")
+        .join(spark.read.parquet(normsPathOf(layout))
+            .select(col("doc_id"), col("n2")),
+          Seq("doc_id"), "full_outer")
+      val d7 = row("norms_match_postings",
+        sum(when(col("an2").isNull || col("n2").isNull ||
+          col("an2") =!= col("n2"), 1L).otherwise(0L)), normCmp)
+      withPos.unionByName(d7)
     }
   }
 
@@ -825,6 +866,14 @@ object InvertedIndex {
         .withColumn("tbucket", bucketCol(col("w")))
         .repartition(col("tbucket"))
         .write.mode("append").partitionBy("tbucket").parquet(positionsPathOf(layout))
+    // squared-norm sidecar follows (embed indexes carry it from build):
+    // a NEW doc's n2 is a pure per-doc aggregate of its own batch
+    // postings — append ∝ batch into the batch ids' dbucket shards
+    if (Files.exists(Paths.get(normsPathOf(layout))))
+      normsOf(newPost)
+        .withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("append").partitionBy("dbucket").parquet(normsPathOf(layout))
   }
 
   /** TOUCHED-BUCKET dictionary merge — the maintenance move that keeps
@@ -1200,6 +1249,24 @@ object InvertedIndex {
           Paths.get(lensPathOf(layout)).resolve(s"dbucket=$b"))
       }
     }
+    // norms fold (embed indexes): the dead docs' n2 rows drop from their
+    // dbucket shards — the lens fold one sidecar over
+    if (dbuckets.nonEmpty && Files.exists(Paths.get(normsPathOf(layout)))) {
+      val survNorms = spark.read.parquet(normsPathOf(layout))
+        .filter(col("dbucket").isin(dbuckets: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .repartition(col("dbucket"))
+        .localCheckpoint(eager = true)
+      val writtenN = survNorms.select(col("dbucket")).distinct()
+        .as[Long].collect().toSet
+      survNorms.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dbucket").parquet(normsPathOf(layout))
+      dbuckets.filterNot(writtenN.contains).foreach { b =>
+        Maintenance.deleteRecursively(
+          Paths.get(normsPathOf(layout)).resolve(s"dbucket=$b"))
+      }
+    }
     // footprint fold: the dead docs' rows drop from their dbucket shards
     // (dynamic overwrite of the batch's dbuckets; shards the fold emptied
     // removed explicitly — same discipline as postings and dict)
@@ -1273,6 +1340,18 @@ object InvertedIndex {
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
         .coalesce(1),
       layout.statsPath)
+    // norms (embed indexes): a pure per-doc function of the postings —
+    // re-derive through the same staged move as the other sidecars
+    if (Files.exists(Paths.get(normsPathOf(layout)))) {
+      val normsStaged = normsPathOf(layout) + ".staged"
+      Maintenance.deleteRecursively(Paths.get(normsStaged))
+      normsOf(post)
+        .withColumn("dbucket", dbucketCol(col("doc_id")))
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(normsStaged)
+      Maintenance.deleteRecursively(Paths.get(normsPathOf(layout)))
+      Files.move(Paths.get(normsStaged), Paths.get(normsPathOf(layout)))
+    }
   }
 
   /** Q-bm25-upsert: index MAINTENANCE end-to-end — clone the shared
@@ -1336,6 +1415,8 @@ object InvertedIndex {
     Maintenance.compactPartitions(spark, lensPathOf(layout), Seq("dbucket"))
     if (Files.exists(Paths.get(positionsPathOf(layout))))
       Maintenance.compactPartitions(spark, positionsPathOf(layout), Seq("tbucket"))
+    if (Files.exists(Paths.get(normsPathOf(layout))))
+      Maintenance.compactPartitions(spark, normsPathOf(layout), Seq("dbucket"))
   }
 
   // the oracle replays the grown corpus as a UNION and re-derives every
@@ -1442,10 +1523,18 @@ object InvertedIndex {
       .filter(col("doc_id") % DeleteMod === DeleteRes && col("doc_id") < DeleteMax)
       .select(col("doc_id"))
 
-  private[graft] def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout = {
-    ensure(spark, dir)
+  private[graft] def cloneIndex(spark: SparkSession, dir: String, tag: String): Layout =
+    cloneIndexNamed(spark, dir, IndexName, "word", tag)
+
+  /** Clone an arbitrary named index of this family (word / gram / embed
+    * tokenizations all share the layout) into scratch — the lifecycle
+    * queries' leave-the-cache-untouched discipline, name-parameterized. */
+  private[graft] def cloneIndexNamed(spark: SparkSession, dir: String,
+                                     name: String, tokKind: String,
+                                     tag: String): Layout = {
+    ensureWith(spark, dir, name, tokKind)
     val cloneRoot = Paths.get(graft.Scratch.dir(tag))
-    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), IndexName), cloneRoot)
+    Maintenance.copyTree(Paths.get(IndexCatalog.cacheBase(dir), name), cloneRoot)
     Layout(
       cloneRoot.resolve("data").toString,
       cloneRoot.resolve("dict").toString,

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpecBase
+import graft.operators.EmbedOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the persisted flagship-embedding index (EmbedIndex):
+  *  - driver-side hash parity with the column kernel (a divergence would
+  *    silently mis-bucket every query dimension);
+  *  - the serve plan is the PRUNED persisted scan — tbucket partition
+  *    filters present, NO tokenize-explode (Generate) anywhere;
+  *  - incremental upsert / delete / vacuum each equal an in-plan rebuild
+  *    of the q_embed_knn_sql algebra over the corresponding corpus, at
+  *    ranking depth well past the declared top-5;
+  *  - the norms sidecar is audited (drift flags, repair restores). */
+class EmbedIndexSpec extends SparkSpecBase with Matchers {
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  /** The q_embed_knn_sql algebra over an arbitrary corpus frame — the
+    * from-scratch referee every lifecycle gate compares against. */
+  private def reference(corpus: DataFrame, k: Int): Seq[(Long, Double)] = {
+    import spark.implicits._
+    val toks = corpus
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val emb = toks.select(col("doc_id"), EmbedOps.tokenBucket(col("w")).as("d"))
+      .groupBy(col("doc_id"), col("d")).agg(count(lit(1)).as("v"))
+    val q = EmbedIndex.queryEmbedding(EmbedOps.FlagshipQuery)
+    val sqrtQn2 = math.sqrt(q.values.map(v => v * v).sum.toDouble)
+    val qdf = q.toSeq.toDF("d", "qv")
+    val dots = emb.join(broadcast(qdf), "d")
+      .groupBy(col("doc_id")).agg(sum(col("v") * col("qv")).as("dot"))
+    val norms = emb.groupBy(col("doc_id")).agg(sum(col("v") * col("v")).as("n2"))
+    norms.join(dots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("dot"), lit(0L)).cast("double") /
+          (sqrt(col("n2").cast("double")) * lit(sqrtQn2)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  private def served(layout: InvertedIndex.Layout, k: Int): Seq[(Long, Double)] =
+    EmbedIndex.embedOver(spark, layout, k = k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("driver-side tokenBucketOf is bit-parity with the column kernel over the corpus vocabulary + seeded strings") {
+    import spark.implicits._
+    val corpusToks = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val rnd = new scala.util.Random(42)
+    val fuzz = Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    val all = (corpusToks ++ fuzz).distinct
+    val colSide = all.toDF("w")
+      .select(col("w"), EmbedOps.tokenBucket(col("w")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    all.foreach { w =>
+      EmbedOps.tokenBucketOf(w) shouldBe colSide(w)
+    }
+  }
+
+  test("q_embed_index equals the in-plan rebuild; the serve plan prunes tbuckets and holds no tokenize-explode") {
+    val layout = EmbedIndex.ensure(spark, sfDir)
+    served(layout, 50) shouldBe reference(docs, 50)
+    val df = EmbedIndex.embedKnnIndexed(spark, sfDir)
+    df.collect() // execute so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[tbucket#\\d+ IN"
+    // the corpus-side embed pass is GONE: no Generate (explode) node —
+    // the whole point of persisting the artifact
+    plan should not include "Generate"
+  }
+
+  test("upsert: incremental == in-plan rebuild over the grown corpus at depth 100") {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-upsert")
+    val twins = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("lang"), col("text"))
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    served(layout, 100) shouldBe
+      reference(docs.select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(twins), 100)
+  }
+
+  test("delete then vacuum: masked reads and the folded layout both equal the reduced-corpus rebuild; the dead norm rows physically drop") {
+    import spark.implicits._
+    // delete a batch CONTAINING the current #1 winner — the sharpest gate
+    val top1 = reference(docs, 1).head._1
+    val deadIds = (Seq(top1) ++ Seq(3L, 17L, 101L)).distinct
+    val reduced = docs.filter(!col("doc_id").isin(deadIds: _*))
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-delete")
+    InvertedIndex.deleteDocs(spark, layout, deadIds.toDF("doc_id"))
+    served(layout, 50) shouldBe reference(reduced, 50) // masked reads
+    InvertedIndex.vacuum(spark, layout)
+    served(layout, 50) shouldBe reference(reduced, 50) // folded layout
+    val normDocs = spark.read.parquet(InvertedIndex.normsPathOf(layout))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    deadIds.foreach(id => normDocs should not contain id)
+  }
+
+  test("audit: norms_match_postings zero healthy, flags planted drift, repair restores") {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-audit")
+    def audit(): Map[String, Long] =
+      InvertedIndex.auditFrame(spark, layout).collect()
+        .map(r => (r.getString(1), r.getLong(2))).toMap
+    val healthy = audit()
+    healthy.keySet should contain("norms_match_postings")
+    healthy.values.foreach(_ shouldBe 0L)
+    // drop one norms shard wholesale — its docs now have postings but no n2
+    val shards = {
+      val s = Files.list(Paths.get(InvertedIndex.normsPathOf(layout)))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+      } finally s.close()
+    }
+    Maintenance.deleteRecursively(shards.minBy(_.getFileName.toString))
+    audit()("norms_match_postings") should be > 0L
+    InvertedIndex.rebuildDerived(spark, layout)
+    audit().values.foreach(_ shouldBe 0L)
+  }
+}
