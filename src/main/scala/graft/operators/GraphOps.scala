@@ -1515,6 +1515,66 @@ object GraphOps {
        |FROM l3 GROUP BY lbl ORDER BY n_members DESC, community""".stripMargin
   }
 
+  /** The SHARED persisted serving-graph store under the per-SF cache —
+    * the artifact the CDC/upsert/delete lifecycles maintain, published
+    * once so the fleet audit (q_index_audit) covers a real graph the way
+    * it covers the inverted/minhash/vector artifacts. Layout: `edges/
+    * sbucket=<b>/` (src's IVF storage bucket — the vector index's own
+    * partition key), `redges/dbucket=<b>/` (the reverse sidecar), and
+    * the flat `members` id list. Marker written LAST; a marker-less
+    * residue (killed build) self-heals by wipe+rebuild. */
+  private[graft] def ensureGraphStore(spark: SparkSession, dir: String)
+      : java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(
+      graft.sources.IndexCatalog.cacheBase(dir), "graph-ann")
+    val marker = root.resolve("_graph_index.json")
+    if (!Files.exists(marker)) {
+      if (Files.exists(root)) graft.sources.Maintenance.deleteRecursively(root)
+      Files.createDirectories(root)
+      val asgAll = ivfTop2Assignments(spark, dir).localCheckpoint(eager = true)
+      initGraphStore(root, asgAll, lit(true))
+      writeReverseEdges(root,
+        spark.read.parquet(root.resolve("edges").toString), asgAll)
+      Files.writeString(marker,
+        s"""{"name": "graph-ann", "kind": "graph", "degree": $GraphAnnDegree}""")
+    }
+    root
+  }
+
+  /** PHYSICAL-LAYER self-audit of a serving-graph store — the fleet
+    * audit's graph rows (the r14 verdict's §2.15 gap):
+    *  - redges_mirror_edges: the reverse sidecar holds EXACTLY the
+    *    (dst, src) transposition of the edge store (redges are a pure
+    *    function of edges — drift means a maintenance trigger rewrote
+    *    one side's touched buckets and not the other's);
+    *  - edge_endpoints_live: every edge endpoint is a live row of the
+    *    PRIMARY vector index the graph serves for (`vecIds`) — a dead
+    *    endpoint is the delete-half-applied shape (node left the index,
+    *    its edges or in-edges survived). */
+  private[graft] def auditGraphFrame(spark: SparkSession,
+                                     root: java.nio.file.Path,
+                                     vecIds: DataFrame): DataFrame = {
+    def row(inv: String, violations: org.apache.spark.sql.Column,
+            from: DataFrame): DataFrame =
+      from.agg(coalesce(violations, lit(0L)).as("violations"))
+        .select(lit("graph").as("artifact"), lit(inv).as("invariant"),
+          col("violations"))
+    val edges = spark.read.parquet(root.resolve("edges").toString)
+      .select(col("src"), col("dst"))
+    val redges = spark.read.parquet(root.resolve("redges").toString)
+      .select(col("src"), col("dst"))
+    val mirrorCmp = edges.withColumn("e", lit(1))
+      .join(redges.withColumn("r", lit(1)), Seq("src", "dst"), "full_outer")
+    val g1 = row("redges_mirror_edges",
+      sum(when(col("e").isNull || col("r").isNull, 1L).otherwise(0L)), mirrorCmp)
+    val endpoints = edges.select(col("src").as("vec_id"))
+      .unionByName(edges.select(col("dst").as("vec_id"))).distinct()
+    val g2 = row("edge_endpoints_live", count(lit(1)),
+      endpoints.join(vecIds.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+    g1.unionByName(g2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_affinity" -> (affinity _),
     "q_triangles" -> (triangles _),

@@ -1042,6 +1042,28 @@ object VectorOps {
     root.resolve("data").toString
   }
 
+  /** Fleet-audit row for the persisted SQ8 code store: a code row is a
+    * PURE PER-ROW function of the stored vector ([[sq8Quantized]] — no
+    * codebook to drift), so the whole store audits with one full-outer
+    * recompute against the embeddings: missing rows, surplus rows,
+    * drifted codes, and drifted norms all land in the same counter.
+    * `storePath` parameterized so the sensitivity spec can corrupt a
+    * scratch copy (the shared cache is never touched). */
+  private[graft] def sq8AuditFrame(spark: SparkSession, dir: String,
+                                   storePath: String): DataFrame = {
+    val stored = spark.read.parquet(storePath)
+      .select(col("vec_id"), col("qcode"), col("qnorm"))
+    val recomputed = sq8Quantized(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        col("qv").cast("array<tinyint>").as("rcode"), col("qnorm").as("rqnorm"))
+    stored.join(recomputed, Seq("vec_id"), "full_outer")
+      .agg(coalesce(sum(when(col("qcode").isNull || col("rcode").isNull ||
+        col("qcode") =!= col("rcode") || col("qnorm") =!= col("rqnorm"),
+        1L).otherwise(0L)), lit(0L)).as("violations"))
+      .select(lit("vector").as("artifact"),
+        lit("sq8_codes_match_vectors").as("invariant"), col("violations"))
+  }
+
   /** Q-sq8-persisted: [[sq8Knn]] served from the persisted INT8 store —
     * identical results (SHARED oracle), different access path: the
     * approximate ranking pass scans code pages a quarter the byte size

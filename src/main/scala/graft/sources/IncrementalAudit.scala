@@ -391,6 +391,117 @@ object IncrementalAudit {
     advanceIfClean(root, epoch, cur, out)
   }
 
+  /** Baseline the watermark for a serving-GRAPH store (edges + redges;
+    * the flat members list swaps whole per trigger and is read in full —
+    * a slim id column, metadata-grade). */
+  def baselineGraph(root: Path): Unit =
+    writeWatermark(root, 0L, inventory(graphStores(root)))
+
+  private def graphStores(root: Path): Map[String, String] = Map(
+    "edges" -> root.resolve("edges").toString,
+    "redges" -> root.resolve("redges").toString)
+
+  /** Incremental audit of one serving-graph store — the deep
+    * redges-mirror invariant split into its two PRUNABLE directions plus
+    * endpoint liveness, each read restricted to churned shards + the
+    * epoch's refresher:
+    *  - redges_cover_edges: every edge in a TOUCHED sbucket has its
+    *    (dst, src) reverse row, the redges read pruned to the dsts'
+    *    storage buckets;
+    *  - edges_cover_redges: every reverse row in a TOUCHED dbucket has
+    *    its forward edge, the edges read pruned to the srcs' buckets;
+    *  - edge_endpoints_in_members: the touched edges' endpoints are all
+    *    members (members read whole — one slim id column).
+    * `nodeBuckets` is the node → storage-bucket map the PRIMARY vector
+    * index maintains (its keymap at deployment; the assignment frame the
+    * lifecycle already holds here) — the graph partitions by the vector
+    * index's own key, so bucket lookups are the primary's business. */
+  def auditGraph(spark: SparkSession, root: Path,
+                 nodeBuckets: DataFrame): DataFrame = {
+    val cur = inventory(graphStores(root))
+    val (epoch, prev) = readWatermark(root).getOrElse((0L, Map.empty[String, Map[String, Seq[String]]]))
+    def withRefresher(store: String): Seq[Long] = {
+      val all = cur.getOrElse(store, Map.empty).keys.toSeq.sorted
+        .map(_.dropWhile(_ != '=').drop(1).toLong)
+      val refresher =
+        if (all.isEmpty) Nil else Seq(all((epoch % all.size).toInt))
+      (touched(store, cur, prev) ++ refresher).distinct.sorted
+    }
+    val sb = withRefresher("edges")
+    val db = withRefresher("redges")
+    val nb = nodeBuckets.select(col("vec_id"), col("gbucket"))
+    // direction 1: touched forward edges must be covered by the sidecar
+    val eT = spark.read.parquet(root.resolve("edges").toString)
+      .filter(col("sbucket").isin(sb: _*)).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val dstB = eT.select(col("dst").as("vec_id")).distinct()
+      .join(nb, Seq("vec_id")).select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    val redgesForE = spark.read.parquet(root.resolve("redges").toString)
+      .filter(col("dbucket").isin(dstB: _*)).select(col("src"), col("dst"))
+    val g1 = countRow("graph", "redges_cover_edges", count(lit(1)),
+      eT.join(redgesForE, Seq("src", "dst"), "left_anti"))
+    // direction 2: touched reverse rows must name real forward edges
+    val rT = spark.read.parquet(root.resolve("redges").toString)
+      .filter(col("dbucket").isin(db: _*)).select(col("src"), col("dst"))
+      .localCheckpoint(true)
+    val srcB = rT.select(col("src").as("vec_id")).distinct()
+      .join(nb, Seq("vec_id")).select(col("gbucket")).distinct()
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
+    val edgesForR = spark.read.parquet(root.resolve("edges").toString)
+      .filter(col("sbucket").isin(srcB: _*)).select(col("src"), col("dst"))
+    val g2 = countRow("graph", "edges_cover_redges", count(lit(1)),
+      rT.join(edgesForR, Seq("src", "dst"), "left_anti"))
+    // endpoint liveness over the touched forward edges
+    val members = spark.read.parquet(root.resolve("members").toString)
+      .select(col("vec_id"))
+    val endpoints = eT.select(col("src").as("vec_id"))
+      .unionByName(eT.select(col("dst").as("vec_id"))).distinct()
+    val g3 = countRow("graph", "edge_endpoints_in_members", count(lit(1)),
+      endpoints.join(members, Seq("vec_id"), "left_anti"))
+    val out = g1.unionByName(g2).unionByName(g3).localCheckpoint(true)
+    advanceIfClean(root, epoch, cur, out)
+  }
+
+  /** The cross-artifact liveness-sync row, PRUNED to the churned id
+    * shards: domain ids restricted to `idFilter` (the churn's dbucket
+    * footprint — id-hash metadata), inverted liveness from the lens
+    * shards those ids live in, vector liveness from the keymap pruned to
+    * the ids' kbuckets. The deep [[MinhashIndex.crossLiveSyncFrame]]
+    * checks the whole domain; this arm re-verifies the slice the churn
+    * could have desynchronized. */
+  def crossLiveSyncPruned(spark: SparkSession,
+                          invLayout: InvertedIndex.Layout,
+                          vecBase: String, vecName: String,
+                          domain: DataFrame,
+                          idFilter: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val ids = domain.select(col("doc_id")).filter(idFilter)
+      .localCheckpoint(true)
+    val dbuckets = ids.select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
+      .distinct().as[Long].collect().sorted.toIndexedSeq
+    val lens = spark.read.parquet(InvertedIndex.lensPathOf(invLayout))
+      .filter(col("dbucket").isin(dbuckets: _*)).select(col("doc_id"))
+    val invLive =
+      if (InvertedIndex.hasParquet(InvertedIndex.tombDirOf(invLayout)))
+        lens.join(broadcast(
+          spark.read.parquet(InvertedIndex.tombDirOf(invLayout).toString)
+            .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else lens
+    val km = spark.read.parquet(
+      Paths.get(vecBase, vecName, "keymap").toString)
+    val kbuckets = ids
+      .select(pmod(xxhash64(col("doc_id").cast(km.schema("vec_id").dataType)),
+        lit(IndexCatalog.KeyBuckets.toLong)).as("b"))
+      .distinct().as[Long].collect().sorted.toIndexedSeq
+    val vecLive = km.filter(col("kbucket").isin(kbuckets: _*))
+      .select(col("vec_id").as("doc_id"))
+    countRow("cross", "inverted_vector_live_sync",
+      sum(when(col("i").isNull =!= col("v").isNull, 1L).otherwise(0L)),
+      ids.join(invLive.withColumn("i", lit(1)), Seq("doc_id"), "left")
+        .join(vecLive.withColumn("v", lit(1)), Seq("doc_id"), "left"))
+  }
+
   /** Q-index-audit-incr: the churn-proportional audit end-to-end — clone
     * the two richest artifacts warm, BASELINE their watermarks (the
     * publish-time move), apply the standard corpus-growth batch to each
@@ -425,14 +536,52 @@ object IncrementalAudit {
       .select((col("vec_id") + InvertedIndex.UpsertIdOffset).as("vec_id"),
         col("embedding"), col("label"))
     IndexCatalog.upsertInto(spark, vBase, vName, vBatch, "vec_id")
+    // graph artifact: a scratch serving-graph store over corpus ∪ the
+    // vector twins (assignments cover the arrivals so the CDC trigger can
+    // route them), churned by one real CDC add batch — dynamic overwrite
+    // of the touched sbucket/dbucket shards, the maintenance shape the
+    // inventory diff is built for
+    val vecTwins = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 5)
+      .select((col("vec_id") + InvertedIndex.UpsertIdOffset).as("vec_id"),
+        col("label"), col("embedding"))
+    val grown = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(vecTwins)
+    val asgAll = graft.operators.GraphOps
+      .ivfTop2AssignmentsOf(spark, dir, grown).localCheckpoint(true)
+    val gRoot = Paths.get(graft.Scratch.dir("audit-incr-graph"))
+    graft.operators.GraphOps.initGraphStore(gRoot, asgAll,
+      col("vec_id") < InvertedIndex.UpsertIdOffset)
+    baselineGraph(gRoot)
+    graft.operators.GraphOps.applyGraphCdcBatch(gRoot, asgAll,
+      vecTwins.select(col("vec_id"), lit("U").as("op")), batchId = 0L)
+    val nodeBuckets = asgAll.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").cast("int").as("gbucket"))
+    // cross-artifact liveness sync over the churn's id-shard footprint:
+    // the churned ids' dbucket shards hold other in-domain ids too — the
+    // slice a half-applied feed could have desynchronized
+    val domain = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val churnDbuckets = twins
+      .select(InvertedIndex.dbucketCol(col("doc_id")).as("b")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
     auditInverted(spark, inv)
       .unionByName(auditMinhash(spark, mh))
       .unionByName(auditVector(spark, vBase, vName))
+      .unionByName(auditGraph(spark, gRoot, nodeBuckets))
+      .unionByName(crossLiveSyncPruned(spark, inv, vBase, vName, domain,
+        InvertedIndex.dbucketCol(col("doc_id")).isin(churnDbuckets: _*)))
       .orderBy(col("artifact"), col("invariant"))
   }
 
   val indexAuditIncrSql: String =
     """SELECT * FROM (VALUES
+      |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
+      |  ('graph', 'edge_endpoints_in_members', CAST(0 AS BIGINT)),
+      |  ('graph', 'edges_cover_redges', CAST(0 AS BIGINT)),
+      |  ('graph', 'redges_cover_edges', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),

@@ -391,19 +391,63 @@ object MinhashIndex {
     * one row per (artifact, invariant) with violation counts, all zero on
     * a healthy cache. Sensitivity (a planted corruption flags exactly its
     * invariant) is spec-gated; the oracle pins the healthy state. */
+  /** CROSS-ARTIFACT liveness sync — the single-CDC-feed invariant: over
+    * the SHARED ENTITY DOMAIN (ids the feed populates into BOTH
+    * artifacts — here the documents∩embeddings id intersection, the
+    * source-of-truth the deployment's feed defines), a doc live in the
+    * inverted index must be live in the vector index and vice-versa. A
+    * mismatch is exactly the delete-applied-to-one-artifact-only shape
+    * no single-artifact audit can see. Inverted liveness = lens rows
+    * minus pending tombstones; vector liveness = the masked read view.
+    * Parameterized so the sensitivity spec can desynchronize clones. */
+  private[graft] def crossLiveSyncFrame(spark: SparkSession,
+                                        invLayout: InvertedIndex.Layout,
+                                        vecLive: DataFrame,
+                                        domain: DataFrame): DataFrame = {
+    val lens = spark.read.parquet(InvertedIndex.lensPathOf(invLayout))
+      .select(col("doc_id"))
+    val invLive =
+      if (InvertedIndex.hasParquet(InvertedIndex.tombDirOf(invLayout)))
+        lens.join(broadcast(
+          spark.read.parquet(InvertedIndex.tombDirOf(invLayout).toString)
+            .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else lens
+    domain.select(col("doc_id"))
+      .join(invLive.withColumn("i", lit(1)), Seq("doc_id"), "left")
+      .join(vecLive.select(col("vec_id").as("doc_id")).withColumn("v", lit(1)),
+        Seq("doc_id"), "left")
+      .agg(coalesce(sum(when(col("i").isNull =!= col("v").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("violations"))
+      .select(lit("cross").as("artifact"),
+        lit("inverted_vector_live_sync").as("invariant"), col("violations"))
+  }
+
   def indexAudit(spark: SparkSession, dir: String): DataFrame = {
     // the vector artifact: the shared persisted IVF-bucketed index — the
     // same store q_ann_ivf_persisted / the routed family serve from.
     // The keymap is ensured EXPLICITLY here (the audit is a maintenance
     // entry point by declaration) so the fleet audit always checks a
     // real sidecar — auditFrame itself never writes (ADVICE r13: reads
-    // must not backfill).
+    // must not backfill). The graph store and SQ8 code store are ensured
+    // under the same declaration, so the fleet audit covers all FIVE
+    // persisted artifact kinds plus the cross-artifact feed invariant.
     val (vecBase, vecName, _) =
       graft.operators.VectorOps.ensureIvfBucketed(spark, dir)
     IndexCatalog.ensureKeymap(spark, vecBase, vecName, "vec_id")
-    InvertedIndex.auditFrame(spark, InvertedIndex.ensure(spark, dir))
+    val invLayout = InvertedIndex.ensure(spark, dir)
+    val graphRoot = graft.operators.GraphOps.ensureGraphStore(spark, dir)
+    val sq8Path = graft.operators.VectorOps.ensureSq8(spark, dir)
+    val vecLive = IndexCatalog.load(spark, vecBase, vecName)
+      .select(col("vec_id"))
+    val domain = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+    InvertedIndex.auditFrame(spark, invLayout)
       .unionByName(auditFrame(spark, ensure(spark, dir)))
       .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
+      .unionByName(graft.operators.GraphOps.auditGraphFrame(spark, graphRoot, vecLive))
+      .unionByName(graft.operators.VectorOps.sq8AuditFrame(spark, dir, sq8Path))
+      .unionByName(crossLiveSyncFrame(spark, invLayout, vecLive, domain))
       .orderBy(col("artifact"), col("invariant"))
   }
 
@@ -487,6 +531,9 @@ object MinhashIndex {
 
   val indexAuditSql: String =
     """SELECT * FROM (VALUES
+      |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
+      |  ('graph', 'edge_endpoints_live', CAST(0 AS BIGINT)),
+      |  ('graph', 'redges_mirror_edges', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'lens_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'stats_match_lens', CAST(0 AS BIGINT)),
@@ -497,7 +544,8 @@ object MinhashIndex {
       |  ('minhash', 'sig_width', CAST(0 AS BIGINT)),
       |  ('vector', 'keymap_mirrors_data', CAST(0 AS BIGINT)),
       |  ('vector', 'one_row_per_key', CAST(0 AS BIGINT)),
-      |  ('vector', 'norm_matches_embedding', CAST(0 AS BIGINT))
+      |  ('vector', 'norm_matches_embedding', CAST(0 AS BIGINT)),
+      |  ('vector', 'sq8_codes_match_vectors', CAST(0 AS BIGINT))
       |) t(artifact, invariant, violations)
       |ORDER BY artifact, invariant""".stripMargin
 

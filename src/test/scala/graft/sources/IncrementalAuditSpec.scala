@@ -29,8 +29,8 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
     val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
-    rows should have length 9
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(9)(0L)
+    rows should have length 13
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(13)(0L)
   }
 
   test("vector sensitivity: a phantom entry planted in a TOUCHED kbucket flags keymap_entries_live; a provably-unreachable garbage shard is never read") {
@@ -159,6 +159,45 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
     surviving.write.parquet(shard.toString)
     val audit = auditMap(IncrementalAudit.auditMinhash(spark, layout))
     audit("bands_cover_sigs") should be > 0L
+  }
+
+  test("graph incremental sensitivity: a phantom row appended to a shard flags exactly its direction") {
+    import spark.implicits._
+    val shared = graft.operators.GraphOps.ensureGraphStore(spark, sfDir)
+    val asg = graft.operators.GraphOps.ivfTop2AssignmentsOf(spark, sfDir,
+      graft.Tables.embeddings(spark, sfDir)).localCheckpoint(true)
+    val nodeBuckets = asg.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").cast("int").as("gbucket"))
+    val bucketOf = nodeBuckets.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val edgeSet = spark.read.parquet(shared.resolve("edges").toString)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memberIds = spark.read.parquet(shared.resolve("members").toString)
+      .collect().map(_.getLong(0)).sorted
+    val (a, b) = (for {
+      x <- memberIds.iterator; y <- memberIds.iterator
+      if x != y && !edgeSet((x, y))
+    } yield (x, y)).next()
+    // direction 2: a phantom REVERSE row (the appended file makes its
+    // shard touched by construction — an inventory diff sees any change)
+    val r2 = Paths.get(graft.Scratch.dir("aincr-graph-d2"))
+    Maintenance.copyTree(shared, r2)
+    IncrementalAudit.baselineGraph(r2)
+    Seq((b, a)).toDF("dst", "src").coalesce(1).write.mode("append")
+      .parquet(r2.resolve("redges").resolve(s"dbucket=${bucketOf(b)}").toString)
+    val audit2 = auditMap(IncrementalAudit.auditGraph(spark, r2, nodeBuckets))
+    audit2("edges_cover_redges") should be > 0L
+    audit2("redges_cover_edges") shouldBe 0L
+    // direction 1: a phantom FORWARD edge with no reverse row
+    val r1 = Paths.get(graft.Scratch.dir("aincr-graph-d1"))
+    Maintenance.copyTree(shared, r1)
+    IncrementalAudit.baselineGraph(r1)
+    Seq((a, b)).toDF("src", "dst").coalesce(1).write.mode("append")
+      .parquet(r1.resolve("edges").resolve(s"sbucket=${bucketOf(a)}").toString)
+    val audit1 = auditMap(IncrementalAudit.auditGraph(spark, r1, nodeBuckets))
+    audit1("redges_cover_edges") should be > 0L
+    audit1("edge_endpoints_in_members") shouldBe 0L
   }
 
   test("a red run HOLDS the watermark: the flagged bucket stays in the touched set until it audits clean") {

@@ -24,8 +24,69 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 11
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(11)(0L)
+    rows should have length 15
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(15)(0L)
+  }
+
+  test("graph sensitivity: a dropped redges shard flags redges_mirror_edges; a foreign endpoint flags edge_endpoints_live") {
+    import org.apache.spark.sql.functions.col
+    val shared = graft.operators.GraphOps.ensureGraphStore(spark, sfDir)
+    val root = Paths.get(graft.Scratch.dir("audit-graph-sens"))
+    Maintenance.copyTree(shared, root)
+    val vecIds = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    auditMap(graft.operators.GraphOps.auditGraphFrame(spark, root, vecIds))
+      .values.foreach(_ shouldBe 0L)
+    Maintenance.deleteRecursively(firstPartitionDir(root.resolve("redges").toString))
+    val audit = auditMap(
+      graft.operators.GraphOps.auditGraphFrame(spark, root, vecIds))
+    audit("redges_mirror_edges") should be > 0L
+    audit("edge_endpoints_live") shouldBe 0L
+    // a vector-side delete the graph never saw: endpoints now name a
+    // dead id — the delete-half-applied shape
+    val reduced = vecIds.filter(col("vec_id") =!= 0L)
+    auditMap(graft.operators.GraphOps.auditGraphFrame(spark, root, reduced))
+      .apply("edge_endpoints_live") should be > 0L
+  }
+
+  test("cross sensitivity: a delete applied to ONE artifact only flags inverted_vector_live_sync") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val inv = InvertedIndex.cloneIndex(spark, sfDir, "audit-cross")
+    val domain = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(graft.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val vecLive = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    def sync(): Long = MinhashIndex
+      .crossLiveSyncFrame(spark, inv, vecLive, domain)
+      .head().getLong(2)
+    sync() shouldBe 0L
+    // the feed deletes doc 7 — the inverted index applies it, the vector
+    // index misses it: exactly one artifact's view moved
+    InvertedIndex.deleteDocs(spark, inv, Seq(7L).toDF("doc_id"))
+    sync() shouldBe 1L
+    // the vector side catching up (same id gone) restores sync
+    MinhashIndex.crossLiveSyncFrame(spark, inv,
+      vecLive.filter(col("vec_id") =!= 7L), domain)
+      .head().getLong(2) shouldBe 0L
+  }
+
+  test("sq8 sensitivity: a drifted code row flags sq8_codes_match_vectors") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val shared = graft.operators.VectorOps.ensureSq8(spark, sfDir)
+    val root = Paths.get(graft.Scratch.dir("audit-sq8-sens"))
+    Maintenance.copyTree(Paths.get(shared), root)
+    graft.operators.VectorOps.sq8AuditFrame(spark, sfDir, root.toString)
+      .head().getLong(2) shouldBe 0L
+    // rewrite one label partition with every qnorm nudged — recomputed
+    // codes no longer match the store
+    val victim = firstPartitionDir(root.toString)
+    val rows = spark.read.parquet(victim.toString)
+      .withColumn("qnorm", col("qnorm") + lit(1.0))
+      .localCheckpoint(true)
+    Maintenance.deleteRecursively(victim)
+    rows.write.parquet(victim.toString)
+    graft.operators.VectorOps.sq8AuditFrame(spark, sfDir, root.toString)
+      .head().getLong(2) should be > 0L
   }
 
   test("a planted keymap drift flags exactly keymap_mirrors_data") {
