@@ -112,13 +112,64 @@ object ServeBench {
     def bm25Req(i: Int): Unit =
       InvertedIndex.bm25Over(spark, invLayout,
         terms = termSets(i % termSets.size)).collect()
+    // the same queries with the dict/stats metadata RESIDENT
+    // (ServingCache) — the stateless-vs-resident delta for the lexical
+    // tier, mirroring fetch vs fetch_hot
+    def bm25HotReq(i: Int): Unit =
+      InvertedIndex.bm25Over(spark, invLayout,
+        terms = termSets(i % termSets.size), serving = true).collect()
+    // sparse–dense HYBRID serve: probed-IVF dense arm + resident-metadata
+    // lexical arm, RRF-fused — both arms parameter-rotated per request
+    def hybridReq(i: Int): Unit = {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val (qid, qv) = qBlock(i % qBlock.length)
+      val q = Seq((qid, qv)).toDF("q_id", "q_embedding")
+      val qn = KnnSearch.withNorm(q, "q_embedding").withColumnRenamed("vec_norm", "q_norm")
+      val dense = KnnSearch.rankTopK(
+        IndexCatalog.loadBuckets(spark, vecBase, vecName, probesByQ(qid))
+          .crossJoin(broadcast(qn))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", KnnSearch.prenormedScore)
+          .select(col("vec_id"), col("score")),
+        "vec_id", 100)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      val lex = InvertedIndex.bm25Over(spark, invLayout, k = 100,
+          terms = termSets(i % termSets.size), serving = true)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"))
+      dense.join(lex, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10).collect()
+    }
+    // graph-ANN walk against resolved serving state (resident edge
+    // frame) — the multi-job, multi-hop serve shape most likely to
+    // convoy under FAIR-pool concurrency
+    val graphState = graft.operators.GraphOps.graphServeState(spark, sfDir)
+    def graphReq(i: Int): Unit = {
+      val (qid, qv) = qBlock(i % qBlock.length)
+      graft.operators.GraphOps
+        .graphAnnServeRequest(spark, graphState, qid, qv).collect()
+    }
 
     val families: Seq[(String, Int => Unit)] =
       Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
-        "ann" -> (annReq _), "bm25" -> (bm25Req _))
+        "ann" -> (annReq _), "bm25" -> (bm25Req _),
+        "bm25_hot" -> (bm25HotReq _), "hybrid" -> (hybridReq _),
+        "graphann" -> (graphReq _))
 
     // ---- drive ---------------------------------------------------------
+    // the multi-hop walk costs an order more wall-clock per request than
+    // the point families — half the sample keeps the full matrix ~25 min
+    def reqsFor(fam: String): Int =
+      if (fam == "graphann") ReqsPerThread / 2 else ReqsPerThread
     val results = for ((fam, req) <- families; n <- Levels) yield {
+      val reqsPerThread = reqsFor(fam)
       val pool = Executors.newFixedThreadPool(n)
       val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val done = new CountDownLatch(n)
@@ -136,7 +187,7 @@ object ServeBench {
               System.err.println(s"[serve] $fam@$n thread $tid warmup failed: ${e.getMessage}")
             }
             var i = 0
-            while (i < ReqsPerThread) {
+            while (i < reqsPerThread) {
               val s = System.nanoTime()
               try {
                 req(tid * 1000 + i + 1)

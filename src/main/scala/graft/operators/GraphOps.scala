@@ -628,7 +628,8 @@ object GraphOps {
     * scored vectors per hop, independent of corpus size. */
   private def beamWalk(edges: DataFrame, emb: DataFrame, visited0: DataFrame,
                        beam: Int, hops: Int,
-                       score: DataFrame => DataFrame): DataFrame = {
+                       score: DataFrame => DataFrame,
+                       excludeId: Long = 0L): DataFrame = {
     var visited = visited0.localCheckpoint(eager = true)
     for (_ <- 1 to hops) {
       val frontier = visited
@@ -637,7 +638,7 @@ object GraphOps {
         .select(col("vec_id").as("src"))
       val fresh = edges.join(broadcast(frontier), "src")
         .select(col("dst").as("vec_id")).distinct()
-        .filter(col("vec_id") =!= 0)
+        .filter(col("vec_id") =!= excludeId) // the query node itself
         .join(visited.select(col("vec_id")), Seq("vec_id"), "left_anti")
       visited = visited
         .unionByName(score(emb.join(broadcast(fresh), "vec_id")))
@@ -1540,6 +1541,61 @@ object GraphOps {
         s"""{"name": "graph-ann", "kind": "graph", "degree": $GraphAnnDegree}""")
     }
     root
+  }
+
+  /** Resolved-once graph-ANN SERVING state — the resident pieces a
+    * serving tier holds next to the published store (the ServeBench
+    * cached-codebook discipline): the persisted edge frame pinned as id
+    * pairs, the normed corpus, the storage assignments for seed scans,
+    * and the centroid codebook. Resolved before the clock starts; every
+    * request then moves only beam-sized frontiers. */
+  private[graft] case class GraphServeState(edges: DataFrame, emb: DataFrame,
+                                            a1: DataFrame, cent: DataFrame)
+
+  private[graft] def graphServeState(spark: SparkSession, dir: String)
+      : GraphServeState = {
+    val root = ensureGraphStore(spark, dir)
+    val edges = spark.read.parquet(root.resolve("edges").toString)
+      .select(col("src"), col("dst")).localCheckpoint(eager = true)
+    val asg = ivfTop2Assignments(spark, dir).localCheckpoint(eager = true)
+    GraphServeState(
+      edges,
+      KnnSearch.withNorm(Tables.embeddings(spark, dir))
+        .localCheckpoint(eager = true),
+      asg.filter(col("rn") === 1).localCheckpoint(eager = true),
+      VectorOps.seedCentroids(spark, dir).localCheckpoint(eager = true))
+  }
+
+  /** One graph-ANN request against resolved serving state: probe the
+    * query's seed buckets, walk the RESIDENT edge frame ([[beamWalk]] —
+    * the same hop loop the declared q_graph_ann runs), top-10 of the
+    * visited set. This is the multi-job serve shape most likely to
+    * convoy under shared-session concurrency — exactly what ServeBench's
+    * graphann family measures. */
+  private[graft] def graphAnnServeRequest(spark: SparkSession,
+                                          state: GraphServeState,
+                                          qid: Long, qv: Array[Float],
+                                          beam: Int = GraphAnnBeam,
+                                          hops: Int = GraphAnnHops,
+                                          seedProbes: Int = GraphAnnSeedProbes)
+      : DataFrame = {
+    import spark.implicits._
+    val q = broadcast(KnnSearch.withNorm(
+      Seq((qid, qv)).toDF("q_id", "q_embedding"), "q_embedding")
+      .withColumnRenamed("vec_norm", "q_norm"))
+    def score(rows: DataFrame): DataFrame =
+      rows.crossJoin(q)
+        .withColumn("score", KnnSearch.prenormedScore)
+        .select(col("vec_id"), col("label"), col("score"))
+    val probe = IvfIndex.probes(state.cent, q, nprobe = seedProbes)
+    val visited0 = score(
+      state.a1.join(broadcast(probe), "cent_id")
+        .filter(col("vec_id") =!= qid))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(beam)
+    beamWalk(state.edges, state.emb, visited0, beam, hops, score,
+      excludeId = qid)
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
   }
 
   /** PHYSICAL-LAYER self-audit of a serving-graph store — the fleet

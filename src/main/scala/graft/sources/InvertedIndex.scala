@@ -335,9 +335,23 @@ object InvertedIndex {
                               k: Int = 10,
                               excludeDoc: Option[Long] = None,
                               restrictTo: Option[DataFrame] = None,
-                              terms: Seq[String] = TextOps.Bm25Terms): DataFrame = {
+                              terms: Seq[String] = TextOps.Bm25Terms,
+                              serving: Boolean = false): DataFrame = {
     import spark.implicits._
     val buckets = bucketsOf(terms)
+    // serving=true reads the METADATA stores (dict, stats) through the
+    // memory-resident [[ServingCache]] — the per-request listing/footer/
+    // scan jobs those two reads cost are the latency floor under
+    // concurrency (the keymap-cache story applied to the lexical tier;
+    // Lucene pins the FST + segment stats on heap the same way).
+    // Postings stay stateless: the data plane is partition-pruned and
+    // batch-sized, and pinning it would not survive 100 TB. Staleness
+    // rides the cache's shard-inventory stamp — a dict merge or stats
+    // swap moves it, so the very next request reads the new state
+    // (spec-gated in ServingCacheSpec).
+    def metaFrame(path: String): DataFrame =
+      if (serving) ServingCache.frame(spark, Paths.get(path))
+      else spark.read.parquet(path)
     // term-filtered postings BEFORE tombstone/exclusion masking: the df
     // correction below must count every stored posting of a query term,
     // exactly as the dict's df counted them at build
@@ -367,8 +381,9 @@ object InvertedIndex {
       .map(c => post1.join(c.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi"))
       .getOrElse(post1)
     // dict read rides the same partition pruning as the postings: the
-    // query terms' tbuckets are already plan-time metadata
-    val dict0 = spark.read.parquet(layout.dictPath)
+    // query terms' tbuckets are already plan-time metadata (resident
+    // frame in serving mode — the filter applies in memory)
+    val dict0 = metaFrame(layout.dictPath)
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
       .select(col("w"), col("df"))
     val dict = tombOpt.map { t =>
@@ -381,7 +396,7 @@ object InvertedIndex {
     // avgdl = exact-long total / exact-long count, ONE double division —
     // the same value avg(dl) produces (Spark and DuckDB both sum integer
     // dl exactly and divide once), so oracle parity is preserved
-    val stats = spark.read.parquet(layout.statsPath)
+    val stats = metaFrame(layout.statsPath)
       .select(col("n"),
         (col("total_dl").cast("double") / col("n").cast("double")).as("avgdl"))
     post.join(broadcast(dict), "w")
@@ -427,13 +442,20 @@ object InvertedIndex {
     * bounds over the masked subset. */
   private[graft] def maxScorePlan(spark: SparkSession, layout: Layout,
                                   k: Int = 10,
-                                  terms: Seq[String] = TextOps.Bm25Terms)
+                                  terms: Seq[String] = TextOps.Bm25Terms,
+                                  serving: Boolean = false)
       : (Seq[String], DataFrame) = {
     import spark.implicits._
     val buckets = bucketsOf(terms)
     ensureImpacts(spark, layout)
+    // serving mode: the ubs collect below consumes dict⋈impacts⋈stats —
+    // three per-request metadata jobs over files; resident frames remove
+    // the listing/footer/scan floor exactly as in [[bm25Over]]
+    def metaFrame(path: String): DataFrame =
+      if (serving) ServingCache.frame(spark, Paths.get(path))
+      else spark.read.parquet(path)
     // corrected per-term df — the bm25Over read path's exact arithmetic
-    val dict0 = spark.read.parquet(layout.dictPath)
+    val dict0 = metaFrame(layout.dictPath)
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
       .select(col("w"), col("df"))
     val tombOpt =
@@ -449,10 +471,10 @@ object InvertedIndex {
         .select(col("w"),
           (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
     }.getOrElse(dict0)
-    val imp = spark.read.parquet(impactsPathOf(layout))
+    val imp = metaFrame(impactsPathOf(layout))
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
       .select(col("w"), col("tf_max"), col("dl_min"))
-    val statsRow = spark.read.parquet(layout.statsPath)
+    val statsRow = metaFrame(layout.statsPath)
       .select(col("n"),
         (col("total_dl").cast("double") / col("n").cast("double")).as("avgdl"))
       .head()
@@ -470,13 +492,14 @@ object InvertedIndex {
     // ub-descending order, term as the deterministic tie-break; terms the
     // corpus never saw contribute 0 to every score and drop out
     val ordered = terms.filter(ubs.contains).sortBy(t => (-ubs(t), t))
-    if (ordered.isEmpty) return (terms, bm25Over(spark, layout, k, terms = terms))
+    if (ordered.isEmpty)
+      return (terms, bm25Over(spark, layout, k, terms = terms, serving = serving))
     def livePost = tombOpt
       .map(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
       .getOrElse(post0)
     val topDocs = livePost.filter(col("w") === ordered.head).select(col("doc_id"))
     val thetaRows = bm25Over(spark, layout, k, restrictTo = Some(topDocs),
-      terms = terms).collect()
+      terms = terms, serving = serving).collect()
     val theta =
       if (thetaRows.length < k) Double.NegativeInfinity
       else thetaRows.last.getDouble(1)
@@ -486,7 +509,9 @@ object InvertedIndex {
     val essential = ordered.take(e)
     val cand = livePost.filter(col("w").isin(essential: _*))
       .select(col("doc_id")).distinct()
-    (essential, bm25Over(spark, layout, k, restrictTo = Some(cand), terms = terms))
+    (essential,
+      bm25Over(spark, layout, k, restrictTo = Some(cand), terms = terms,
+        serving = serving))
   }
 
   /** Q-bm25-maxscore: [[maxScorePlan]] over the shared persisted index —

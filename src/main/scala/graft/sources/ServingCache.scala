@@ -77,22 +77,24 @@ object ServingCache {
     sb.toString
   }
 
-  /** The keymap frame for (basePath, name), persisted in cluster memory
-    * and swapped on stamp change. The BUILD (read + persist + count — a
-    * Spark job) runs OUTSIDE the map's bin lock: holding a
-    * ConcurrentHashMap#compute lock across a cluster job would serialize
-    * every concurrent caller of this key behind one build. The SWAP then
-    * re-reads the stamp INSIDE the compute closure (filesystem metadata
-    * only — cheap under the lock) and publishes only when the fresh
-    * stamp still equals the one the build started from: a thread holding
-    * a pre-maintenance stamp that runs compute LAST can therefore never
-    * unpersist a just-refreshed entry and re-cache stale-stamped data.
-    * A build that lost the race (stamp moved mid-build, or another
-    * thread published first) serves its OWN frame to its caller —
-    * correct snapshot semantics, identical to a stateless read — without
-    * caching it. */
-  def keymap(spark: SparkSession, basePath: String, name: String): DataFrame = {
-    val dir = Paths.get(basePath, name, "keymap")
+  /** A memory-resident parquet store, persisted in cluster memory and
+    * swapped on stamp change — GENERAL over any store directory (key =
+    * the dir): the vector keymap was the first tenant; the lexical serve
+    * metadata (dict/impacts/stats — the per-request listing+footer+scan
+    * jobs `bm25Over` pays before touching a posting) rides the same
+    * machinery. The BUILD (read + persist + count — a Spark job) runs
+    * OUTSIDE the map's bin lock: holding a ConcurrentHashMap#compute
+    * lock across a cluster job would serialize every concurrent caller
+    * of this key behind one build. The SWAP then re-reads the stamp
+    * INSIDE the compute closure (filesystem metadata only — cheap under
+    * the lock) and publishes only when the fresh stamp still equals the
+    * one the build started from: a thread holding a pre-maintenance
+    * stamp that runs compute LAST can therefore never unpersist a
+    * just-refreshed entry and re-cache stale-stamped data. A build that
+    * lost the race (stamp moved mid-build, or another thread published
+    * first) serves its OWN frame to its caller — correct snapshot
+    * semantics, identical to a stateless read — without caching it. */
+  def frame(spark: SparkSession, dir: Path): DataFrame = {
     val key = dir.toString
     val stamp0 = stampOf(dir)
     val cached = entries.get(key)
@@ -116,9 +118,18 @@ object ServingCache {
     out.df
   }
 
-  /** Drop one index's cached keymap (tests; explicit retire). */
-  def invalidate(basePath: String, name: String): Unit = {
-    val e = entries.remove(Paths.get(basePath, name, "keymap").toString)
+  /** The keymap frame for (basePath, name) — [[frame]] over the index's
+    * keymap store. */
+  def keymap(spark: SparkSession, basePath: String, name: String): DataFrame =
+    frame(spark, Paths.get(basePath, name, "keymap"))
+
+  /** Drop one cached store (tests; explicit retire). */
+  def invalidateDir(dir: Path): Unit = {
+    val e = entries.remove(dir.toString)
     if (e != null) e.df.unpersist(blocking = false)
   }
+
+  /** Drop one index's cached keymap (tests; explicit retire). */
+  def invalidate(basePath: String, name: String): Unit =
+    invalidateDir(Paths.get(basePath, name, "keymap"))
 }

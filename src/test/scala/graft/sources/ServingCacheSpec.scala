@@ -57,6 +57,42 @@ class ServingCacheSpec extends SparkSpecBase with Matchers {
     ServingCache.invalidate(base, "sc")
   }
 
+  test("lexical serving mode: resident dict/stats equal the stateless read; an upsert's df/n change is visible to the very next request") {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, InvertedIndex.IndexName, "word", "scache-lex")
+    def hot() = InvertedIndex.bm25Over(spark, layout, serving = true)
+      .collect().map(_.toString).toSeq
+    def cold() = InvertedIndex.bm25Over(spark, layout)
+      .collect().map(_.toString).toSeq
+    hot() shouldBe cold()
+    // primed: a repeat request reuses the SAME resident frames
+    val d1 = ServingCache.frame(spark,
+      java.nio.file.Paths.get(layout.dictPath))
+    ServingCache.frame(spark,
+      java.nio.file.Paths.get(layout.dictPath)) should be theSameInstanceAs d1
+    // an upsert merges dict buckets (dynamic overwrite) and swaps stats:
+    // both stamps move, so the NEXT serving request scores with the new
+    // df/n/avgdl — never a TTL, never an explicit invalidation
+    val twins = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < InvertedIndex.UpsertSrcCount)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("text"))
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    hot() shouldBe cold()
+    // deletes: stats swap at delete time (stamp moves), postings masked
+    // on both paths — still equal under pending tombstones
+    import spark.implicits._
+    InvertedIndex.deleteDocs(spark, layout, Seq(0L, 7L).toDF("doc_id"))
+    hot() shouldBe cold()
+    // MaxScore's serving mode rides the same frames and must stay exact
+    InvertedIndex.maxScorePlan(spark, layout, serving = true)._2
+      .collect().map(_.toString).toSeq shouldBe cold()
+    ServingCache.invalidateDir(java.nio.file.Paths.get(layout.dictPath))
+    ServingCache.invalidateDir(java.nio.file.Paths.get(layout.statsPath))
+    ServingCache.invalidateDir(
+      java.nio.file.Paths.get(InvertedIndex.impactsPathOf(layout)))
+  }
+
   test("a keymap-less index falls back to the semi-join scan without writing anything") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-scache-nokm").toString
