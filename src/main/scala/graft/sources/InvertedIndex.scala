@@ -336,7 +336,21 @@ object InvertedIndex {
                               excludeDoc: Option[Long] = None,
                               restrictTo: Option[DataFrame] = None,
                               terms: Seq[String] = TextOps.Bm25Terms,
-                              serving: Boolean = false): DataFrame = {
+                              serving: Boolean = false): DataFrame =
+    bm25RawScores(spark, layout, excludeDoc, restrictTo, terms, serving)
+      .select(col("doc_id"), round(col("raw"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The UNROUNDED per-doc BM25 sum (doc_id, raw) for a term set — the
+    * single scoring pipeline [[bm25Over]] rounds and ranks, and composed
+    * scorers (the proximity-boosted [[bm25ProxOver]]) extend BEFORE the
+    * one final round, so parity with a one-ROUND oracle holds. */
+  private def bm25RawScores(spark: SparkSession, layout: Layout,
+                            excludeDoc: Option[Long] = None,
+                            restrictTo: Option[DataFrame] = None,
+                            terms: Seq[String] = TextOps.Bm25Terms,
+                            serving: Boolean = false): DataFrame = {
     import spark.implicits._
     val buckets = bucketsOf(terms)
     // serving=true reads the METADATA stores (dict, stats) through the
@@ -407,9 +421,7 @@ object InvertedIndex {
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id")).pivot("w", terms).agg(sum(col("s")))
       .select(col("doc_id"),
-        round(terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+        terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _).as("raw"))
   }
 
   /** MaxScore-pruned BM25 top-k (Turtle & Flood's MaxScore, the
@@ -642,6 +654,137 @@ object InvertedIndex {
        |      FROM toks)
        |SELECT doc_id, prox_tf FROM m WHERE prox_tf > 0
        |ORDER BY prox_tf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** UNORDERED proximity — Lucene's `"w1 w2"~n` transposition-tolerant
+    * semantics: count occurrence pairs with 1 ≤ |p2 − p1| ≤ slop + 1,
+    * either order ("hash vector" matches as readily as "vector hash").
+    * Same pruned access path as [[proximityOver]]; the ordered count is
+    * a subset by construction (containment spec-gated). Distinct words
+    * only — a self-pair would count twice, once from each side. */
+  private[graft] def proximityUnorderedOver(spark: SparkSession, layout: Layout,
+                                            w1: String, w2: String, slop: Int,
+                                            k: Int = 10): DataFrame = {
+    require(w1 != w2, "unordered proximity needs two distinct words")
+    val buckets = bucketsOf(Seq(w1, w2))
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(w1, w2))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val p1 = pos.filter(col("w") === w1)
+      .select(col("doc_id").as("doc_a"), col("pos").as("p1"))
+    val p2 = pos.filter(col("w") === w2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    p1.join(p2, col("doc_a") === col("doc_b") &&
+        abs(col("p2") - col("p1")) >= 1L &&
+        abs(col("p2") - col("p1")) <= (slop + 1).toLong)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("prox_tf"))
+      .orderBy(col("prox_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q-phrase-slop-unordered: the transposition-tolerant form of the
+    * fixed proximity query. Oracle replays the bidirectional gap window
+    * from raw text (the q_phrase_slop template, both directions). */
+  def phraseSlopUnordered(spark: SparkSession, dir: String): DataFrame =
+    proximityUnorderedOver(spark, ensure(spark, dir), PhraseW1, PhraseW2, PhraseSlop)
+
+  val phraseSlopUnorderedSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(list_sum(list_transform(range(1, len(t)+1),
+       |          i -> CASE WHEN t[i] = '$PhraseW1'
+       |               THEN len(list_filter(
+       |                 range(greatest(i-${PhraseSlop + 1}, 1),
+       |                       least(i+${PhraseSlop + 2}, len(t)+1)),
+       |                 j -> j <> i AND t[j] = '$PhraseW2'))
+       |               ELSE 0 END)) AS BIGINT) AS prox_tf
+       |      FROM toks)
+       |SELECT doc_id, prox_tf FROM m WHERE prox_tf > 0
+       |ORDER BY prox_tf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** PROXIMITY-WEIGHTED BM25 — the scoring form of the slop family: the
+    * standard two-term BM25 sum plus a boost ∝ 1/gap for every ordered
+    * in-window pair (gap = p2 − p1 ∈ [1, slop+1]), so documents where
+    * the words sit CLOSE rank above equal-BM25 documents where they
+    * merely co-occur (the positional-scoring idea behind Lucene's
+    * PhraseQuery boosts and Clarke et al.'s term-proximity evidence).
+    * Oracle-parity discipline for the boost: pairs are GROUPED BY GAP
+    * first (exact long counts — there are only slop+1 gap values), then
+    * the score adds count_g / g in one fixed order, so double addition
+    * associates identically in both engines (the q_bm25 pivot rule; a
+    * raw Σ 1/gap over pairs would be accumulation-order-dependent).
+    * Access path: postings-pruned BM25 ([[bm25RawScores]]) + the
+    * positions-pruned pair join ([[proximityOver]]'s) — both ∝ the two
+    * words' lists, never the corpus. */
+  private[graft] def bm25ProxOver(spark: SparkSession, layout: Layout,
+                                  w1: String, w2: String, slop: Int,
+                                  k: Int = 10): DataFrame = {
+    val gaps = (1 to slop + 1).toSeq
+    val buckets = bucketsOf(Seq(w1, w2))
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(w1, w2))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val p1 = pos.filter(col("w") === w1)
+      .select(col("doc_id").as("doc_a"), col("pos").as("p1"))
+    val p2 = pos.filter(col("w") === w2)
+      .select(col("doc_id").as("doc_b"), col("pos").as("p2"))
+    val gapAggs = gaps.map(g =>
+      sum(when(col("g") === g.toLong, 1L).otherwise(0L)).as(s"g$g"))
+    val gapCounts = p1.join(p2, col("doc_a") === col("doc_b") &&
+        col("p2") - col("p1") >= 1L && col("p2") - col("p1") <= (slop + 1).toLong)
+      .select(col("doc_a").as("doc_id"), (col("p2") - col("p1")).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(gapAggs.head, gapAggs.tail: _*)
+    val boost = gaps.map(g => coalesce(col(s"g$g"), lit(0L)) / lit(g.toDouble))
+    bm25RawScores(spark, layout, terms = Seq(w1, w2))
+      .join(gapCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(boost.foldLeft(col("raw"))(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q-bm25-prox: the fixed pair's proximity-weighted ranking served
+    * from the shared index (postings + positions). Oracle: the
+    * parameterized BM25 replay plus the same gap-bucketed boost from
+    * raw text, one ROUND at the end. */
+  def bm25Prox(spark: SparkSession, dir: String): DataFrame =
+    bm25ProxOver(spark, ensure(spark, dir), PhraseW1, PhraseW2, PhraseSlop)
+
+  val bm25ProxSql: String = {
+    val base = TextOps.bm25SqlFor(Seq(PhraseW1, PhraseW2))
+    val tail = "SELECT doc_id, ROUND(s1 + s2, 6) AS score FROM piv\nORDER BY score DESC, doc_id LIMIT 10"
+    require(base.contains(tail), "bm25SqlFor tail shape changed — update bm25ProxSql")
+    val gapCols = (1 to PhraseSlop + 1).map { g =>
+      s"""        CAST(list_sum(list_transform(range(1, len(t)+1),
+         |          i -> CASE WHEN t[i] = '$PhraseW1' AND t[i+$g] = '$PhraseW2'
+         |               THEN 1 ELSE 0 END)) AS BIGINT) AS g$g""".stripMargin
+    }.mkString(",\n")
+    val boost = (1 to PhraseSlop + 1)
+      .map(g => s"COALESCE(x.g$g, 0) / $g.0").mkString(" + ")
+    base.replace(tail,
+      s"""prox AS (SELECT doc_id,
+         |$gapCols
+         |  FROM toks)
+         |SELECT p.doc_id, ROUND(s1 + s2 + $boost, 6) AS score
+         |FROM piv p LEFT JOIN prox x ON p.doc_id = x.doc_id
+         |ORDER BY score DESC, p.doc_id LIMIT 10""".stripMargin)
+      .replace("  FROM contrib GROUP BY doc_id)\nprox AS",
+        "  FROM contrib GROUP BY doc_id),\nprox AS")
+  }
 
   /** The declared boolean query: (vector AND hash) AND NOT merge —
     * both positives are [[TextOps.Bm25Terms]] members, the negative is
@@ -1875,6 +2018,8 @@ object InvertedIndex {
     "q_bm25_query2" -> (bm25Query2 _),
     "q_phrase" -> (phraseIndexed _),
     "q_phrase_slop" -> (phraseSlop _),
+    "q_phrase_slop_unordered" -> (phraseSlopUnordered _),
+    "q_bm25_prox" -> (bm25Prox _),
     "q_bm25_bool" -> (bm25BoolIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
@@ -1897,6 +2042,8 @@ object InvertedIndex {
     "q_bm25_query2" -> TextOps.bm25SqlFor(Bm25Terms2),
     "q_phrase" -> phraseSql,
     "q_phrase_slop" -> phraseSlopSql,
+    "q_phrase_slop_unordered" -> phraseSlopUnorderedSql,
+    "q_bm25_prox" -> bm25ProxSql,
     "q_bm25_bool" -> bm25BoolSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be

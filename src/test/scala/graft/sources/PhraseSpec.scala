@@ -173,4 +173,68 @@ class PhraseSpec extends SparkSpecBase with Matchers {
     served(layout) shouldBe naive(reduced,
       InvertedIndex.PhraseW1, InvertedIndex.PhraseW2)
   }
+
+  test("unordered slop: equals the bidirectional recompute, CONTAINS the ordered form, symmetric in word order") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (w1, w2, slop) =
+      (InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+    // bidirectional referee from raw text
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos").as("p1"))
+    val b = pos.filter(col("w") === w2).select(col("doc_id"), col("pos").as("p2"))
+    val expected = a.join(b, a("doc_id") === b("doc_id") &&
+        abs(col("p2") - col("p1")) >= 1L &&
+        abs(col("p2") - col("p1")) <= (slop + 1).toLong)
+      .groupBy(a("doc_id").as("doc_id")).agg(count(lit(1)).as("prox_tf"))
+      .orderBy(col("prox_tf").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    InvertedIndex.phraseSlopUnordered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe expected
+    // ordered ⊆ unordered per doc at full depth
+    def full(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val un = full(InvertedIndex.proximityUnorderedOver(spark, layout, w1, w2, slop, k = 100000))
+    val ord = full(InvertedIndex.proximityOver(spark, layout, w1, w2, slop, k = 100000))
+    ord.foreach { case (d, c) => un(d) should be >= c }
+    // transposition tolerance IS symmetry in the word order
+    full(InvertedIndex.proximityUnorderedOver(spark, layout, w2, w1, slop, k = 100000)) shouldBe un
+  }
+
+  test("proximity-weighted bm25: the boost is exactly the gap-bucketed 1/g sum on top of plain bm25") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+    val (w1, w2, slop) =
+      (InvertedIndex.PhraseW1, InvertedIndex.PhraseW2, InvertedIndex.PhraseSlop)
+    def scores(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bm = scores(InvertedIndex.bm25Over(spark, layout, k = 100000,
+      terms = Seq(w1, w2)))
+    val prox = scores(InvertedIndex.bm25ProxOver(spark, layout, w1, w2, slop,
+      k = 100000))
+    // per-gap pair counts from raw text
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
+    val a = pos.filter(col("w") === w1).select(col("doc_id"), col("pos").as("p1"))
+    val b = pos.filter(col("w") === w2).select(col("doc_id"), col("pos").as("p2"))
+    val gapCount = a.join(b, a("doc_id") === b("doc_id") &&
+        col("p2") - col("p1") >= 1L && col("p2") - col("p1") <= (slop + 1).toLong)
+      .select(a("doc_id").as("doc_id"), (col("p2") - col("p1")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    gapCount should not be empty // the boost arm is non-vacuous here
+    prox.foreach { case (d, s) =>
+      val boost = (1 to slop + 1)
+        .map(g => gapCount.getOrElse((d, g.toLong), 0L).toDouble / g).sum
+      s shouldBe (bm(d) + boost) +- 2e-6
+    }
+    // ranking actually moves: some boosted doc outranks a plain-bm25
+    // superior, or the family is decoration at this corpus
+    val topProx = prox.toSeq.sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    val topBm = bm.toSeq.sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    topProx should not be topBm
+  }
 }
