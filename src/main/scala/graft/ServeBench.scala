@@ -147,6 +147,22 @@ object ServeBench {
             coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10).collect()
     }
+    // the FLAGSHIP text→embedding→topK serve from the persisted embed16
+    // artifact (the reference's #1 entry point, main.go:89-184): query
+    // dims hashed driver-side, dots from pruned postings, norms from the
+    // sidecar — stateless vs resident-norms (ServingCache) variants
+    val embedLayout = graft.sources.EmbedIndex.ensure(spark, sfDir)
+    val embedQueries = Seq(
+      "fast vector query engine", "merge group customer scan",
+      "window stream filter spark", "hash join sort data",
+      "big data line batch", "query engine spark scan",
+      "vector hash merge", "slow batch order value")
+    def embedReq(i: Int): Unit =
+      graft.sources.EmbedIndex.embedOver(spark, embedLayout,
+        embedQueries(i % embedQueries.size)).collect()
+    def embedHotReq(i: Int): Unit =
+      graft.sources.EmbedIndex.embedOver(spark, embedLayout,
+        embedQueries(i % embedQueries.size), serving = true).collect()
     // graph-ANN walk against resolved serving state (resident edge
     // frame) — the multi-job, multi-hop serve shape most likely to
     // convoy under FAIR-pool concurrency
@@ -161,6 +177,7 @@ object ServeBench {
       Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
         "ann" -> (annReq _), "bm25" -> (bm25Req _),
         "bm25_hot" -> (bm25HotReq _), "hybrid" -> (hybridReq _),
+        "embed" -> (embedReq _), "embed_hot" -> (embedHotReq _),
         "graphann" -> (graphReq _))
 
     // ---- drive ---------------------------------------------------------

@@ -74,7 +74,8 @@ object EmbedIndex {
   private[graft] def embedOver(spark: SparkSession,
                                layout: InvertedIndex.Layout,
                                queryText: String = EmbedOps.FlagshipQuery,
-                               k: Int = 5): DataFrame = {
+                               k: Int = 5,
+                               serving: Boolean = false): DataFrame = {
     import spark.implicits._
     val qemb = queryEmbedding(queryText)
     require(qemb.nonEmpty, "query has no tokens")
@@ -99,9 +100,18 @@ object EmbedIndex {
     val dots = masked(post0).join(broadcast(qdf), "w")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("qv")).as("dot"))
-    // ‖e‖² from the persisted sidecar — never a corpus re-aggregation
-    val norms = masked(spark.read.parquet(InvertedIndex.normsPathOf(layout)))
-      .select(col("doc_id"), col("n2"))
+    // ‖e‖² from the persisted sidecar — never a corpus re-aggregation.
+    // serving=true pins the norms frame executor-resident through the
+    // ServingCache stamp (two longs per doc — the keymap cache's size
+    // class applied to the flagship's serve metadata): the per-request
+    // listing/footer/scan job over the sidecar is the latency floor,
+    // and any upsert/vacuum write to norms moves the stamp before the
+    // next request reads it (staleness spec-gated in EmbedIndexSpec)
+    val normsStore =
+      if (serving) ServingCache.frame(spark,
+        Paths.get(InvertedIndex.normsPathOf(layout)))
+      else spark.read.parquet(InvertedIndex.normsPathOf(layout))
+    val norms = masked(normsStore).select(col("doc_id"), col("n2"))
     norms.join(dots, Seq("doc_id"), "left")
       .select(col("doc_id"),
         round(coalesce(col("dot"), lit(0L)).cast("double") /

@@ -139,7 +139,8 @@ object IncrementalAudit {
     "impacts" -> InvertedIndex.impactsPathOf(layout),
     "positions" -> InvertedIndex.positionsPathOf(layout),
     "footprint" -> InvertedIndex.footprintPathOf(layout),
-    "lens" -> InvertedIndex.lensPathOf(layout))
+    "lens" -> InvertedIndex.lensPathOf(layout),
+    "norms" -> InvertedIndex.normsPathOf(layout)) // embed indexes only
 
   private def minhashStores(layout: MinhashIndex.Layout): Map[String, String] = Map(
     "sigs" -> layout.sigsPath,
@@ -178,7 +179,8 @@ object IncrementalAudit {
     * doc-side over the dbuckets whose footprint/lens shards changed —
     * each set extended by the epoch's refresher bucket. Advances the
     * watermark on completion. */
-  def auditInverted(spark: SparkSession, layout: InvertedIndex.Layout): DataFrame = {
+  def auditInverted(spark: SparkSession, layout: InvertedIndex.Layout,
+                    artifact: String = "inverted"): DataFrame = {
     val root = Paths.get(layout.dataPath).getParent
     val stores = invertedStores(layout)
     val cur = inventory(stores)
@@ -187,7 +189,7 @@ object IncrementalAudit {
     val refreshD = epoch % InvertedIndex.DocBuckets
     val tb = (Seq("data", "dict", "impacts", "positions").flatMap(touched(_, cur, prev))
       :+ refreshT).distinct.sorted
-    val db = (Seq("footprint", "lens").flatMap(touched(_, cur, prev))
+    val db = (Seq("footprint", "lens", "norms").flatMap(touched(_, cur, prev))
       :+ refreshD).distinct.sorted
     val post = spark.read.parquet(layout.dataPath)
       .filter(col("tbucket").isin(tb: _*))
@@ -195,7 +197,7 @@ object IncrementalAudit {
       .join(spark.read.parquet(layout.dictPath)
           .filter(col("tbucket").isin(tb: _*)).select(col("w"), col("df")),
         Seq("w"), "full_outer")
-    val d1 = countRow("inverted", "dict_df_matches_postings",
+    val d1 = countRow(artifact, "dict_df_matches_postings",
       sum(when(col("adf").isNull || col("df").isNull ||
         col("adf") =!= col("df"), 1L).otherwise(0L)), dictCmp)
     // an index that never served MaxScore has no impacts sidecar yet —
@@ -203,7 +205,7 @@ object IncrementalAudit {
     // audit backfills; this arm must stay read-only)
     val d2 =
       if (!Files.exists(Paths.get(InvertedIndex.impactsPathOf(layout))))
-        zeroRow(spark, "inverted", "impacts_bound_postings")
+        zeroRow(spark, artifact, "impacts_bound_postings")
       else {
         // bounds cover the SCORABLE postings — tombstones masked, the
         // deep audit's refreshImpacts-aware refinement
@@ -219,20 +221,20 @@ object IncrementalAudit {
               .filter(col("tbucket").isin(tb: _*))
               .select(col("w"), col("tf_max"), col("dl_min")),
             Seq("w"), "left")
-        countRow("inverted", "impacts_bound_postings",
+        countRow(artifact, "impacts_bound_postings",
           sum(when(col("tf_max").isNull || col("tf_max") < col("atf") ||
             col("dl_min") > col("adl"), 1L).otherwise(0L)), impCmp)
       }
     val d3 =
       if (!Files.exists(Paths.get(InvertedIndex.positionsPathOf(layout))))
-        zeroRow(spark, "inverted", "positions_match_tf")
+        zeroRow(spark, artifact, "positions_match_tf")
       else {
         val posCmp = spark.read.parquet(InvertedIndex.positionsPathOf(layout))
           .filter(col("tbucket").isin(tb: _*))
           .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("ptf"))
           .join(post.select(col("w"), col("doc_id"), col("tf")),
             Seq("w", "doc_id"), "full_outer")
-        countRow("inverted", "positions_match_tf",
+        countRow(artifact, "positions_match_tf",
           sum(when(col("ptf").isNull || col("tf").isNull ||
             col("ptf") =!= col("tf"), 1L).otherwise(0L)), posCmp)
       }
@@ -247,10 +249,30 @@ object IncrementalAudit {
     val lensDocs = spark.read.parquet(InvertedIndex.lensPathOf(layout))
       .filter(col("dbucket").isin(db: _*)).select(col("doc_id")).distinct()
       .withColumn("l", lit(1))
-    val d4 = countRow("inverted", "footprint_docs_match_lens",
+    val d4 = countRow(artifact, "footprint_docs_match_lens",
       sum(when(col("f").isNull || col("l").isNull, 1L).otherwise(0L)),
       footDocs.join(lensDocs, Seq("doc_id"), "full_outer"))
+    // embed layouts carry the norms sidecar — per touched dbucket its doc
+    // set must equal the lens's tokenizable docs (dl > 0; a zero-token
+    // doc legitimately has a length but no norm), the doc-level liveness
+    // sync between the two dbucket-sharded sidecars. The exact n2 values
+    // are the deep audit's recompute; this arm checks presence ∝ churn.
+    val d5 =
+      if (!Files.exists(Paths.get(InvertedIndex.normsPathOf(layout))))
+        zeroRow(spark, artifact, "norms_docs_match_lens")
+      else {
+        val normDocs = spark.read.parquet(InvertedIndex.normsPathOf(layout))
+          .filter(col("dbucket").isin(db: _*)).select(col("doc_id"))
+          .withColumn("nn", lit(1))
+        val lensTok = spark.read.parquet(InvertedIndex.lensPathOf(layout))
+          .filter(col("dbucket").isin(db: _*) && col("dl") > 0)
+          .select(col("doc_id")).withColumn("lt", lit(1))
+        countRow(artifact, "norms_docs_match_lens",
+          sum(when(col("nn").isNull || col("lt").isNull, 1L).otherwise(0L)),
+          normDocs.join(lensTok, Seq("doc_id"), "full_outer"))
+      }
     val out = d1.unionByName(d2).unionByName(d3).unionByName(d4)
+      .unionByName(d5)
       .localCheckpoint(true) // materialize BEFORE the watermark advances
     advanceIfClean(root, epoch, cur, out)
   }
@@ -567,7 +589,15 @@ object IncrementalAudit {
     val churnDbuckets = twins
       .select(InvertedIndex.dbucketCol(col("doc_id")).as("b")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
+    // embed16 flagship artifact: same clone-churn-audit lifecycle through
+    // the SAME inverted machinery (marker-dispatched tokenizer), its
+    // norms sidecar in the doc-side touched set
+    val emb = InvertedIndex.cloneIndexNamed(spark, dir,
+      EmbedIndex.IndexName, "embed16", "audit-incr-emb")
+    baselineInverted(emb)
+    InvertedIndex.upsertDocs(spark, emb, twins)
     auditInverted(spark, inv)
+      .unionByName(auditInverted(spark, emb, artifact = "embed"))
       .unionByName(auditMinhash(spark, mh))
       .unionByName(auditVector(spark, vBase, vName))
       .unionByName(auditGraph(spark, gRoot, nodeBuckets))
@@ -579,12 +609,18 @@ object IncrementalAudit {
   val indexAuditIncrSql: String =
     """SELECT * FROM (VALUES
       |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
+      |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
+      |  ('embed', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'norms_docs_match_lens', CAST(0 AS BIGINT)),
+      |  ('embed', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('graph', 'edge_endpoints_in_members', CAST(0 AS BIGINT)),
       |  ('graph', 'edges_cover_redges', CAST(0 AS BIGINT)),
       |  ('graph', 'redges_cover_edges', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'norms_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_cover_sigs', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_have_sigs', CAST(0 AS BIGINT)),

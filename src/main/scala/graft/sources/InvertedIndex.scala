@@ -879,7 +879,8 @@ object InvertedIndex {
     *    exactly tf occurrences (word indexes; absent store = skipped).
     * The audit reads the PHYSICAL layer: pending tombstones are the read
     * path's masking business and do not violate any of these. */
-  private[graft] def auditFrame(spark: SparkSession, layout: Layout): DataFrame = {
+  private[graft] def auditFrame(spark: SparkSession, layout: Layout,
+                                artifact: String = "inverted"): DataFrame = {
     ensureLens(spark, layout)
     ensureFootprint(spark, layout)
     ensureImpacts(spark, layout)
@@ -887,7 +888,7 @@ object InvertedIndex {
     def row(inv: String, violations: org.apache.spark.sql.Column,
             from: DataFrame): DataFrame =
       from.agg(coalesce(violations, lit(0L)).as("violations"))
-        .select(lit("inverted").as("artifact"), lit(inv).as("invariant"),
+        .select(lit(artifact).as("artifact"), lit(inv).as("invariant"),
           col("violations"))
     val dictCmp = post.groupBy(col("w")).agg(count(lit(1)).as("adf"))
       .join(spark.read.parquet(layout.dictPath).select(col("w"), col("df")),

@@ -428,9 +428,10 @@ object MinhashIndex {
     // The keymap is ensured EXPLICITLY here (the audit is a maintenance
     // entry point by declaration) so the fleet audit always checks a
     // real sidecar — auditFrame itself never writes (ADVICE r13: reads
-    // must not backfill). The graph store and SQ8 code store are ensured
-    // under the same declaration, so the fleet audit covers all FIVE
-    // persisted artifact kinds plus the cross-artifact feed invariant.
+    // must not backfill). The graph store, the SQ8 code store, and the
+    // embed16 flagship index are ensured under the same declaration, so
+    // the fleet audit covers all SIX persisted artifact kinds plus the
+    // cross-artifact feed invariant.
     val (vecBase, vecName, _) =
       graft.operators.VectorOps.ensureIvfBucketed(spark, dir)
     IndexCatalog.ensureKeymap(spark, vecBase, vecName, "vec_id")
@@ -443,6 +444,8 @@ object MinhashIndex {
       .join(Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
     InvertedIndex.auditFrame(spark, invLayout)
+      .unionByName(InvertedIndex.auditFrame(spark,
+        EmbedIndex.ensure(spark, dir), artifact = "embed"))
       .unionByName(auditFrame(spark, ensure(spark, dir)))
       .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
       .unionByName(graft.operators.GraphOps.auditGraphFrame(spark, graphRoot, vecLive))
@@ -532,6 +535,12 @@ object MinhashIndex {
   val indexAuditSql: String =
     """SELECT * FROM (VALUES
       |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
+      |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'footprint_matches_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'lens_matches_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'norms_match_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'stats_match_lens', CAST(0 AS BIGINT)),
       |  ('graph', 'edge_endpoints_live', CAST(0 AS BIGINT)),
       |  ('graph', 'redges_mirror_edges', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),

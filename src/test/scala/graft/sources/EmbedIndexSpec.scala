@@ -106,6 +106,48 @@ class EmbedIndexSpec extends SparkSpecBase with Matchers {
     deadIds.foreach(id => normDocs should not contain id)
   }
 
+  test("embed index rides the SAME CDC apply as the word index: mixed U/D triggers land on the rebuild; the resident-norms serving mode stays staleness-exact") {
+    import spark.implicits._
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-cdc")
+    // prime the resident norms frame BEFORE any churn — the staleness
+    // gates below must catch every later write through the stamp alone
+    EmbedIndex.embedOver(spark, layout, k = 5, serving = true).collect()
+    val twins = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("lang"), col("text"))
+    // trigger 1: plain adds (marker-dispatched embed16 tokenization)
+    InvertedIndex.applyCdcBatch(layout,
+      twins.select(col("doc_id"), col("text"), lit("U").as("op")), 0L)
+    // trigger 2: deletes (including the current #1 winner) + one more add
+    val top1 = reference(docs, 1).head._1
+    val dead = Seq(top1, 11L, 23L).distinct
+    val add2 = docs.filter(col("doc_id") === 7L)
+      .select((col("doc_id") + 2L * InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("lang"), col("text"))
+    InvertedIndex.applyCdcBatch(layout,
+      dead.toDF("doc_id").select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("D").as("op"))
+        .unionByName(add2.select(col("doc_id"), col("text"), lit("U").as("op"))),
+      1L)
+    val endCorpus = docs.select(col("doc_id"), col("lang"), col("text"))
+      .filter(!col("doc_id").isin(dead: _*))
+      .unionByName(twins).unionByName(add2)
+    val expect = reference(endCorpus, 50)
+    served(layout, 50) shouldBe expect // stateless, pending tombstones
+    // the SERVING request primed before the churn must see the new
+    // state: the upsert appended norms shards (stamp moved) and the
+    // tombstones mask on both paths
+    EmbedIndex.embedOver(spark, layout, k = 50, serving = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe expect
+    // vacuum folds norms physically (another stamp move) — still exact
+    InvertedIndex.vacuum(spark, layout)
+    EmbedIndex.embedOver(spark, layout, k = 50, serving = true).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe expect
+    ServingCache.invalidateDir(
+      java.nio.file.Paths.get(InvertedIndex.normsPathOf(layout)))
+  }
+
   test("audit: norms_match_postings zero healthy, flags planted drift, repair restores") {
     val layout = InvertedIndex.cloneIndexNamed(
       spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-audit")

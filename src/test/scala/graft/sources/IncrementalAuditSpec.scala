@@ -29,8 +29,8 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
     val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
-    rows should have length 13
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(13)(0L)
+    rows should have length 19
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(19)(0L)
   }
 
   test("vector sensitivity: a phantom entry planted in a TOUCHED kbucket flags keymap_entries_live; a provably-unreachable garbage shard is never read") {
@@ -198,6 +198,23 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
     val audit1 = auditMap(IncrementalAudit.auditGraph(spark, r1, nodeBuckets))
     audit1("redges_cover_edges") should be > 0L
     audit1("edge_endpoints_in_members") shouldBe 0L
+  }
+
+  test("embed incremental sensitivity: a norms shard dropped from a TOUCHED dbucket flags norms_docs_match_lens") {
+    val layout = InvertedIndex.cloneIndexNamed(spark, sfDir,
+      EmbedIndex.IndexName, "embed16", "aincr-emb-sens")
+    IncrementalAudit.baselineInverted(layout)
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    // drop a norms shard the churn touched (the twins' dbuckets)
+    val touchedDb = twins.select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getLong(0)).min
+    Maintenance.deleteRecursively(
+      java.nio.file.Paths.get(InvertedIndex.normsPathOf(layout))
+        .resolve(s"dbucket=$touchedDb"))
+    val audit = auditMap(IncrementalAudit.auditInverted(spark, layout,
+      artifact = "embed"))
+    audit("norms_docs_match_lens") should be > 0L
+    audit("dict_df_matches_postings") shouldBe 0L
   }
 
   test("a red run HOLDS the watermark: the flagged bucket stays in the touched set until it audits clean") {

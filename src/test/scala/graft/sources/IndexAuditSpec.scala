@@ -24,8 +24,8 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 15
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(15)(0L)
+    rows should have length 21
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(21)(0L)
   }
 
   test("graph sensitivity: a dropped redges shard flags redges_mirror_edges; a foreign endpoint flags edge_endpoints_live") {
