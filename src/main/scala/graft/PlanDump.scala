@@ -144,7 +144,8 @@ object PlanDump {
     // negative anti-join feeding the restricted rank), and the persisted
     // INT8 code serve (tinyint pages scanned, winners-only exact rerank)
     "q_embed_knn_sql", "q_phrase_slop", "q_bm25_bool", "q_sq8_persisted",
-    "q_embed_index", "q_embed_index_upsert", "q_phrase_slop_unordered", "q_bm25_prox")
+    "q_embed_index", "q_embed_index_upsert", "q_phrase_slop_unordered", "q_bm25_prox",
+    "q_embed_index_query2", "q_embed_index_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -200,7 +200,13 @@ object EmbedOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
-  val embedKnnSql: String =
+  val embedKnnSql: String = embedKnnSqlFor(FlagshipQuery)
+
+  /** The flagship oracle PARAMETERIZED by the query text — the
+    * bm25SqlFor discipline: the persisted-index family's generality
+    * witness (q_embed_index_query2) and its delete/vacuum lifecycle
+    * replays all instantiate this one builder. */
+  def embedKnnSqlFor(queryText: String): String =
     s"""WITH norm AS (
        |  SELECT doc_id, lang, text,
        |         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ntext
@@ -216,7 +222,7 @@ object EmbedOps {
        |      (a, c) -> (a * 31 + c) % $SqlHashMod) % $SqlEmbedDim AS d
        |  FROM toks),
        |emb AS (SELECT doc_id, d, COUNT(*) AS v FROM hashed GROUP BY 1, 2),
-       |qtok AS (SELECT unnest(string_split('$FlagshipQuery', ' ')) AS w),
+       |qtok AS (SELECT unnest(string_split('$queryText', ' ')) AS w),
        |qh AS (
        |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),

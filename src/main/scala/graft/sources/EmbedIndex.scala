@@ -180,13 +180,69 @@ object EmbedIndex {
         s"FROM documents WHERE doc_id >= $UpsertLo AND doc_id < $UpsertHi),\nnorm AS")
     .replace("FROM documents)", "FROM d2)")
 
+  /** A SECOND query text served from the SHARED artifact — the
+    * generality witness (the Bm25Terms2 discipline): the persisted
+    * relation answers ANY query through the same driver-hashed-dims →
+    * pruned-postings → broadcast plan, not just the hard-wired flagship
+    * string. Oracle = the parameterized builder instantiated here. */
+  val FlagshipQuery2 = "merge group customer scan"
+
+  def embedKnnIndexedQuery2(spark: SparkSession, dir: String): DataFrame =
+    fetchJoin(embedOver(spark, ensure(spark, dir), FlagshipQuery2),
+      Tables.documents(spark, dir))
+
+  /** Q-embed-index-delete / -vacuum: the embed artifact's DELETE
+    * lifecycle declared with full oracles (the bm25_delete/vacuum
+    * symmetry) — the shared [[InvertedIndex.DeleteMod]] residue set
+    * tombstones out (it contains a flagship winner, so the declared
+    * top-5 visibly changes), masked reads and the post-vacuum folded
+    * layout must both equal a from-scratch rebuild over the reduced
+    * corpus. */
+  private def deleteSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % InvertedIndex.DeleteMod === InvertedIndex.DeleteRes &&
+        col("doc_id") < InvertedIndex.DeleteMax)
+      .select(col("doc_id"))
+
+  def embedIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, dir, IndexName, "embed16", "embed-delete")
+    InvertedIndex.deleteDocs(spark, layout, deleteSet(spark, dir))
+    fetchJoin(embedOver(spark, layout), Tables.documents(spark, dir))
+  }
+
+  def embedIndexVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, dir, IndexName, "embed16", "embed-vacuum")
+    InvertedIndex.deleteDocs(spark, layout, deleteSet(spark, dir))
+    InvertedIndex.vacuum(spark, layout)
+    fetchJoin(embedOver(spark, layout), Tables.documents(spark, dir))
+  }
+
+  // the reduced-corpus replay both delete-lifecycle states share (the
+  // bm25DeleteSql template applied to the parameterized flagship oracle)
+  val embedIndexDeleteSql: String = EmbedOps.embedKnnSql
+    .replace("WITH norm AS",
+      s"WITH d2 AS (SELECT doc_id, lang, text FROM documents " +
+        s"WHERE NOT (doc_id % ${InvertedIndex.DeleteMod} = ${InvertedIndex.DeleteRes} " +
+        s"AND doc_id < ${InvertedIndex.DeleteMax})),\nnorm AS")
+    .replace("FROM documents)", "FROM d2)")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_index" -> (embedKnnIndexed _),
-    "q_embed_index_upsert" -> (embedIndexUpsert _))
+    "q_embed_index_upsert" -> (embedIndexUpsert _),
+    "q_embed_index_query2" -> (embedKnnIndexedQuery2 _),
+    "q_embed_index_delete" -> (embedIndexDelete _),
+    "q_embed_index_vacuum" -> (embedIndexVacuum _))
 
   def oracles: Map[String, String] = Map(
     // shared VERBATIM with q_embed_knn_sql: the persisted artifact must
     // be invisible in every served value
     "q_embed_index" -> EmbedOps.embedKnnSql,
-    "q_embed_index_upsert" -> embedIndexUpsertSql)
+    "q_embed_index_upsert" -> embedIndexUpsertSql,
+    "q_embed_index_query2" -> EmbedOps.embedKnnSqlFor(FlagshipQuery2),
+    // masked reads and the physical fold land on the identical
+    // reduced-corpus rebuild — the same oracle for both states
+    "q_embed_index_delete" -> embedIndexDeleteSql,
+    "q_embed_index_vacuum" -> embedIndexDeleteSql)
 }
