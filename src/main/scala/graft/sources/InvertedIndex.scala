@@ -350,7 +350,23 @@ object InvertedIndex {
                             excludeDoc: Option[Long] = None,
                             restrictTo: Option[DataFrame] = None,
                             terms: Seq[String] = TextOps.Bm25Terms,
-                            serving: Boolean = false): DataFrame = {
+                            serving: Boolean = false): DataFrame =
+    contribFrame(spark, layout, excludeDoc, restrictTo, terms, serving)
+      .groupBy(col("doc_id")).pivot("w", terms).agg(sum(col("s")))
+      .select(col("doc_id"),
+        terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _).as("raw"))
+
+  /** Per-(doc, term) BM25 contributions (doc_id, w, s) for a term set —
+    * the single masked/df-corrected/pruned scoring core. [[bm25RawScores]]
+    * assembles it with the FIXED-ORDER pivot (cross-engine double-sum
+    * parity for a statically-known term list); [[bm25ExpandedOver]]
+    * quantizes it to exact longs instead (the order-free discipline a
+    * data-dependent expansion set needs). */
+  private def contribFrame(spark: SparkSession, layout: Layout,
+                           excludeDoc: Option[Long] = None,
+                           restrictTo: Option[DataFrame] = None,
+                           terms: Seq[String] = TextOps.Bm25Terms,
+                           serving: Boolean = false): DataFrame = {
     import spark.implicits._
     val buckets = bucketsOf(terms)
     // serving=true reads the METADATA stores (dict, stats) through the
@@ -419,9 +435,7 @@ object InvertedIndex {
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
           (col("tf") * 2.2) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy(col("doc_id")).pivot("w", terms).agg(sum(col("s")))
-      .select(col("doc_id"),
-        terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _).as("raw"))
+      .select(col("doc_id"), col("w"), col("s"))
   }
 
   /** MaxScore-pruned BM25 top-k (Turtle & Flood's MaxScore, the
@@ -858,6 +872,215 @@ object InvertedIndex {
        |      FROM toks)
        |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+
+  // ---- multi-term expansion (prefix / fuzzy) -----------------------------
+
+  /** Lucene's BooleanQuery.maxClauseCount discipline: a multi-term
+    * expansion (prefix/fuzzy) rewrites into a scoring boolean over the
+    * matched dictionary terms, and an expansion past this cap fails
+    * loudly instead of silently scheduling an unbounded scoring pass. */
+  val MaxExpansion = 1024
+
+  /** The declared expansion queries: prefix `s*` (six corpus terms at
+    * every SF) and the typo `grup` at ≤2 edits ({group: 1, dup: 2} —
+    * two matches at DIFFERENT distances, so the distance boost is
+    * exercised, not just the expansion). */
+  val PrefixQ = "s"
+  val FuzzyQ = "grup"
+  val FuzzyMaxEdits = 2
+
+  /** Dictionary EXPANSION for a prefix query — Lucene's PrefixQuery
+    * TermsEnum walk re-expressed: the dict store is vocabulary-sized
+    * metadata (Heaps-bounded — the same budget that lets Lucene pin its
+    * FST on heap, and that [[ServingCache]] pins resident), so expansion
+    * is a full-dict scan with a prefix filter. A prefix cannot prune
+    * term-HASH buckets and does not need to: the POSTING reads that
+    * follow are pruned to the matched terms' buckets, and postings are
+    * where corpus-proportional cost lives. The collected set is bounded
+    * by [[MaxExpansion]] (the repo's bounded-collect discipline). */
+  private[graft] def expandPrefix(spark: SparkSession, layout: Layout,
+                                  prefix: String,
+                                  cap: Int = MaxExpansion): Seq[String] = {
+    val ws = spark.read.parquet(layout.dictPath)
+      .filter(col("w").startsWith(prefix)).select(col("w"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(ws.size <= cap,
+      s"prefix '$prefix' expands to ${ws.size} terms > $cap " +
+        "(the Lucene maxClauseCount discipline) — narrow the prefix")
+    ws
+  }
+
+  /** FuzzyQuery expansion: dictionary terms within `maxEdits` Levenshtein
+    * edits of the query term, each carrying Lucene's FuzzyTermsEnum
+    * similarity boost 1 − dist / min(|w|, |q|) (an exact 0-distance match
+    * scores unboosted; a distant match is discounted). Same full-dict
+    * metadata scan as [[expandPrefix]]; Spark's and DuckDB's
+    * `levenshtein` are both the standard unit-cost edit distance, so the
+    * oracle re-derives the identical expansion set and boosts. */
+  private[graft] def expandFuzzy(spark: SparkSession, layout: Layout,
+                                 q: String, maxEdits: Int,
+                                 cap: Int = MaxExpansion)
+      : Seq[(String, Double)] = {
+    val ws = spark.read.parquet(layout.dictPath)
+      .filter(levenshtein(col("w"), lit(q)) <= maxEdits)
+      .select(col("w"), levenshtein(col("w"), lit(q)).as("dist"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
+    require(ws.size <= cap,
+      s"fuzzy '$q'~$maxEdits expands to ${ws.size} terms > $cap " +
+        "(the Lucene maxClauseCount discipline)")
+    ws.map { case (w, d) =>
+      (w, 1.0 - d.toDouble / math.min(w.length, q.length).toDouble)
+    }
+  }
+
+  /** BM25 over an EXPANDED term set — the scoring-BooleanQuery rewrite
+    * of Lucene's multi-term queries (PrefixQuery, FuzzyQuery): each
+    * matched dictionary term contributes its OWN BM25 score (its own
+    * df/idf — expansion never blends statistics), scaled by a per-term
+    * boost (1.0 for prefix, the edit-distance boost for fuzzy). The
+    * expansion set is data-dependent, so the fixed-order pivot parity
+    * trick cannot apply; instead per-(doc, term) contributions quantize
+    * to exact longs (floor((s·boost)·1e9) — the q_fusion_tune
+    * integer-sum discipline), the per-doc sum is order-free integer
+    * arithmetic, and ONE division + round at the end restores the score
+    * scale. Both engines compute the same doubles from the same
+    * (tf, df, dl, n, avgdl) integers, so the quantized sums hash-match.
+    * Access path: tombstone masking and df correction ride the shared
+    * [[contribFrame]]; posting reads prune to the expansion's tbuckets. */
+  private[graft] def bm25ExpandedOver(spark: SparkSession, layout: Layout,
+                                      termBoosts: Seq[(String, Double)],
+                                      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(termBoosts.nonEmpty, "expansion matched no dictionary term")
+    val boostDf = broadcast(termBoosts.toDF("w", "boost"))
+    contribFrame(spark, layout, terms = termBoosts.map(_._1))
+      .join(boostDf, "w")
+      .withColumn("q", floor(col("s") * col("boost") * lit(1e9)))
+      .groupBy(col("doc_id")).agg(sum(col("q")).as("qs"))
+      .select(col("doc_id"), round(col("qs") / lit(1e9), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Q-bm25-prefix: `s*` expanded against the shared index's dictionary,
+    * scored as a boolean-of-terms. Oracle: the expansion and the
+    * quantized sums re-derived from raw text. */
+  def bm25Prefix(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    bm25ExpandedOver(spark, layout,
+      expandPrefix(spark, layout, PrefixQ).map((_, 1.0)))
+  }
+
+  /** Q-bm25-fuzzy: the typo `grup` at ≤[[FuzzyMaxEdits]] edits, expanded
+    * and distance-boosted. */
+  def bm25Fuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    bm25ExpandedOver(spark, layout,
+      expandFuzzy(spark, layout, FuzzyQ, FuzzyMaxEdits))
+  }
+
+  /** The expanded-BM25 oracle for ANY term predicate + boost expression
+    * (both over the token column `w`): the bm25SqlFor CTE chain with the
+    * pivot replaced by the quantized integer sum. */
+  private def bm25ExpandedSqlFor(matchPred: String, boostExpr: String): String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |lens AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf
+       |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+       |       WHERE $matchPred GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT tf.doc_id, tf.w,
+       |    ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / stats.avgdl)) AS s
+       |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |qc AS (SELECT doc_id, CAST(floor((s * ($boostExpr)) * 1e9) AS BIGINT) AS q
+       |       FROM contrib),
+       |agg AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS qs FROM qc GROUP BY doc_id)
+       |SELECT doc_id, ROUND(qs / 1e9, 6) AS score FROM agg
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  val bm25PrefixSql: String =
+    bm25ExpandedSqlFor(s"w LIKE '$PrefixQ%'", "1.0")
+
+  val bm25FuzzySql: String =
+    bm25ExpandedSqlFor(
+      s"levenshtein(w, '$FuzzyQ') <= $FuzzyMaxEdits",
+      s"1.0 - CAST(levenshtein(w, '$FuzzyQ') AS DOUBLE) " +
+        s"/ CAST(least(length(w), ${FuzzyQ.length}) AS DOUBLE)")
+
+  // ---- highlighting -------------------------------------------------------
+
+  /** Context tokens either side of the first match in a snippet. */
+  val HighlightWindow = 2
+
+  /** HIGHLIGHTING — the Lucene highlighter analog served from the
+    * positional sidecar: for each BM25 winner, the FIRST occurrence
+    * position of any query term (min over the terms' pruned position
+    * lists — no document re-tokenization) anchors a (2·window+1)-token
+    * snippet sliced from the stored text. The reference returns matches
+    * as bare ids+vectors (`README.md:18`, bug B8) — match CONTEXT is
+    * exactly what its users lose; this composes the fix from the index's
+    * own metadata. Cost: the winners frame is k rows (broadcast);
+    * positions read ∝ the query terms' lists; the text fetch-join
+    * touches k docs. */
+  private[graft] def highlightOver(spark: SparkSession, layout: Layout,
+                                   docs: DataFrame,
+                                   terms: Seq[String] = TextOps.Bm25Terms,
+                                   k: Int = 10): DataFrame = {
+    val top = bm25Over(spark, layout, k, terms = terms)
+    val buckets = bucketsOf(terms)
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    val first = pos.join(broadcast(top.select(col("doc_id"))), Seq("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("pos")).as("first_pos"))
+    val start = greatest(col("first_pos") - HighlightWindow.toLong, lit(0L))
+    broadcast(top.join(first, Seq("doc_id")))
+      .join(docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("score"), col("first_pos"),
+        array_join(slice(col("t"), (start + 1L).cast("int"),
+          lit(2 * HighlightWindow + 1)), " ").as("snippet"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Q-highlight: snippets for the fixed query's BM25 winners, anchored
+    * by the positional sidecar. Oracle replays the first-match position
+    * and the token slice from raw text. */
+  def highlightIndexed(spark: SparkSession, dir: String): DataFrame =
+    highlightOver(spark, ensure(spark, dir), Tables.documents(spark, dir))
+
+  val highlightSql: String = {
+    val base = TextOps.bm25Sql
+    val Seq(t1, t2, t3) = TextOps.Bm25Terms
+    val w = HighlightWindow
+    val tail = "SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv\nORDER BY score DESC, doc_id LIMIT 10"
+    require(base.contains(tail), "bm25SqlFor tail shape changed — update highlightSql")
+    base.replace(tail,
+      s"""top AS (SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv
+         |        ORDER BY score DESC, doc_id LIMIT 10),
+         |fp AS (SELECT doc_id,
+         |         CAST(list_min(list_filter(range(1, len(t)+1),
+         |           i -> t[i] IN ('$t1', '$t2', '$t3'))) - 1 AS BIGINT) AS first_pos
+         |       FROM toks)
+         |SELECT p.doc_id, p.score, f.first_pos,
+         |  array_to_string(k.t[CAST(greatest(f.first_pos - $w, 0) + 1 AS BIGINT) :
+         |                      CAST(greatest(f.first_pos - $w, 0) + ${2 * w + 1} AS BIGINT)],
+         |    ' ') AS snippet
+         |FROM top p JOIN fp f USING (doc_id) JOIN toks k USING (doc_id)
+         |ORDER BY p.score DESC, p.doc_id""".stripMargin)
+      .replace("  FROM contrib GROUP BY doc_id)\ntop AS",
+        "  FROM contrib GROUP BY doc_id),\ntop AS")
+  }
 
   /** PHYSICAL-LAYER self-audit of one inverted-index layout — one row per
     * invariant with its violation count (0 on a healthy store). The
@@ -2022,6 +2245,9 @@ object InvertedIndex {
     "q_phrase_slop_unordered" -> (phraseSlopUnordered _),
     "q_bm25_prox" -> (bm25Prox _),
     "q_bm25_bool" -> (bm25BoolIndexed _),
+    "q_bm25_prefix" -> (bm25Prefix _),
+    "q_bm25_fuzzy" -> (bm25Fuzzy _),
+    "q_highlight" -> (highlightIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
@@ -2046,6 +2272,9 @@ object InvertedIndex {
     "q_phrase_slop_unordered" -> phraseSlopUnorderedSql,
     "q_bm25_prox" -> bm25ProxSql,
     "q_bm25_bool" -> bm25BoolSql,
+    "q_bm25_prefix" -> bm25PrefixSql,
+    "q_bm25_fuzzy" -> bm25FuzzySql,
+    "q_highlight" -> highlightSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be
     // invisible in every served statistic

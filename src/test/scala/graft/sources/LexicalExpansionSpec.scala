@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Gates for the multi-term expansion queries (q_bm25_prefix,
+  * q_bm25_fuzzy — Lucene PrefixQuery/FuzzyQuery re-expressed as a
+  * scoring boolean over dictionary expansions) and the positional
+  * highlighter (q_highlight). The raw-text score parity is the driver
+  * oracle's business; these specs gate the EXPANSION step (dict-derived
+  * set == corpus truth), the guard rails (maxClauseCount cap, empty
+  * expansion), the degeneration theorems (a 1-term expansion ranks like
+  * the plain scorer; an exact fuzzy match carries boost 1.0), tombstone
+  * masking, and the snippet contract (anchored at the true first match,
+  * window-bounded, equal to the raw-text token slice). */
+class LexicalExpansionSpec extends SparkSpecBase with Matchers {
+
+  private def corpusWords: Set[String] =
+    graft.Tables.documents(spark, sfDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  test("prefix expansion equals the raw-text vocabulary's prefix subset") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val got = InvertedIndex.expandPrefix(spark, layout, InvertedIndex.PrefixQ)
+    got.toSet shouldBe corpusWords.filter(_.startsWith(InvertedIndex.PrefixQ))
+    got should not be empty
+    got shouldBe got.sorted // deterministic order for the boost frame
+  }
+
+  test("fuzzy expansion matches a raw-text levenshtein referee, boosts included") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val got = InvertedIndex.expandFuzzy(
+      spark, layout, InvertedIndex.FuzzyQ, InvertedIndex.FuzzyMaxEdits)
+    // independent referee: plain-Scala edit distance over the corpus vocab
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val q = InvertedIndex.FuzzyQ
+    val expect = corpusWords.toSeq
+      .map(w => (w, lev(w, q)))
+      .filter(_._2 <= InvertedIndex.FuzzyMaxEdits)
+      .sortBy(_._1)
+      .map { case (w, d) =>
+        (w, 1.0 - d.toDouble / math.min(w.length, q.length).toDouble)
+      }
+    got shouldBe expect
+    // the declared typo exercises the boost: ≥2 matches at ≥2 distances
+    got.map(_._2).distinct.size should be >= 2
+  }
+
+  test("an exact dictionary hit carries boost 1.0 (distance 0)") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val got = InvertedIndex.expandFuzzy(spark, layout, "vector", 1)
+    got.find(_._1 == "vector").map(_._2) shouldBe Some(1.0)
+  }
+
+  test("the maxClauseCount cap fails loudly, naming the expansion size") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.expandPrefix(spark, layout, "", cap = 3)
+    }
+    e.getMessage should include("> 3")
+    val e2 = intercept[IllegalArgumentException] {
+      InvertedIndex.expandFuzzy(spark, layout, "hash", 4, cap = 1)
+    }
+    e2.getMessage should include("maxClauseCount")
+  }
+
+  test("an empty expansion is rejected before scheduling a scoring pass") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      InvertedIndex.bm25ExpandedOver(spark, layout, Seq.empty)
+    }
+  }
+
+  test("1-term degeneration: expanded scoring ranks like the plain scorer") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val exp = InvertedIndex.bm25ExpandedOver(spark, layout, Seq(("vector", 1.0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val plain = InvertedIndex.bm25Over(spark, layout, terms = Seq("vector"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    exp.map(_._1).toSeq shouldBe plain.map(_._1).toSeq
+    // quantization shifts a score by < 1e-9 before the 6-decimal round
+    exp.zip(plain).foreach { case ((_, a), (_, b)) =>
+      math.abs(a - b) should be <= 1e-6
+    }
+  }
+
+  test("tombstone masking: a deleted prefix-winner leaves the expanded ranking") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "lexexp-del")
+    val terms = InvertedIndex.expandPrefix(spark, layout, InvertedIndex.PrefixQ)
+      .map((_, 1.0))
+    val before = InvertedIndex.bm25ExpandedOver(spark, layout, terms)
+      .collect().map(_.getLong(0)).toSeq
+    val victim = before.head
+    import spark.implicits._
+    InvertedIndex.deleteDocs(spark, layout, Seq(victim).toDF("doc_id"))
+    val after = InvertedIndex.bm25ExpandedOver(spark, layout, terms)
+      .collect().map(_.getLong(0)).toSeq
+    after should not contain victim
+    // survivors keep their relative order (scores are per-doc except df —
+    // the correction shifts all, order among the old survivors holds here)
+    after.filter(before.contains) shouldBe
+      before.filter(_ != victim).filter(after.contains)
+  }
+
+  test("highlight: winners match bm25, snippets anchor at the true first match") {
+    val res = InvertedIndex.highlightIndexed(spark, sfDir).collect()
+    val winners = InvertedIndex.bm25Indexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    res.map(_.getLong(0)).toSet shouldBe winners.keySet
+    // referee: positions + slices recomputed from raw text
+    val terms = TextOps.Bm25Terms.toSet
+    val texts = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(res.map(_.getLong(0)): _*))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = InvertedIndex.HighlightWindow
+    res.foreach { r =>
+      val (id, score, fp, snip) =
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))
+      score shouldBe winners(id)
+      val toks = texts(id).trim.split("\\s+").toSeq
+      val expectFp = toks.indexWhere(terms.contains)
+      fp shouldBe expectFp.toLong
+      val start = math.max(expectFp - w, 0)
+      snip shouldBe toks.slice(start, start + 2 * w + 1).mkString(" ")
+      terms.exists(snip.split(" ").contains(_)) shouldBe true
+    }
+  }
+}
