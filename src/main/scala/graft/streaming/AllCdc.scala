@@ -4,7 +4,7 @@ import java.nio.file.Paths
 
 import graft.Tables
 import graft.operators.GraphOps
-import graft.sources.{IndexCatalog, InvertedIndex}
+import graft.sources.{EmbedIndex, IndexCatalog, InvertedIndex, MinhashIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *  - the INVERTED INDEX consumes (doc_id, text, op) —
   *    [[InvertedIndex.applyCdcBatch]] (tokenizer from the index marker,
   *    batchId-marker idempotent)
+  *  - the EMBED16 FLAGSHIP INDEX consumes the same (doc_id, text, op)
+  *    projection through the SAME entry point — the marker dispatches
+  *    the embed16 tokenizer and the norms-sidecar maintenance, so the
+  *    flagship's persisted embedding relation rides the feed with zero
+  *    extra machinery
+  *  - the MINHASH DEDUP INDEX consumes (doc_id, text, op) —
+  *    [[MinhashIndex.applyCdcBatch]] (sig/band appends, physical
+  *    delete folds, batchId-marker idempotent)
   *  - the VECTOR INDEX consumes (vec_id, embedding, label, version, op)
   *    — [[VectorStream.applyCdcBatch]] (versioned LWW upserts +
   *    versioned tombstones — idempotent by version, not by marker)
@@ -27,10 +35,16 @@ import org.apache.spark.sql.functions._
   *    rewrite + reverse sidecar, batchId-marker idempotent)
   *
   * Before this query each artifact had its own declared changelog
-  * (q_stream_bm25_cdc, q_stream_cdc, q_stream_graph_cdc); this one
-  * proves the claim those three only implied: ONE feed keeps the whole
-  * serving stack consistent, and a redelivered trigger is a no-op for
-  * every consumer at once (spec-gated).
+  * (q_stream_bm25_cdc, q_stream_cdc, q_stream_graph_cdc,
+  * q_stream_minhash_cdc; the embed CDC was spec-only); this one proves
+  * the claim those only implied: ONE feed keeps ALL FIVE maintained
+  * artifact kinds consistent, and a redelivered trigger is a no-op for
+  * every consumer at once (spec-gated). The declared result witnesses
+  * both TEXT-derived retrieval artifacts (arm='bm25' — the lexical
+  * top-10; arm='embed' — the flagship top-5), each hash-matched against
+  * a from-scratch raw-text replay over the churned corpus; the vector,
+  * graph, and minhash end states are gated in AllCdcSpec against their
+  * own incremental==rebuild forms.
   *
   * Transitions exercised: new-id adds (id-offset twins — new doc_ids for
   * the append-only posting store, new vec_ids for the versioned vector
@@ -48,11 +62,13 @@ import org.apache.spark.sql.functions._
   * end states are gated in AllCdcSpec against their own
   * incremental==rebuild forms.
   *
-  * 100 TB: the per-trigger cost is the SUM of the three per-artifact
+  * 100 TB: the per-trigger cost is the SUM of the five per-artifact
   * maintenance costs, each already batch-proportional (posting append +
-  * touched-bucket dict merge; touched-partition vector merge;
-  * touched-bucket edge + reverse-sidecar rewrite) — fan-out to N indexes
-  * multiplies the constant, never the asymptotic shape. */
+  * touched-bucket dict merge for BOTH inverted layouts, the embed16 one
+  * adding its dbucket-sharded norms append; sig/band bucket appends;
+  * touched-partition vector merge; touched-bucket edge + reverse-sidecar
+  * rewrite) — fan-out to N indexes multiplies the constant, never the
+  * asymptotic shape. */
 object AllCdc {
 
   val AddCount = 10
@@ -67,11 +83,16 @@ object AllCdc {
     * SAME resolved feed. Exposed for the redelivery spec. */
   private[graft] def applyAll(batch: DataFrame, batchId: Long,
                               lex: InvertedIndex.Layout,
+                              embed: InvertedIndex.Layout,
+                              mh: MinhashIndex.Layout,
                               vecBase: String, vecName: String, dim: Int,
                               graphRoot: java.nio.file.Path,
                               asgAll: DataFrame): Unit = {
-    InvertedIndex.applyCdcBatch(lex,
-      batch.select(col("id").as("doc_id"), col("text"), col("op")), batchId)
+    val textFeed =
+      batch.select(col("id").as("doc_id"), col("text"), col("op"))
+    InvertedIndex.applyCdcBatch(lex, textFeed, batchId)
+    InvertedIndex.applyCdcBatch(embed, textFeed, batchId)
+    MinhashIndex.applyCdcBatch(mh, textFeed, batchId)
     VectorStream.applyCdcBatch(
       batch.filter(col("embedding").isNotNull)
         .select(col("id").as("vec_id"), col("embedding"), col("label"),
@@ -96,12 +117,16 @@ object AllCdc {
     streamAllCdcWithState(spark, dir)._1
 
   private[graft] def streamAllCdcWithState(spark: SparkSession, dir: String)
-      : (DataFrame, InvertedIndex.Layout, String, String, java.nio.file.Path, DataFrame) = {
+      : (DataFrame, InvertedIndex.Layout, InvertedIndex.Layout,
+         MinhashIndex.Layout, String, String, java.nio.file.Path, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
-    // the three artifacts, cloned warm (lifecycle discipline: the shared
+    // the five artifacts, cloned warm (lifecycle discipline: the shared
     // caches stay untouched, the query is re-runnable)
     val lex = InvertedIndex.cloneIndex(spark, dir, "all-cdc-lex")
+    val embedIdx = InvertedIndex.cloneIndexNamed(
+      spark, dir, EmbedIndex.IndexName, "embed16", "all-cdc-embed")
+    val mh = MinhashIndex.cloneIndex(spark, dir, "all-cdc-minhash")
     val (vecBase, vecName) = VectorStream.cloneWarmIndex(spark, dir, "all-cdc-vec")
     val dim = IndexCatalog.describe(vecBase, vecName).get.dimension
     val twins = twinsOf(spark, dir).localCheckpoint(eager = true)
@@ -130,7 +155,8 @@ object AllCdc {
       .option("maxFilesPerTrigger", 1).parquet(staged)
     val q = stream.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyAll(batch, batchId, lex, vecBase, vecName, dim, graphRoot, asgAll)
+        applyAll(batch, batchId, lex, embedIdx, mh, vecBase, vecName, dim,
+          graphRoot, asgAll)
       }
       .start()
     try {
@@ -138,22 +164,54 @@ object AllCdc {
       TriggerStats.record("q_stream_all_cdc", q)
     } finally q.stop()
     // terminal compaction for the artifacts that defer physical deletes
+    // (minhash folds deletes physically at apply time — nothing pends)
     InvertedIndex.vacuum(spark, lex)
+    InvertedIndex.vacuum(spark, embedIdx)
     IndexCatalog.vacuumTombstones(spark, vecBase, vecName)
-    (InvertedIndex.bm25Over(spark, lex), lex, vecBase, vecName, graphRoot, asgAll)
+    // the declared result: both text-derived retrieval artifacts served
+    // from their maintained end states, one arm column apart
+    val lexArm = InvertedIndex.bm25Over(spark, lex)
+      .select(lit("bm25").as("arm"), col("doc_id"), col("score"))
+    val embArm = EmbedIndex.embedOver(spark, embedIdx)
+      .select(lit("embed").as("arm"), col("doc_id"), col("score"))
+    val res = lexArm.unionByName(embArm)
+      .orderBy(col("arm"), col("score").desc, col("doc_id"))
+    (res, lex, embedIdx, mh, vecBase, vecName, graphRoot, asgAll)
   }
 
-  /** Flat end-state oracle (the q_stream_cdc discipline): a from-scratch
-    * BM25 rebuild over (documents − the delete residue) ∪ (the twins
-    * that survived) — streaming apply, tombstone masking, vacuum, and
-    * the multi-index fan-out must all be invisible in the result. */
-  val streamAllCdcSql: String = graft.operators.TextOps.bm25Sql
-    .replace("WITH toks AS",
-      s"WITH d2 AS (SELECT doc_id, text FROM documents " +
-        s"WHERE NOT (doc_id % $DelMod = $DelRes) " +
-        s"UNION ALL SELECT doc_id + $AddIdOffset AS doc_id, text " +
-        s"FROM documents WHERE doc_id < $AddCount AND doc_id <> 0),\ntoks AS")
-    .replace("FROM documents)", "FROM d2)")
+  /** Flat end-state oracle (the q_stream_cdc discipline), one arm per
+    * text-derived artifact: each is a from-scratch raw-text replay over
+    * (documents − the delete residue) ∪ (the twins that survived) —
+    * streaming apply, tombstone masking, vacuum, and the five-way
+    * fan-out must all be invisible in both rankings. */
+  val streamAllCdcSql: String = {
+    val d2 = s"(SELECT doc_id, lang, text FROM documents " +
+      s"WHERE NOT (doc_id % $DelMod = $DelRes) " +
+      s"UNION ALL SELECT doc_id + $AddIdOffset AS doc_id, lang, text " +
+      s"FROM documents WHERE doc_id < $AddCount AND doc_id <> 0)"
+    val bm25Churned = graft.operators.TextOps.bm25Sql
+      .replace("WITH toks AS", s"WITH d2 AS $d2,\ntoks AS")
+      .replace("FROM documents)", "FROM d2)")
+    val embedTail = "SELECT t.doc_id, m.lang, t.score, substring(m.text, 1, 80) AS text_head\n" +
+      "FROM top t JOIN norm m USING (doc_id)\n" +
+      "ORDER BY t.score DESC, t.doc_id"
+    val embedBase = graft.operators.EmbedOps.embedKnnSql
+    require(embedBase.contains(embedTail),
+      "embedKnnSql tail shape changed — update streamAllCdcSql")
+    val embedChurned = embedBase
+      .replace("WITH norm AS", s"WITH d2 AS $d2,\nnorm AS")
+      .replace("FROM documents)", "FROM d2)")
+      .replace(embedTail,
+        "SELECT doc_id, score FROM top ORDER BY score DESC, doc_id")
+    s"""SELECT 'bm25' AS arm, doc_id, score FROM (
+       |$bm25Churned
+       |)
+       |UNION ALL
+       |SELECT 'embed' AS arm, doc_id, score FROM (
+       |$embedChurned
+       |)
+       |ORDER BY arm, score DESC, doc_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_all_cdc" -> (streamAllCdc _))
