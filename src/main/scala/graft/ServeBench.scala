@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * the reference's own serving model (`main.go:190-213` — a REPL loop,
   * one query per keystroke) but not a serving engine's real number: what
   * matters at fleet scale is per-request latency while OTHER requests
-  * hold the executors. This main drives the three persisted serve
-  * families — keymap point lookup (fetchByIds), probed-IVF ANN serve,
-  * and pruned BM25 — from N client threads sharing ONE SparkSession
+  * hold the executors. This main drives every persisted serve family —
+  * keymap point lookup (stateless + resident), probed-IVF ANN, pruned
+  * BM25 (stateless + resident metadata), hybrid fusion, the flagship
+  * embed16 serve (stateless + resident norms), the graph-ANN walk,
+  * phrase proximity, and prefix expansion — from N client threads
+  * sharing ONE SparkSession
   * under the FAIR scheduler (each thread its own pool, so a long scan
   * cannot convoy the queue behind it: the multi-tenant setup Spark
   * documents for shared-session serving).
@@ -172,13 +175,37 @@ object ServeBench {
       graft.operators.GraphOps
         .graphAnnServeRequest(spark, graphState, qid, qv).collect()
     }
+    // PHRASE/proximity serve — the positional-sidecar access path (two
+    // pruned position lists, a gap-window join); word pairs rotate over
+    // corpus vocabulary so no two in-flight requests share a plan
+    val phrasePairs = Seq(
+      (InvertedIndex.PhraseW1, InvertedIndex.PhraseW2), ("hash", "join"),
+      ("group", "order"), ("data", "stream"), ("fast", "query"),
+      ("small", "table"), ("merge", "sort"), ("big", "batch"))
+    def phraseReq(i: Int): Unit = {
+      val (w1, w2) = phrasePairs(i % phrasePairs.size)
+      InvertedIndex.proximityOver(spark, invLayout, w1, w2,
+        InvertedIndex.PhraseSlop).collect()
+    }
+    // PREFIX-expansion serve — dictionary expansion from the RESIDENT
+    // dict frame (ServingCache) + quantized boolean-of-terms scoring;
+    // prefixes rotate so expansion sizes vary per in-flight request
+    val prefixes = Seq("s", "f", "b", "c", "w", "d", "g", "h")
+    def prefixReq(i: Int): Unit = {
+      val p = prefixes(i % prefixes.size)
+      InvertedIndex.bm25ExpandedOver(spark, invLayout,
+        InvertedIndex.expandPrefix(spark, invLayout, p, serving = true)
+          .map((_, 1.0)),
+        serving = true).collect()
+    }
 
     val families: Seq[(String, Int => Unit)] =
       Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
         "ann" -> (annReq _), "bm25" -> (bm25Req _),
         "bm25_hot" -> (bm25HotReq _), "hybrid" -> (hybridReq _),
         "embed" -> (embedReq _), "embed_hot" -> (embedHotReq _),
-        "graphann" -> (graphReq _))
+        "graphann" -> (graphReq _), "phrase" -> (phraseReq _),
+        "prefix" -> (prefixReq _))
 
     // ---- drive ---------------------------------------------------------
     // the multi-hop walk costs an order more wall-clock per request than

@@ -900,8 +900,12 @@ object InvertedIndex {
     * by [[MaxExpansion]] (the repo's bounded-collect discipline). */
   private[graft] def expandPrefix(spark: SparkSession, layout: Layout,
                                   prefix: String,
-                                  cap: Int = MaxExpansion): Seq[String] = {
-    val ws = spark.read.parquet(layout.dictPath)
+                                  cap: Int = MaxExpansion,
+                                  serving: Boolean = false): Seq[String] = {
+    val dict =
+      if (serving) ServingCache.frame(spark, Paths.get(layout.dictPath))
+      else spark.read.parquet(layout.dictPath)
+    val ws = dict
       .filter(col("w").startsWith(prefix)).select(col("w"))
       .collect().map(_.getString(0)).sorted.toSeq
     require(ws.size <= cap,
@@ -919,9 +923,13 @@ object InvertedIndex {
     * oracle re-derives the identical expansion set and boosts. */
   private[graft] def expandFuzzy(spark: SparkSession, layout: Layout,
                                  q: String, maxEdits: Int,
-                                 cap: Int = MaxExpansion)
+                                 cap: Int = MaxExpansion,
+                                 serving: Boolean = false)
       : Seq[(String, Double)] = {
-    val ws = spark.read.parquet(layout.dictPath)
+    val dict =
+      if (serving) ServingCache.frame(spark, Paths.get(layout.dictPath))
+      else spark.read.parquet(layout.dictPath)
+    val ws = dict
       .filter(levenshtein(col("w"), lit(q)) <= maxEdits)
       .select(col("w"), levenshtein(col("w"), lit(q)).as("dist"))
       .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
@@ -949,11 +957,13 @@ object InvertedIndex {
     * [[contribFrame]]; posting reads prune to the expansion's tbuckets. */
   private[graft] def bm25ExpandedOver(spark: SparkSession, layout: Layout,
                                       termBoosts: Seq[(String, Double)],
-                                      k: Int = 10): DataFrame = {
+                                      k: Int = 10,
+                                      serving: Boolean = false): DataFrame = {
     import spark.implicits._
     require(termBoosts.nonEmpty, "expansion matched no dictionary term")
     val boostDf = broadcast(termBoosts.toDF("w", "boost"))
-    contribFrame(spark, layout, terms = termBoosts.map(_._1))
+    contribFrame(spark, layout, terms = termBoosts.map(_._1),
+        serving = serving)
       .join(boostDf, "w")
       .withColumn("q", floor(col("s") * col("boost") * lit(1e9)))
       .groupBy(col("doc_id")).agg(sum(col("q")).as("qs"))

@@ -113,6 +113,26 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
       before.filter(_ != victim).filter(after.contains)
   }
 
+  test("serving mode: resident-dict expansion equals stateless and sees an upsert's new term") {
+    import spark.implicits._
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "lexexp-serve")
+    val before = InvertedIndex.expandPrefix(spark, layout, "s", serving = true)
+    before shouldBe InvertedIndex.expandPrefix(spark, layout, "s")
+    before should not contain "sensational"
+    InvertedIndex.upsertDocs(spark, layout,
+      Seq((9100001L, "sensational vector sensational")).toDF("doc_id", "text"))
+    // the dict merge moved the shard-inventory stamp: the very NEXT
+    // serving request expands over the new vocabulary
+    val after = InvertedIndex.expandPrefix(spark, layout, "s", serving = true)
+    after should contain("sensational")
+    val res = InvertedIndex.bm25ExpandedOver(spark, layout,
+      after.map((_, 1.0)), serving = true).collect().map(_.getLong(0))
+    res should contain(9100001L)
+    // resident and stateless scoring agree bit-for-bit post-upsert
+    res.toSeq shouldBe InvertedIndex.bm25ExpandedOver(spark, layout,
+      after.map((_, 1.0))).collect().map(_.getLong(0)).toSeq
+  }
+
   test("highlight: winners match bm25, snippets anchor at the true first match") {
     val res = InvertedIndex.highlightIndexed(spark, sfDir).collect()
     val winners = InvertedIndex.bm25Indexed(spark, sfDir)
