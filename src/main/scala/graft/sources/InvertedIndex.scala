@@ -849,6 +849,54 @@ object InvertedIndex {
   def bm25BoolIndexed(spark: SparkSession, dir: String): DataFrame =
     bm25Bool(spark, ensure(spark, dir), BoolMust, Seq(BoolMustNot))
 
+  /** The declared minimum-should-match composition: 4 SHOULD terms,
+    * ≥2 must be present. */
+  val MsmTerms = Seq("vector", "hash", "join", "merge")
+  val MsmMin = 2
+
+  /** MINIMUM-SHOULD-MATCH BM25 — the third Lucene BooleanQuery form
+    * (after MUST/MUST_NOT): docs holding at least `m` DISTINCT terms of
+    * the SHOULD set, ranked by BM25 over the full set (a doc scores
+    * every term it holds once past the gate — Lucene's
+    * minimumNumberShouldMatch contract). Like [[bm25Bool]], the gate
+    * narrows WHO is scored, never what df/idf mean (the restrictTo
+    * contract); presence is one distinct-count over the terms' pruned
+    * postings. */
+  private[graft] def bm25Msm(spark: SparkSession, layout: Layout,
+                             terms: Seq[String], m: Int,
+                             k: Int = 10): DataFrame = {
+    require(m >= 1 && m <= terms.size, s"minShouldMatch $m out of range")
+    val buckets = bucketsOf(terms)
+    val post0 = spark.read.parquet(layout.dataPath)
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
+    val post =
+      if (hasParquet(tombDirOf(layout)))
+        post0.join(broadcast(
+          spark.read.parquet(tombDirOf(layout).toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else post0
+    val cand = post.groupBy(col("doc_id"))
+      .agg(countDistinct(col("w")).as("nw"))
+      .filter(col("nw") >= m).select(col("doc_id"))
+    bm25Over(spark, layout, k, restrictTo = Some(cand), terms = terms)
+  }
+
+  /** Q-bm25-msm: the fixed ≥2-of-4 composition served from the shared
+    * index. */
+  def bm25MsmIndexed(spark: SparkSession, dir: String): DataFrame =
+    bm25Msm(spark, ensure(spark, dir), MsmTerms, MsmMin)
+
+  val bm25MsmSql: String = {
+    val base = TextOps.bm25SqlFor(MsmTerms)
+    val tail = "SELECT doc_id, ROUND(s1 + s2 + s3 + s4, 6) AS score FROM piv\nORDER BY"
+    require(base.contains(tail), "bm25SqlFor tail shape changed — update bm25MsmSql")
+    base.replace(tail,
+      s"""SELECT doc_id, ROUND(s1 + s2 + s3 + s4, 6) AS score FROM piv
+         |WHERE doc_id IN (SELECT doc_id FROM tf
+         |                 GROUP BY doc_id HAVING COUNT(DISTINCT w) >= $MsmMin)
+         |ORDER BY""".stripMargin)
+  }
+
   val bm25BoolSql: String = {
     val base = TextOps.bm25SqlFor(BoolMust)
     val tail = "SELECT doc_id, ROUND(s1 + s2, 6) AS score FROM piv\nORDER BY"
@@ -2257,6 +2305,7 @@ object InvertedIndex {
     "q_bm25_bool" -> (bm25BoolIndexed _),
     "q_bm25_prefix" -> (bm25Prefix _),
     "q_bm25_fuzzy" -> (bm25Fuzzy _),
+    "q_bm25_msm" -> (bm25MsmIndexed _),
     "q_highlight" -> (highlightIndexed _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
@@ -2284,6 +2333,7 @@ object InvertedIndex {
     "q_bm25_bool" -> bm25BoolSql,
     "q_bm25_prefix" -> bm25PrefixSql,
     "q_bm25_fuzzy" -> bm25FuzzySql,
+    "q_bm25_msm" -> bm25MsmSql,
     "q_highlight" -> highlightSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be

@@ -148,6 +148,18 @@ class EmbedIndexSpec extends SparkSpecBase with Matchers {
       java.nio.file.Paths.get(InvertedIndex.normsPathOf(layout)))
   }
 
+  test("batched serve: each q_id slice equals the single-query plan for that text") {
+    val layout = EmbedIndex.ensure(spark, sfDir)
+    val batch = EmbedIndex.embedBatchOver(spark, layout).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (q, rows) => q -> rows.map(t => (t._2, t._3)).toSeq }
+    EmbedIndex.BatchQueries.foreach { case (qid, text) =>
+      val single = EmbedIndex.embedOver(spark, layout, text).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      batch(qid) shouldBe single
+    }
+  }
+
   test("audit: norms_match_postings zero healthy, flags planted drift, repair restores") {
     val layout = InvertedIndex.cloneIndexNamed(
       spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-audit")

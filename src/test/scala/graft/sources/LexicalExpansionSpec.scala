@@ -113,6 +113,36 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
       before.filter(_ != victim).filter(after.contains)
   }
 
+  test("minimum-should-match: m=1 degenerates to the plain scorer; every winner holds >= m terms; m is monotone") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val terms = InvertedIndex.MsmTerms
+    // m=1 theorem: the >=1-presence gate is exactly the scored-doc set
+    InvertedIndex.bm25Msm(spark, layout, terms, 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe
+      InvertedIndex.bm25Over(spark, layout, terms = terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // raw-text referee: every declared winner holds >= MsmMin distinct terms
+    val winners = InvertedIndex.bm25MsmIndexed(spark, sfDir)
+      .collect().map(_.getLong(0))
+    val counts = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(winners: _*))
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(countDistinct(col("w")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    winners.foreach { id => counts(id) should be >= InvertedIndex.MsmMin.toLong }
+    // monotonicity: a stricter gate only removes candidates
+    val m3 = InvertedIndex.bm25Msm(spark, layout, terms, 3, k = 500)
+      .collect().map(_.getLong(0)).toSet
+    val m2 = InvertedIndex.bm25Msm(spark, layout, terms, 2, k = 500)
+      .collect().map(_.getLong(0)).toSet
+    m3.subsetOf(m2) shouldBe true
+    intercept[IllegalArgumentException] {
+      InvertedIndex.bm25Msm(spark, layout, terms, terms.size + 1)
+    }
+  }
+
   test("serving mode: resident-dict expansion equals stateless and sees an upsert's new term") {
     import spark.implicits._
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "lexexp-serve")
