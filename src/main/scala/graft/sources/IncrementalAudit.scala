@@ -524,6 +524,37 @@ object IncrementalAudit {
         .join(vecLive.withColumn("v", lit(1)), Seq("doc_id"), "left"))
   }
 
+  /** The TEXT-PAIR liveness-sync row, PRUNED to the churned id shards:
+    * both text artifacts' lens reads restrict to the churn's dbucket
+    * footprint (one shared doc-id hash ⇒ one shard domain for both).
+    * The deep [[MinhashIndex.crossLiveTextSyncFrame]] checks the whole
+    * document domain; this arm re-verifies the slice the churn could
+    * have half-applied. */
+  def crossLiveTextSyncPruned(spark: SparkSession,
+                              invLayout: InvertedIndex.Layout,
+                              embLayout: InvertedIndex.Layout,
+                              domain: DataFrame,
+                              idFilter: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    val ids = domain.select(col("doc_id")).filter(idFilter)
+      .localCheckpoint(true)
+    val dbuckets = ids.select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
+      .distinct().as[Long].collect().sorted.toIndexedSeq
+    def liveOf(l: InvertedIndex.Layout): DataFrame = {
+      val lens = spark.read.parquet(InvertedIndex.lensPathOf(l))
+        .filter(col("dbucket").isin(dbuckets: _*)).select(col("doc_id"))
+      if (InvertedIndex.hasParquet(InvertedIndex.tombDirOf(l)))
+        lens.join(broadcast(
+          spark.read.parquet(InvertedIndex.tombDirOf(l).toString)
+            .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else lens
+    }
+    countRow("cross", "inverted_embed_live_sync",
+      sum(when(col("i").isNull =!= col("e").isNull, 1L).otherwise(0L)),
+      ids.join(liveOf(invLayout).withColumn("i", lit(1)), Seq("doc_id"), "left")
+        .join(liveOf(embLayout).withColumn("e", lit(1)), Seq("doc_id"), "left"))
+  }
+
   /** Q-index-audit-incr: the churn-proportional audit end-to-end — clone
     * the two richest artifacts warm, BASELINE their watermarks (the
     * publish-time move), apply the standard corpus-growth batch to each
@@ -603,11 +634,16 @@ object IncrementalAudit {
       .unionByName(auditGraph(spark, gRoot, nodeBuckets))
       .unionByName(crossLiveSyncPruned(spark, inv, vBase, vName, domain,
         InvertedIndex.dbucketCol(col("doc_id")).isin(churnDbuckets: _*)))
+      .unionByName(crossLiveTextSyncPruned(spark, inv, emb,
+        graft.Tables.documents(spark, dir).select(col("doc_id"))
+          .unionByName(twins.select(col("doc_id"))),
+        InvertedIndex.dbucketCol(col("doc_id")).isin(churnDbuckets: _*)))
       .orderBy(col("artifact"), col("invariant"))
   }
 
   val indexAuditIncrSql: String =
     """SELECT * FROM (VALUES
+      |  ('cross', 'inverted_embed_live_sync', CAST(0 AS BIGINT)),
       |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
       |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('embed', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),

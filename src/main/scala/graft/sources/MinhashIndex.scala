@@ -422,6 +422,36 @@ object MinhashIndex {
         lit("inverted_vector_live_sync").as("invariant"), col("violations"))
   }
 
+  /** The TEXT-PAIR liveness sync: both text-derived artifacts (the word
+    * index and the embed16 flagship index) consume the SAME
+    * (doc_id, text, op) projection of the single feed, so over the
+    * document domain their live sets must be EQUAL — a mismatch is the
+    * feed half-applied to one text artifact (e.g. a delete that reached
+    * the word index but not the flagship relation, which would keep
+    * serving a dead doc's embedding). Liveness per side = lens rows
+    * minus pending tombstones, the same masking the serve paths use. */
+  private[graft] def crossLiveTextSyncFrame(spark: SparkSession,
+                                            invLayout: InvertedIndex.Layout,
+                                            embLayout: InvertedIndex.Layout,
+                                            domain: DataFrame): DataFrame = {
+    def liveOf(l: InvertedIndex.Layout): DataFrame = {
+      val lens = spark.read.parquet(InvertedIndex.lensPathOf(l))
+        .select(col("doc_id"))
+      if (InvertedIndex.hasParquet(InvertedIndex.tombDirOf(l)))
+        lens.join(broadcast(
+          spark.read.parquet(InvertedIndex.tombDirOf(l).toString)
+            .select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      else lens
+    }
+    domain.select(col("doc_id"))
+      .join(liveOf(invLayout).withColumn("i", lit(1)), Seq("doc_id"), "left")
+      .join(liveOf(embLayout).withColumn("e", lit(1)), Seq("doc_id"), "left")
+      .agg(coalesce(sum(when(col("i").isNull =!= col("e").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("violations"))
+      .select(lit("cross").as("artifact"),
+        lit("inverted_embed_live_sync").as("invariant"), col("violations"))
+  }
+
   def indexAudit(spark: SparkSession, dir: String): DataFrame = {
     // the vector artifact: the shared persisted IVF-bucketed index — the
     // same store q_ann_ivf_persisted / the routed family serve from.
@@ -443,14 +473,16 @@ object MinhashIndex {
     val domain = Tables.documents(spark, dir).select(col("doc_id"))
       .join(Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+    val embLayout = EmbedIndex.ensure(spark, dir)
     InvertedIndex.auditFrame(spark, invLayout)
-      .unionByName(InvertedIndex.auditFrame(spark,
-        EmbedIndex.ensure(spark, dir), artifact = "embed"))
+      .unionByName(InvertedIndex.auditFrame(spark, embLayout, artifact = "embed"))
       .unionByName(auditFrame(spark, ensure(spark, dir)))
       .unionByName(IndexCatalog.auditFrame(spark, vecBase, vecName))
       .unionByName(graft.operators.GraphOps.auditGraphFrame(spark, graphRoot, vecLive))
       .unionByName(graft.operators.VectorOps.sq8AuditFrame(spark, dir, sq8Path))
       .unionByName(crossLiveSyncFrame(spark, invLayout, vecLive, domain))
+      .unionByName(crossLiveTextSyncFrame(spark, invLayout, embLayout,
+        Tables.documents(spark, dir).select(col("doc_id"))))
       .orderBy(col("artifact"), col("invariant"))
   }
 
@@ -534,6 +566,7 @@ object MinhashIndex {
 
   val indexAuditSql: String =
     """SELECT * FROM (VALUES
+      |  ('cross', 'inverted_embed_live_sync', CAST(0 AS BIGINT)),
       |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
       |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('embed', 'footprint_matches_postings', CAST(0 AS BIGINT)),

@@ -29,8 +29,8 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
     val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
-    rows should have length 19
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(19)(0L)
+    rows should have length 20
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(20)(0L)
   }
 
   test("vector sensitivity: a phantom entry planted in a TOUCHED kbucket flags keymap_entries_live; a provably-unreachable garbage shard is never read") {

@@ -24,8 +24,8 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 21
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(21)(0L)
+    rows should have length 22
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(22)(0L)
   }
 
   test("graph sensitivity: a dropped redges shard flags redges_mirror_edges; a foreign endpoint flags edge_endpoints_live") {
@@ -68,6 +68,30 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
     MinhashIndex.crossLiveSyncFrame(spark, inv,
       vecLive.filter(col("vec_id") =!= 7L), domain)
       .head().getLong(2) shouldBe 0L
+  }
+
+  test("text-pair sensitivity: a delete applied to ONE text artifact flags inverted_embed_live_sync") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val inv = InvertedIndex.cloneIndex(spark, sfDir, "audit-textsync-inv")
+    val emb = InvertedIndex.cloneIndexNamed(spark, sfDir,
+      EmbedIndex.IndexName, "embed16", "audit-textsync-emb")
+    val domain = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    def sync(): Long = MinhashIndex
+      .crossLiveTextSyncFrame(spark, inv, emb, domain)
+      .head().getLong(2)
+    sync() shouldBe 0L
+    // the feed deletes doc 11 — the word index applies it, the embed16
+    // flagship relation misses it: a dead doc keeps serving embeddings
+    InvertedIndex.deleteDocs(spark, inv, Seq(11L).toDF("doc_id"))
+    sync() shouldBe 1L
+    // the embed side catching up restores sync (tombstone-level — the
+    // masked liveness is what the invariant reads, pre-vacuum)
+    InvertedIndex.deleteDocs(spark, emb, Seq(11L).toDF("doc_id"))
+    sync() shouldBe 0L
+    // ...and the incremental arm sees the same through its pruned reads
+    IncrementalAudit.crossLiveTextSyncPruned(spark, inv, emb, domain,
+      col("doc_id") < 100L).head().getLong(2) shouldBe 0L
   }
 
   test("sq8 sensitivity: a drifted code row flags sq8_codes_match_vectors") {
