@@ -145,7 +145,16 @@ object PlanDump {
     // INT8 code serve (tinyint pages scanned, winners-only exact rerank)
     "q_embed_knn_sql", "q_phrase_slop", "q_bm25_bool", "q_sq8_persisted",
     "q_embed_index", "q_embed_index_upsert", "q_phrase_slop_unordered", "q_bm25_prox",
-    "q_embed_index_query2", "q_embed_index_delete")
+    "q_embed_index_query2", "q_embed_index_delete",
+    // round-15 continuation: the dictionary-expansion scorers (full-dict
+    // metadata scan for the expansion, tbucket-pruned postings + the
+    // quantized integer sum for the scoring), the positional highlighter
+    // (pruned position lists + broadcast winners + k-doc fetch-join),
+    // minimum-should-match (presence distinct-count feeding the
+    // restricted rank), and the batched flagship serve (ONE pruned
+    // posting scan for the block, per-q_id WindowGroupLimit)
+    "q_bm25_prefix", "q_bm25_fuzzy", "q_bm25_msm", "q_highlight",
+    "q_embed_index_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
