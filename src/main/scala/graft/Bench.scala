@@ -33,6 +33,25 @@ object Bench {
     }
   }
 
+  /** HOST-SPEED CANARY: a fixed CPU-bound micro-job (xxhash64 over 150M
+    * longs, folded to one sum) measured best-of-two like every query —
+    * no I/O, no shuffle, corpus-independent, so its time moves ONLY with
+    * the host's effective speed (load, co-tenancy, thermal state).
+    * Recorded beside the per-query times; `tools/bench_record.py
+    * compare` divides each query's record ratio by the canary's, so a
+    * loaded driver window reads as "host 2× slower" instead of "112
+    * queries regressed" (the r15 adjudication problem, mechanized —
+    * VERDICT r15 "What's missing" #5). */
+  def canary(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 150000000L, 1L, 32)
+        .select(sum(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -46,7 +65,8 @@ object Bench {
     spark
   }
 
-  def jsonLine(results: Map[String, Double], sfDir: String): String = {
+  def jsonLine(results: Map[String, Double], sfDir: String,
+               canarySec: Double = -1.0): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failures are reported out-of-band and EXCLUDED from the total — a
@@ -65,13 +85,13 @@ object Bench {
         s"\"$name\":{\"n_triggers\":${s.nTriggers},\"median_ms\":${s.medianMs}," +
           s"\"max_ms\":${s.maxMs},\"total_ms\":${s.totalMs}}"
       }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_failed":${failed.size},"failed":$failedJson,"stream_triggers":$st,"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"n_failed":${failed.size},"failed":$failedJson,"stream_triggers":$st,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session("graft-bench")
-    val line = jsonLine(measure(spark, sfDir), sfDir)
+    val line = jsonLine(measure(spark, sfDir), sfDir, canary(spark))
     println(line)
     // Stdout alone is not a durable artifact: the driver's capture keeps a
     // bounded tail, which truncated 59 of 128 per-query times in round 6

@@ -193,8 +193,14 @@ object ServeBench {
     val prefixes = Seq("s", "f", "b", "c", "w", "d", "g", "h")
     def prefixReq(i: Int): Unit = {
       val p = prefixes(i % prefixes.size)
+      // cap raised for the BENCH driver only: a one-letter prefix can
+      // legitimately exceed the declared queries' strict maxClauseCount
+      // at larger SFs, and the require would kill the client thread
+      // mid-run — the cap discipline is a guard rail for declared
+      // queries, not a correctness bound for a load generator
       InvertedIndex.bm25ExpandedOver(spark, invLayout,
-        InvertedIndex.expandPrefix(spark, invLayout, p, serving = true)
+        InvertedIndex.expandPrefix(spark, invLayout, p, cap = 1 << 20,
+          serving = true)
           .map((_, 1.0)),
         serving = true).collect()
     }

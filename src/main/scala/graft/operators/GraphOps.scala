@@ -1029,6 +1029,19 @@ object GraphOps {
       .parquet(root.resolve("redges").toString)
   }
 
+  /** REPAIR for the reverse-edge sidecar: redges are a pure TRANSPOSE of
+    * the edge store (re-partitioned by the dst's storage bucket), so
+    * recovery from redges drift — the audit's redges_mirror_edges /
+    * redges_cover_edges findings — is one re-derivation from the primary
+    * (the [[graft.sources.InvertedIndex.rebuildDerived]] contract applied
+    * to the graph artifact). `asg` supplies the node → storage-bucket map
+    * the primary vector index owns. */
+  private[graft] def rebuildRedges(spark: org.apache.spark.sql.SparkSession,
+                                   root: java.nio.file.Path,
+                                   asg: DataFrame): Unit =
+    writeReverseEdges(root,
+      spark.read.parquet(root.resolve("edges").toString), asg)
+
   /** Affected-src discovery from the reverse sidecar: the dead ids'
     * storage buckets are plan-time metadata (≤ #centroids — the probe-
     * selection discipline), the reverse scan prunes to exactly those

@@ -1064,6 +1064,26 @@ object VectorOps {
         lit("sq8_codes_match_vectors").as("invariant"), col("violations"))
   }
 
+  /** REPAIR for a persisted SQ8 code store: a code row is a pure per-row
+    * function of the stored vector (no codebook to retrain), so recovery
+    * from code drift — the audit's sq8_codes_match_vectors finding — is
+    * one re-encode of the vector primary, staged beside the store and
+    * atomically swapped in (the ensureSq8 publish discipline, applied to
+    * recovery). */
+  private[graft] def rebuildSq8(spark: SparkSession, dir: String,
+                                storePath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val staged = Paths.get(storePath + ".staged")
+    graft.sources.Maintenance.deleteRecursively(staged)
+    sq8Quantized(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        col("qv").cast("array<tinyint>").as("qcode"), col("qnorm"))
+      .repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(staged.toString)
+    graft.sources.Maintenance.deleteRecursively(Paths.get(storePath))
+    Files.move(staged, Paths.get(storePath))
+  }
+
   /** Q-sq8-persisted: [[sq8Knn]] served from the persisted INT8 store —
     * identical results (SHARED oracle), different access path: the
     * approximate ranking pass scans code pages a quarter the byte size

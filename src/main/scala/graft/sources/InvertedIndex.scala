@@ -176,9 +176,41 @@ object InvertedIndex {
   /** The on-disk layout generation this code writes. Bumped when the
     * physical layout changes shape (v2: tbucket-partitioned dict; v3:
     * positional sidecar for word indexes; v4: dbucket-partitioned lens
-    * sidecar); an older marker self-heals by rebuild, so a stale cache
-    * can never feed new readers a layout they no longer parse. */
-  private val DictFormatVersion = 4
+    * sidecar; v5: prefix-partitioned dictlex sidecar for word indexes);
+    * an older marker self-heals by rebuild, so a stale cache can never
+    * feed new readers a layout they no longer parse. */
+  private val DictFormatVersion = 5
+
+  /** PREFIX-ORDERED dictionary sidecar — `dictlex/p2=<cc>/` rows of
+    * (w, len), partitioned by the term's FIRST TWO CHARACTERS (word
+    * indexes only): the FST analog for multi-term expansion. The main
+    * dict partitions by term HASH (so df merges ride the postings' own
+    * bucket discipline), which is exactly the layout a PREFIX cannot
+    * prune — Lucene walks a sorted FST instead; this sidecar is that
+    * sorted access path as a partition scheme. [[expandPrefix]] reads
+    * only the partitions whose p2 can begin with the prefix (plan-time
+    * PartitionFilters), [[expandFuzzy]] restricts its levenshtein scan
+    * to the length band |len−|q||≤maxEdits (a provable superset of the
+    * matches — each unit-cost edit changes length by ≤1) through the
+    * stored len column. Holds KEYS only (no df — expansion needs
+    * membership; scoring re-reads df from the dict with the tombstone
+    * correction), so maintenance is set-maintenance: a pure function of
+    * the dict's key set, merged per touched p2 partition on every dict
+    * merge, rebuilt by [[rebuildDerived]], audited by lex_matches_dict.
+    * The empty-string term (empty text tokenizes to one "" token) maps
+    * to a sentinel partition so no partition value is empty/null. */
+  private[sources] def dictLexPathOf(layout: Layout): String =
+    Paths.get(layout.dictPath).getParent.resolve("dictlex").toString
+
+  private val LexEmptySentinel = "~empty~"
+
+  private[sources] def lexP2Col(w: org.apache.spark.sql.Column) =
+    when(length(w) === 0, lit(LexEmptySentinel)).otherwise(substring(w, 1, 2))
+
+  /** (w, len, p2) lex rows for a set of dictionary keys. */
+  private def lexRowsOf(keys: DataFrame): DataFrame =
+    keys.select(col("w"), length(col("w")).as("len"),
+      lexP2Col(col("w")).as("p2"))
 
   /** Positional-posting sidecar — `positions/tbucket=<b>/` rows of
     * (w, doc_id, pos), the Lucene positions file: what PHRASE queries
@@ -276,6 +308,12 @@ object InvertedIndex {
         .withColumn("tbucket", bucketCol(col("w")))
         .repartition(col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket").parquet(layout.dictPath)
+      // prefix-ordered lex sidecar (word indexes only — see dictLexPathOf)
+      if (tokKind == "word")
+        lexRowsOf(spark.read.parquet(layout.dictPath).select(col("w")))
+          .repartition(col("p2"))
+          .write.mode("overwrite").partitionBy("p2")
+          .parquet(dictLexPathOf(layout))
       lens.withColumn("dbucket", dbucketCol(col("doc_id")))
         .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(lensPathOf(layout))
@@ -937,55 +975,103 @@ object InvertedIndex {
   val FuzzyQ = "grup"
   val FuzzyMaxEdits = 2
 
+  /** The lex frame an expansion scans: the prefix-partitioned sidecar
+    * when the layout carries it (v5 word indexes; resident via
+    * [[ServingCache]] in serving mode), else the dict keys themselves
+    * (legacy/gram layouts — full-vocabulary scan, the pre-v5 shape). */
+  private def lexFrame(spark: SparkSession, layout: Layout,
+                       serving: Boolean): DataFrame = {
+    val lexPath = Paths.get(dictLexPathOf(layout))
+    if (Files.exists(lexPath)) {
+      if (serving) ServingCache.frame(spark, lexPath)
+      else spark.read.parquet(lexPath.toString)
+    } else {
+      val dict =
+        if (serving) ServingCache.frame(spark, Paths.get(layout.dictPath))
+        else spark.read.parquet(layout.dictPath)
+      dict.select(col("w"), length(col("w")).as("len"),
+        lexP2Col(col("w")).as("p2"))
+    }
+  }
+
   /** Dictionary EXPANSION for a prefix query — Lucene's PrefixQuery
-    * TermsEnum walk re-expressed: the dict store is vocabulary-sized
-    * metadata (Heaps-bounded — the same budget that lets Lucene pin its
-    * FST on heap, and that [[ServingCache]] pins resident), so expansion
-    * is a full-dict scan with a prefix filter. A prefix cannot prune
-    * term-HASH buckets and does not need to: the POSTING reads that
-    * follow are pruned to the matched terms' buckets, and postings are
-    * where corpus-proportional cost lives. The collected set is bounded
-    * by [[MaxExpansion]] (the repo's bounded-collect discipline). */
+    * TermsEnum walk re-expressed over the PREFIX-PARTITIONED lex sidecar
+    * ([[dictLexPathOf]] — the FST analog): the scan reads only the
+    * partitions whose p2 can begin with the prefix (a `StartsWith(p2)`
+    * partition filter — plan-time pruning, exact for |prefix| ≥ 2 and a
+    * first-character partition family for |prefix| = 1), then applies
+    * the full prefix test within them. The collected set is bounded by
+    * [[MaxExpansion]] BEFORE it crosses the driver: the limit(cap+1)
+    * keeps the cap's require exact while guaranteeing an oversized
+    * expansion fails fast without materializing the whole matched set
+    * driver-side (the r15 enforcement-order fix). */
+  /** The frame [[expandPrefix]] collects — exposed so the plan gate can
+    * assert the partition pruning (`StartsWith(p2)` PartitionFilters on
+    * the stateless read). */
+  private[graft] def prefixCandidates(spark: SparkSession, layout: Layout,
+                                      prefix: String,
+                                      serving: Boolean = false): DataFrame =
+    lexFrame(spark, layout, serving)
+      .filter(col("p2").startsWith(prefix.take(2)) &&
+        col("w").startsWith(prefix))
+      .select(col("w"))
+
+  /** The frame [[expandFuzzy]] collects — exposed so the restriction gate
+    * can assert the length band is applied BEFORE levenshtein (a pushed
+    * len-range filter on the lex scan). */
+  private[graft] def fuzzyCandidates(spark: SparkSession, layout: Layout,
+                                     q: String, maxEdits: Int,
+                                     serving: Boolean = false): DataFrame =
+    lexFrame(spark, layout, serving)
+      .filter(col("len").between(q.length - maxEdits, q.length + maxEdits))
+      .filter(levenshtein(col("w"), lit(q)) <= maxEdits)
+      .select(col("w"), levenshtein(col("w"), lit(q)).as("dist"))
+
   private[graft] def expandPrefix(spark: SparkSession, layout: Layout,
                                   prefix: String,
                                   cap: Int = MaxExpansion,
                                   serving: Boolean = false): Seq[String] = {
-    val dict =
-      if (serving) ServingCache.frame(spark, Paths.get(layout.dictPath))
-      else spark.read.parquet(layout.dictPath)
-    val ws = dict
-      .filter(col("w").startsWith(prefix)).select(col("w"))
+    val ws = prefixCandidates(spark, layout, prefix, serving)
+      .limit(cap + 1)
       .collect().map(_.getString(0)).sorted.toSeq
     require(ws.size <= cap,
-      s"prefix '$prefix' expands to ${ws.size} terms > $cap " +
+      s"prefix '$prefix' expands to > $cap terms " +
         "(the Lucene maxClauseCount discipline) — narrow the prefix")
     ws
   }
 
   /** FuzzyQuery expansion: dictionary terms within `maxEdits` Levenshtein
     * edits of the query term, each carrying Lucene's FuzzyTermsEnum
-    * similarity boost 1 − dist / min(|w|, |q|) (an exact 0-distance match
-    * scores unboosted; a distant match is discounted). Same full-dict
-    * metadata scan as [[expandPrefix]]; Spark's and DuckDB's
-    * `levenshtein` are both the standard unit-cost edit distance, so the
-    * oracle re-derives the identical expansion set and boosts. */
+    * similarity boost max(0, 1 − dist / min(|w|, |q|)) (an exact
+    * 0-distance match scores unboosted; a distant match is discounted;
+    * the clamp keeps generic (q, maxEdits) inputs from producing
+    * NEGATIVE term weights when maxEdits ≥ min length — Lucene's
+    * FuzzyQuery never emits a non-positive similarity). The levenshtein
+    * scan is RESTRICTED to the lex sidecar's length band
+    * |len − |q|| ≤ maxEdits — a provable superset of the matches, since
+    * each unit-cost edit (insert/delete/substitute) changes a string's
+    * length by at most one — so the per-request cost is the band's slice
+    * of the vocabulary, not all of it. (A first-character restriction
+    * would NOT be sound: a substitution at position 0 makes w's first
+    * character arbitrary — q="ab"→w="cb" at distance 1 shares no prefix.)
+    * The collect is bounded by limit(cap+1), like [[expandPrefix]].
+    * Spark's and DuckDB's `levenshtein` are both the standard unit-cost
+    * edit distance, so the oracle re-derives the identical expansion set
+    * and boosts. */
   private[graft] def expandFuzzy(spark: SparkSession, layout: Layout,
                                  q: String, maxEdits: Int,
                                  cap: Int = MaxExpansion,
                                  serving: Boolean = false)
       : Seq[(String, Double)] = {
-    val dict =
-      if (serving) ServingCache.frame(spark, Paths.get(layout.dictPath))
-      else spark.read.parquet(layout.dictPath)
-    val ws = dict
-      .filter(levenshtein(col("w"), lit(q)) <= maxEdits)
-      .select(col("w"), levenshtein(col("w"), lit(q)).as("dist"))
+    val ws = fuzzyCandidates(spark, layout, q, maxEdits, serving)
+      .limit(cap + 1)
       .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
     require(ws.size <= cap,
-      s"fuzzy '$q'~$maxEdits expands to ${ws.size} terms > $cap " +
+      s"fuzzy '$q'~$maxEdits expands to > $cap terms " +
         "(the Lucene maxClauseCount discipline)")
     ws.map { case (w, d) =>
-      (w, 1.0 - d.toDouble / math.min(w.length, q.length).toDouble)
+      (w, math.max(0.0,
+        1.0 - d.toDouble / math.min(w.length, q.length).toDouble))
     }
   }
 
@@ -1066,8 +1152,8 @@ object InvertedIndex {
   val bm25FuzzySql: String =
     bm25ExpandedSqlFor(
       s"levenshtein(w, '$FuzzyQ') <= $FuzzyMaxEdits",
-      s"1.0 - CAST(levenshtein(w, '$FuzzyQ') AS DOUBLE) " +
-        s"/ CAST(least(length(w), ${FuzzyQ.length}) AS DOUBLE)")
+      s"greatest(0.0, 1.0 - CAST(levenshtein(w, '$FuzzyQ') AS DOUBLE) " +
+        s"/ CAST(least(length(w), ${FuzzyQ.length}) AS DOUBLE))")
 
   // ---- highlighting -------------------------------------------------------
 
@@ -1087,8 +1173,18 @@ object InvertedIndex {
   private[graft] def highlightOver(spark: SparkSession, layout: Layout,
                                    docs: DataFrame,
                                    terms: Seq[String] = TextOps.Bm25Terms,
-                                   k: Int = 10): DataFrame = {
-    val top = bm25Over(spark, layout, k, terms = terms)
+                                   k: Int = 10): DataFrame =
+    highlightWinners(spark, layout, docs,
+      bm25Over(spark, layout, k, terms = terms), terms)
+
+  /** The anchoring half of [[highlightOver]], parameterized over the
+    * RANKING and the ANCHOR TERM SET — so expansion-scored winners
+    * (prefix/fuzzy) highlight with their own matched dictionary terms
+    * (r15 verdict #9: the expanded set's first occurrence anchors the
+    * snippet, not a fixed term list). */
+  private[graft] def highlightWinners(spark: SparkSession, layout: Layout,
+                                      docs: DataFrame, top: DataFrame,
+                                      terms: Seq[String]): DataFrame = {
     val buckets = bucketsOf(terms)
     val pos0 = spark.read.parquet(positionsPathOf(layout))
       .filter(col("tbucket").isin(buckets: _*) && col("w").isin(terms: _*))
@@ -1123,7 +1219,7 @@ object InvertedIndex {
     val w = HighlightWindow
     val tail = "SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv\nORDER BY score DESC, doc_id LIMIT 10"
     require(base.contains(tail), "bm25SqlFor tail shape changed — update highlightSql")
-    base.replace(tail,
+    val mid = base.replace(tail,
       s"""top AS (SELECT doc_id, ROUND(s1 + s2 + s3, 6) AS score FROM piv
          |        ORDER BY score DESC, doc_id LIMIT 10),
          |fp AS (SELECT doc_id,
@@ -1136,9 +1232,108 @@ object InvertedIndex {
          |    ' ') AS snippet
          |FROM top p JOIN fp f USING (doc_id) JOIN toks k USING (doc_id)
          |ORDER BY p.score DESC, p.doc_id""".stripMargin)
-      .replace("  FROM contrib GROUP BY doc_id)\ntop AS",
-        "  FROM contrib GROUP BY doc_id),\ntop AS")
+    // guarded like the tail replace above: a silent no-op here would emit
+    // invalid oracle SQL (a CTE chain missing its comma) discovered only
+    // at oracle run time
+    require(mid.contains("  FROM contrib GROUP BY doc_id)\ntop AS"),
+      "bm25SqlFor CTE shape changed — update highlightSql's comma splice")
+    mid.replace("  FROM contrib GROUP BY doc_id)\ntop AS",
+      "  FROM contrib GROUP BY doc_id),\ntop AS")
   }
+
+  /** Q-highlight-prefix: EXPANSION-AWARE highlighting (r15 verdict #9) —
+    * the prefix query's winners (q_bm25_prefix's exact quantized
+    * ranking) highlighted by the EXPANDED term set: the snippet anchors
+    * at the first occurrence of ANY matched dictionary term, read from
+    * the positional sidecar pruned to the expansion's tbuckets — the
+    * multi-term query's own match evidence, never a re-tokenization. */
+  def highlightPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    val terms = expandPrefix(spark, layout, PrefixQ)
+    highlightWinners(spark, layout, Tables.documents(spark, dir),
+      bm25ExpandedOver(spark, layout, terms.map((_, 1.0))), terms)
+  }
+
+  val highlightPrefixSql: String = {
+    val base = bm25PrefixSql
+    val w = HighlightWindow
+    val tail = "SELECT doc_id, ROUND(qs / 1e9, 6) AS score FROM agg\nORDER BY score DESC, doc_id LIMIT 10"
+    require(base.contains(tail),
+      "bm25ExpandedSqlFor tail shape changed — update highlightPrefixSql")
+    val mid = base.replace(tail,
+      s"""top AS (SELECT doc_id, ROUND(qs / 1e9, 6) AS score FROM agg
+         |        ORDER BY score DESC, doc_id LIMIT 10),
+         |fp AS (SELECT doc_id,
+         |         CAST(list_min(list_filter(range(1, len(t)+1),
+         |           i -> t[i] LIKE '$PrefixQ%')) - 1 AS BIGINT) AS first_pos
+         |       FROM toks)
+         |SELECT p.doc_id, p.score, f.first_pos,
+         |  array_to_string(k.t[CAST(greatest(f.first_pos - $w, 0) + 1 AS BIGINT) :
+         |                      CAST(greatest(f.first_pos - $w, 0) + ${2 * w + 1} AS BIGINT)],
+         |    ' ') AS snippet
+         |FROM top p JOIN fp f USING (doc_id) JOIN toks k USING (doc_id)
+         |ORDER BY p.score DESC, p.doc_id""".stripMargin)
+    require(mid.contains("FROM qc GROUP BY doc_id)\ntop AS"),
+      "bm25ExpandedSqlFor CTE shape changed — update highlightPrefixSql's comma splice")
+    mid.replace("FROM qc GROUP BY doc_id)\ntop AS",
+      "FROM qc GROUP BY doc_id),\ntop AS")
+  }
+
+  /** The declared prefix-inside-a-phrase query: `"vector ha*"` — the
+    * phrase anchor word followed by any `ha`-prefixed term (PhraseW2
+    * "hash" is one member, so the pair family stays non-empty at every
+    * SF while the expansion genuinely widens the match set). */
+  val PhrasePrefixQ = "ha"
+
+  /** PREFIX-INSIDE-A-PHRASE (r15 verdict #9's composition ask): Lucene's
+    * MultiPhraseQuery for the (word, prefix*) case — the prefix expands
+    * against the dictionary ([[expandPrefix]]: the pruned lex walk,
+    * maxClauseCount-capped), then the phrase match is [[phraseOver]]'s
+    * adjacency equi-join with the SECOND slot matching ANY expanded
+    * term: w1's positions ⋈ the expansion terms' positions at pos+1.
+    * Work ∝ w1's list + the expansion terms' lists — the positional
+    * sidecar answers a multi-term slot with the same pruned access path
+    * as a single term, because position rows are term-keyed. A position
+    * holds exactly one term, so occurrence pairs count exactly once. */
+  private[graft] def phrasePrefixOver(spark: SparkSession, layout: Layout,
+                                      w1: String, prefix: String,
+                                      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val exp = expandPrefix(spark, layout, prefix)
+    require(exp.nonEmpty, s"prefix '$prefix' matched no dictionary term")
+    val words = (w1 +: exp).distinct
+    val buckets = bucketsOf(words)
+    val pos0 = spark.read.parquet(positionsPathOf(layout))
+      .filter(col("tbucket").isin(buckets: _*) && col("w").isin(words: _*))
+    val tombDir = tombDirOf(layout)
+    val pos =
+      if (hasParquet(tombDir))
+        pos0.join(broadcast(
+          spark.read.parquet(tombDir.toString).select(col("doc_id"))),
+          Seq("doc_id"), "left_anti")
+      else pos0
+    pos.filter(col("w") === w1)
+      .select(col("doc_id"), col("pos"))
+      .join(pos.filter(col("w").isin(exp: _*))
+          .select(col("doc_id"), (col("pos") - 1L).as("pos")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def phrasePrefix(spark: SparkSession, dir: String): DataFrame =
+    phrasePrefixOver(spark, ensure(spark, dir), PhraseW1, PhrasePrefixQ)
+
+  val phrasePrefixSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(list_filter(range(1, len(t)),
+       |              i -> t[i] = '$PhraseW1' AND t[i+1] LIKE '$PhrasePrefixQ%')) AS phrase_tf
+       |      FROM toks)
+       |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
 
   /** PHYSICAL-LAYER self-audit of one inverted-index layout — one row per
     * invariant with its violation count (0 on a healthy store). The
@@ -1231,16 +1426,32 @@ object InvertedIndex {
       }
     // embed indexes carry the squared-norm sidecar — a pure per-doc
     // function of the postings, so drift is one full-outer recompute
-    if (!Files.exists(Paths.get(normsPathOf(layout)))) withPos
+    val withNorms =
+      if (!Files.exists(Paths.get(normsPathOf(layout)))) withPos
+      else {
+        val normCmp = normsOf(post).withColumnRenamed("n2", "an2")
+          .join(spark.read.parquet(normsPathOf(layout))
+              .select(col("doc_id"), col("n2")),
+            Seq("doc_id"), "full_outer")
+        val d7 = row("norms_match_postings",
+          sum(when(col("an2").isNull || col("n2").isNull ||
+            col("an2") =!= col("n2"), 1L).otherwise(0L)), normCmp)
+        withPos.unionByName(d7)
+      }
+    // word indexes carry the prefix-ordered lex sidecar — a pure function
+    // of the dict's key set: missing keys, surplus keys, and a stored len
+    // that disagrees with the key itself all land in one counter
+    if (!Files.exists(Paths.get(dictLexPathOf(layout)))) withNorms
     else {
-      val normCmp = normsOf(post).withColumnRenamed("n2", "an2")
-        .join(spark.read.parquet(normsPathOf(layout))
-            .select(col("doc_id"), col("n2")),
-          Seq("doc_id"), "full_outer")
-      val d7 = row("norms_match_postings",
-        sum(when(col("an2").isNull || col("n2").isNull ||
-          col("an2") =!= col("n2"), 1L).otherwise(0L)), normCmp)
-      withPos.unionByName(d7)
+      val lexCmp = spark.read.parquet(layout.dictPath)
+        .select(col("w")).withColumn("dk", lit(1))
+        .join(spark.read.parquet(dictLexPathOf(layout))
+            .select(col("w"), col("len")).withColumn("lk", lit(1)),
+          Seq("w"), "full_outer")
+      val d8 = row("lex_matches_dict",
+        sum(when(col("dk").isNull || col("lk").isNull ||
+          col("len") =!= length(col("w")), 1L).otherwise(0L)), lexCmp)
+      withNorms.unionByName(d8)
     }
   }
 
@@ -1362,6 +1573,62 @@ object InvertedIndex {
     touched.filterNot(written.contains).foreach { b =>
       Maintenance.deleteRecursively(
         Paths.get(layout.dictPath).resolve(s"tbucket=$b"))
+    }
+    // the lex sidecar follows the dict's KEY SET (word indexes): only the
+    // delta terms can enter or leave the dictionary in this merge, so the
+    // lex update reads and overwrites exactly their p2 partitions
+    if (Files.exists(Paths.get(dictLexPathOf(layout))))
+      mergeLexPartitions(spark, layout, d.select(col("w")).distinct(),
+        merged.select(col("w")))
+  }
+
+  /** TOUCHED-PARTITION lex merge — [[mergeDictBuckets]]' discipline on
+    * the prefix key: the delta terms' p2 partitions are read, the dead
+    * delta terms (no longer in the merged dict slice) drop, the alive
+    * ones enter (idempotent — re-adding an existing key is a no-op by
+    * the distinct), and only those partitions dynamic-overwrite. I/O ∝
+    * the batch's prefix footprint, never the vocabulary. */
+  private def mergeLexPartitions(spark: SparkSession, layout: Layout,
+                                 deltaTerms: DataFrame,
+                                 liveTouched: DataFrame): Unit = {
+    import spark.implicits._
+    val lexPath = dictLexPathOf(layout)
+    val delta = deltaTerms.localCheckpoint(eager = true)
+    val touchedP2 = delta.select(lexP2Col(col("w")).as("p2")).distinct()
+      .as[String].collect().sorted.toIndexedSeq
+    if (touchedP2.isEmpty) return
+    val aliveDelta = delta.join(liveTouched, Seq("w"), "left_semi")
+    val deadDelta = delta.join(liveTouched, Seq("w"), "left_anti")
+    val existing = spark.read.parquet(lexPath)
+      .filter(col("p2").isin(touchedP2: _*)).select(col("w"))
+    val out = lexRowsOf(
+      existing.unionByName(aliveDelta).distinct()
+        .join(deadDelta, Seq("w"), "left_anti"))
+      .repartition(col("p2"))
+      .localCheckpoint(eager = true) // cut lineage off the overwritten files
+    val written = out.select(col("p2")).distinct().as[String].collect().toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("p2").parquet(lexPath)
+    touchedP2.filterNot(written.contains).foreach { p =>
+      val escaped = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(p)
+      Maintenance.deleteRecursively(Paths.get(lexPath).resolve(s"p2=$escaped"))
+    }
+  }
+
+  /** Backfill the lex sidecar for a WORD index built before it existed —
+    * one pass over the vocabulary-sized dict keys, staged move (a killed
+    * backfill is invisible, re-derived next call). */
+  private def ensureDictLex(spark: SparkSession, layout: Layout): Unit = {
+    val lexPath = dictLexPathOf(layout)
+    if (!Files.exists(Paths.get(lexPath))) {
+      val staged = lexPath + ".staged"
+      Maintenance.deleteRecursively(Paths.get(staged))
+      lexRowsOf(spark.read.parquet(layout.dictPath).select(col("w")))
+        .repartition(col("p2"))
+        .write.mode("overwrite").partitionBy("p2").parquet(staged)
+      Files.move(Paths.get(staged), Paths.get(lexPath))
     }
   }
 
@@ -1776,6 +2043,12 @@ object InvertedIndex {
       .write.mode("overwrite").partitionBy("tbucket").parquet(dictStaged)
     Maintenance.deleteRecursively(Paths.get(layout.dictPath))
     Files.move(Paths.get(dictStaged), Paths.get(layout.dictPath))
+    // lex (word indexes): a pure function of the rebuilt dict's key set —
+    // drop + the backfill derivation (staged inside ensureDictLex)
+    if (tokKindOf(layout) == "word") {
+      Maintenance.deleteRecursively(Paths.get(dictLexPathOf(layout)))
+      ensureDictLex(spark, layout)
+    }
     // lens, footprint, impacts: drop + the existing backfill derivations
     // (each ensure* IS the audit's source-of-truth definition)
     Maintenance.deleteRecursively(Paths.get(lensPathOf(layout)))
@@ -2307,6 +2580,8 @@ object InvertedIndex {
     "q_bm25_fuzzy" -> (bm25Fuzzy _),
     "q_bm25_msm" -> (bm25MsmIndexed _),
     "q_highlight" -> (highlightIndexed _),
+    "q_highlight_prefix" -> (highlightPrefix _),
+    "q_phrase_prefix" -> (phrasePrefix _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
     "q_stream_bm25_upsert" -> (streamBm25Upsert _),
@@ -2335,6 +2610,8 @@ object InvertedIndex {
     "q_bm25_fuzzy" -> bm25FuzzySql,
     "q_bm25_msm" -> bm25MsmSql,
     "q_highlight" -> highlightSql,
+    "q_highlight_prefix" -> highlightPrefixSql,
+    "q_phrase_prefix" -> phrasePrefixSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be
     // invisible in every served statistic

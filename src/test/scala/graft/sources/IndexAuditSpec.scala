@@ -24,8 +24,8 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 22
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(22)(0L)
+    rows should have length 23
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(23)(0L)
   }
 
   test("graph sensitivity: a dropped redges shard flags redges_mirror_edges; a foreign endpoint flags edge_endpoints_live") {
@@ -142,12 +142,25 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
     (audit - "keymap_mirrors_data").values.foreach(_ shouldBe 0L)
   }
 
-  test("a planted dict corruption flags exactly dict_df_matches_postings") {
+  test("a planted dict corruption flags dict_df_matches_postings AND the lex sync") {
     val layout = InvertedIndex.cloneIndex(spark, sfDir, "audit-dict")
     Maintenance.deleteRecursively(firstPartitionDir(layout.dictPath))
     val audit = auditMap(InvertedIndex.auditFrame(spark, layout))
     audit("dict_df_matches_postings") should be > 0L
-    (audit - "dict_df_matches_postings").values.foreach(_ shouldBe 0L)
+    // the lex sidecar still holds the dropped bucket's keys — one
+    // planting, two invariants see it (each from its own store pair)
+    audit("lex_matches_dict") should be > 0L
+    (audit - "dict_df_matches_postings" - "lex_matches_dict")
+      .values.foreach(_ shouldBe 0L)
+  }
+
+  test("a planted lex-shard drop flags exactly lex_matches_dict") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "audit-lex")
+    val lexRoot = Paths.get(layout.dictPath).getParent.resolve("dictlex")
+    Maintenance.deleteRecursively(firstPartitionDir(lexRoot.toString))
+    val audit = auditMap(InvertedIndex.auditFrame(spark, layout))
+    audit("lex_matches_dict") should be > 0L
+    (audit - "lex_matches_dict").values.foreach(_ shouldBe 0L)
   }
 
   test("a planted positional truncation flags exactly positions_match_tf") {

@@ -75,6 +75,114 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
     e2.getMessage should include("maxClauseCount")
   }
 
+  test("prefix expansion is partition-pruned on the lex sidecar; fuzzy is length-banded before levenshtein") {
+    import org.apache.spark.sql.functions.col
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val pf = InvertedIndex.prefixCandidates(spark, layout, "se")
+    pf.collect()
+    val plan = pf.queryExecution.executedPlan.toString
+    // the p2 partition column exists only on the dictlex sidecar, so a
+    // StartsWith partition filter on it proves both the source and the
+    // pruning (the scan's Location string is elided in plan text)
+    plan should include("PartitionFilters")
+    plan should include("StartsWith(p2")
+    // fuzzy: the length band reaches the lex scan as a PUSHED filter —
+    // the levenshtein never evaluates outside |len − |q|| ≤ maxEdits
+    val fz = InvertedIndex.fuzzyCandidates(
+      spark, layout, InvertedIndex.FuzzyQ, InvertedIndex.FuzzyMaxEdits)
+    fz.collect()
+    val fplan = fz.queryExecution.executedPlan.toString
+    fplan should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(len"
+    // ... and the band is a real restriction on this corpus, not a no-op
+    val lex = spark.read.parquet(InvertedIndex.dictLexPathOf(layout))
+    val q = InvertedIndex.FuzzyQ
+    val banded = lex.filter(col("len").between(
+      q.length - InvertedIndex.FuzzyMaxEdits,
+      q.length + InvertedIndex.FuzzyMaxEdits)).count()
+    banded should be < lex.count()
+    // superset theorem in action: the banded expansion equals the
+    // unbanded full-vocabulary referee (the fuzzy referee test above
+    // proves the same against raw text; this pins the band specifically)
+    val unbanded = lex
+      .filter(org.apache.spark.sql.functions.levenshtein(
+        col("w"), org.apache.spark.sql.functions.lit(q)) <=
+        InvertedIndex.FuzzyMaxEdits)
+      .select(col("w")).collect().map(_.getString(0)).toSet
+    InvertedIndex.expandFuzzy(spark, layout, q, InvertedIndex.FuzzyMaxEdits)
+      .map(_._1).toSet shouldBe unbanded
+  }
+
+  test("fuzzy boosts are clamped at zero for generic inputs (maxEdits >= min term length)") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val got = InvertedIndex.expandFuzzy(spark, layout, "as", 4)
+    got should not be empty
+    got.foreach { case (_, b) => b should be >= 0.0 }
+  }
+
+  test("lex maintenance: upsert adds new keys, vacuum drops dead ones, the audit invariant holds throughout") {
+    import spark.implicits._
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "lex-life")
+    def lexAudit(): Long = InvertedIndex.auditFrame(spark, layout).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+      .apply("lex_matches_dict")
+    val newDoc = Seq((9999999L, "zzznovel zzznovel qqrare"))
+      .toDF("doc_id", "text")
+    InvertedIndex.upsertDocs(spark, layout, newDoc)
+    InvertedIndex.expandPrefix(spark, layout, "zzz") shouldBe Seq("zzznovel")
+    lexAudit() shouldBe 0L
+    InvertedIndex.deleteDocs(spark, layout, Seq(9999999L).toDF("doc_id"))
+    InvertedIndex.vacuum(spark, layout)
+    // the novel terms died with their only doc — the lex merge must drop
+    // them from their p2 partitions (a stale key would route a prefix
+    // query to a term the dict no longer holds)
+    InvertedIndex.expandPrefix(spark, layout, "zzz") shouldBe Seq.empty
+    InvertedIndex.expandPrefix(spark, layout, "qqrar") shouldBe Seq.empty
+    lexAudit() shouldBe 0L
+  }
+
+  test("expansion-aware highlighting anchors at the first EXPANDED-term occurrence; prefix-in-phrase contains the exact pair") {
+    import org.apache.spark.sql.functions.{col, split, trim}
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    // winners of the prefix scoring boolean, snippet anchored by the set
+    val hp = InvertedIndex.highlightPrefix(spark, sfDir).collect()
+    val wins = InvertedIndex.bm25ExpandedOver(spark, layout,
+      InvertedIndex.expandPrefix(spark, layout, InvertedIndex.PrefixQ)
+        .map((_, 1.0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    hp.map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe wins
+    // raw-text referee for the anchor: first token with the prefix
+    val toksOf = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    hp.foreach { r =>
+      val t = toksOf(r.getLong(0))
+      val expect = t.indexWhere(_.startsWith(InvertedIndex.PrefixQ)).toLong
+      r.getLong(2) shouldBe expect
+      val start = math.max(expect - InvertedIndex.HighlightWindow, 0L).toInt
+      r.getString(3) shouldBe
+        t.slice(start, start + 2 * InvertedIndex.HighlightWindow + 1).mkString(" ")
+    }
+    // prefix-in-phrase: the exact (w1, w2) pair is one expansion member,
+    // so its per-doc count never exceeds the widened slot's
+    val pp = InvertedIndex.phrasePrefix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = InvertedIndex.phraseOver(spark, layout,
+      Seq(InvertedIndex.PhraseW1, InvertedIndex.PhraseW2), k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pp should not be empty
+    exact.foreach { case (doc, n) =>
+      if (pp.contains(doc)) pp(doc) should be >= n
+    }
+    // raw-text referee for the widened slot
+    pp.foreach { case (doc, n) =>
+      val t = toksOf(doc)
+      val expect = t.indices.dropRight(1).count(i =>
+        t(i) == InvertedIndex.PhraseW1 &&
+          t(i + 1).startsWith(InvertedIndex.PhrasePrefixQ))
+      n shouldBe expect.toLong
+    }
+  }
+
   test("an empty expansion is rejected before scheduling a scoring pass") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     intercept[IllegalArgumentException] {

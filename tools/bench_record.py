@@ -79,6 +79,8 @@ def main():
     record = load_record()
     rec = record["queries"]
 
+    run_canary = bench.get("canary_sec", -1.0)
+
     if cmd == "merge":
         load = float(opts.get("--load", "0"))
         if load > 1.5:
@@ -90,23 +92,46 @@ def main():
             if q not in rec or t < rec[q]:
                 rec[q] = round(t, 3)
                 improved += 1
+        if run_canary and run_canary > 0:
+            old = record.get("canary_sec")
+            if old is None or run_canary < old:
+                record["canary_sec"] = round(run_canary, 3)
         RECORD.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
         print(f"merged {len(queries)} queries; {improved} records improved; "
-              f"{len(rec)} total in {RECORD.name}")
+              f"{len(rec)} total in {RECORD.name}"
+              + (f"; canary {record.get('canary_sec')}s"
+                 if "canary_sec" in record else ""))
         return 0
 
     ratio = float(opts.get("--ratio", "1.5"))
-    flagged = []
+    # host-speed normalization: the run's CPU-bound canary vs the record's.
+    # A loaded window inflates EVERY time by roughly the canary's factor,
+    # so ratios are divided by it (never below 1.0 — a faster-than-record
+    # host must not hide a real regression).
+    rec_canary = record.get("canary_sec")
+    host = 1.0
+    if run_canary and run_canary > 0 and rec_canary and rec_canary > 0:
+        host = max(1.0, run_canary / rec_canary)
+        print(f"host-speed canary: run {run_canary:.2f}s vs record "
+              f"{rec_canary:.2f}s -> normalizing ratios by {host:.2f}x")
+    flagged, raw_flagged = [], 0
     for q, t in sorted(queries.items()):
-        if q in rec and rec[q] > 0 and t / rec[q] > ratio:
-            flagged.append((q, t, rec[q], t / rec[q]))
+        if q in rec and rec[q] > 0:
+            if t / rec[q] > ratio:
+                raw_flagged += 1
+            if t / (rec[q] * host) > ratio:
+                flagged.append((q, t, rec[q], t / (rec[q] * host)))
+    norm = " (host-normalized)" if host != 1.0 else ""
     if not flagged:
-        print(f"all {len(queries)} queries within {ratio}x of record")
+        print(f"all {len(queries)} queries within {ratio}x of record{norm}"
+              + (f"; {raw_flagged} raw flags absorbed by the canary"
+                 if raw_flagged else ""))
     else:
-        print(f"{len(flagged)} queries above {ratio}x of record "
-              "(rerun on a quiet host before believing any):")
+        print(f"{len(flagged)} queries above {ratio}x of record{norm} "
+              f"(raw flags: {raw_flagged}; "
+              "rerun on a quiet host before believing any):")
         for q, t, r, x in sorted(flagged, key=lambda f: -f[3]):
-            print(f"  {q}: {t:.2f}s vs record {r:.2f}s ({x:.1f}x)")
+            print(f"  {q}: {t:.2f}s vs record {r:.2f}s ({x:.1f}x normalized)")
     return 0
 
 
