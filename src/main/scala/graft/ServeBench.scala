@@ -205,13 +205,26 @@ object ServeBench {
         serving = true).collect()
     }
 
+    // FUZZY-expansion serve — the length-banded levenshtein walk over the
+    // resident lex sidecar + quantized boolean-of-terms scoring; typo'd
+    // corpus words rotate so expansion sets vary per in-flight request
+    val typos = Seq("grup", "vectr", "hsh", "qery", "strem", "windw",
+      "mrge", "srt")
+    def fuzzyReq(i: Int): Unit = {
+      val q = typos(i % typos.size)
+      InvertedIndex.bm25ExpandedOver(spark, invLayout,
+        InvertedIndex.expandFuzzy(spark, invLayout, q, 2, cap = 1 << 20,
+          serving = true),
+        serving = true).collect()
+    }
+
     val families: Seq[(String, Int => Unit)] =
       Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
         "ann" -> (annReq _), "bm25" -> (bm25Req _),
         "bm25_hot" -> (bm25HotReq _), "hybrid" -> (hybridReq _),
         "embed" -> (embedReq _), "embed_hot" -> (embedHotReq _),
         "graphann" -> (graphReq _), "phrase" -> (phraseReq _),
-        "prefix" -> (prefixReq _))
+        "prefix" -> (prefixReq _), "fuzzy" -> (fuzzyReq _))
 
     // ---- drive ---------------------------------------------------------
     // the multi-hop walk costs an order more wall-clock per request than

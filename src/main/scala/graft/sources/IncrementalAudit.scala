@@ -271,8 +271,36 @@ object IncrementalAudit {
           sum(when(col("nn").isNull || col("lt").isNull, 1L).otherwise(0L)),
           normDocs.join(lensTok, Seq("doc_id"), "full_outer"))
       }
+    // word layouts carry the prefix-ordered lex sidecar — the deep
+    // lex_matches_dict invariant restricted to the TOUCHED tbuckets:
+    // both sides filter by the terms' own hash bucket (the lex store is
+    // vocabulary-sized metadata — the Heaps budget — so the bucket
+    // restriction prunes the COMPARISON, and a full-outer join catches
+    // both directions of a half-applied dict/lex merge: a key the merge
+    // added to one store only, a dead key it dropped from one store
+    // only, and a stored len disagreeing with its own key). Coverage
+    // needs no lex-side inventory: every lex write is PAIRED with a
+    // dict write (mergeLexPartitions runs inside mergeDictBuckets;
+    // build/rebuild write both), so the dict's touched set + the term
+    // refresher sweep the pair.
+    val lexPath = InvertedIndex.dictLexPathOf(layout)
+    val d6 =
+      if (!Files.exists(Paths.get(lexPath)))
+        zeroRow(spark, artifact, "lex_matches_dict")
+      else {
+        val lexT = spark.read.parquet(lexPath)
+          .filter(InvertedIndex.bucketCol(col("w")).isin(tb: _*))
+          .select(col("w"), col("len")).withColumn("lk", lit(1))
+        val dictT = spark.read.parquet(layout.dictPath)
+          .filter(col("tbucket").isin(tb: _*)).select(col("w"))
+          .withColumn("dk", lit(1))
+        countRow(artifact, "lex_matches_dict",
+          sum(when(col("dk").isNull || col("lk").isNull ||
+            col("len") =!= length(col("w")), 1L).otherwise(0L)),
+          dictT.join(lexT, Seq("w"), "full_outer"))
+      }
     val out = d1.unionByName(d2).unionByName(d3).unionByName(d4)
-      .unionByName(d5)
+      .unionByName(d5).unionByName(d6)
       .localCheckpoint(true) // materialize BEFORE the watermark advances
     advanceIfClean(root, epoch, cur, out)
   }
@@ -683,6 +711,7 @@ object IncrementalAudit {
       |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('embed', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('embed', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('embed', 'lex_matches_dict', CAST(0 AS BIGINT)),
       |  ('embed', 'norms_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('embed', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('graph', 'edge_endpoints_in_members', CAST(0 AS BIGINT)),
@@ -691,6 +720,7 @@ object IncrementalAudit {
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),
+      |  ('inverted', 'lex_matches_dict', CAST(0 AS BIGINT)),
       |  ('inverted', 'norms_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'positions_match_tf', CAST(0 AS BIGINT)),
       |  ('minhash', 'bands_cover_sigs', CAST(0 AS BIGINT)),
