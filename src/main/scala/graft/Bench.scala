@@ -46,8 +46,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     (1 to 2).map { _ =>
       val t0 = System.nanoTime()
+      // bit_xor, not sum: 150M full-range hashes overflow a LONG sum
+      // under ANSI arithmetic; the xor fold is overflow-free and equally
+      // CPU-bound
       spark.range(0L, 150000000L, 1L, 32)
-        .select(sum(xxhash64(col("id")))).head()
+        .select(expr("bit_xor(xxhash64(id))")).head()
       (System.nanoTime() - t0) / 1e9
     }.min
   }
