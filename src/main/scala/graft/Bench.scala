@@ -94,7 +94,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session("graft-bench")
-    val line = jsonLine(measure(spark, sfDir), sfDir, canary(spark))
+    // the canary brackets the query window (one probe each side, the
+    // recorded value their mean): a point probe at one end can miss a
+    // load burst that inflated half the window — observed on this host,
+    // where a run's END landed in a quiet instant after a loaded window
+    val c0 = canary(spark)
+    val results = measure(spark, sfDir)
+    val c1 = canary(spark)
+    val line = jsonLine(results, sfDir, (c0 + c1) / 2)
     println(line)
     // Stdout alone is not a durable artifact: the driver's capture keeps a
     // bounded tail, which truncated 59 of 128 per-query times in round 6

@@ -109,16 +109,38 @@ object EmbedIndex {
                                serving: Boolean = false): DataFrame = {
     import spark.implicits._
     val st = serveState(spark, layout, queryText, serving)
+    // MEMOIZED pruning decision: θ, the essential dim set, and the
+    // candidates' dbucket list are pure functions of the INDEX STATE and
+    // the query, so a repeat query on an unchanged index skips the θ
+    // probe and both bucket collections (2–3 scheduler round-trips — the
+    // serving latency floor once the norms frame is resident). The memo
+    // keys on the same shard-inventory stamps the ServingCache swaps on
+    // (postings + norms + tombstones), so ANY maintenance write
+    // invalidates before the next request reads: a stale θ could
+    // over-prune (a delete can lower the kth score below the old bound),
+    // and the stamp guard makes that state unreachable. Fallback
+    // decisions are never memoized — the <k regime must re-check.
+    val memoKey = (layout.dataPath, queryText, k, serving)
+    val stamp = indexStamp(layout)
+    val memoed = Option(pruneMemos.get(memoKey)).filter(_.stamp == stamp)
+    memoed.foreach { m =>
+      return prunedPlan(st, m.essential, m.candDbuckets, k)
+    }
     // θ pass: docs holding the highest-qv dim, fully scored — the
     // restricted pass [[InvertedIndex.maxScorePlan]] step 2 runs, with
-    // the norms read pruned to the d₀ docs' dbucket shards
+    // the norms read pruned to the d₀ docs' dbucket shards. The bucket
+    // collections exist for STATELESS I/O pruning only: in serving mode
+    // the norms frame is memory-resident (no partition I/O to prune) and
+    // correctness rides the candidate inner join alone, so the two
+    // collect round-trips are skipped — the probe is one job.
     val ordered = st.qemb.toSeq.sortBy { case (d, v) => (-v, d) }
     val d0 = ordered.head._1.toString
     val d0Docs = st.livePost.filter(col("w") === d0)
       .select(col("doc_id")).distinct()
-    val d0Dbuckets = d0Docs
-      .select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
-      .distinct().as[Long].collect().sorted.toIndexedSeq
+    val d0Dbuckets =
+      if (serving) Nil
+      else d0Docs.select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
+        .distinct().as[Long].collect().sorted.toIndexedSeq
     val thetaRows = st.normsPruned(d0Dbuckets)
       .join(st.dots.join(d0Docs, Seq("doc_id"), "left_semi"), Seq("doc_id"))
       .select(col("doc_id"), st.scoreCol.as("score"))
@@ -135,17 +157,43 @@ object EmbedIndex {
         theta - 1e-6
     }.getOrElse(ordered.size)
     val essential = ordered.take(e).map(_._1.toString)
+    val candDbuckets =
+      if (serving) Nil
+      else st.livePost.filter(col("w").isin(essential: _*))
+        .select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
+        .distinct().as[Long].collect().sorted.toIndexedSeq
+    pruneMemos.put(memoKey, PruneMemo(stamp, essential, candDbuckets))
+    prunedPlan(st, essential, candDbuckets, k)
+  }
+
+  /** The candidate-restricted final plan both the fresh and the memoed
+    * paths serve through — one construction, so a memo hit cannot drift
+    * from the derivation it replays. */
+  private def prunedPlan(st: ServeState, essential: Seq[String],
+                         candDbuckets: Seq[Long], k: Int): DataFrame = {
     val cand = st.livePost.filter(col("w").isin(essential: _*))
       .select(col("doc_id")).distinct()
-    val candDbuckets = cand
-      .select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
-      .distinct().as[Long].collect().sorted.toIndexedSeq
     st.normsPruned(candDbuckets)
       .join(st.dots.join(cand, Seq("doc_id"), "left_semi"), Seq("doc_id"))
       .select(col("doc_id"), st.scoreCol.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  private case class PruneMemo(stamp: String, essential: Seq[String],
+                               candDbuckets: Seq[Long])
+  private val pruneMemos =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Boolean), PruneMemo]
+
+  /** One stamp over every store the pruning decision reads — postings,
+    * norms, and the tombstone dir ([[ServingCache.stampOf]]'s
+    * shard-inventory fold, concatenated). Bounded driver-side metadata:
+    * three local directory listings per request, the same cost class as
+    * the ServingCache's own staleness check. */
+  private def indexStamp(layout: InvertedIndex.Layout): String =
+    ServingCache.stampOf(Paths.get(layout.dataPath)) + "|" +
+      ServingCache.stampOf(Paths.get(InvertedIndex.normsPathOf(layout))) + "|" +
+      ServingCache.stampOf(InvertedIndex.tombDirOf(layout))
 
   /** The shared per-request serve state: query embedding, masked pruned
     * postings, per-doc dots, and the norms access path. One derivation
@@ -200,8 +248,13 @@ object EmbedIndex {
       else spark.read.parquet(InvertedIndex.normsPathOf(layout))
     ServeState(qemb, sqrtQn2, livePost, dots,
       masked(normsStore).select(col("doc_id"), col("n2")),
-      bs => normsStore.filter(col("dbucket").isin(bs: _*))
-        .select(col("doc_id"), col("n2")))
+      // the bucket filter is I/O pruning for the stateless read; the
+      // resident frame has no partition I/O, so serving mode passes the
+      // whole frame and lets the candidate inner join restrict
+      bs =>
+        (if (serving) normsStore
+         else normsStore.filter(col("dbucket").isin(bs: _*)))
+          .select(col("doc_id"), col("n2")))
   }
 
   /** The ORACLE-SHAPE plan: rank EVERY live doc via a left join onto the

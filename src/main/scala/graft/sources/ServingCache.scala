@@ -53,7 +53,7 @@ object ServingCache {
     * Mtime granularity on some filesystems is 1 ms — two rewrites inside
     * one tick with identical file counts could collide, so file NAMES
     * (fresh UUIDs per Spark write) are folded in too. */
-  private def stampOf(dir: Path): String = {
+  private[sources] def stampOf(dir: Path): String = {
     if (!Files.exists(dir)) return "absent"
     val sb = new StringBuilder
     val s = Files.list(dir)

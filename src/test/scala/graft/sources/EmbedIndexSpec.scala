@@ -130,6 +130,23 @@ class EmbedIndexSpec extends SparkSpecBase with Matchers {
     }
   }
 
+  test("pruning memo: a repeat query serves identically, and a maintenance write invalidates the memoed decision") {
+    val layout = InvertedIndex.cloneIndexNamed(
+      spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-memo")
+    val before = served(layout, 5)
+    served(layout, 5) shouldBe before // memo hit — same decision replayed
+    // churn the index: the batch contains flagship-winner twins, so a
+    // stale pruning decision (old θ over the old corpus) would visibly
+    // miss them — the stamp guard must recompute
+    val twins = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+        col("lang"), col("text"))
+    InvertedIndex.upsertDocs(spark, layout, twins)
+    served(layout, 50) shouldBe
+      reference(docs.select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(twins), 50)
+  }
+
   test("upsert: incremental == in-plan rebuild over the grown corpus at depth 100") {
     val layout = InvertedIndex.cloneIndexNamed(
       spark, sfDir, EmbedIndex.IndexName, "embed16", "embed-spec-upsert")
