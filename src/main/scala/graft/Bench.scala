@@ -55,6 +55,26 @@ object Bench {
     }.min
   }
 
+  /** SCHEDULER-LATENCY CANARY: the median round-trip of 40 empty
+    * single-task jobs — no computation, so its time moves ONLY with the
+    * scheduler's responsiveness (DAGScheduler queue depth, GC pauses,
+    * thread-pool contention on a co-tenanted host). The CPU canary can't
+    * see this class of slowdown: the five q_stream_* totals are
+    * trigger-count × scheduler-latency, so a loaded host can inflate a
+    * streaming row 3× while xxhash64 throughput reads near-normal (the
+    * r16 q_stream_window 2.9×-normalized open adjudication — this probe
+    * mechanizes it). Median, not mean: one GC pause must read as noise,
+    * a shifted distribution as signal. */
+  def schedCanary(spark: SparkSession): Double = {
+    spark.sparkContext.parallelize(Seq(0), 1).count() // warm the path
+    val times = (1 to 40).map { _ =>
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(Seq(0), 1).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(times.size / 2)
+  }
+
   def session(appName: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -69,7 +89,8 @@ object Bench {
   }
 
   def jsonLine(results: Map[String, Double], sfDir: String,
-               canarySec: Double = -1.0): String = {
+               canarySec: Double = -1.0,
+               schedCanarySec: Double = -1.0): String = {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Failures are reported out-of-band and EXCLUDED from the total — a
@@ -88,7 +109,7 @@ object Bench {
         s"\"$name\":{\"n_triggers\":${s.nTriggers},\"median_ms\":${s.medianMs}," +
           s"\"max_ms\":${s.maxMs},\"total_ms\":${s.totalMs}}"
       }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"n_failed":${failed.size},"failed":$failedJson,"stream_triggers":$st,"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"sched_canary_sec":$schedCanarySec,"n_failed":${failed.size},"failed":$failedJson,"stream_triggers":$st,"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,9 +120,11 @@ object Bench {
     // load burst that inflated half the window — observed on this host,
     // where a run's END landed in a quiet instant after a loaded window
     val c0 = canary(spark)
+    val s0 = schedCanary(spark)
     val results = measure(spark, sfDir)
     val c1 = canary(spark)
-    val line = jsonLine(results, sfDir, (c0 + c1) / 2)
+    val s1 = schedCanary(spark)
+    val line = jsonLine(results, sfDir, (c0 + c1) / 2, (s0 + s1) / 2)
     println(line)
     // Stdout alone is not a durable artifact: the driver's capture keeps a
     // bounded tail, which truncated 59 of 128 per-query times in round 6

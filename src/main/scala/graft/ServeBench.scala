@@ -191,16 +191,20 @@ object ServeBench {
     // dict frame (ServingCache) + quantized boolean-of-terms scoring;
     // prefixes rotate so expansion sizes vary per in-flight request
     val prefixes = Seq("s", "f", "b", "c", "w", "d", "g", "h")
+    // the load generator's expansion bound: TRUNCATE at a fixed cap
+    // instead of uncapping (the pre-r17 1<<20 shape let a one-letter
+    // prefix materialize ~1M terms on the driver per request in the
+    // concurrent hot loop — the generator itself became driver-memory-
+    // bound and perturbed the latencies it measures). The declared
+    // queries keep the strict fail-loud maxClauseCount; a generator
+    // scoring a truncated-but-large expansion still exercises the same
+    // serve path.
+    val LoadGenExpansionCap = 4096
     def prefixReq(i: Int): Unit = {
       val p = prefixes(i % prefixes.size)
-      // cap raised for the BENCH driver only: a one-letter prefix can
-      // legitimately exceed the declared queries' strict maxClauseCount
-      // at larger SFs, and the require would kill the client thread
-      // mid-run — the cap discipline is a guard rail for declared
-      // queries, not a correctness bound for a load generator
       InvertedIndex.bm25ExpandedOver(spark, invLayout,
-        InvertedIndex.expandPrefix(spark, invLayout, p, cap = 1 << 20,
-          serving = true)
+        InvertedIndex.expandPrefix(spark, invLayout, p,
+          cap = LoadGenExpansionCap, serving = true, truncateAtCap = true)
           .map((_, 1.0)),
         serving = true).collect()
     }
@@ -213,8 +217,8 @@ object ServeBench {
     def fuzzyReq(i: Int): Unit = {
       val q = typos(i % typos.size)
       InvertedIndex.bm25ExpandedOver(spark, invLayout,
-        InvertedIndex.expandFuzzy(spark, invLayout, q, 2, cap = 1 << 20,
-          serving = true),
+        InvertedIndex.expandFuzzy(spark, invLayout, q, 2,
+          cap = LoadGenExpansionCap, serving = true, truncateAtCap = true),
         serving = true).collect()
     }
 

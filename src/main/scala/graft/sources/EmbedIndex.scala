@@ -162,7 +162,15 @@ object EmbedIndex {
       else st.livePost.filter(col("w").isin(essential: _*))
         .select(InvertedIndex.dbucketCol(col("doc_id")).as("b"))
         .distinct().as[Long].collect().sorted.toIndexedSeq
-    pruneMemos.put(memoKey, PruneMemo(stamp, essential, candDbuckets))
+    // publish-guard (the ServingCache.frame discipline): a maintenance
+    // write landing between the stamp read and the probe jobs would have
+    // derived θ/essential from mixed pre/post-write state — still correct
+    // for THIS request (the final plan re-reads live state), but wrong to
+    // memoize under the new stamp, where the NEXT request would replay it
+    // as current. Re-read and skip the put when the stamp moved; the
+    // write after next then memoizes cleanly.
+    if (indexStamp(layout) == stamp)
+      pruneMemos.put(memoKey, PruneMemo(stamp, essential, candDbuckets))
     prunedPlan(st, essential, candDbuckets, k)
   }
 
@@ -182,8 +190,20 @@ object EmbedIndex {
 
   private case class PruneMemo(stamp: String, essential: Seq[String],
                                candDbuckets: Seq[Long])
-  private val pruneMemos =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Boolean), PruneMemo]
+  /** Access-ordered LRU with a hard cap: an arbitrary production query
+    * stream (distinct texts, not the bench's fixed rotation) must not
+    * grow driver memory without bound, and retired queries' stale-stamp
+    * entries must eventually leave. Entries are tiny (a stamp string +
+    * a few dim ids), so a few thousand covers any realistic hot set. */
+  private val PruneMemoCap = 4096
+  private val pruneMemos: java.util.Map[(String, String, Int, Boolean), PruneMemo] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, String, Int, Boolean), PruneMemo](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, String, Int, Boolean), PruneMemo])
+            : Boolean = size() > PruneMemoCap
+      })
 
   /** One stamp over every store the pruning decision reads — postings,
     * norms, and the tombstone dir ([[ServingCache.stampOf]]'s

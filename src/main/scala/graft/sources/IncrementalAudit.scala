@@ -597,7 +597,8 @@ object IncrementalAudit {
                                  asgAll: DataFrame, nodeBuckets: DataFrame,
                                  emb: InvertedIndex.Layout,
                                  vecTwins: DataFrame,
-                                 runs: java.util.concurrent.atomic.AtomicLong)
+                                 runs: java.util.concurrent.atomic.AtomicLong,
+                                 sc: org.apache.spark.SparkContext)
 
   private val fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, IncrFixture]()
@@ -643,7 +644,8 @@ object IncrementalAudit {
       EmbedIndex.IndexName, "embed16", "audit-incr-emb")
     baselineInverted(emb)
     IncrFixture(inv, mh, vBase, vName, gRoot, asgAll, nodeBuckets, emb,
-      vecTwins, new java.util.concurrent.atomic.AtomicLong(0L))
+      vecTwins, new java.util.concurrent.atomic.AtomicLong(0L),
+      spark.sparkContext)
   }
 
   /** Q-index-audit-incr: the churn-proportional audit end-to-end — six
@@ -656,7 +658,15 @@ object IncrementalAudit {
     * name-preserving corruption in an UNTOUCHED bucket is never even
     * read) are spec-gated in IncrementalAuditSpec. */
   def indexAuditIncr(spark: SparkSession, dir: String): DataFrame = {
-    val f = fixtures.computeIfAbsent(dir, _ => buildFixture(spark, dir))
+    // the fixture's localCheckpoint'd frames are bound to the CREATING
+    // SparkContext's executors — a later run in the same JVM after a
+    // session restart would fail opaquely on missing RDD blocks, so the
+    // lookup validates the context and rebuilds on mismatch (same-context
+    // session forks share blocks and reuse safely)
+    val f = fixtures.compute(dir, (_, old) =>
+      if (old != null && (old.sc eq spark.sparkContext) &&
+          !old.sc.isStopped) old
+      else buildFixture(spark, dir))
     val run = f.runs.incrementAndGet()
     val inv = f.inv
     val emb = f.emb

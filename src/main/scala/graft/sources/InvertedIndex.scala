@@ -1030,11 +1030,17 @@ object InvertedIndex {
   private[graft] def expandPrefix(spark: SparkSession, layout: Layout,
                                   prefix: String,
                                   cap: Int = MaxExpansion,
-                                  serving: Boolean = false): Seq[String] = {
+                                  serving: Boolean = false,
+                                  truncateAtCap: Boolean = false): Seq[String] = {
+    // truncateAtCap: a LOAD GENERATOR wants bounded driver memory, not
+    // the declared queries' fail-loud guarantee — limit(cap) truncates
+    // the expansion instead of materializing past the cap to prove the
+    // overflow (ServeBench; an uncapped collect would make the generator
+    // itself driver-memory-bound at larger SFs)
     val ws = prefixCandidates(spark, layout, prefix, serving)
-      .limit(cap + 1)
+      .limit(if (truncateAtCap) cap else cap + 1)
       .collect().map(_.getString(0)).sorted.toSeq
-    require(ws.size <= cap,
+    require(truncateAtCap || ws.size <= cap,
       s"prefix '$prefix' expands to > $cap terms " +
         "(the Lucene maxClauseCount discipline) — narrow the prefix")
     ws
@@ -1061,12 +1067,13 @@ object InvertedIndex {
   private[graft] def expandFuzzy(spark: SparkSession, layout: Layout,
                                  q: String, maxEdits: Int,
                                  cap: Int = MaxExpansion,
-                                 serving: Boolean = false)
+                                 serving: Boolean = false,
+                                 truncateAtCap: Boolean = false)
       : Seq[(String, Double)] = {
     val ws = fuzzyCandidates(spark, layout, q, maxEdits, serving)
-      .limit(cap + 1)
+      .limit(if (truncateAtCap) cap else cap + 1)
       .collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._1).toSeq
-    require(ws.size <= cap,
+    require(truncateAtCap || ws.size <= cap,
       s"fuzzy '$q'~$maxEdits expands to > $cap terms " +
         "(the Lucene maxClauseCount discipline)")
     ws.map { case (w, d) =>

@@ -88,14 +88,30 @@ def main():
                   "(a loaded host cannot set records)")
             return 1
         improved = 0
+        # each record time is PAIRED with the canary of the run that set
+        # it: normalization compares "this run's host speed" against "the
+        # host speed when the record was set". A single global-min canary
+        # (the pre-r17 scheme) could come from a DIFFERENT run than any
+        # record, systematically inflating every canary-relative record
+        # and under-flagging real regressions.
+        qcan = record.setdefault("query_canaries", {})
         for q, t in queries.items():
             if q not in rec or t < rec[q]:
                 rec[q] = round(t, 3)
+                if run_canary and run_canary > 0:
+                    qcan[q] = round(run_canary, 3)
+                else:
+                    qcan.pop(q, None)
                 improved += 1
         if run_canary and run_canary > 0:
             old = record.get("canary_sec")
             if old is None or run_canary < old:
                 record["canary_sec"] = round(run_canary, 3)
+        sched = bench.get("sched_canary_sec", -1.0)
+        if sched and sched > 0:
+            old = record.get("sched_canary_sec")
+            if old is None or sched < old:
+                record["sched_canary_sec"] = round(sched, 3)
         RECORD.write_text(json.dumps(record, indent=1, sort_keys=True) + "\n")
         print(f"merged {len(queries)} queries; {improved} records improved; "
               f"{len(rec)} total in {RECORD.name}"
@@ -104,24 +120,43 @@ def main():
         return 0
 
     ratio = float(opts.get("--ratio", "1.5"))
-    # host-speed normalization: the run's CPU-bound canary vs the record's.
-    # A loaded window inflates EVERY time by roughly the canary's factor,
-    # so ratios are divided by it (never below 1.0 — a faster-than-record
+    # host-speed normalization: the run's CPU-bound canary vs the canary
+    # PAIRED with each record (the canary of the run that set it; the
+    # global min is only a fallback for pre-pairing records). A loaded
+    # window inflates EVERY time by roughly the canary's factor, so
+    # ratios are divided by it (never below 1.0 — a faster-than-record
     # host must not hide a real regression).
     rec_canary = record.get("canary_sec")
-    host = 1.0
+    qcan = record.get("query_canaries", {})
+
+    def host_for(q):
+        base = qcan.get(q, rec_canary)
+        if run_canary and run_canary > 0 and base and base > 0:
+            return max(1.0, run_canary / base)
+        return 1.0
+
     if run_canary and run_canary > 0 and rec_canary and rec_canary > 0:
-        host = max(1.0, run_canary / rec_canary)
-        print(f"host-speed canary: run {run_canary:.2f}s vs record "
-              f"{rec_canary:.2f}s -> normalizing ratios by {host:.2f}x")
+        print(f"host-speed canary: run {run_canary:.2f}s vs record min "
+              f"{rec_canary:.2f}s (normalizing per-query by each record's "
+              "paired canary)")
+    sched = bench.get("sched_canary_sec", -1.0)
+    rec_sched = record.get("sched_canary_sec")
+    if sched and sched > 0 and rec_sched:
+        print(f"scheduler-latency canary: run {sched:.3f}s vs record "
+              f"{rec_sched:.3f}s ({sched / rec_sched:.2f}x — adjudicates "
+              "streaming/micro-batch rows the CPU canary can't see)")
     flagged, raw_flagged = [], 0
+    any_norm = False
     for q, t in sorted(queries.items()):
         if q in rec and rec[q] > 0:
+            host = host_for(q)
+            if host != 1.0:
+                any_norm = True
             if t / rec[q] > ratio:
                 raw_flagged += 1
             if t / (rec[q] * host) > ratio:
                 flagged.append((q, t, rec[q], t / (rec[q] * host)))
-    norm = " (host-normalized)" if host != 1.0 else ""
+    norm = " (host-normalized)" if any_norm else ""
     if not flagged:
         print(f"all {len(queries)} queries within {ratio}x of record{norm}"
               + (f"; {raw_flagged} raw flags absorbed by the canary"
