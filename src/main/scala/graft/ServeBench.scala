@@ -279,10 +279,139 @@ object ServeBench {
       (fam, n, ok, failed, wall)
     }
 
-    val json = results.map { case (fam, n, ok, failed, wall) =>
+    // ---- CHURN MODE: serving under concurrent maintenance ------------
+    // Three resident-path families re-measured against CLONED artifacts
+    // while ONE maintainer thread applies real churn cycles (upsert
+    // fresh twins → delete them → vacuum) to the same artifacts — the
+    // regime every stamp-guarded cache/memo (ServingCache swap, embed
+    // pruning memo, keymap residency) is designed for, priced here for
+    // the first time. Clones, never the shared cache: churn on the
+    // shared artifacts would poison every other family's numbers and
+    // the next session's builds. Reported per cell: the usual latency
+    // stats + maintenance cycles completed + resident-frame rebuilds
+    // the churn caused (the invalidation count — each stamp swap forces
+    // the next request to rebuild its resident frame).
+    val ChurnLevel = 4
+    val churnResults = {
+      import spark.implicits._
+      val inv = InvertedIndex.cloneIndex(spark, sfDir, "serve-churn-inv")
+      val emb = InvertedIndex.cloneIndexNamed(spark, sfDir,
+        graft.sources.EmbedIndex.IndexName, "embed16", "serve-churn-emb")
+      val cvBase = graft.Scratch.dir("serve-churn-vec")
+      val cvName = "churn-index"
+      IndexCatalog.createIfAbsent(spark, cvBase,
+        IndexCatalog.IndexDescriptor(cvName, 64, "cosine"),
+        Tables.embeddings(spark, sfDir))
+      IndexCatalog.ensureKeymap(spark, cvBase, cvName, "vec_id")
+      val twinDocs = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 40)
+        .select((col("doc_id") + InvertedIndex.UpsertIdOffset).as("doc_id"),
+          col("text"))
+        .localCheckpoint(true)
+      val twinIds = twinDocs.select(col("doc_id")).localCheckpoint(true)
+      val twinVecs = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 40)
+        .select((col("vec_id") + InvertedIndex.UpsertIdOffset).as("vec_id"),
+          col("label"), col("embedding"))
+        .localCheckpoint(true)
+      val twinVecIds = twinVecs.select(col("vec_id")).localCheckpoint(true)
+      def bm25ChurnReq(i: Int): Unit =
+        InvertedIndex.bm25Over(spark, inv,
+          terms = termSets(i % termSets.size), serving = true).collect()
+      def embedChurnReq(i: Int): Unit =
+        graft.sources.EmbedIndex.embedOver(spark, emb,
+          embedQueries(i % embedQueries.size), serving = true).collect()
+      def fetchChurnReq(i: Int): Unit = {
+        val ids = Seq.tabulate(4)(j => ((i * 13 + j * 7) % 500).toLong)
+        IndexCatalog.fetchByIdsServing(spark, cvBase, cvName, ids.toDF("vec_id"))
+          .select(col("vec_id"), col("label")).collect()
+      }
+      val churnFams: Seq[(String, Int => Unit, () => Unit)] = Seq(
+        ("bm25_churn", bm25ChurnReq _, () => {
+          InvertedIndex.upsertDocs(spark, inv, twinDocs)
+          InvertedIndex.deleteDocs(spark, inv, twinIds)
+          InvertedIndex.vacuum(spark, inv)
+        }),
+        ("embed_churn", embedChurnReq _, () => {
+          InvertedIndex.upsertDocs(spark, emb, twinDocs)
+          InvertedIndex.deleteDocs(spark, emb, twinIds)
+          InvertedIndex.vacuum(spark, emb)
+        }),
+        ("fetch_churn", fetchChurnReq _, () => {
+          IndexCatalog.upsertInto(spark, cvBase, cvName, twinVecs, "vec_id")
+          IndexCatalog.tombstone(spark, cvBase, cvName, twinVecIds)
+          IndexCatalog.vacuumTombstones(spark, cvBase, cvName)
+        }))
+      for ((fam, req, cycle) <- churnFams) yield {
+        // warm the resident frames so the first timed request measures
+        // churn-invalidation rebuilds, not the cold build
+        try req(0) catch { case e: Throwable =>
+          System.err.println(s"[serve] $fam warmup failed: ${e.getMessage}")
+        }
+        val rebuilds0 = graft.sources.ServingCache.rebuildCount
+        val pool = Executors.newFixedThreadPool(ChurnLevel + 1)
+        val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val done = new CountDownLatch(ChurnLevel)
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val cycles = new java.util.concurrent.atomic.AtomicLong(0L)
+        val t0 = System.nanoTime()
+        // the maintainer: one thread, its own FAIR pool, cycling until
+        // the clients finish (readers never take the writer lease, so
+        // the only coupling is the one being measured)
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maintainer")
+            while (!stop.get()) {
+              try { cycle(); cycles.incrementAndGet() }
+              catch { case e: Throwable =>
+                System.err.println(s"[serve] $fam maintainer failed: ${e.getMessage}")
+                stop.set(true)
+              }
+            }
+          }
+        })
+        (0 until ChurnLevel).foreach { tid =>
+          pool.submit(new Runnable {
+            def run(): Unit = try {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"client-$tid")
+              var i = 0
+              while (i < ReqsPerThread) {
+                val s = System.nanoTime()
+                try {
+                  req(tid * 1000 + i + 1)
+                  latencies.add((System.nanoTime() - s) / 1e6)
+                } catch {
+                  case e: Throwable =>
+                    System.err.println(s"[serve] $fam thread $tid req $i failed: ${e.getMessage}")
+                    latencies.add(-1.0)
+                }
+                i += 1
+              }
+            } finally done.countDown()
+          })
+        }
+        done.await(30, TimeUnit.MINUTES)
+        stop.set(true)
+        pool.shutdown()
+        pool.awaitTermination(30, TimeUnit.MINUTES)
+        val wall = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val ls = latencies.iterator().asScala.toSeq
+        val ok = ls.filter(_ >= 0).sorted
+        (fam, ok, ls.count(_ < 0), wall, cycles.get(),
+          graft.sources.ServingCache.rebuildCount - rebuilds0)
+      }
+    }
+
+    val steadyJson = results.map { case (fam, n, ok, failed, wall) =>
       val thr = if (wall > 0) ok.size / wall else 0.0
       f"""\"$fam@$n\":{\"n\":${ok.size},\"failed\":$failed,\"p50_ms\":${pctl(ok, 0.50)}%.1f,\"p95_ms\":${pctl(ok, 0.95)}%.1f,\"max_ms\":${if (ok.isEmpty) -1.0 else ok.last}%.1f,\"qps\":$thr%.2f}"""
-    }.mkString("{", ",", "}")
+    }
+    val churnJson = churnResults.map { case (fam, ok, failed, wall, cyc, reb) =>
+      val thr = if (wall > 0) ok.size / wall else 0.0
+      f"""\"$fam@$ChurnLevel\":{\"n\":${ok.size},\"failed\":$failed,\"p50_ms\":${pctl(ok, 0.50)}%.1f,\"p95_ms\":${pctl(ok, 0.95)}%.1f,\"max_ms\":${if (ok.isEmpty) -1.0 else ok.last}%.1f,\"qps\":$thr%.2f,\"maint_cycles\":$cyc,\"frame_rebuilds\":$reb}"""
+    }
+    val json = (steadyJson ++ churnJson).mkString("{", ",", "}")
     val line =
       s"""{"metric":"serving","unit":"ms","levels":[${Levels.mkString(",")}],"reqs_per_thread":$ReqsPerThread,"families":$json,"sf":"$sfDir"}"""
     println(line)

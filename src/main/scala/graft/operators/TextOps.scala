@@ -426,6 +426,88 @@ object TextOps {
 
   val bm25Sql: String = bm25SqlFor(Bm25Terms)
 
+  /** Synthetic field split for [[bm25f]]: the first [[TitleTokens]]
+    * tokens are the "title" field, the rest the "body" (the corpus has
+    * no real field structure — the split is deterministic so both
+    * engines derive the identical fields; a production corpus would
+    * carry real field columns into the same arithmetic). INTEGER field
+    * weight so the weighted tf and weighted dl stay exact integers —
+    * the quantization that makes the whole score cross-engine
+    * replayable. */
+  private[graft] val TitleTokens = 3
+  private[graft] val TitleWeight = 2
+
+  /** Q-bm25f: BM25F multi-field scoring (Zaragoza et al.'s simple BM25F,
+    * the Lucene/Elasticsearch multi-field discipline): per-field term
+    * frequencies combine BEFORE saturation — tf̃ = Σ_f w_f·tf_f — so a
+    * title hit is worth [[TitleWeight]] body hits INSIDE the saturation
+    * curve (the property a per-field-score sum gets wrong: two saturated
+    * per-field scores overweight documents matching weakly in both
+    * fields). Document length normalizes by the same weights
+    * (dl̃ = Σ_f w_f·|field_f|), idf comes from the term's any-field df.
+    * Same (k1, b) = (1.2, 0.75) and fixed-order pivot sum as [[bm25]].
+    */
+  def bm25f(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+    val lens = toks.select(col("doc_id"),
+      (least(size(col("t")), lit(TitleTokens)) * TitleWeight +
+        greatest(size(col("t")) - TitleTokens, lit(0))).as("wdl"))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("wdl")).as("avgdl"))
+    val occ = toks.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .withColumn("fw", when(col("pos") < TitleTokens,
+        lit(TitleWeight.toLong)).otherwise(lit(1L)))
+    val tf = occ.groupBy(col("doc_id"), col("w")).agg(sum(col("fw")).as("wtf"))
+    val dfd = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfd), "w")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("wtf") * 2.2) /
+          (col("wtf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("wdl") / col("avgdl"))))
+    contrib
+      .groupBy(col("doc_id")).pivot("w", Bm25Terms).agg(sum(col("s")))
+      .select(col("doc_id"),
+        round(Bm25Terms.map(t => coalesce(col(t), lit(0.0))).reduce(_ + _), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25fSql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val pivCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"    COALESCE(SUM(s) FILTER (WHERE w = '$t'), 0.0) AS s${i + 1}"
+    }.mkString(",\n")
+    val total = Bm25Terms.indices.map(i => s"s${i + 1}").mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |lens AS (SELECT doc_id,
+       |           $TitleWeight * least(len(t), $TitleTokens)
+       |             + greatest(len(t) - $TitleTokens, 0) AS wdl
+       |         FROM toks),
+       |stats AS (SELECT COUNT(*) AS n, AVG(wdl) AS avgdl FROM lens),
+       |occ AS (SELECT doc_id, i, t[i] AS w
+       |        FROM (SELECT doc_id, t,
+       |                unnest(range(1, len(t) + 1)) AS i FROM toks)),
+       |tf AS (SELECT doc_id, w,
+       |         SUM(CASE WHEN i <= $TitleTokens THEN $TitleWeight ELSE 1 END) AS wtf
+       |       FROM occ WHERE w IN ($inList) GROUP BY 1, 2),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |contrib AS (SELECT tf.doc_id, tf.w,
+       |    ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |      * (tf.wtf * 2.2)
+       |      / (tf.wtf + 1.2 * (0.25 + 0.75 * lens.wdl / stats.avgdl)) AS s
+       |  FROM tf JOIN df USING (w) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |piv AS (SELECT doc_id,
+       |$pivCols
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT doc_id, ROUND($total, 6) AS score FROM piv
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** GPT-2-style pre-tokenizer pattern, ASCII-simplified so Java regex and
     * RE2 agree: contractions, space-prefixed letter runs, space-prefixed
     * digit runs, space-prefixed punctuation runs. Alternation order
@@ -902,6 +984,7 @@ object TextOps {
     "q_token_bpe" -> (tokenBpe _),
     "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25 _),
+    "q_bm25f" -> (bm25f _),
     "q_winnow" -> (winnow _),
     "q_chat_fold" -> (chatFold _),
     "q_parse" -> (parse _),
@@ -924,6 +1007,7 @@ object TextOps {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
+    "q_bm25f" -> bm25fSql,
     "q_winnow" -> winnowSql,
     "q_chat_fold" -> chatFoldSql,
     "q_parse" -> parseSql,

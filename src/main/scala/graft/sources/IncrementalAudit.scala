@@ -299,8 +299,29 @@ object IncrementalAudit {
             col("len") =!= length(col("w")), 1L).otherwise(0L)),
           dictT.join(lexT, Seq("w"), "full_outer"))
       }
+    // word layouts also carry the deletion-neighborhood sidecar — the
+    // deep del_matches_dict invariant restricted to the touched tbuckets'
+    // dict terms: their exact variant recompute full_outer-joined against
+    // the stored rows FOR THOSE TERMS (stored side filtered by the term's
+    // own hash bucket, like the lex arm — the comparison is pruned, and
+    // both directions of a half-applied dict/del merge flag)
+    val delPath = InvertedIndex.dictDelPathOf(layout)
+    val d7 =
+      if (!Files.exists(Paths.get(delPath)))
+        zeroRow(spark, artifact, "del_matches_dict")
+      else {
+        val dictT = spark.read.parquet(layout.dictPath)
+          .filter(col("tbucket").isin(tb: _*)).select(col("w"))
+        val expect = InvertedIndex.delRowsOf(dictT).withColumn("ek", lit(1))
+        val stored = spark.read.parquet(delPath)
+          .filter(InvertedIndex.bucketCol(col("w")).isin(tb: _*))
+          .select(col("v"), col("w")).withColumn("sk", lit(1))
+        countRow(artifact, "del_matches_dict",
+          sum(when(col("ek").isNull || col("sk").isNull, 1L).otherwise(0L)),
+          expect.join(stored, Seq("v", "w"), "full_outer"))
+      }
     val out = d1.unionByName(d2).unionByName(d3).unionByName(d4)
-      .unionByName(d5).unionByName(d6)
+      .unionByName(d5).unionByName(d6).unionByName(d7)
       .localCheckpoint(true) // materialize BEFORE the watermark advances
     advanceIfClean(root, epoch, cur, out)
   }
@@ -718,6 +739,7 @@ object IncrementalAudit {
     """SELECT * FROM (VALUES
       |  ('cross', 'inverted_embed_live_sync', CAST(0 AS BIGINT)),
       |  ('cross', 'inverted_vector_live_sync', CAST(0 AS BIGINT)),
+      |  ('embed', 'del_matches_dict', CAST(0 AS BIGINT)),
       |  ('embed', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('embed', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('embed', 'impacts_bound_postings', CAST(0 AS BIGINT)),
@@ -727,6 +749,7 @@ object IncrementalAudit {
       |  ('graph', 'edge_endpoints_in_members', CAST(0 AS BIGINT)),
       |  ('graph', 'edges_cover_redges', CAST(0 AS BIGINT)),
       |  ('graph', 'redges_cover_edges', CAST(0 AS BIGINT)),
+      |  ('inverted', 'del_matches_dict', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'footprint_docs_match_lens', CAST(0 AS BIGINT)),
       |  ('inverted', 'impacts_bound_postings', CAST(0 AS BIGINT)),

@@ -294,7 +294,8 @@ object IndexCatalog {
     * recovery op for an audit-flagged keymap_mirrors_data. Requires an
     * existing marker (the key column is not guessable); an index without
     * a keymap has nothing to repair. */
-  def rebuildKeymap(spark: SparkSession, basePath: String, name: String): Unit = {
+  def rebuildKeymap(spark: SparkSession, basePath: String, name: String): Unit =
+      WriterLease.withLease(java.nio.file.Paths.get(basePath, name)) {
     val k = keymapKey(basePath, name).getOrElse(throw new IllegalArgumentException(
       s"index $name has no keymap to rebuild (no _keymap.json marker)"))
     writeKeymap(spark, basePath, name, loadRaw(spark, basePath, name), k)
@@ -483,7 +484,8 @@ object IndexCatalog {
     * standard tombstone-GC watermark contract). */
   def tombstone(spark: SparkSession, basePath: String, name: String,
                 keys: DataFrame, keyCol: String = "vec_id",
-                versionCol: Option[String] = None): Unit = {
+                versionCol: Option[String] = None): Unit =
+      WriterLease.withLease(java.nio.file.Paths.get(basePath, name)) {
     require(exists(basePath, name), s"no such index: $name")
     // Fail FAST on an unpartitioned index: vacuumTombstones requires a
     // partition layout (touched-partition rewrite has nothing to prune
@@ -530,7 +532,8 @@ object IndexCatalog {
     * reads the plain scan again — the anti-join cost was strictly
     * transient. */
   def vacuumTombstones(spark: SparkSession, basePath: String, name: String,
-                       keyCol: String = "vec_id"): Unit = {
+                       keyCol: String = "vec_id"): Unit =
+      WriterLease.withLease(java.nio.file.Paths.get(basePath, name)) {
     val ts = pendingTombstones(spark, basePath, name).getOrElse(return)
     require(ts.columns.headOption.contains(keyCol),
       s"index $name has tombstones keyed by '${ts.columns.mkString(",")}', " +
@@ -677,7 +680,8 @@ object IndexCatalog {
   def upsertInto(spark: SparkSession, basePath: String, name: String,
                  batch: DataFrame, keyCol: String,
                  versionCol: Option[String] = None,
-                 knownNonEmpty: Boolean = false): Unit = {
+                 knownNonEmpty: Boolean = false): Unit =
+      WriterLease.withLease(java.nio.file.Paths.get(basePath, name)) {
     require(exists(basePath, name), s"no such index: $name")
     // the layout is DERIVED from the index, never trusted from the caller
     // (see partitionLayout) — the batch must carry those columns

@@ -176,10 +176,11 @@ object InvertedIndex {
   /** The on-disk layout generation this code writes. Bumped when the
     * physical layout changes shape (v2: tbucket-partitioned dict; v3:
     * positional sidecar for word indexes; v4: dbucket-partitioned lens
-    * sidecar; v5: prefix-partitioned dictlex sidecar for word indexes);
+    * sidecar; v5: prefix-partitioned dictlex sidecar for word indexes;
+    * v6: deletion-neighborhood dictdel sidecar for word indexes);
     * an older marker self-heals by rebuild, so a stale cache can never
     * feed new readers a layout they no longer parse. */
-  private val DictFormatVersion = 5
+  private val DictFormatVersion = 6
 
   /** PREFIX-ORDERED dictionary sidecar — `dictlex/p2=<cc>/` rows of
     * (w, len), partitioned by the term's FIRST TWO CHARACTERS (word
@@ -211,6 +212,72 @@ object InvertedIndex {
   private def lexRowsOf(keys: DataFrame): DataFrame =
     keys.select(col("w"), length(col("w")).as("len"),
       lexP2Col(col("w")).as("p2"))
+
+  /** DELETION-NEIGHBORHOOD sidecar — `dictdel/vbucket=<b>/` rows of
+    * (v, w) where v ranges over w's deletion variants at ≤[[MaxDeletes]]
+    * character deletions (including w itself), partitioned by v's hash
+    * (the term-bucket function on the VARIANT key). The SymSpell
+    * discipline (Garbe's symmetric-delete spelling correction, the same
+    * candidate algebra Lucene 4's FuzzyTermsEnum replaced its n-gram
+    * walk with): if lev(w, q) ≤ d then an optimal alignment matches
+    * m ≥ max(|w|,|q|) − d characters, so deleting the unmatched ones
+    * from each side (≤ d deletions each) reaches a COMMON string —
+    * deletes(w, d) ∩ deletes(q, d) ≠ ∅. A fuzzy query therefore reads
+    * ONLY the buckets of q's own deletion variants (a per-request
+    * constant: Σ C(|q|, i) for i ≤ d strings) and verifies the candidate
+    * terms with one exact levenshtein — candidates ∝ the true typo
+    * neighborhood, never ∝ the vocabulary or a length band of it. Like
+    * dictlex this holds KEYS only and is a pure function of the dict's
+    * key set: merged per touched vbucket on every dict merge
+    * ([[mergeDelPartitions]] inside [[mergeDictBuckets]] — covers upsert
+    * AND vacuum), rebuilt by [[rebuildDerived]], audited by
+    * del_matches_dict. Storage is the documented SymSpell trade:
+    * ~Σ C(|w|, ≤2) ≈ |w|²/2 rows per term — vocabulary-scale metadata
+    * (the Heaps budget), nowhere near posting-scale. */
+  /** The index tree root — where the cross-process writer lease lives
+    * ([[WriterLease]]: every maintenance entry point below wraps itself
+    * in it; reads never take it). */
+  private def leaseRoot(layout: Layout): java.nio.file.Path =
+    Paths.get(layout.dataPath).getParent
+
+  private[sources] def dictDelPathOf(layout: Layout): String =
+    Paths.get(layout.dictPath).getParent.resolve("dictdel").toString
+
+  /** The deletion depth the sidecar is built at — matches Lucene's
+    * FuzzyQuery ceiling (maxEdits ≤ 2); a request above it falls back to
+    * the length-band scan, which is correct at any distance. */
+  private[graft] val MaxDeletes = 2
+
+  /** All strings reachable from `s` by at most `maxDeletes` single-
+    * character deletions, INCLUDING s itself (the 0-deletion variant —
+    * required so an exact-match candidate is found through the same
+    * join). Deterministic and engine-independent: pure string algebra,
+    * so the executor-side derivation (sidecar build) and the driver-side
+    * derivation (query variants) cannot disagree. */
+  private[graft] def deleteVariants(s: String, maxDeletes: Int): Seq[String] = {
+    val all = scala.collection.mutable.LinkedHashSet(s)
+    var frontier: Set[String] = Set(s)
+    var d = 0
+    while (d < maxDeletes) {
+      frontier = frontier.flatMap(w =>
+        (0 until w.length).map(i => w.substring(0, i) + w.substring(i + 1)))
+      all ++= frontier
+      d += 1
+    }
+    all.toSeq
+  }
+
+  /** Column form of [[deleteVariants]] at [[MaxDeletes]] — a Scala UDF,
+    * acceptable here because it runs on MAINTENANCE paths only (build,
+    * touched-partition merge, repair, audit recompute), never per
+    * request: the query side evaluates [[deleteVariants]] driver-side in
+    * nanoseconds (|q| is a word, not a corpus). */
+  private val delVariantsUdf =
+    udf((w: String) => deleteVariants(w, MaxDeletes))
+
+  /** (v, w) deletion-variant rows for a set of dictionary keys. */
+  private[sources] def delRowsOf(keys: DataFrame): DataFrame =
+    keys.select(explode(delVariantsUdf(col("w"))).as("v"), col("w"))
 
   /** Positional-posting sidecar — `positions/tbucket=<b>/` rows of
     * (w, doc_id, pos), the Lucene positions file: what PHRASE queries
@@ -314,6 +381,15 @@ object InvertedIndex {
           .repartition(col("p2"))
           .write.mode("overwrite").partitionBy("p2")
           .parquet(dictLexPathOf(layout))
+      // deletion-neighborhood sidecar (word indexes only — see
+      // dictDelPathOf): variant-hash partitioned so a fuzzy query reads
+      // only its own variants' buckets
+      if (tokKind == "word")
+        delRowsOf(spark.read.parquet(layout.dictPath).select(col("w")))
+          .withColumn("vbucket", bucketCol(col("v")))
+          .repartition(col("vbucket"))
+          .write.mode("overwrite").partitionBy("vbucket")
+          .parquet(dictDelPathOf(layout))
       lens.withColumn("dbucket", dbucketCol(col("doc_id")))
         .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket").parquet(lensPathOf(layout))
@@ -1016,16 +1092,54 @@ object InvertedIndex {
         col("w").startsWith(prefix))
       .select(col("w"))
 
-  /** The frame [[expandFuzzy]] collects — exposed so the restriction gate
-    * can assert the length band is applied BEFORE levenshtein (a pushed
-    * len-range filter on the lex scan). */
+  /** The frame [[expandFuzzy]] collects: (w, dist) for dictionary terms
+    * within maxEdits of q. Primary path — the DELETION-NEIGHBORHOOD join
+    * ([[dictDelPathOf]], the SymSpell discipline): q's own deletion
+    * variants (driver-side string algebra, Σ C(|q|, ≤d) strings) name
+    * the vbuckets to read (plan-time PartitionFilters on the stateless
+    * read; an `v IN variants` membership filter within them), the
+    * matched candidate terms — a PROVABLE superset of the ≤maxEdits ball
+    * (the containment theorem in [[dictDelPathOf]]'s doc) — are then
+    * verified by ONE exact levenshtein each. Cost ∝ the typo
+    * neighborhood, never the vocabulary: the pre-v6 length-band
+    * levenshtein scan (kept below as the fallback for legacy layouts and
+    * maxEdits > [[MaxDeletes]]) was band-linear — the worst serving p95
+    * cell at 100-TB vocabularies. Result identity: candidates ⊇ matches
+    * and the verify predicate IS the band path's predicate, so both
+    * paths produce the same (w, dist) set and q_bm25_fuzzy's oracle is
+    * unchanged. */
   private[graft] def fuzzyCandidates(spark: SparkSession, layout: Layout,
                                      q: String, maxEdits: Int,
-                                     serving: Boolean = false): DataFrame =
+                                     serving: Boolean = false): DataFrame = {
+    val delPath = Paths.get(dictDelPathOf(layout))
+    if (maxEdits <= MaxDeletes && Files.exists(delPath)) {
+      val variants = deleteVariants(q, maxEdits)
+      val vbuckets = variants.map(bucketOf).distinct.sorted
+      val frame =
+        if (serving) ServingCache.frame(spark, delPath)
+        else spark.read.parquet(delPath.toString)
+      frame
+        .filter(col("vbucket").isin(vbuckets: _*) &&
+          col("v").isin(variants: _*))
+        .select(col("w")).distinct()
+        .withColumn("dist", levenshtein(col("w"), lit(q)))
+        .filter(col("dist") <= maxEdits)
+    } else fuzzyBandCandidates(spark, layout, q, maxEdits, serving)
+  }
+
+  /** The length-band fallback: |len − |q|| ≤ maxEdits is a provable
+    * superset of the matches (each unit-cost edit changes length by at
+    * most one), scanned with levenshtein over the lex sidecar. Correct
+    * at ANY maxEdits; band-linear in the vocabulary — the legacy path
+    * and the restriction spec's comparison baseline. */
+  private[graft] def fuzzyBandCandidates(spark: SparkSession, layout: Layout,
+                                         q: String, maxEdits: Int,
+                                         serving: Boolean = false): DataFrame =
     lexFrame(spark, layout, serving)
       .filter(col("len").between(q.length - maxEdits, q.length + maxEdits))
-      .filter(levenshtein(col("w"), lit(q)) <= maxEdits)
-      .select(col("w"), levenshtein(col("w"), lit(q)).as("dist"))
+      .withColumn("dist", levenshtein(col("w"), lit(q)))
+      .filter(col("dist") <= maxEdits)
+      .select(col("w"), col("dist"))
 
   private[graft] def expandPrefix(spark: SparkSession, layout: Layout,
                                   prefix: String,
@@ -1052,18 +1166,17 @@ object InvertedIndex {
     * 0-distance match scores unboosted; a distant match is discounted;
     * the clamp keeps generic (q, maxEdits) inputs from producing
     * NEGATIVE term weights when maxEdits ≥ min length — Lucene's
-    * FuzzyQuery never emits a non-positive similarity). The levenshtein
-    * scan is RESTRICTED to the lex sidecar's length band
-    * |len − |q|| ≤ maxEdits — a provable superset of the matches, since
-    * each unit-cost edit (insert/delete/substitute) changes a string's
-    * length by at most one — so the per-request cost is the band's slice
-    * of the vocabulary, not all of it. (A first-character restriction
-    * would NOT be sound: a substitution at position 0 makes w's first
-    * character arbitrary — q="ab"→w="cb" at distance 1 shares no prefix.)
-    * The collect is bounded by limit(cap+1), like [[expandPrefix]].
-    * Spark's and DuckDB's `levenshtein` are both the standard unit-cost
-    * edit distance, so the oracle re-derives the identical expansion set
-    * and boosts. */
+    * FuzzyQuery never emits a non-positive similarity). Candidates come
+    * from the deletion-neighborhood join ([[fuzzyCandidates]] — reads
+    * only q's own variants' vbuckets, cost ∝ the typo neighborhood) with
+    * one exact levenshtein verify per candidate; legacy layouts and
+    * maxEdits > [[MaxDeletes]] fall back to the length-band scan. (A
+    * first-character restriction would NOT be sound: a substitution at
+    * position 0 makes w's first character arbitrary — q="ab"→w="cb" at
+    * distance 1 shares no prefix.) The collect is bounded by
+    * limit(cap+1), like [[expandPrefix]]. Spark's and DuckDB's
+    * `levenshtein` are both the standard unit-cost edit distance, so the
+    * oracle re-derives the identical expansion set and boosts. */
   private[graft] def expandFuzzy(spark: SparkSession, layout: Layout,
                                  q: String, maxEdits: Int,
                                  cap: Int = MaxExpansion,
@@ -1080,6 +1193,70 @@ object InvertedIndex {
       (w, math.max(0.0,
         1.0 - d.toDouble / math.min(w.length, q.length).toDouble))
     }
+  }
+
+  /** The declared wildcard pattern: `s*a?` — both metacharacters, a
+    * 1-char literal prefix to prune on, and ≥2 corpus matches at every
+    * SF (scan, stream) so the scoring boolean is exercised. */
+  val WildcardQ = "s*a?"
+
+  /** Wildcard pattern → anchored regex: `*` matches any run, `?` exactly
+    * one character, everything else literal (regex metacharacters
+    * escaped). The same translation both engines evaluate — Spark via
+    * rlike, the oracle via LIKE (`*`→`%`, `?`→`_`), which are equivalent
+    * languages for these two metacharacters. */
+  private[graft] def wildcardRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if c.isLetterOrDigit => sb.append(c)
+      case c => sb.append('\\').append(c)
+    }
+    sb.append('$').toString
+  }
+
+  /** The LIKE twin of [[wildcardRegex]] for the DuckDB oracle. */
+  private[graft] def wildcardLike(pattern: String): String =
+    pattern.map { case '*' => '%'; case '?' => '_'; case c => c }.mkString
+
+  /** Dictionary EXPANSION for a wildcard pattern — Lucene's
+    * WildcardQuery TermsEnum walk over the prefix-partitioned lex
+    * sidecar: the pattern's LITERAL PREFIX (characters before the first
+    * metacharacter) prunes exactly like [[prefixCandidates]] (a
+    * `StartsWith(p2)` partition filter — plan-time pruning), then the
+    * anchored regex decides within the pruned slice. A LEADING-wildcard
+    * pattern has no literal prefix and honestly walks the whole
+    * vocabulary-sized lex sidecar — the same cost Lucene documents for
+    * leading-wildcard queries (its FST can only seek on a prefix; the
+    * classical mitigation, a reversed-term field, doubles the sidecar
+    * and is not worth it for a metadata-scale store). */
+  private[graft] def wildcardCandidates(spark: SparkSession, layout: Layout,
+                                        pattern: String,
+                                        serving: Boolean = false): DataFrame = {
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val base = lexFrame(spark, layout, serving)
+    val pruned =
+      if (litPrefix.nonEmpty)
+        base.filter(col("p2").startsWith(litPrefix.take(2)) &&
+          col("w").startsWith(litPrefix))
+      else base
+    pruned.filter(col("w").rlike(wildcardRegex(pattern))).select(col("w"))
+  }
+
+  private[graft] def expandWildcard(spark: SparkSession, layout: Layout,
+                                    pattern: String,
+                                    cap: Int = MaxExpansion,
+                                    serving: Boolean = false,
+                                    truncateAtCap: Boolean = false)
+      : Seq[String] = {
+    val ws = wildcardCandidates(spark, layout, pattern, serving)
+      .limit(if (truncateAtCap) cap else cap + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(truncateAtCap || ws.size <= cap,
+      s"wildcard '$pattern' expands to > $cap terms " +
+        "(the Lucene maxClauseCount discipline) — add literal characters")
+    ws
   }
 
   /** BM25 over an EXPANDED term set — the scoring-BooleanQuery rewrite
@@ -1130,6 +1307,16 @@ object InvertedIndex {
       expandFuzzy(spark, layout, FuzzyQ, FuzzyMaxEdits))
   }
 
+  /** Q-bm25-wildcard: `s*a?` expanded against the dictionary (prefix-
+    * pruned lex walk + anchored regex), scored as a boolean-of-terms.
+    * Oracle: the expansion re-derived from raw text with the equivalent
+    * LIKE pattern, quantized sums as ever. */
+  def bm25Wildcard(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    bm25ExpandedOver(spark, layout,
+      expandWildcard(spark, layout, WildcardQ).map((_, 1.0)))
+  }
+
   /** The expanded-BM25 oracle for ANY term predicate + boost expression
     * (both over the token column `w`): the bm25SqlFor CTE chain with the
     * pivot replaced by the quantized integer sum. */
@@ -1161,6 +1348,9 @@ object InvertedIndex {
       s"levenshtein(w, '$FuzzyQ') <= $FuzzyMaxEdits",
       s"greatest(0.0, 1.0 - CAST(levenshtein(w, '$FuzzyQ') AS DOUBLE) " +
         s"/ CAST(least(length(w), ${FuzzyQ.length}) AS DOUBLE))")
+
+  val bm25WildcardSql: String =
+    bm25ExpandedSqlFor(s"w LIKE '${wildcardLike(WildcardQ)}'", "1.0")
 
   // ---- highlighting -------------------------------------------------------
 
@@ -1305,9 +1495,18 @@ object InvertedIndex {
   private[graft] def phrasePrefixOver(spark: SparkSession, layout: Layout,
                                       w1: String, prefix: String,
                                       k: Int = 10): DataFrame = {
-    import spark.implicits._
     val exp = expandPrefix(spark, layout, prefix)
     require(exp.nonEmpty, s"prefix '$prefix' matched no dictionary term")
+    phraseExpandedOver(spark, layout, w1, exp, k)
+  }
+
+  /** The general (word, EXPANSION-SET) phrase slot both phrase-prefix
+    * and phrase-fuzzy ride — any dictionary expansion plugs into the
+    * second slot, because position rows are term-keyed: the multi-term
+    * slot costs exactly the expansion terms' pruned position lists. */
+  private[graft] def phraseExpandedOver(spark: SparkSession, layout: Layout,
+                                        w1: String, exp: Seq[String],
+                                        k: Int = 10): DataFrame = {
     val words = (w1 +: exp).distinct
     val buckets = bucketsOf(words)
     val pos0 = spark.read.parquet(positionsPathOf(layout))
@@ -1331,6 +1530,33 @@ object InvertedIndex {
 
   def phrasePrefix(spark: SparkSession, dir: String): DataFrame =
     phrasePrefixOver(spark, ensure(spark, dir), PhraseW1, PhrasePrefixQ)
+
+  /** FUZZY-INSIDE-A-PHRASE: MultiPhraseQuery with the second slot filled
+    * by a FuzzyQuery's expansion — "vector grup"~2 matches `vector
+    * group` AND `vector dup`, because the deletion-neighborhood
+    * expansion ([[expandFuzzy]]) feeds the same positional equi-join as
+    * any other term set (boosts are a SCORING concept; a phrase slot is
+    * pure membership, so the distance boosts drop here exactly as
+    * Lucene's MultiPhraseQuery ignores per-term boosts). Oracle: the
+    * adjacency recount from raw text with the levenshtein predicate on
+    * the second token. */
+  def phraseFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    val exp = expandFuzzy(spark, layout, FuzzyQ, FuzzyMaxEdits).map(_._1)
+    require(exp.nonEmpty, s"fuzzy '$FuzzyQ' matched no dictionary term")
+    phraseExpandedOver(spark, layout, PhraseW1, exp)
+  }
+
+  val phraseFuzzySql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(list_filter(range(1, len(t)),
+       |              i -> t[i] = '$PhraseW1'
+       |                   AND levenshtein(t[i+1], '$FuzzyQ') <= $FuzzyMaxEdits)) AS phrase_tf
+       |      FROM toks)
+       |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
 
   val phrasePrefixSql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
@@ -1448,17 +1674,35 @@ object InvertedIndex {
     // word indexes carry the prefix-ordered lex sidecar — a pure function
     // of the dict's key set: missing keys, surplus keys, and a stored len
     // that disagrees with the key itself all land in one counter
-    if (!Files.exists(Paths.get(dictLexPathOf(layout)))) withNorms
+    val withLex =
+      if (!Files.exists(Paths.get(dictLexPathOf(layout)))) withNorms
+      else {
+        val lexCmp = spark.read.parquet(layout.dictPath)
+          .select(col("w")).withColumn("dk", lit(1))
+          .join(spark.read.parquet(dictLexPathOf(layout))
+              .select(col("w"), col("len")).withColumn("lk", lit(1)),
+            Seq("w"), "full_outer")
+        val d8 = row("lex_matches_dict",
+          sum(when(col("dk").isNull || col("lk").isNull ||
+            col("len") =!= length(col("w")), 1L).otherwise(0L)), lexCmp)
+        withNorms.unionByName(d8)
+      }
+    // word indexes also carry the deletion-neighborhood sidecar — a pure
+    // function of the same key set: the exact variant recompute is
+    // full_outer-joined against the stored (v, w) rows, so a missing
+    // variant, a surplus variant, and a variant for a dead term all land
+    // in one counter
+    if (!Files.exists(Paths.get(dictDelPathOf(layout)))) withLex
     else {
-      val lexCmp = spark.read.parquet(layout.dictPath)
-        .select(col("w")).withColumn("dk", lit(1))
-        .join(spark.read.parquet(dictLexPathOf(layout))
-            .select(col("w"), col("len")).withColumn("lk", lit(1)),
-          Seq("w"), "full_outer")
-      val d8 = row("lex_matches_dict",
-        sum(when(col("dk").isNull || col("lk").isNull ||
-          col("len") =!= length(col("w")), 1L).otherwise(0L)), lexCmp)
-      withNorms.unionByName(d8)
+      val delCmp = delRowsOf(spark.read.parquet(layout.dictPath)
+          .select(col("w"))).withColumn("ek", lit(1))
+        .join(spark.read.parquet(dictDelPathOf(layout))
+            .select(col("v"), col("w")).withColumn("sk", lit(1)),
+          Seq("v", "w"), "full_outer")
+      val d9 = row("del_matches_dict",
+        sum(when(col("ek").isNull || col("sk").isNull, 1L).otherwise(0L)),
+        delCmp)
+      withLex.unionByName(d9)
     }
   }
 
@@ -1490,7 +1734,8 @@ object InvertedIndex {
     *  - stats: exact-integer increments (n += Δn, total_dl += Δdl) —
     *    no FP drift, so an upserted index serves the SAME avgdl a fresh
     *    build over the grown corpus would */
-  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit = {
+  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     // backfill BEFORE the posting append: a pre-sidecar index derives its
     // lens (and impact bounds) from the stored postings, which must not
     // yet include this batch
@@ -1587,6 +1832,11 @@ object InvertedIndex {
     if (Files.exists(Paths.get(dictLexPathOf(layout))))
       mergeLexPartitions(spark, layout, d.select(col("w")).distinct(),
         merged.select(col("w")))
+    // the deletion-neighborhood sidecar follows the same key set: only
+    // the delta terms' variant buckets can gain or lose rows
+    if (Files.exists(Paths.get(dictDelPathOf(layout))))
+      mergeDelPartitions(spark, layout, d.select(col("w")).distinct(),
+        merged.select(col("w")))
   }
 
   /** TOUCHED-PARTITION lex merge — [[mergeDictBuckets]]' discipline on
@@ -1621,6 +1871,64 @@ object InvertedIndex {
       val escaped = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName(p)
       Maintenance.deleteRecursively(Paths.get(lexPath).resolve(s"p2=$escaped"))
+    }
+  }
+
+  /** TOUCHED-PARTITION deletion-neighborhood merge —
+    * [[mergeLexPartitions]]' discipline on the variant key: the delta
+    * terms' variant rows name the touched vbuckets, dead delta terms'
+    * rows drop, alive ones' variant rows enter (idempotent via the
+    * distinct), and only those partitions dynamic-overwrite. I/O ∝ the
+    * batch's variant footprint (≈ Σ|w|²/2 rows per delta term), never
+    * the vocabulary. */
+  private def mergeDelPartitions(spark: SparkSession, layout: Layout,
+                                 deltaTerms: DataFrame,
+                                 liveTouched: DataFrame): Unit = {
+    import spark.implicits._
+    val delPath = dictDelPathOf(layout)
+    val delta = deltaTerms.localCheckpoint(eager = true)
+    val deltaRows = delRowsOf(delta)
+      .withColumn("vbucket", bucketCol(col("v")))
+      .localCheckpoint(eager = true)
+    val touchedVb = deltaRows.select(col("vbucket")).distinct()
+      .as[Long].collect().sorted.toIndexedSeq
+    if (touchedVb.isEmpty) return
+    val aliveDelta = delta.join(liveTouched, Seq("w"), "left_semi")
+    val deadDelta = delta.join(liveTouched, Seq("w"), "left_anti")
+    val existing = spark.read.parquet(delPath)
+      .filter(col("vbucket").isin(touchedVb: _*))
+      .select(col("v"), col("w"))
+    val out = existing
+      .join(deadDelta, Seq("w"), "left_anti")
+      .unionByName(deltaRows.join(aliveDelta, Seq("w"), "left_semi")
+        .select(col("v"), col("w")))
+      .distinct()
+      .withColumn("vbucket", bucketCol(col("v")))
+      .repartition(col("vbucket"))
+      .localCheckpoint(eager = true) // cut lineage off the overwritten files
+    val written = out.select(col("vbucket")).distinct().as[Long].collect().toSet
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("vbucket").parquet(delPath)
+    touchedVb.filterNot(written.contains).foreach { b =>
+      Maintenance.deleteRecursively(Paths.get(delPath).resolve(s"vbucket=$b"))
+    }
+  }
+
+  /** Backfill the deletion-neighborhood sidecar for a WORD index built
+    * before it existed — one pass over the vocabulary-sized dict keys,
+    * staged move (a killed backfill is invisible, re-derived next
+    * call). */
+  private def ensureDictDel(spark: SparkSession, layout: Layout): Unit = {
+    val delPath = dictDelPathOf(layout)
+    if (!Files.exists(Paths.get(delPath))) {
+      val staged = delPath + ".staged"
+      Maintenance.deleteRecursively(Paths.get(staged))
+      delRowsOf(spark.read.parquet(layout.dictPath).select(col("w")))
+        .withColumn("vbucket", bucketCol(col("v")))
+        .repartition(col("vbucket"))
+        .write.mode("overwrite").partitionBy("vbucket").parquet(staged)
+      Files.move(Paths.get(staged), Paths.get(delPath))
     }
   }
 
@@ -1762,7 +2070,8 @@ object InvertedIndex {
     * indistinguishable from re-added ones by id alone) — id reuse under
     * pending tombstones needs the versioned discipline
     * ([[IndexCatalog.upsertInto]]'s versionCol); callers vacuum first. */
-  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit = {
+  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     ensureLens(spark, layout)
     val tombDir = tombDirOf(layout)
     val existing =
@@ -1807,7 +2116,8 @@ object InvertedIndex {
     * Serving results are bound-invariant either way (MaxScore is exact
     * under any VALID bound — spec-gated); only the candidate volume
     * changes. */
-  def refreshImpacts(spark: SparkSession, layout: Layout): Unit = {
+  def refreshImpacts(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     import spark.implicits._
     val tombDir = tombDirOf(layout)
     if (!hasParquet(tombDir)) return // add-only merges keep bounds exact
@@ -1866,7 +2176,8 @@ object InvertedIndex {
     * the dead (w, tbucket) rows and the REWRITE are both pruned to those
     * buckets. Every step is ∝ the batch's bucket footprint, none ∝ the
     * corpus. */
-  def vacuum(spark: SparkSession, layout: Layout): Unit = {
+  def vacuum(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     import spark.implicits._
     val tombDir = tombDirOf(layout)
     if (!hasParquet(tombDir)) return
@@ -2036,7 +2347,8 @@ object InvertedIndex {
     * must be vacuumed first: stats are decremented at delete time while
     * postings still hold the dead rows, so a repair under pending
     * deletes would resurrect pre-delete statistics. */
-  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit = {
+  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     require(!hasParquet(tombDirOf(layout)),
       "pending delete tombstones: vacuum before repair — rebuilding " +
         "stats from postings would resurrect the deleted docs' counts")
@@ -2050,11 +2362,14 @@ object InvertedIndex {
       .write.mode("overwrite").partitionBy("tbucket").parquet(dictStaged)
     Maintenance.deleteRecursively(Paths.get(layout.dictPath))
     Files.move(Paths.get(dictStaged), Paths.get(layout.dictPath))
-    // lex (word indexes): a pure function of the rebuilt dict's key set —
-    // drop + the backfill derivation (staged inside ensureDictLex)
+    // lex + deletion-neighborhood (word indexes): pure functions of the
+    // rebuilt dict's key set — drop + the backfill derivations (each
+    // staged inside its ensure*)
     if (tokKindOf(layout) == "word") {
       Maintenance.deleteRecursively(Paths.get(dictLexPathOf(layout)))
       ensureDictLex(spark, layout)
+      Maintenance.deleteRecursively(Paths.get(dictDelPathOf(layout)))
+      ensureDictDel(spark, layout)
     }
     // lens, footprint, impacts: drop + the existing backfill derivations
     // (each ensure* IS the audit's source-of-truth definition)
@@ -2139,7 +2454,8 @@ object InvertedIndex {
     * impacts are NOT here: their maintenance is already a touched-bucket
     * dynamic overwrite (one file per bucket by construction, never an
     * append). */
-  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit = {
+  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     Maintenance.compactPartitions(spark, layout.dataPath, Seq("tbucket"))
     Maintenance.compactPartitions(spark, footprintPathOf(layout), Seq("dbucket"))
     Maintenance.compactPartitions(spark, lensPathOf(layout), Seq("dbucket"))
@@ -2584,10 +2900,12 @@ object InvertedIndex {
     "q_bm25_prox" -> (bm25Prox _),
     "q_bm25_bool" -> (bm25BoolIndexed _),
     "q_bm25_prefix" -> (bm25Prefix _),
+    "q_bm25_wildcard" -> (bm25Wildcard _),
     "q_bm25_fuzzy" -> (bm25Fuzzy _),
     "q_bm25_msm" -> (bm25MsmIndexed _),
     "q_highlight" -> (highlightIndexed _),
     "q_highlight_prefix" -> (highlightPrefix _),
+    "q_phrase_fuzzy" -> (phraseFuzzy _),
     "q_phrase_prefix" -> (phrasePrefix _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
@@ -2615,9 +2933,11 @@ object InvertedIndex {
     "q_bm25_bool" -> bm25BoolSql,
     "q_bm25_prefix" -> bm25PrefixSql,
     "q_bm25_fuzzy" -> bm25FuzzySql,
+    "q_bm25_wildcard" -> bm25WildcardSql,
     "q_bm25_msm" -> bm25MsmSql,
     "q_highlight" -> highlightSql,
     "q_highlight_prefix" -> highlightPrefixSql,
+    "q_phrase_fuzzy" -> phraseFuzzySql,
     "q_phrase_prefix" -> phrasePrefixSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be

@@ -61,6 +61,11 @@ object MinhashIndex {
   /** On-disk locations of the two stores. */
   case class Layout(sigsPath: String, bandsPath: String)
 
+  /** The index tree root — where the cross-process writer lease lives
+    * ([[WriterLease]]). */
+  private def leaseRoot(layout: Layout): java.nio.file.Path =
+    Paths.get(layout.sigsPath).getParent
+
   private val FormatVersion = 1
 
   private def markerOf(base: String) =
@@ -155,7 +160,8 @@ object MinhashIndex {
     * bucket directories — I/O ∝ batch, untouched buckets byte-stable
     * (spec-gated). Returns the checkpointed batch band frame so the caller
     * can derive the batch's bucket footprint without recomputing. */
-  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): DataFrame = {
+  def upsertDocs(spark: SparkSession, layout: Layout, docs: DataFrame): DataFrame =
+      WriterLease.withLease(leaseRoot(layout)) {
     val (sigs0, _) = featuresOf(docs)
     val sigs = sigs0.localCheckpoint(eager = true) // consumed twice: store + bands
     val bands = Dedup.lshBands(sigs)
@@ -180,7 +186,8 @@ object MinhashIndex {
     *  - sig fold: same discipline over the batch's sbuckets.
     * Ids the index never held simply have no sig rows — the delete is
     * idempotent. */
-  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit = {
+  def deleteDocs(spark: SparkSession, layout: Layout, ids: DataFrame): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     import spark.implicits._
     val tomb = ids.select(col("doc_id")).distinct().localCheckpoint(eager = true)
     val sbuckets = tomb.select(sbucketCol(col("doc_id")).as("b")).distinct()
@@ -288,7 +295,8 @@ object MinhashIndex {
   /** Fold every fragmented shard of both append-only stores ­— the
     * census-gated maintenance move ([[InvertedIndex.compactStores]]'
     * twin for the dedup artifact). */
-  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit = {
+  private[graft] def compactStores(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     Maintenance.compactPartitions(spark, layout.sigsPath, Seq("sbucket"))
     Maintenance.compactPartitions(spark, layout.bandsPath, Seq("bbucket"))
   }
@@ -374,7 +382,8 @@ object MinhashIndex {
     * drifted band store (the audit's bands_match_sigs) restores from one
     * sig-store pass. Signatures are primary (min-hashes are not
     * derivable from bands); a damaged sig store needs the corpus. */
-  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit = {
+  private[graft] def rebuildDerived(spark: SparkSession, layout: Layout): Unit =
+      WriterLease.withLease(leaseRoot(layout)) {
     val sigs = spark.read.parquet(layout.sigsPath)
       .select(col("doc_id"), col("sig"))
     val staged = layout.bandsPath + ".staged"
@@ -492,8 +501,9 @@ object MinhashIndex {
     * "one-call recovery story two-thirds complete" item). One planted
     * corruption per artifact, each on a CLONED/scratch copy (the shared
     * cache is never touched): a dropped dict term bucket (inverted —
-    * which also desynchronizes the lex sidecar, so TWO invariants flag
-    * from one planting), a dropped band bucket (minhash), a phantom
+    * which also desynchronizes the lex AND deletion-neighborhood
+    * sidecars, so THREE invariants flag from one planting), a dropped
+    * band bucket (minhash), a phantom
     * keymap entry (vector — the stale-surplus shape a crash window
     * leaves), a dropped norms shard (embed16 flagship), a dropped
     * reverse-edge shard (graph), and a dropped code partition (SQ8).
@@ -596,6 +606,7 @@ object MinhashIndex {
       |  ('embed', 'stats_match_lens', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
       |  ('graph', 'edge_endpoints_live', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
       |  ('graph', 'redges_mirror_edges', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
+      |  ('inverted', 'del_matches_dict', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
       |  ('inverted', 'lens_matches_postings', CAST(0 AS INTEGER), CAST(0 AS BIGINT)),
       |  ('inverted', 'lex_matches_dict', CAST(1 AS INTEGER), CAST(0 AS BIGINT)),
@@ -624,6 +635,7 @@ object MinhashIndex {
       |  ('embed', 'stats_match_lens', CAST(0 AS BIGINT)),
       |  ('graph', 'edge_endpoints_live', CAST(0 AS BIGINT)),
       |  ('graph', 'redges_mirror_edges', CAST(0 AS BIGINT)),
+      |  ('inverted', 'del_matches_dict', CAST(0 AS BIGINT)),
       |  ('inverted', 'dict_df_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'lens_matches_postings', CAST(0 AS BIGINT)),
       |  ('inverted', 'lex_matches_dict', CAST(0 AS BIGINT)),

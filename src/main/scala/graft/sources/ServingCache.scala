@@ -49,6 +49,13 @@ object ServingCache {
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
+  /** Count of resident-frame builds PUBLISHED (cold loads + stamp-change
+    * rebuilds) — the invalidation meter ServeBench's churn cells read: a
+    * maintenance write swaps the stamp, the next request pays one
+    * rebuild, and this counter prices how many the churn caused. */
+  private val rebuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+  def rebuildCount: Long = rebuilds.get()
+
   /** Fold the keymap tree's shard-level file inventory into a stamp.
     * Mtime granularity on some filesystems is 1 ms — two rewrites inside
     * one tick with identical file counts could collide, so file NAMES
@@ -110,6 +117,7 @@ object ServingCache {
       else if (stampNow == stamp0) {
         if (old != null) old.df.unpersist(blocking = false)
         out = Entry(stamp0, fresh)
+        rebuilds.incrementAndGet()
         out
       } else { out = null; old } // stamp moved mid-build: don't publish
     })

@@ -267,4 +267,16 @@ class EmbedIndexSpec extends SparkSpecBase with Matchers {
     InvertedIndex.rebuildDerived(spark, layout)
     audit().values.foreach(_ shouldBe 0L)
   }
+
+  test("the tuned truncation depth is pinned to the live sweep's choice; the tuned serve ranks by the truncated kernel") {
+    // the measurement→deployment pin (the IvfTune.TunedNprobe
+    // discipline): a corpus/tokenizer change that moves the sweep's
+    // choice must fail HERE, not silently serve a stale dial
+    EmbedIndex.chosenDimDepth(spark, sfDir) shouldBe EmbedIndex.TunedDimDepth
+    // the tuned serve returns k rows, deterministically ordered
+    val got = EmbedIndex.embedKnnTuned(spark, sfDir).collect()
+    got should have length EmbedIndex.DimTuneK
+    val scores = got.map(_.getDouble(1)).toSeq
+    scores shouldBe scores.sorted.reverse
+  }
 }

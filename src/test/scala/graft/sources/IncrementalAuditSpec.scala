@@ -29,8 +29,8 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit_incr: all-zeros over the touched subset after real churn") {
     val rows = IncrementalAudit.indexAuditIncr(spark, sfDir).collect()
-    rows should have length 22
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(22)(0L)
+    rows should have length 24
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(24)(0L)
   }
 
   test("vector sensitivity: a phantom entry planted in a TOUCHED kbucket flags keymap_entries_live; a provably-unreachable garbage shard is never read") {
@@ -106,8 +106,11 @@ class IncrementalAuditSpec extends SparkSpecBase with Matchers {
     // planting is visible from the lex/dict pair's own restricted
     // comparison (one corruption, each store pair seeing it)
     audit("lex_matches_dict") should be > 0L
-    (audit - "dict_df_matches_postings" - "lex_matches_dict")
-      .values.foreach(_ shouldBe 0L)
+    // ... and the deletion-neighborhood sidecar sees the same planting
+    // through ITS restricted comparison — one corruption, three pairs
+    audit("del_matches_dict") should be > 0L
+    (audit - "dict_df_matches_postings" - "lex_matches_dict" -
+      "del_matches_dict").values.foreach(_ shouldBe 0L)
   }
 
   test("read pruning: a garbage file in an UNTOUCHED tbucket is never opened; the deep audit still catches a name-preserving swap") {

@@ -24,8 +24,8 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
 
   test("q_index_audit is all-zeros on the healthy shared cache") {
     val rows = MinhashIndex.indexAudit(spark, sfDir).collect()
-    rows should have length 23
-    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(23)(0L)
+    rows should have length 24
+    rows.map(_.getLong(2)).toSeq shouldBe Seq.fill(24)(0L)
   }
 
   test("graph sensitivity: a dropped redges shard flags redges_mirror_edges; a foreign endpoint flags edge_endpoints_live") {
@@ -147,11 +147,22 @@ class IndexAuditSpec extends SparkSpecBase with Matchers {
     Maintenance.deleteRecursively(firstPartitionDir(layout.dictPath))
     val audit = auditMap(InvertedIndex.auditFrame(spark, layout))
     audit("dict_df_matches_postings") should be > 0L
-    // the lex sidecar still holds the dropped bucket's keys — one
-    // planting, two invariants see it (each from its own store pair)
+    // the lex and deletion-neighborhood sidecars still hold the dropped
+    // bucket's keys — one planting, three invariants see it (each from
+    // its own store pair)
     audit("lex_matches_dict") should be > 0L
-    (audit - "dict_df_matches_postings" - "lex_matches_dict")
-      .values.foreach(_ shouldBe 0L)
+    audit("del_matches_dict") should be > 0L
+    (audit - "dict_df_matches_postings" - "lex_matches_dict" -
+      "del_matches_dict").values.foreach(_ shouldBe 0L)
+  }
+
+  test("a planted dictdel-shard drop flags exactly del_matches_dict") {
+    val layout = InvertedIndex.cloneIndex(spark, sfDir, "audit-del")
+    val delRoot = Paths.get(layout.dictPath).getParent.resolve("dictdel")
+    Maintenance.deleteRecursively(firstPartitionDir(delRoot.toString))
+    val audit = auditMap(InvertedIndex.auditFrame(spark, layout))
+    audit("del_matches_dict") should be > 0L
+    (audit - "del_matches_dict").values.foreach(_ shouldBe 0L)
   }
 
   test("a planted lex-shard drop flags exactly lex_matches_dict") {

@@ -75,7 +75,7 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
     e2.getMessage should include("maxClauseCount")
   }
 
-  test("prefix expansion is partition-pruned on the lex sidecar; fuzzy is length-banded before levenshtein") {
+  test("prefix expansion is partition-pruned on the lex sidecar; fuzzy reads only its deletion variants' buckets") {
     import org.apache.spark.sql.functions.col
     val layout = InvertedIndex.ensure(spark, sfDir)
     val pf = InvertedIndex.prefixCandidates(spark, layout, "se")
@@ -86,13 +86,25 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
     // pruning (the scan's Location string is elided in plan text)
     plan should include("PartitionFilters")
     plan should include("StartsWith(p2")
-    // fuzzy: the length band reaches the lex scan as a PUSHED filter —
-    // the levenshtein never evaluates outside |len − |q|| ≤ maxEdits
+    // fuzzy: the deletion-neighborhood path — the scan carries a
+    // PartitionFilter on vbucket (a column only the dictdel sidecar has)
+    // and a pushed membership filter on the variant key, so the read is
+    // ∝ the typo's own neighborhood, never the vocabulary or a band
     val fz = InvertedIndex.fuzzyCandidates(
       spark, layout, InvertedIndex.FuzzyQ, InvertedIndex.FuzzyMaxEdits)
     fz.collect()
     val fplan = fz.queryExecution.executedPlan.toString
-    fplan should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(len"
+    fplan should include("PartitionFilters")
+    fplan should include("vbucket")
+    fplan should include regex "PushedFilters: \\[.*In\\(v"
+    // the band FALLBACK (legacy layouts / maxEdits > MaxDeletes) keeps
+    // its own gate: the length band reaches the lex scan as a PUSHED
+    // filter — the levenshtein never evaluates outside |len−|q|| ≤ d
+    val fb = InvertedIndex.fuzzyBandCandidates(
+      spark, layout, InvertedIndex.FuzzyQ, InvertedIndex.FuzzyMaxEdits)
+    fb.collect()
+    val bplan = fb.queryExecution.executedPlan.toString
+    bplan should include regex "PushedFilters: \\[.*GreaterThanOrEqual\\(len"
     // ... and the band is a real restriction on this corpus, not a no-op
     val lex = spark.read.parquet(InvertedIndex.dictLexPathOf(layout))
     val q = InvertedIndex.FuzzyQ
@@ -100,9 +112,9 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
       q.length - InvertedIndex.FuzzyMaxEdits,
       q.length + InvertedIndex.FuzzyMaxEdits)).count()
     banded should be < lex.count()
-    // superset theorem in action: the banded expansion equals the
+    // superset theorem in action: the neighborhood expansion equals the
     // unbanded full-vocabulary referee (the fuzzy referee test above
-    // proves the same against raw text; this pins the band specifically)
+    // proves the same against raw text; this pins the access path)
     val unbanded = lex
       .filter(org.apache.spark.sql.functions.levenshtein(
         col("w"), org.apache.spark.sql.functions.lit(q)) <=
@@ -110,6 +122,41 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
       .select(col("w")).collect().map(_.getString(0)).toSet
     InvertedIndex.expandFuzzy(spark, layout, q, InvertedIndex.FuzzyMaxEdits)
       .map(_._1).toSet shouldBe unbanded
+  }
+
+  test("wildcard expansion equals the raw-text vocabulary's regex subset; leading wildcard included") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val vocab = corpusWords
+    // the declared pattern: both metacharacters, ≥2 matches
+    val got = InvertedIndex.expandWildcard(spark, layout, InvertedIndex.WildcardQ)
+    got.toSet shouldBe vocab.filter(
+      _.matches(InvertedIndex.wildcardRegex(InvertedIndex.WildcardQ)))
+    got.size should be >= 2
+    // a leading-wildcard pattern (no literal prefix — the documented
+    // full lex walk) is still CORRECT
+    val lead = InvertedIndex.expandWildcard(spark, layout, "*er")
+    lead.toSet shouldBe vocab.filter(_.endsWith("er"))
+    lead should not be empty
+    // single-? pattern
+    InvertedIndex.expandWildcard(spark, layout, "h?sh").toSet shouldBe
+      vocab.filter(_.matches("^h.sh$"))
+  }
+
+  test("wildcard expansion is prefix-pruned on the lex sidecar when the pattern has a literal prefix") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val wc = InvertedIndex.wildcardCandidates(
+      spark, layout, InvertedIndex.WildcardQ)
+    wc.collect()
+    val plan = wc.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("StartsWith(p2")
+    // the regex/LIKE twins agree on the expansion (the oracle contract)
+    InvertedIndex.wildcardLike(InvertedIndex.WildcardQ) shouldBe "s%a_"
+    // cap discipline holds for wildcard too
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.expandWildcard(spark, layout, "*", cap = 3)
+    }
+    e.getMessage should include("maxClauseCount")
   }
 
   test("fuzzy boosts are clamped at zero for generic inputs (maxEdits >= min term length)") {
