@@ -222,13 +222,28 @@ object ServeBench {
         serving = true).collect()
     }
 
+    // WILDCARD serve — the prefix-pruned lex walk + anchored regex;
+    // patterns rotate over both metacharacters, including one honest
+    // leading-wildcard full-walk cell
+    val wildcards = Seq("s*a?", "h?sh", "gr*p", "w*ow", "f*t", "b*ch",
+      "qu*", "*er")
+    def wildcardReq(i: Int): Unit = {
+      val p = wildcards(i % wildcards.size)
+      val exp = InvertedIndex.expandWildcard(spark, invLayout, p,
+        cap = LoadGenExpansionCap, serving = true, truncateAtCap = true)
+      if (exp.nonEmpty)
+        InvertedIndex.bm25ExpandedOver(spark, invLayout,
+          exp.map((_, 1.0)), serving = true).collect()
+    }
+
     val families: Seq[(String, Int => Unit)] =
       Seq("fetch" -> (fetchReq _), "fetch_hot" -> (fetchHotReq _),
         "ann" -> (annReq _), "bm25" -> (bm25Req _),
         "bm25_hot" -> (bm25HotReq _), "hybrid" -> (hybridReq _),
         "embed" -> (embedReq _), "embed_hot" -> (embedHotReq _),
         "graphann" -> (graphReq _), "phrase" -> (phraseReq _),
-        "prefix" -> (prefixReq _), "fuzzy" -> (fuzzyReq _))
+        "prefix" -> (prefixReq _), "fuzzy" -> (fuzzyReq _),
+        "wildcard" -> (wildcardReq _))
 
     // ---- drive ---------------------------------------------------------
     // the multi-hop walk costs an order more wall-clock per request than

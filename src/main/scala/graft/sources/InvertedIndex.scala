@@ -1244,6 +1244,52 @@ object InvertedIndex {
     pruned.filter(col("w").rlike(wildcardRegex(pattern))).select(col("w"))
   }
 
+  /** The declared regexp pattern: alternation behind a shared literal
+    * prefix — two corpus matches (scan, sort), prefix-prunable. Simple
+    * syntax by design: the pattern must mean the same thing to Java's
+    * regex (Spark) and RE2 (DuckDB's regexp_full_match), so the
+    * declared query sticks to the common subset (literals, groups,
+    * alternation, classes, quantifiers — no backrefs/lookaround, which
+    * RE2 rejects; Lucene's RegexpQuery draws the same automaton-
+    * friendly line). */
+  val RegexQ = "s(can|ort)"
+
+  /** Dictionary EXPANSION for a regexp term query — Lucene's
+    * RegexpQuery discipline: the pattern matches the ENTIRE term
+    * (anchored), and the pattern's literal PREFIX (leading letter/digit
+    * run) prunes the lex walk exactly like a prefix query; a pattern
+    * with no literal prefix walks the vocabulary-sized lex sidecar (the
+    * same honest caveat as a leading wildcard — Lucene intersects the
+    * regex automaton with the FST, whose win is also bounded by the
+    * pattern's literal prefix). */
+  private[graft] def regexCandidates(spark: SparkSession, layout: Layout,
+                                     pattern: String,
+                                     serving: Boolean = false): DataFrame = {
+    val litPrefix = pattern.takeWhile(_.isLetterOrDigit)
+    val base = lexFrame(spark, layout, serving)
+    val pruned =
+      if (litPrefix.nonEmpty)
+        base.filter(col("p2").startsWith(litPrefix.take(2)) &&
+          col("w").startsWith(litPrefix))
+      else base
+    pruned.filter(col("w").rlike("^(?:" + pattern + ")$")).select(col("w"))
+  }
+
+  private[graft] def expandRegex(spark: SparkSession, layout: Layout,
+                                 pattern: String,
+                                 cap: Int = MaxExpansion,
+                                 serving: Boolean = false,
+                                 truncateAtCap: Boolean = false)
+      : Seq[String] = {
+    val ws = regexCandidates(spark, layout, pattern, serving)
+      .limit(if (truncateAtCap) cap else cap + 1)
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(truncateAtCap || ws.size <= cap,
+      s"regexp '$pattern' expands to > $cap terms " +
+        "(the Lucene maxClauseCount discipline) — anchor a literal prefix")
+    ws
+  }
+
   private[graft] def expandWildcard(spark: SparkSession, layout: Layout,
                                     pattern: String,
                                     cap: Int = MaxExpansion,
@@ -1317,6 +1363,16 @@ object InvertedIndex {
       expandWildcard(spark, layout, WildcardQ).map((_, 1.0)))
   }
 
+  /** Q-bm25-regex: `s(can|ort)` expanded via the anchored-regex lex walk
+    * (literal-prefix pruned), scored as a boolean-of-terms. Oracle: the
+    * expansion re-derived from raw text with regexp_full_match — the
+    * RE2 twin of the anchored Java regex on the shared syntax subset. */
+  def bm25Regex(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    bm25ExpandedOver(spark, layout,
+      expandRegex(spark, layout, RegexQ).map((_, 1.0)))
+  }
+
   /** The expanded-BM25 oracle for ANY term predicate + boost expression
     * (both over the token column `w`): the bm25SqlFor CTE chain with the
     * pivot replaced by the quantized integer sum. */
@@ -1351,6 +1407,9 @@ object InvertedIndex {
 
   val bm25WildcardSql: String =
     bm25ExpandedSqlFor(s"w LIKE '${wildcardLike(WildcardQ)}'", "1.0")
+
+  val bm25RegexSql: String =
+    bm25ExpandedSqlFor(s"regexp_full_match(w, '$RegexQ')", "1.0")
 
   // ---- highlighting -------------------------------------------------------
 
@@ -2901,6 +2960,7 @@ object InvertedIndex {
     "q_bm25_bool" -> (bm25BoolIndexed _),
     "q_bm25_prefix" -> (bm25Prefix _),
     "q_bm25_wildcard" -> (bm25Wildcard _),
+    "q_bm25_regex" -> (bm25Regex _),
     "q_bm25_fuzzy" -> (bm25Fuzzy _),
     "q_bm25_msm" -> (bm25MsmIndexed _),
     "q_highlight" -> (highlightIndexed _),
@@ -2934,6 +2994,7 @@ object InvertedIndex {
     "q_bm25_prefix" -> bm25PrefixSql,
     "q_bm25_fuzzy" -> bm25FuzzySql,
     "q_bm25_wildcard" -> bm25WildcardSql,
+    "q_bm25_regex" -> bm25RegexSql,
     "q_bm25_msm" -> bm25MsmSql,
     "q_highlight" -> highlightSql,
     "q_highlight_prefix" -> highlightPrefixSql,

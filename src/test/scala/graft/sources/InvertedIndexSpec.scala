@@ -432,14 +432,17 @@ class InvertedIndexSpec extends SparkSpecBase with Matchers {
       s"""{"name": "${InvertedIndex.IndexName}", "kind": "inverted", "buckets": ${InvertedIndex.TermBuckets}}""")
     InvertedIndex.ensure(spark, sfDir)
     val healed = Files.readString(marker)
-    healed should include(""""dictv": 5""")
+    healed should include(""""dictv": 6""")
     healed should include(""""tok": "word"""")
-    // the rebuilt dict, lens, and lex are the partitioned layouts
+    // the rebuilt dict, lens, lex, and deletion-neighborhood stores are
+    // the partitioned layouts
     spark.read.parquet(layout.dictPath).columns should contain("tbucket")
     spark.read.parquet(Paths.get(layout.dataPath).getParent
       .resolve("lens").toString).columns should contain("dbucket")
     spark.read.parquet(Paths.get(layout.dataPath).getParent
       .resolve("dictlex").toString).columns should contain("p2")
+    spark.read.parquet(Paths.get(layout.dataPath).getParent
+      .resolve("dictdel").toString).columns should contain("vbucket")
   }
 
   test("q_bm25_upsert touches only the new docs' bucket dirs and leaves the shared cache alone") {

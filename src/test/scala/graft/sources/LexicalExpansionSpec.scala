@@ -159,6 +159,28 @@ class LexicalExpansionSpec extends SparkSpecBase with Matchers {
     e.getMessage should include("maxClauseCount")
   }
 
+  test("regexp expansion equals the raw-text vocabulary's anchored-regex subset, prefix-pruned") {
+    val layout = InvertedIndex.ensure(spark, sfDir)
+    val vocab = corpusWords
+    val got = InvertedIndex.expandRegex(spark, layout, InvertedIndex.RegexQ)
+    got.toSet shouldBe vocab.filter(
+      _.matches("^(?:" + InvertedIndex.RegexQ + ")$"))
+    got.size should be >= 2 // the alternation genuinely widens the set
+    // ANCHORED semantics (Lucene RegexpQuery): a substring-only match is
+    // not a match — "can" alone must not admit "scan"
+    InvertedIndex.expandRegex(spark, layout, "can").toSet shouldBe
+      vocab.filter(_ == "can")
+    // a class+quantifier pattern from the shared Java/RE2 subset
+    InvertedIndex.expandRegex(spark, layout, "[hj]as?h").toSet shouldBe
+      vocab.filter(_.matches("^[hj]as?h$"))
+    // literal-prefix pruning reaches the lex scan
+    val rc = InvertedIndex.regexCandidates(spark, layout, InvertedIndex.RegexQ)
+    rc.collect()
+    val plan = rc.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("StartsWith(p2")
+  }
+
   test("fuzzy boosts are clamped at zero for generic inputs (maxEdits >= min term length)") {
     val layout = InvertedIndex.ensure(spark, sfDir)
     val got = InvertedIndex.expandFuzzy(spark, layout, "as", 4)
