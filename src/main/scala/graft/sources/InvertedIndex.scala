@@ -1606,6 +1606,29 @@ object InvertedIndex {
     phraseExpandedOver(spark, layout, PhraseW1, exp)
   }
 
+  /** WILDCARD-INSIDE-A-PHRASE: the third expansion kind through the same
+    * positional slot — "vector s*a?" matches `vector scan` and `vector
+    * stream`. One general mechanism ([[phraseExpandedOver]]), three
+    * expansion feeders (prefix, fuzzy, wildcard): the MultiPhraseQuery
+    * composition is closed over any dictionary expansion. */
+  def phraseWildcard(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensure(spark, dir)
+    val exp = expandWildcard(spark, layout, WildcardQ)
+    require(exp.nonEmpty, s"wildcard '$WildcardQ' matched no dictionary term")
+    phraseExpandedOver(spark, layout, PhraseW1, exp)
+  }
+
+  val phraseWildcardSql: String =
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |              FROM documents),
+       |m AS (SELECT doc_id,
+       |        len(list_filter(range(1, len(t)),
+       |              i -> t[i] = '$PhraseW1'
+       |                   AND t[i+1] LIKE '${wildcardLike(WildcardQ)}')) AS phrase_tf
+       |      FROM toks)
+       |SELECT doc_id, phrase_tf FROM m WHERE phrase_tf > 0
+       |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin
+
   val phraseFuzzySql: String =
     s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
        |              FROM documents),
@@ -1876,6 +1899,21 @@ object InvertedIndex {
       .withColumn("tbucket", bucketCol(col("w")))
       .repartition(col("tbucket"))
       .localCheckpoint(eager = true) // cut lineage off the overwritten files
+    // the deletion-neighborhood sidecar needs the KEY-SET DELTA (terms
+    // entering / leaving the dictionary), derivable only from the
+    // PRE-merge slice — computed and pinned before the overwrite below
+    val dictDelExists = Files.exists(Paths.get(dictDelPathOf(layout)))
+    val (enteringTerms, leavingTerms) =
+      if (!dictDelExists) (null: DataFrame, null: DataFrame)
+      else {
+        val preKeys = spark.read.parquet(layout.dictPath)
+          .filter(col("tbucket").isin(touched: _*)).select(col("w"))
+        (merged.select(col("w")).join(preKeys, Seq("w"), "left_anti")
+           .localCheckpoint(eager = true),
+         preKeys.join(d.select(col("w")), Seq("w"), "left_semi")
+           .join(merged.select(col("w")), Seq("w"), "left_anti")
+           .localCheckpoint(eager = true))
+      }
     val written = merged.select(col("tbucket")).distinct()
       .as[Long].collect().toSet
     merged.write.mode("overwrite")
@@ -1891,11 +1929,10 @@ object InvertedIndex {
     if (Files.exists(Paths.get(dictLexPathOf(layout))))
       mergeLexPartitions(spark, layout, d.select(col("w")).distinct(),
         merged.select(col("w")))
-    // the deletion-neighborhood sidecar follows the same key set: only
-    // the delta terms' variant buckets can gain or lose rows
-    if (Files.exists(Paths.get(dictDelPathOf(layout))))
-      mergeDelPartitions(spark, layout, d.select(col("w")).distinct(),
-        merged.select(col("w")))
+    // the deletion-neighborhood sidecar follows the same key set, with
+    // its own cost discipline (append-dominant — see mergeDelPartitions)
+    if (dictDelExists)
+      mergeDelPartitions(spark, layout, enteringTerms, leavingTerms)
   }
 
   /** TOUCHED-PARTITION lex merge — [[mergeDictBuckets]]' discipline on
@@ -1933,44 +1970,58 @@ object InvertedIndex {
     }
   }
 
-  /** TOUCHED-PARTITION deletion-neighborhood merge —
-    * [[mergeLexPartitions]]' discipline on the variant key: the delta
-    * terms' variant rows name the touched vbuckets, dead delta terms'
-    * rows drop, alive ones' variant rows enter (idempotent via the
-    * distinct), and only those partitions dynamic-overwrite. I/O ∝ the
-    * batch's variant footprint (≈ Σ|w|²/2 rows per delta term), never
-    * the vocabulary. */
+  /** Deletion-neighborhood maintenance — APPEND-DOMINANT, because the
+    * variant key defeats the touched-bucket discipline: a single term's
+    * ~|w|²/2 variants hash across ~every vbucket, so a read-modify-write
+    * merge (the lex/dict shape) re-reads the WHOLE store on every batch
+    * — measured as a 2.5× tax on per-trigger streaming maintenance
+    * before this form. Instead:
+    *  - a term ENTERING the dictionary appends its variant rows as new
+    *    part files in their vbucket dirs — pure append, zero read, I/O ∝
+    *    the batch's new terms (the posting-append discipline).
+    *    Exactness needs no dedup: a term appends only when absent, and
+    *    its rows leave in the same merge it dies, so (v, w) rows are
+    *    never duplicated;
+    *  - a term LEAVING the dictionary (its last posting died — vacuum's
+    *    decrement merge, never the add path) anti-joins its rows out of
+    *    the store. Its variants touch ~every vbucket, so this fold is
+    *    the ONE vocabulary-scale-metadata step in the delete lifecycle
+    *    (the store is ~Σ|w|²/2 rows over the WORD vocabulary — the
+    *    Heaps budget, far below posting scale) and it amortizes over
+    *    vacuum's posting rewrites.
+    * Appended part files accumulate per trigger; [[compactStores]] folds
+    * them (the shared segment-merge discipline). */
   private def mergeDelPartitions(spark: SparkSession, layout: Layout,
-                                 deltaTerms: DataFrame,
-                                 liveTouched: DataFrame): Unit = {
+                                 enteringTerms: DataFrame,
+                                 leavingTerms: DataFrame): Unit = {
     import spark.implicits._
     val delPath = dictDelPathOf(layout)
-    val delta = deltaTerms.localCheckpoint(eager = true)
-    val deltaRows = delRowsOf(delta)
-      .withColumn("vbucket", bucketCol(col("v")))
-      .localCheckpoint(eager = true)
-    val touchedVb = deltaRows.select(col("vbucket")).distinct()
-      .as[Long].collect().sorted.toIndexedSeq
-    if (touchedVb.isEmpty) return
-    val aliveDelta = delta.join(liveTouched, Seq("w"), "left_semi")
-    val deadDelta = delta.join(liveTouched, Seq("w"), "left_anti")
-    val existing = spark.read.parquet(delPath)
-      .filter(col("vbucket").isin(touchedVb: _*))
-      .select(col("v"), col("w"))
-    val out = existing
-      .join(deadDelta, Seq("w"), "left_anti")
-      .unionByName(deltaRows.join(aliveDelta, Seq("w"), "left_semi")
-        .select(col("v"), col("w")))
-      .distinct()
-      .withColumn("vbucket", bucketCol(col("v")))
-      .repartition(col("vbucket"))
-      .localCheckpoint(eager = true) // cut lineage off the overwritten files
-    val written = out.select(col("vbucket")).distinct().as[Long].collect().toSet
-    out.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("vbucket").parquet(delPath)
-    touchedVb.filterNot(written.contains).foreach { b =>
-      Maintenance.deleteRecursively(Paths.get(delPath).resolve(s"vbucket=$b"))
+    if (enteringTerms.limit(1).count() > 0)
+      delRowsOf(enteringTerms)
+        .withColumn("vbucket", bucketCol(col("v")))
+        .repartition(col("vbucket"))
+        .write.mode("append").partitionBy("vbucket").parquet(delPath)
+    if (leavingTerms.limit(1).count() > 0) {
+      val deadRows = delRowsOf(leavingTerms)
+        .withColumn("vbucket", bucketCol(col("v")))
+        .localCheckpoint(eager = true)
+      val touchedVb = deadRows.select(col("vbucket")).distinct()
+        .as[Long].collect().sorted.toIndexedSeq
+      val out = spark.read.parquet(delPath)
+        .filter(col("vbucket").isin(touchedVb: _*))
+        .select(col("v"), col("w"))
+        .join(leavingTerms, Seq("w"), "left_anti")
+        .withColumn("vbucket", bucketCol(col("v")))
+        .repartition(col("vbucket"))
+        .localCheckpoint(eager = true) // cut lineage off the overwritten files
+      val written = out.select(col("vbucket")).distinct()
+        .as[Long].collect().toSet
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("vbucket").parquet(delPath)
+      touchedVb.filterNot(written.contains).foreach { b =>
+        Maintenance.deleteRecursively(Paths.get(delPath).resolve(s"vbucket=$b"))
+      }
     }
   }
 
@@ -2522,6 +2573,10 @@ object InvertedIndex {
       Maintenance.compactPartitions(spark, positionsPathOf(layout), Seq("tbucket"))
     if (Files.exists(Paths.get(normsPathOf(layout))))
       Maintenance.compactPartitions(spark, normsPathOf(layout), Seq("dbucket"))
+    // dictdel is append-dominant (new terms' variant rows arrive as new
+    // part files per merge) — fold its fragments with the other appenders
+    if (Files.exists(Paths.get(dictDelPathOf(layout))))
+      Maintenance.compactPartitions(spark, dictDelPathOf(layout), Seq("vbucket"))
   }
 
   // the oracle replays the grown corpus as a UNION and re-derives every
@@ -2966,6 +3021,7 @@ object InvertedIndex {
     "q_highlight" -> (highlightIndexed _),
     "q_highlight_prefix" -> (highlightPrefix _),
     "q_phrase_fuzzy" -> (phraseFuzzy _),
+    "q_phrase_wildcard" -> (phraseWildcard _),
     "q_phrase_prefix" -> (phrasePrefix _),
     "q_bm25_upsert" -> (bm25Upsert _),
     "q_bm25_compact" -> (bm25Compact _),
@@ -2999,6 +3055,7 @@ object InvertedIndex {
     "q_highlight" -> highlightSql,
     "q_highlight_prefix" -> highlightPrefixSql,
     "q_phrase_fuzzy" -> phraseFuzzySql,
+    "q_phrase_wildcard" -> phraseWildcardSql,
     "q_phrase_prefix" -> phrasePrefixSql,
     "q_bm25_upsert" -> bm25UpsertSql,
     // q_bm25_compact: same oracle — a file-level segment merge must be
