@@ -369,6 +369,7 @@ object ServeBench {
         val done = new CountDownLatch(ChurnLevel)
         val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
         val cycles = new java.util.concurrent.atomic.AtomicLong(0L)
+        val tornRetries = new java.util.concurrent.atomic.AtomicLong(0L)
         val t0 = System.nanoTime()
         // the maintainer: one thread, its own FAIR pool, cycling until
         // the clients finish (readers never take the writer lease, so
@@ -393,7 +394,19 @@ object ServeBench {
               while (i < ReqsPerThread) {
                 val s = System.nanoTime()
                 try {
-                  req(tid * 1000 + i + 1)
+                  // torn-read window (documented in ServingCache): a
+                  // dynamic overwrite can delete files between a
+                  // request's plan snapshot and its execution — the
+                  // recovery is ONE re-plan, counted and INCLUDED in
+                  // the recorded latency (the price of racing live
+                  // maintenance is exactly what this cell measures)
+                  try req(tid * 1000 + i + 1)
+                  catch {
+                    case e: Throwable
+                        if graft.sources.ServingCache.isTornRead(e) =>
+                      tornRetries.incrementAndGet()
+                      req(tid * 1000 + i + 1)
+                  }
                   latencies.add((System.nanoTime() - s) / 1e6)
                 } catch {
                   case e: Throwable =>
@@ -414,7 +427,8 @@ object ServeBench {
         val ls = latencies.iterator().asScala.toSeq
         val ok = ls.filter(_ >= 0).sorted
         (fam, ok, ls.count(_ < 0), wall, cycles.get(),
-          graft.sources.ServingCache.rebuildCount - rebuilds0)
+          graft.sources.ServingCache.rebuildCount - rebuilds0,
+          tornRetries.get())
       }
     }
 
@@ -422,9 +436,10 @@ object ServeBench {
       val thr = if (wall > 0) ok.size / wall else 0.0
       f"""\"$fam@$n\":{\"n\":${ok.size},\"failed\":$failed,\"p50_ms\":${pctl(ok, 0.50)}%.1f,\"p95_ms\":${pctl(ok, 0.95)}%.1f,\"max_ms\":${if (ok.isEmpty) -1.0 else ok.last}%.1f,\"qps\":$thr%.2f}"""
     }
-    val churnJson = churnResults.map { case (fam, ok, failed, wall, cyc, reb) =>
-      val thr = if (wall > 0) ok.size / wall else 0.0
-      f"""\"$fam@$ChurnLevel\":{\"n\":${ok.size},\"failed\":$failed,\"p50_ms\":${pctl(ok, 0.50)}%.1f,\"p95_ms\":${pctl(ok, 0.95)}%.1f,\"max_ms\":${if (ok.isEmpty) -1.0 else ok.last}%.1f,\"qps\":$thr%.2f,\"maint_cycles\":$cyc,\"frame_rebuilds\":$reb}"""
+    val churnJson = churnResults.map {
+      case (fam, ok, failed, wall, cyc, reb, torn) =>
+        val thr = if (wall > 0) ok.size / wall else 0.0
+        f"""\"$fam@$ChurnLevel\":{\"n\":${ok.size},\"failed\":$failed,\"p50_ms\":${pctl(ok, 0.50)}%.1f,\"p95_ms\":${pctl(ok, 0.95)}%.1f,\"max_ms\":${if (ok.isEmpty) -1.0 else ok.last}%.1f,\"qps\":$thr%.2f,\"maint_cycles\":$cyc,\"frame_rebuilds\":$reb,\"torn_retries\":$torn}"""
     }
     val json = (steadyJson ++ churnJson).mkString("{", ",", "}")
     val line =

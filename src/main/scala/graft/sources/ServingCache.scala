@@ -131,6 +131,20 @@ object ServingCache {
   def keymap(spark: SparkSession, basePath: String, name: String): DataFrame =
     frame(spark, Paths.get(basePath, name, "keymap"))
 
+  /** True when a failure chain bottoms out in a file deleted underneath
+    * a running plan — the torn-read window's signature (a dynamic
+    * overwrite replaced files between a request's plan-time snapshot and
+    * its execution). The recovery is ONE re-plan: the fresh read lists
+    * the current files, and a resident frame whose stamp moved rebuilds
+    * itself ([[frame]]'s swap). [[graft.sources.IndexCatalog.fetchByIdsServing]]
+    * retries its lookup this way; any serve caller racing live
+    * maintenance (the ServeBench churn cells) should wrap its action the
+    * same way. */
+  def isTornRead(t: Throwable): Boolean =
+    t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+      (t.getMessage != null && t.getMessage.contains("FILE_NOT_EXIST")) ||
+      isTornRead(t.getCause))
+
   /** Drop one cached store (tests; explicit retire). */
   def invalidateDir(dir: Path): Unit = {
     val e = entries.remove(dir.toString)
